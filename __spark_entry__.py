@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (Q19-style pricing summary) on sf0.001.
+``queries()`` — every implemented operator/query from SURVEY.md §2 (Q-set +
+data-pipeline extras), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — the DuckDB twin for each SQL-expressible entry.
 """
 
 from __future__ import annotations
@@ -15,24 +14,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan+filter+agg+sort end-to-end (Q19 pricing summary)."""
+    from event_stream_spark.queries import q19
+
+    return q19(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from event_stream_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    registry.update(QUERIES)
+    try:
+        from event_stream_spark.datapipe import DATAPIPE_QUERIES
+
+        registry.update(DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from event_stream_spark.queries import ORACLE_SQL
+
+    sql: dict[str, str] = {}
+    sql.update(ORACLE_SQL)
+    try:
+        from event_stream_spark.datapipe import DATAPIPE_ORACLE_SQL
+
+        sql.update(DATAPIPE_ORACLE_SQL)
+    except ImportError:
+        pass
+    return sql

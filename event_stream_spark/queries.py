@@ -1,0 +1,460 @@
+"""The declared correctness query set (SURVEY.md §2.11, Q1–Q20).
+
+Each query witnesses one or more reference operators (cited per entry) over
+the driver's synthetic tables.  Every entry exists twice, with IDENTICAL
+column names: a Spark DataFrame builder here and an ANSI-SQL DuckDB oracle in
+``ORACLE_SQL``.  Determinism: total ORDER BY everywhere; floating aggregates
+rounded as annotated before hashing (rounding applied in BOTH dialects).
+
+Scale notes per query are inline — the headline ones: joins against dimension
+tables use broadcast when small (AQE decides from runtime stats otherwise),
+aggregations are partial-agg + shuffle (map-side combine free from Catalyst),
+window queries shuffle once on the partition key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a synthetic table, tolerating TIMESTAMP(NANOS) parquet columns.
+
+    Spark has no nanosecond timestamp type and refuses NANOS parquet columns
+    outright; with ``nanosAsLong`` they read as raw nanos which we floor to
+    microseconds JVM-side (integer division — a double division would lose
+    precision above 2^53 ns).  DuckDB's TIMESTAMP_NS fetch truncates the same
+    way, so oracle comparisons agree.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    import pyarrow.parquet as pq
+
+    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Q1–Q20
+# ---------------------------------------------------------------------------
+
+def q1(spark, sf):
+    """F1 filter + P8 projection — non-empty 'blocks' analog."""
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 100)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def q2(spark, sf):
+    """F2 event-type membership filter."""
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def q3(spark, sf):
+    """P2/P3 flatten analog: child-table scan with range filter."""
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q4(spark, sf):
+    """J1 equi-join on key (orders ⋈ customer).  Dimension side broadcast
+    when under threshold; AQE otherwise — no manual hint needed."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+def q5(spark, sf):
+    """J2 gap-fill as anti-join: spark.range is a generated leaf (no scan)."""
+    want = spark.range(1, 1001).select(F.col("id").alias("h"))
+    have = (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 1000)
+        .select(F.col("event_id").alias("h"))
+        .distinct()
+    )
+    return want.join(have, on="h", how="left_anti").orderBy("h")
+
+
+def q6(spark, sf):
+    """F5 dedup via ranking window — first-seen-per-key (lastSeen semantics)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id")
+        .orderBy("user_id")
+    )
+
+
+def q7(spark, sf):
+    """U1 union."""
+    e = t(spark, sf, "events")
+    lo = e.filter(F.col("event_id") < 100).select("event_id")
+    hi = e.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).select(
+        "event_id"
+    )
+    return lo.unionAll(hi).orderBy("event_id")
+
+
+def q8_intersect(spark, sf):
+    """Set ops (capability parity — free from Spark SQL)."""
+    e = t(spark, sf, "events")
+    click = e.filter(F.col("event_type") == "click").select("user_id")
+    view = e.filter(F.col("event_type") == "view").select("user_id")
+    return click.intersect(view).orderBy("user_id")
+
+
+def q8_except(spark, sf):
+    e = t(spark, sf, "events")
+    click = e.filter(F.col("event_type") == "click").select("user_id")
+    purchase = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return click.subtract(purchase).orderBy("user_id")  # EXCEPT (set semantics)
+
+
+def q9(spark, sf):
+    """O1/O2 ordering + top-k.  Spark plans ORDER BY + LIMIT as TakeOrderedAndProject
+    — per-partition top-k then merge, no global sort at scale."""
+    return (
+        t(spark, sf, "events")
+        .select("event_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(50)
+    )
+
+
+def q10(spark, sf):
+    """O5 sliding window (ring-buffer 'windowed') as a 5-row analytic avg.
+    event_id tiebreak keeps the frame deterministic under ts ties."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        t(spark, sf, "events")
+        .select(
+            "event_id",
+            "value",
+            F.round(F.avg("value").over(w), 6).alias("avg5"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def q11(spark, sf):
+    """F6 distinct-until-changed via lag."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(~F.col("prev").eqNullSafe(F.col("event_type")))
+        .select("event_id")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def q12(spark, sf):
+    """O4 count-window analog: grouped aggregation (partial agg map-side)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .orderBy("user_id")
+    )
+
+
+def q13(spark, sf):
+    """Event-time tumbling window (hour) — our watermark-window capability."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("h", "event_type")
+    )
+
+
+def q14(spark, sf):
+    """Aggregation depth: ROLLUP over a 3-way join (nation/customer broadcast)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        n, c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def q15(spark, sf):
+    """X1/X4 hash functions (sha2 == DuckDB sha256, lowercase hex)."""
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 100)
+        .select(
+            "event_id",
+            F.sha2(F.col("event_id").cast("string"), 256).alias("h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q16(spark, sf):
+    """K3 splayed-path expression (FileOutput.kt:16-37)."""
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 100)
+        .select(
+            "event_id",
+            F.substring(
+                F.sha2(F.col("event_id").cast("string"), 256), 1, 4
+            ).alias("splay"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0").alias("fname"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q17(spark, sf):
+    """F3 tri-state predicate as CASE WHEN."""
+    keep = (
+        F.when(F.col("event_type").isNull(), F.lit(True))
+        .when(F.col("event_type") == "click", F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return (
+        t(spark, sf, "events")
+        .select("event_id", keep.alias("keep"))
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def q18(spark, sf):
+    """F2 as a left-semi join (EXISTS form)."""
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+def q19(spark, sf):
+    """TPC-H-style pricing summary: scan+filter+agg+sort end-to-end.
+    The filter and the 7-column projection both reach the parquet scan."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("s_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("s_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("s_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("a_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q20(spark, sf):
+    """Distinct-count capability parity (exact; approx_count_distinct is the
+    scale path — see datapipe.textstats for its use)."""
+    return t(spark, sf, "events").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1": q1,
+    "q2": q2,
+    "q3": q3,
+    "q4": q4,
+    "q5": q5,
+    "q6": q6,
+    "q7": q7,
+    "q8_intersect": q8_intersect,
+    "q8_except": q8_except,
+    "q9": q9,
+    "q10": q10,
+    "q11": q11,
+    "q12": q12,
+    "q13": q13,
+    "q14": q14,
+    "q15": q15,
+    "q16": q16,
+    "q17": q17,
+    "q18": q18,
+    "q19": q19,
+    "q20": q20,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 100 ORDER BY o_orderkey LIMIT 100
+    """,
+    "q2": """
+        SELECT event_id, event_type FROM events
+        WHERE event_type IN ('click','purchase') ORDER BY event_id
+    """,
+    "q3": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber
+    """,
+    "q4": """
+        SELECT o.o_orderkey, c.c_name FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey LIMIT 1000
+    """,
+    "q5": """
+        SELECT g.h FROM (SELECT generate_series AS h FROM generate_series(1,1000)) g
+        ANTI JOIN (SELECT DISTINCT event_id FROM events WHERE event_id <= 1000) e
+        ON g.h = e.event_id
+        ORDER BY g.h
+    """,
+    "q6": """
+        SELECT event_id, user_id FROM (
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events) WHERE rn = 1 ORDER BY user_id
+    """,
+    "q7": """
+        SELECT event_id FROM events WHERE event_id < 100
+        UNION ALL
+        SELECT event_id FROM events WHERE event_id >= 100 AND event_id < 200
+        ORDER BY event_id
+    """,
+    "q8_intersect": """
+        SELECT user_id FROM events WHERE event_type='click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type='view'
+        ORDER BY user_id
+    """,
+    "q8_except": """
+        SELECT user_id FROM events WHERE event_type='click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type='purchase'
+        ORDER BY user_id
+    """,
+    "q9": """
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id LIMIT 50
+    """,
+    "q10": """
+        SELECT event_id, value,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5
+        FROM events ORDER BY event_id LIMIT 500
+    """,
+    "q11": """
+        SELECT event_id FROM (
+            SELECT event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events)
+        WHERE prev IS DISTINCT FROM event_type ORDER BY event_id LIMIT 500
+    """,
+    "q12": """
+        SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q13": """
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY h, event_type
+    """,
+    "q14": """
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    "q15": """
+        SELECT event_id, sha256(CAST(event_id AS VARCHAR)) AS h
+        FROM events WHERE event_id <= 100 ORDER BY event_id
+    """,
+    "q16": """
+        SELECT event_id,
+               substring(sha256(CAST(event_id AS VARCHAR)), 1, 4) AS splay,
+               lpad(CAST(event_id AS VARCHAR), 10, '0') AS fname
+        FROM events WHERE event_id <= 100 ORDER BY event_id
+    """,
+    "q17": """
+        SELECT event_id,
+               CASE WHEN event_type IS NULL THEN TRUE
+                    WHEN event_type = 'click' THEN TRUE
+                    ELSE FALSE END AS keep
+        FROM events ORDER BY event_id LIMIT 500
+    """,
+    "q18": """
+        SELECT o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        ORDER BY o_orderkey LIMIT 500
+    """,
+    "q19": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS s_qty,
+               ROUND(SUM(l_extendedprice), 4) AS s_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS s_disc,
+               ROUND(AVG(l_quantity), 4) AS a_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q20": """
+        SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+}
