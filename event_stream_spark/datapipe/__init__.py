@@ -1,0 +1,70 @@
+"""Large-scale training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing) — first-class components alongside the
+SURVEY §2 operator surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_stream_spark.datapipe.dedup import (  # noqa: F401
+    DEDUP_EMBEDDING_SQL,
+    DEDUP_EXACT_SQL,
+    DEDUP_MINHASH_SQL,
+    DEDUP_NGRAM_JACCARD_SQL,
+    DEDUP_SIMHASH_SQL,
+    dedup_embedding,
+    dedup_exact,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from event_stream_spark.datapipe.similarity import (  # noqa: F401
+    ANN_TOPK_SQL,
+    ann_lsh_topk,
+    ann_topk_brute,
+)
+from event_stream_spark.datapipe.textstats import (  # noqa: F401
+    TEXT_FINGERPRINT_SQL,
+    TEXT_LANGID_SQL,
+    TEXT_QUALITY_SQL,
+    TEXT_TOKENS_SQL,
+    text_fingerprint,
+    text_langid,
+    text_quality,
+    text_tokens,
+)
+
+DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": simhash_near_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "ann_topk_brute": ann_topk_brute,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+DATAPIPE_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "ann_topk_brute": ANN_TOPK_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    # rows-only (non-SQL-expressible or engine-specific):
+    #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe)
+}

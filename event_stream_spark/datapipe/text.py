@@ -1,0 +1,52 @@
+"""Shared text primitives for the data-pipeline operators.
+
+Tokenization and shingling are defined ONCE here and mirrored verbatim in the
+DuckDB oracle SQL — any drift between the two breaks hash-match, so both
+dialects use: lowercase → split on \\s+ → drop empties → distinct word
+3-gram shingles joined by single spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+
+
+def shingles(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings; [] if fewer than n words."""
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shg: Column, k: int = 16) -> Column:
+    """k-element min-hash signature: per seed i, the lexicographic min of
+    md5(i || '|' || shingle).  md5-hex-string min-hash keeps the oracle
+    portable (DuckDB has md5; it does not share Spark's xxhash64)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shg, lambda s, seed=i: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """Band keys: concat of each ``rows``-slice of the signature."""
+    return F.array(
+        *[F.concat_ws("", F.slice(sig, b * rows + 1, rows)) for b in range(bands)]
+    )

@@ -1,0 +1,165 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Every operator is a pure column expression with an exactly-mirrored DuckDB
+oracle.  Formulas are deliberately simple + deterministic; at 100 TB each is
+a narrow projection over the text scan (no shuffle at all until the optional
+aggregation on top).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_spark.datapipe.text import shingles, words
+from event_stream_spark.queries import t
+
+# small per-language stopword lists for the n-gram/stopword-hit heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie precedence
+
+
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (a length-based
+    regex proxy: tokens ≈ words + ceil(chars/4) overflow of long words)."""
+    d = t(spark, sf, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    # long words cost extra subword units: sum ceil(len/4) - 1 over words > 4 chars
+    extra = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(F.length(w) > 4, F.ceil(F.length(w) / 4) - 1).otherwise(0),
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_words + extra).alias("n_tokens_est"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKENS_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_words,
+           len(ws) + list_sum(list_transform(ws,
+               x -> CASE WHEN length(x) > 4 THEN cast(ceil(length(x)/4.0) AS BIGINT) - 1
+                         ELSE 0 END))::BIGINT AS n_tokens_est
+    FROM w ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality score in [0,1]: length saturation × (1 − punctuation ratio) ×
+    mean-word-length sanity band.  Deterministic arithmetic, rounded 6dp."""
+    d = t(spark, sf, "documents")
+    ws = words(F.col("text"))
+    n_chars = F.length("text")
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
+    mean_wl = n_chars / F.greatest(n_words, F.lit(1))
+    len_sat = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    punct_pen = 1.0 - punct / F.greatest(n_chars, F.lit(1))
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(len_sat * punct_pen * wl_ok, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+    SELECT doc_id, len(ws) AS n_words,
+           round(least(1.0, len(ws) / 50.0)
+                 * (1.0 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                          / greatest(length(text), 1))
+                 * (CASE WHEN length(text)::DOUBLE / greatest(len(ws),1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM w ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: CJK char check, else stopword-hit argmax with
+    fixed precedence (en > de > fr > es), 'und' (undetermined) when no hits."""
+    d = t(spark, sf, "documents")
+    ws = F.array_distinct(words(F.col("text")))
+    hits = {
+        lang: F.size(
+            F.array_intersect(ws, F.array(*[F.lit(w) for w in sw]))
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    pred = F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
+    pred = pred.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return d.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+def _duck_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(ws, [{lst}]))"
+
+
+TEXT_LANGID_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, text,
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS ws
+        FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN greatest({_duck_hits('en')}, {_duck_hits('de')},
+                           {_duck_hits('fr')}, {_duck_hits('es')}) = 0 THEN 'und'
+             WHEN {_duck_hits('en')} = greatest({_duck_hits('en')}, {_duck_hits('de')},
+                           {_duck_hits('fr')}, {_duck_hits('es')}) THEN 'en'
+             WHEN {_duck_hits('de')} = greatest({_duck_hits('en')}, {_duck_hits('de')},
+                           {_duck_hits('fr')}, {_duck_hits('es')}) THEN 'de'
+             WHEN {_duck_hits('fr')} = greatest({_duck_hits('en')}, {_duck_hits('de')},
+                           {_duck_hits('fr')}, {_duck_hits('es')}) THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM w ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over distinct word
+    3-gram shingles (winnowing-lite rolling signature); null if < 3 words."""
+    d = t(spark, sf, "documents")
+    shg = shingles(words(F.col("text")))
+    fp = F.array_min(F.transform(shg, lambda s: F.md5(s)))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3 THEN
+             list_min(list_transform(
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])),
+               x -> md5(x)))
+           ELSE NULL END AS fingerprint
+    FROM w ORDER BY doc_id
+"""

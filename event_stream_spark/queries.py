@@ -34,9 +34,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     way, so oracle comparisons agree.
     """
     path = f"{sf_dir}/{name}.parquet"
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
 
-    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    ns_cols = [
+        f.name for f in ds.dataset(path, format="parquet").schema
+        if str(f.type) == "timestamp[ns]"
+    ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

@@ -1,0 +1,129 @@
+"""Behavioral tests for the data-pipeline operators on dup-injected synthetic
+corpora (the sf tables contain no near-dups, so capability is proven here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, tmp_path_factory):
+    """Write a small documents/embeddings parquet pair with planted dups."""
+    base = tmp_path_factory.mktemp("dupdata")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the river bank",
+        2: "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 1
+        3: "the quick brown fox jumps over the lazy cat near the river bank",  # near dup of 1
+        4: "completely different content about spark partitions and shuffles today",
+        5: "spark partitions and shuffles explained with completely different wording",
+        6: "short text",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    vecs = {
+        1: [1.0, 0.0, 0.5, 0.2] * 16,
+        2: [1.0, 0.001, 0.5, 0.2] * 16,  # near-identical to 1
+        3: [-1.0, 0.3, 0.0, 0.9] * 16,
+        4: [0.1, -0.8, 0.4, 0.0] * 16,
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+    return str(base)
+
+
+def test_dedup_exact_finds_planted_dup(spark, dup_corpus):
+    from event_stream_spark.datapipe import dedup_exact
+
+    out = dedup_exact(spark, dup_corpus)
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in rows
+
+
+def test_minhash_finds_near_dup(spark, dup_corpus):
+    from event_stream_spark.datapipe import minhash_lsh_pairs
+
+    # 8 bands × 2 rows targets lower-jaccard pairs (~(1/8)^(1/2) ≈ 0.35)
+    pairs = {
+        (r["a"], r["b"]): r["jacc"]
+        for r in minhash_lsh_pairs(
+            spark, dup_corpus, threshold=0.4, bands=8, rows=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs  # one-word change
+    assert all(a != 4 and b != 4 for (a, b) in pairs if (a, b) != (4, 5))
+
+
+def test_simhash_near_pairs(spark, dup_corpus):
+    from event_stream_spark.datapipe import simhash_near_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(spark, dup_corpus, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+
+
+def test_embedding_near_dup(spark, dup_corpus):
+    from event_stream_spark.datapipe import dedup_embedding
+
+    pairs = {(r["a"], r["b"]): r["sim"] for r in dedup_embedding(spark, dup_corpus).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+
+
+def test_ann_brute_vs_lsh_recall(spark):
+    """LSH probe results must be a subset of brute-force ranking, same bucket."""
+    sf = "/root/testdata/sf0.001"
+    from event_stream_spark.datapipe import ann_lsh_topk, ann_topk_brute
+
+    brute = ann_topk_brute(spark, sf, k=50).collect()
+    assert brute[0]["vec_id"] == 0 and brute[0]["sim"] == 1.0  # self-match first
+    sims_b = [r["sim"] for r in brute]
+    assert sims_b == sorted(sims_b, reverse=True)
+
+    lsh = ann_lsh_topk(spark, sf, k=10).collect()
+    assert 0 < len(lsh) <= 10
+    assert lsh[0]["vec_id"] == 0  # the probe lands in its own bucket, sim 1.0
+    sims_l = [r["sim"] for r in lsh]
+    assert sims_l == sorted(sims_l, reverse=True)
+
+
+def test_multimodal_plumbing(spark):
+    import struct
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x00" * 5
+    )
+    rows = [
+        (1, "image", bytearray(png), None, None, None, None),
+        (2, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), None, None, None, 3500),
+        (3, "audio", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA)
+
+    sniffed = {r["media_id"]: r for r in mm.with_sniffed_metadata(df).collect()}
+    assert sniffed[1]["format"] == "png"
+    assert (sniffed[1]["width"], sniffed[1]["height"]) == (640, 480)
+    assert sniffed[2]["format"] == "mp4"
+    assert sniffed[3]["format"] is None
+
+    feats = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+    assert feats[1]["feature"] == "content_digest" and len(feats[1]["value"]) == 16
+    assert 3 not in feats  # null payload skipped
+
+    plan = mm.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG....")
