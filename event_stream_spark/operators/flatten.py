@@ -138,6 +138,17 @@ def enrich_stream_blocks(
     nullable `.result` (TendermintBlockFetcher.kt:42).
     """
     joined = blocks.join(block_results, on="height", how="left")
+    return assemble_stream_blocks(
+        joined, historical=historical, decode_tx_meta=decode_tx_meta
+    )
+
+
+def assemble_stream_blocks(
+    joined: DataFrame, *, historical: bool = True, decode_tx_meta: bool = True
+) -> DataFrame:
+    """P1 core: already-paired rows (height, chain_id, block_ts, block, txs,
+    txs_results, begin_block_events) → STREAM_BLOCK wide rows.  Shared
+    verbatim by the batch (join) and streaming (paired source) paths."""
     joined = with_tx_meta_column(joined, enabled=decode_tx_meta)
 
     h, ts = F.col("height"), F.col("block_ts")

@@ -1,0 +1,36 @@
+"""K4/K6: Kafka sink (KafkaBlockSink.kt:16-38, serde Extensions.kt:19-36).
+
+Record contract: key = ``"<chainId>.<height>"``, value = JSON bytes of the
+StreamBlock.  Expressed as a (key, value) projection ready for
+``format("kafka")``; the ack semantics (K6, at-least-once commit after the
+callback) are provided by Structured Streaming's offset log: a batch's offsets
+commit only after the sink write succeeds.
+
+No broker exists in the test environment, so tests validate the frame; the
+writer itself is the stock kafka sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kafka_frame(stream_blocks: DataFrame, chain_id_col: str = "chain_id") -> DataFrame:
+    key = F.concat_ws(".", F.col(chain_id_col), F.col("height").cast("string"))
+    value = F.to_json(F.struct(*stream_blocks.columns))
+    return stream_blocks.select(
+        key.cast("binary").alias("key"), value.cast("binary").alias("value")
+    )
+
+
+def kafka_sink(
+    stream_blocks: DataFrame, servers: str, topic: str, checkpoint: str
+):
+    return (
+        kafka_frame(stream_blocks)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

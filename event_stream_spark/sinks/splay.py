@@ -1,0 +1,58 @@
+"""K3/K5: splayed JSON file sink (FileOutput.kt:16-37).
+
+Contract: path = ``dir/<first-4-hex-of-sha256(height)>/<height lpad 10>.json``,
+content = the StreamBlock as JSON, **idempotent** (skip if the file exists —
+FileOutput.kt:32-35).  Combined with the streaming offset log this gives
+effectively-once output across restarts.
+
+The path/payload computation (sha2, lpad, to_json) is JVM-side; only the
+small per-file writes run in Python, partition-parallel.  At real scale one
+file per block is the contract (the reference does exactly this); a lake-
+friendly alternative is ``partitionBy(splay)`` parquet, which callers get by
+writing ``splay_frame(df)`` with the normal file sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from event_stream_spark.functions import splay_filename, splay_key
+
+
+def splay_frame(stream_blocks: DataFrame) -> DataFrame:
+    """(splay, fname, payload) — all computed in codegen."""
+    return stream_blocks.select(
+        splay_key("height").alias("splay"),
+        splay_filename("height").alias("fname"),
+        F.to_json(F.struct(*stream_blocks.columns)).alias("payload"),
+    )
+
+
+def write_splayed_json_batch(batch_df: DataFrame, out_dir: str) -> None:
+    """foreachBatch body: write one file per block, skipping existing files."""
+    frame = splay_frame(batch_df)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            d = os.path.join(out_dir, row["splay"])
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{row['fname']}.json")
+            if os.path.exists(path):  # idempotence (FileOutput.kt:32-35)
+                continue
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(row["payload"])
+            os.replace(tmp, path)
+
+    frame.foreachPartition(write_partition)
+
+
+def splayed_json_sink(stream_blocks: DataFrame, out_dir: str, checkpoint: str):
+    """Streaming writer wired through foreachBatch."""
+    return (
+        stream_blocks.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda df, _id: write_splayed_json_batch(df, out_dir))
+    )

@@ -1,0 +1,264 @@
+"""`blockstream` — a PySpark Python DataSource for block ingestion
+(S1–S6/S10 restated Spark-natively, SURVEY.md §2.1).
+
+The reference's sources are hand-rolled coroutine loops: poll head → plan
+height ranges → fetch pages of ≤20 → emit (PollingFlow.kt:32-49,
+HistoricalBlockFlow.kt:26-41, GrpcBlockFlow.kt:26-66).  Structured Streaming's
+source contract IS that loop, formalized:
+
+- ``initialOffset``    = the ``from`` height (reference: resolved once up
+                         front, MultiplexBlockDataFlow.kt:207-215)
+- ``latestOffset``     = current chain head (reference: pollingFlow tick)
+- ``partitions(a, b)`` = page-size height ranges fetched in parallel
+                         (reference: chunking + bounded concurrency — here the
+                         cluster scheduler does the fan-out)
+- ``read(partition)``  = the per-page RPC fetch (two calls per height, J1)
+- checkpointed offsets subsume `Checkpoint(checkEvery=20)` (Checkpoint.kt:6-34)
+
+Rows are raw JSON pairs ``(height, block_json, block_results_json)`` — the
+same decode/enrich DataFrame transforms serve batch and streaming unchanged.
+
+Batch mode (``spark.read.format("blockstream")``) covers the bounded
+historical scan (S5); streaming mode covers polling live tail (S3/S4/S10).
+
+Node backends are pluggable like the reference's NetAdapter (NetAdapter.kt:13-30):
+``fixtures`` replays the golden template corpus; ``synthetic`` generates
+deterministic blocks for scale/soak tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "height BIGINT, block_json STRING, block_results_json STRING"
+
+#: reference TENDERMINT_MAX_QUERY_RANGE (EventStream.kt:73)
+DEFAULT_PAGE_SIZE = 20
+
+
+class HeightRange(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+# ---------------------------------------------------------------------------
+# Node backends
+# ---------------------------------------------------------------------------
+
+class FixtureNode:
+    """Replays the golden fixture corpus from a directory with
+    ``block/<height>.json`` and ``block_results/<height>.json``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def head(self) -> int:
+        heights = [
+            int(f[:-5])
+            for f in os.listdir(os.path.join(self.root, "block"))
+            if f.endswith(".json")
+        ]
+        return max(heights)
+
+    def fetch(self, height: int) -> tuple[str | None, str | None]:
+        def rd(sub: str) -> str | None:
+            p = os.path.join(self.root, sub, f"{height}.json")
+            if not os.path.exists(p):
+                return None
+            with open(p) as fh:
+                return fh.read()
+
+        return rd("block"), rd("block_results")
+
+
+class SyntheticNode:
+    """Deterministic fake chain: every height yields a valid block/results
+    JSON pair; ~1 in 3 blocks carries txs (mirroring the 29% non-empty golden
+    corpus)."""
+
+    def __init__(self, chain_id: str = "synthetic-1"):
+        self.chain_id = chain_id
+
+    def head(self) -> int:  # pragma: no cover - bounded use sets to_height
+        return 1 << 62
+
+    def fetch(self, height: int) -> tuple[str, str]:
+        n_txs = height % 3 if height % 3 != 2 else 0
+        txs = [
+            base64.b64encode(f"tx-{height}-{i}".encode()).decode()
+            for i in range(n_txs)
+        ]
+        ts = f"2021-01-01T00:{(height // 60) % 60:02d}:{height % 60:02d}Z"
+        block = {
+            "jsonrpc": "2.0",
+            "result": {
+                "block": {
+                    "header": {
+                        "chain_id": self.chain_id,
+                        "height": str(height),
+                        "time": ts,
+                        "proposer_address": f"{height:040X}"[:40],
+                    },
+                    "data": {"txs": txs},
+                }
+            },
+        }
+        results = {
+            "jsonrpc": "2.0",
+            "result": {
+                "height": str(height),
+                "txs_results": [
+                    {
+                        "code": 0 if (height + i) % 10 else 1,
+                        "log": "" if (height + i) % 10 else "synthetic error",
+                        "events": [
+                            {
+                                "type": "transfer",
+                                "attributes": [
+                                    {
+                                        "key": base64.b64encode(b"amount").decode(),
+                                        "value": base64.b64encode(
+                                            str(100 * height + i).encode()
+                                        ).decode(),
+                                        "index": False,
+                                    }
+                                ],
+                            }
+                        ],
+                    }
+                    for i in range(n_txs)
+                ],
+                "begin_block_events": [
+                    {
+                        "type": "mint",
+                        "attributes": [
+                            {
+                                "key": base64.b64encode(b"amount").decode(),
+                                "value": base64.b64encode(str(height).encode()).decode(),
+                                "index": False,
+                            }
+                        ],
+                    }
+                ],
+            },
+        }
+        return json.dumps(block), json.dumps(results)
+
+
+def _make_node(options: dict):
+    backend = options.get("backend", "synthetic")
+    if backend == "fixtures":
+        return FixtureNode(options["fixtures_dir"])
+    if backend == "synthetic":
+        return SyntheticNode(options.get("chain_id", "synthetic-1"))
+    raise ValueError(f"unknown blockstream backend: {backend}")
+
+
+def _plan(lo: int, hi: int, page: int) -> Sequence[HeightRange]:
+    """[lo, hi] inclusive → page-size ranges (reference range chunking,
+    MetadataStream.kt:59-77)."""
+    out = []
+    h = lo
+    while h <= hi:
+        out.append(HeightRange(h, min(h + page - 1, hi)))
+        h += page
+    return out
+
+
+def _read_range(node, part: HeightRange) -> Iterator[tuple]:
+    for h in range(part.lo, part.hi + 1):
+        block_json, results_json = node.fetch(h)
+        if block_json is None:
+            continue  # missing block: skipped (gap-fill is the reader's union)
+        yield (h, block_json, results_json)
+
+
+# ---------------------------------------------------------------------------
+# Readers
+# ---------------------------------------------------------------------------
+
+class BlockBatchReader(DataSourceReader):
+    """S5 bounded historical scan."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.lo = int(options["from_height"])
+        self.hi = int(options["to_height"])
+        if self.lo > self.hi:
+            raise ValueError(f"from ({self.lo}) must be <= to ({self.hi})")
+        self.page = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _plan(self.lo, self.hi, self.page)
+
+    def read(self, partition: HeightRange) -> Iterator[tuple]:
+        return _read_range(_make_node(self.options), partition)
+
+
+class BlockStreamReader(DataSourceStreamReader):
+    """S3/S4/S10 polling live source with height offsets.
+
+    ``latestOffset`` is STATELESS — it reports the (optionally ``to``-bounded)
+    chain head, so a query restarted from its checkpoint plans exactly the
+    uncommitted [committed+1, head] span: no dupes, no gaps.  (A stateful
+    rate-limited latestOffset breaks on restart: a fresh reader instance
+    cannot see the checkpointed offset and would report a head below it.)
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.start = int(options.get("from_height", 1))
+        self.to = int(options["to_height"]) if "to_height" in options else None
+        self.page = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self._node = _make_node(options)
+
+    def initialOffset(self) -> dict:
+        return {"height": self.start - 1}
+
+    def latestOffset(self) -> dict:
+        head = self._node.head()
+        if self.to is not None:
+            head = min(head, self.to)
+        return {"height": head}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["height"] + 1, end["height"]
+        if lo > hi:
+            return []
+        return _plan(lo, hi, self.page)
+
+    def read(self, partition: HeightRange) -> Iterator[tuple]:
+        return _read_range(self._node, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint log
+
+
+class BlockStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "blockstream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return BlockBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return BlockStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(BlockStreamDataSource)

@@ -1,0 +1,218 @@
+"""Streaming-path tests: the blockstream Python data source (batch + stream),
+the combined historical∪live flow, checkpoint resume, sinks, panic abort."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import MAX_HIST_HEIGHT, MIN_HIST_HEIGHT
+
+
+def _drain(writer, timeout=120):
+    """Start a stream, process everything currently available, stop."""
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
+
+
+def test_batch_source_synthetic(spark):
+    from event_stream_spark.sources import blockstream
+
+    blockstream.register(spark)
+    df = (
+        spark.read.format("blockstream")
+        .option("backend", "synthetic")
+        .option("from_height", "1")
+        .option("to_height", "100")
+        .load()
+    )
+    assert df.count() == 100
+    from event_stream_spark.streaming import parse_source_rows
+    from event_stream_spark.operators.flatten import assemble_stream_blocks
+    from event_stream_spark.operators import explode_tx_events, explode_tx_errors
+
+    sb = assemble_stream_blocks(
+        parse_source_rows(df), historical=True, decode_tx_meta=False
+    )
+    assert sb.count() == 100
+    te = explode_tx_events(sb)
+    assert te.count() > 0
+    errs = explode_tx_errors(sb)
+    assert errs.count() > 0  # synthetic plants code!=0 rows
+
+
+def test_batch_source_fixtures(spark, templates_dir):
+    from event_stream_spark.sources import blockstream
+
+    blockstream.register(spark)
+    df = (
+        spark.read.format("blockstream")
+        .option("backend", "fixtures")
+        .option("fixtures_dir", templates_dir)
+        .option("from_height", str(MIN_HIST_HEIGHT))
+        .option("to_height", str(MAX_HIST_HEIGHT))
+        .load()
+    )
+    assert df.count() == 100
+
+
+def test_bad_range_rejected(spark):
+    from event_stream_spark.sources import blockstream
+
+    blockstream.register(spark)
+    with pytest.raises(Exception, match="must be <="):
+        (
+            spark.read.format("blockstream")
+            .option("from_height", "10")
+            .option("to_height", "5")
+            .load()
+            .count()
+        )
+
+
+def test_streaming_source_and_resume(spark, tmp_path):
+    """Kill + restart from checkpoint while the chain head grows: the resumed
+    query emits exactly the new heights — no dupes, no gaps (§2.9)."""
+    from event_stream_spark.sources import blockstream
+
+    blockstream.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def reader(head: int):
+        return (
+            spark.readStream.format("blockstream")
+            .option("backend", "synthetic")
+            .option("from_height", "1")
+            .option("to_height", str(head))  # simulated chain head
+            .load()
+        )
+
+    _drain(
+        reader(60).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+    )
+    heights = sorted(r["height"] for r in spark.read.parquet(out).collect())
+    assert heights == list(range(1, 61))
+
+    # restart with the head advanced to 85 → exactly 61..85 appended once
+    _drain(
+        reader(85).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+    )
+    heights = sorted(r["height"] for r in spark.read.parquet(out).collect())
+    assert heights == list(range(1, 86))
+
+
+def test_combined_historical_live(spark, tmp_path):
+    """J3: backfill [1,40] ∪ live [41,60] → exactly 1..60, once each."""
+    from event_stream_spark.streaming import (
+        dedup_heights_stream,
+        historical_stream,
+        live_stream,
+    )
+
+    hist = historical_stream(spark, 1, 40, backend="synthetic", decode_tx_meta=False)
+    live = live_stream(
+        spark,
+        from_height=35,  # overlaps the backfill → dedup must drop 35..40 dupes
+        to_height=60,
+        backend="synthetic",
+        decode_tx_meta=False,
+    )
+    merged = dedup_heights_stream(hist.unionByName(live))
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt2")
+    _drain(
+        merged.select("height", "historical")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    rows = spark.read.parquet(out)
+    heights = sorted(r["height"] for r in rows.select("height").collect())
+    assert heights == list(range(1, 61))  # no gaps, no dupes
+
+
+def test_splayed_json_sink(spark, tmp_path):
+    import hashlib
+
+    from event_stream_spark.sinks import write_splayed_json_batch
+    from event_stream_spark.streaming import historical_stream
+
+    sb = historical_stream(
+        spark, 1, 10, streaming=False, backend="synthetic", decode_tx_meta=False
+    )
+    out = str(tmp_path / "splay")
+    write_splayed_json_batch(sb, out)
+    files = glob.glob(f"{out}/*/*.json")
+    assert len(files) == 10
+    # exact reference path contract: sha256(height-str)[:4] / lpad(height,10,'0')
+    expect = os.path.join(out, hashlib.sha256(b"7").hexdigest()[:4], "0000000007.json")
+    assert os.path.exists(expect)
+    with open(expect) as fh:
+        payload = json.load(fh)
+    assert payload["height"] == 7 and payload["historical"] is True
+
+    # idempotence: second write leaves files untouched (mtime unchanged)
+    before = {f: os.path.getmtime(f) for f in files}
+    write_splayed_json_batch(sb, out)
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{out}/*/*.json")}
+    assert before == after
+
+
+def test_kafka_frame_contract(spark):
+    from event_stream_spark.sinks import kafka_frame
+    from event_stream_spark.streaming import historical_stream
+
+    sb = historical_stream(
+        spark, 1, 3, streaming=False, backend="synthetic", decode_tx_meta=False
+    )
+    rows = kafka_frame(sb).collect()
+    keys = sorted(bytes(r["key"]).decode() for r in rows)
+    assert keys == ["synthetic-1.1", "synthetic-1.2", "synthetic-1.3"]
+    payload = json.loads(bytes(rows[0]["value"]).decode())
+    assert {"height", "block", "block_events", "tx_events", "tx_errors", "historical"} <= set(
+        payload
+    )
+
+
+def test_panic_aborts_stream(spark, tmp_path, templates_dir):
+    """F8: a panic message mid-stream terminates the query with PanicAbort."""
+    from event_stream_spark import decode
+    from event_stream_spark.streaming import guarded_foreach_batch
+
+    src_dir = tmp_path / "msgs"
+    src_dir.mkdir()
+    panic_fixture = os.path.join(templates_dir, "rpc", "responses", "panic.json")
+    with open(panic_fixture) as fh:
+        (src_dir / "m1.json").write_text(fh.read())
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(str(src_dir))
+        .withColumnRenamed("value", "payload")
+    )
+    decoded = decode.decode_messages(raw)
+    q = (
+        decoded.writeStream.foreachBatch(guarded_foreach_batch(lambda df, _id: None))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    with pytest.raises(Exception) as exc_info:
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()
+    assert "panic" in str(exc_info.value).lower()
