@@ -20,7 +20,10 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
     dedup_minhash,
     dedup_ngram_jaccard,
     dedup_simhash,
+    embedding_pairs,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_df,
     simhash_near_pairs,
 )
 from event_stream_spark.datapipe.similarity import (  # noqa: F401

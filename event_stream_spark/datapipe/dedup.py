@@ -3,29 +3,36 @@
 Five dedup families, each designed scale-first:
 
 - exact       : hash-groupBy — one shuffle on a 32-byte key, no text movement
-                after the hash projection (column pruning keeps text at the scan)
+                after the hash projection
 - minhash LSH : shingle → k min-hashes → band keys → bucket join → verify.
-                Candidate generation is |bands| exploded rows per doc joined on
-                the band key — at 100 TB this is THE standard near-dup sweep
-                (the verify join only touches candidate pairs, never n²)
-- simhash     : 32-bit majority-bit signature; candidates via 4×8-bit block
-                pigeonhole (hamming ≤ 3 ⇒ some block equal), verified by
-                bit_count(xor) — again never n²
-- n-gram jaccard : exact word-set jaccard for pairs (bounded corpora /
-                verification tier; the LSH families are the scale path)
-- embedding cosine : near-dup by vector similarity (threshold on cosine)
+                Signatures are computed by EXPLODE → 16 codegen'd md5 columns
+                → groupBy-min (a per-element lambda would run interpreted —
+                ~10× slower; see git history), candidates are |bands| rows/doc
+                joined on band key — never n²
+- simhash     : 32-bit majority-bit signature via explode + 32 codegen'd bit
+                sums; candidates via 4×8-bit block pigeonhole (hamming ≤ 3 ⇒
+                some block equal), verified by bit_count(xor)
+- n-gram jaccard : EXACT set-similarity join with prefix filtering
+                (SSJoin/PPJoin family): under a global token order, two sets
+                with J ≥ t must share a token in their size-(|X|-⌈t|X|⌉+1)
+                prefixes — candidates come from a prefix-token equi-join,
+                then exact jaccard verifies.  Never materializes n² pairs.
+- embedding cosine : block-matrix exact pairwise — vectors are grouped into
+                id-range blocks, block pairs fan out across the cluster, and
+                each task computes a dense numpy (BLAS) similarity tile.
+                Same O(n²) flops as naive, ~100× faster per flop, and
+                distributed.
 
-All JVM-side column expressions; md5-hex min-hash keeps the DuckDB oracle
-exactly replayable.
+md5-hex hashing keeps the DuckDB oracle exactly replayable (DuckDB has md5;
+it does not share Spark's xxhash64).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_stream_spark.datapipe.text import lsh_bands, minhash_signature, shingles, words
-from event_stream_spark.datapipe.vector import cosine
+from event_stream_spark.datapipe.text import lsh_bands, shingles, words
 from event_stream_spark.queries import t
 
 
@@ -55,11 +62,41 @@ DEDUP_EXACT_SQL = """
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
-    return d.select(
-        "doc_id", shingles(words(F.col("text"))).alias("shg")
-    ).filter(F.size("shg") > 0)
+#: universal-hash constants: A odd < 2^30, B < 2^31, P = 2^61 - 1 (Mersenne)
+_MH_P = (1 << 61) - 1
+_MH_A = [(1000003 * i + 12345) | 1 for i in range(64)]
+_MH_B = [998244353 * i + 7 for i in range(64)]
+
+def _verify_jaccard(
+    cand: DataFrame, shg: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard for candidate pairs from shingle ROWS — no arrays.
+
+    intersection(a, b) = count of equal-shingle row matches; sizes come from
+    a per-doc count.  Touches only candidate docs' shingles, every step a
+    codegen'd equi-join/agg — this is the piece that must stay cheap when the
+    candidate set is thousands of pairs over billions of docs."""
+    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shg.select(F.col("doc_id").alias("a"), F.col("s").alias("s"))
+    sb = shg.select(F.col("doc_id").alias("b"), F.col("s").alias("s"))
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    jacc = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .select("a", "b", jacc.alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+        .orderBy("a", "b")
+    )
 
 
 def minhash_lsh_pairs(
@@ -72,9 +109,31 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via banded min-hash, verified with exact
     shingle-set jaccard ≥ threshold.  Returns (a, b, jacc) with a < b."""
-    docs = _doc_shingles(spark, sf)
-    sig = docs.select(
-        "doc_id", "shg", minhash_signature(F.col("shg"), bands * rows).alias("sig")
+    from event_stream_spark.datapipe.text import shingle_rows
+
+    k = bands * rows
+    shg = shingle_rows(t(spark, sf, "documents"), 3)
+    # One md5 per shingle → 32-bit base hash → k universal hashes
+    # (A_i·h + B_i) mod P.  16× fewer cryptographic hashes than md5-per-seed;
+    # pure int64 arithmetic (A_i < 2^30, h < 2^32 ⇒ product < 2^62, no
+    # overflow), replayed exactly by the DuckDB oracle.
+    base = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = shg.select(
+        "doc_id",
+        *[
+            ((F.lit(_MH_A[i]) * base + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+        .select(
+            "doc_id",
+            F.array(
+                *[F.col(f"m{i}").cast("string") for i in range(k)]
+            ).alias("sig"),
+        )
     )
     exploded = sig.select(
         "doc_id",
@@ -92,26 +151,19 @@ def minhash_lsh_pairs(
         .select(F.col("e1.doc_id").alias("a"), F.col("e2.doc_id").alias("b"))
         .distinct()
     )
-    sa = docs.select(F.col("doc_id").alias("a"), F.col("shg").alias("shg_a"))
-    sb = docs.select(F.col("doc_id").alias("b"), F.col("shg").alias("shg_b"))
-    inter = F.size(F.array_intersect("shg_a", "shg_b"))
-    union = F.size("shg_a") + F.size("shg_b") - inter
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", F.round(inter / union, 6).alias("jacc"))
-        .filter(F.col("jacc") >= threshold)
-        .orderBy("a", "b")
-    )
+    return _verify_jaccard(cand, shg, threshold)
 
 
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf, threshold=0.5)
 
 
-# The full minhash pipeline restated in DuckDB SQL (same md5-based hashes,
+# The full minhash pipeline restated in DuckDB SQL (same universal hashes,
 # same banding) — the oracle replays candidate generation AND verification.
-DEDUP_MINHASH_SQL = """
+_MH_A_SQL = "[" + ", ".join(str(a) for a in _MH_A[:16]) + "]"
+_MH_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:16]) + "]"
+
+DEDUP_MINHASH_SQL = f"""
     WITH docs AS (
         SELECT doc_id,
                list_distinct(
@@ -123,15 +175,23 @@ DEDUP_MINHASH_SQL = """
               FROM documents)
         WHERE len(ws) >= 3
     ),
+    hashed AS (
+        SELECT doc_id, shg,
+               list_transform(shg,
+                 x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs
+        FROM docs
+    ),
     sigs AS (
         SELECT doc_id, shg,
                list_transform(range(16),
-                 s -> list_min(list_transform(shg, x -> md5(s::varchar || '|' || x)))) AS sig
-        FROM docs
+                 i -> (list_min(list_transform(hs,
+                        h -> ({_MH_A_SQL}[i+1] * h + {_MH_B_SQL}[i+1])
+                             % {_MH_P})))::VARCHAR) AS sig
+        FROM hashed
     ),
     bands AS (
         SELECT doc_id, b.band_id,
-               array_to_string(sig[b.band_id*4+1 : b.band_id*4+4], '') AS band_key
+               array_to_string(sig[b.band_id*4+1 : b.band_id*4+4], '|') AS band_key
         FROM sigs, (SELECT unnest(range(4)) AS band_id) b
     ),
     cand AS (
@@ -155,35 +215,38 @@ DEDUP_MINHASH_SQL = """
 # simhash
 # ---------------------------------------------------------------------------
 
-def _word_hash32(w):
-    """First 8 md5 hex chars as a 32-bit int — portable to DuckDB."""
-    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+SIMHASH_BITS = 32
 
 
-def simhash_col(ws):
-    """32-bit simhash: bit b set iff a strict majority of distinct words have
-    bit b set in their 32-bit hash."""
-    hashes = F.transform(F.array_distinct(ws), _word_hash32)
-    nwords = F.size(hashes)
-    bit = lambda b: F.when(
-        F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)) * 2
-        > nwords,
-        F.lit(1 << b).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    out = F.lit(0).cast("long")
-    for b in range(32):
-        out = out + bit(b)
-    return out
+def simhash_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, simhash): bit b set iff a strict majority of the doc's
+    distinct words have bit b set in their 32-bit md5-prefix hash.
+
+    explode → one codegen'd hash column → 32 conditional-sum aggregates in a
+    single groupBy pass — no per-element lambdas, one shuffle."""
+    d = t(spark, sf, "documents")
+    w = d.select(
+        "doc_id", F.explode_outer(F.array_distinct(words(F.col("text")))).alias("w")
+    )
+    h = w.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(F.count("h").alias("n"), *bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", F.coalesce(sim, F.lit(0)).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc 32-bit simhash signature (the dedup key for hamming-distance
-    bucketing)."""
-    d = t(spark, sf, "documents")
-    return (
-        d.select("doc_id", simhash_col(words(F.col("text"))).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return simhash_df(spark, sf).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = """
@@ -213,10 +276,8 @@ def simhash_near_pairs(
     """Candidate pairs by 4×8-bit block pigeonhole, verified by hamming ≤ k.
 
     hamming(a,b) ≤ 3 with 4 blocks ⇒ at least one block identical, so an
-    equi-join per block finds every true pair without an n² compare.
-    """
-    d = t(spark, sf, "documents")
-    sh = d.select("doc_id", simhash_col(words(F.col("text"))).alias("simhash"))
+    equi-join per block finds every true pair without an n² compare."""
+    sh = simhash_df(spark, sf)
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -254,61 +315,144 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
-# word-set jaccard (exact pairwise tier)
+# n-gram jaccard via prefix-filtered set-similarity join (exact)
 # ---------------------------------------------------------------------------
 
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf: str, *, threshold: float = 0.5, n: int = 5
+) -> DataFrame:
+    """All pairs with word n-gram jaccard ≥ threshold — EXACT result computed
+    with prefix filtering, not an n² cross join.
+
+    Under any global token order, J(A,B) ≥ t implies A and B share a token
+    within their first (|X| - ⌈t·|X|⌉ + 1) tokens; md5(token) provides the
+    (deterministic, uniform) global order.  Candidates = equi-join of
+    prefix rows; exact jaccard verifies."""
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import shingle_rows
+
+    shg = shingle_rows(t(spark, sf, "documents"), n)
+    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    win = Window.partitionBy("doc_id").orderBy("k")
+    ranked = (
+        shg.select("doc_id", F.md5("s").alias("k"))
+        .withColumn("rn", F.row_number().over(win))
+        .join(sizes, "doc_id")
+    )
+    plen = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    prefixes = ranked.filter(F.col("rn") <= plen).select("doc_id", "k")
+    p1, p2 = prefixes.alias("p1"), prefixes.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.k") == F.col("p2.k"))
+            & (F.col("p1.doc_id") < F.col("p2.doc_id")),
+        )
+        .select(F.col("p1.doc_id").alias("a"), F.col("p2.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, shg, threshold)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-set jaccard ≥ 0.5 over all pairs (a < b).
-
-    Quadratic by construction — the verification tier for bounded corpora;
-    use minhash_lsh_pairs for the at-scale sweep."""
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(words(F.col("text"))).alias("ws")
-    )
-    a = d.select(F.col("doc_id").alias("a"), F.col("ws").alias("wa"))
-    b = d.select(F.col("doc_id").alias("b"), F.col("ws").alias("wb"))
-    inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size("wa") + F.size("wb") - inter
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(inter / union, 6).alias("jacc"))
-        .filter(F.col("jacc") >= 0.5)
-        .orderBy("a", "b")
-    )
+    return ngram_jaccard_pairs(spark, sf, threshold=0.5, n=5)
 
 
+# Oracle: the naive quadratic formulation — same result set by definition;
+# DuckDB runs it comfortably at the correctness scale factor.
 DEDUP_NGRAM_JACCARD_SQL = """
-    WITH w AS (
+    WITH docs AS (
         SELECT doc_id,
-               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x <> '')) AS ws
-        FROM documents
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(ws) - 3, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4])) AS shg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+              FROM documents)
+        WHERE len(ws) >= 5
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
-           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
-                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jacc
-    FROM w a JOIN w b ON a.doc_id < b.doc_id
+           round(len(list_intersect(a.shg, b.shg))::DOUBLE /
+                 (len(a.shg) + len(b.shg) - len(list_intersect(a.shg, b.shg))), 6) AS jacc
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
     WHERE jacc >= 0.5
     ORDER BY a, b
 """
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup
+# embedding cosine near-dup (block-matrix exact)
 # ---------------------------------------------------------------------------
 
-def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Pairs with cosine ≥ 0.4 (double math both sides; see vector.py)."""
-    e = t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+def embedding_pairs(
+    spark: SparkSession, sf: str, *, threshold: float = 0.4, block: int = 1024
+) -> DataFrame:
+    """Exact pairwise cosine ≥ threshold via distributed block-matrix tiles.
+
+    Vectors are grouped into id-range blocks of ``block``; every block pair
+    (bi ≤ bj) becomes one task that computes its numpy similarity tile and
+    emits qualifying (a, b, sim).  Work distributes across ⌈n/block⌉² /2
+    tasks; per-tile math is BLAS.  Thresholding happens after a Spark-side
+    round(6) so results match the sequential-sum oracle."""
+    import pandas as pd
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
+    )
+    blks = [r["blk"] for r in e.select("blk").distinct().collect()]
+    pairs = [(bi, bj) for bi in blks for bj in blks if bi <= bj]
+    pairs_df = spark.createDataFrame(pairs, "bi long, bj long")
+
+    left = e.join(pairs_df, e["blk"] == pairs_df["bi"]).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = e.join(pairs_df, e["blk"] == pairs_df["bj"]).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    )
+    both = left.unionByName(right)
+
+    margin = threshold - 1e-6  # final filter happens on the rounded value
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        same = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        if same:
+            a_rows = pdf[pdf["side"] == 0]
+            b_rows = a_rows
+        else:
+            a_rows = pdf[pdf["side"] == 0]
+            b_rows = pdf[pdf["side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame(columns=["a", "b", "sim"])
+        A = np.stack(a_rows["embedding"].to_numpy()).astype("float64")
+        B = np.stack(b_rows["embedding"].to_numpy()).astype("float64")
+        ids_a = a_rows["vec_id"].to_numpy()
+        ids_b = b_rows["vec_id"].to_numpy()
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        M = An @ Bn.T
+        ii, jj = np.where(M >= margin)
+        keep = ids_a[ii] < ids_b[jj]
+        return pd.DataFrame(
+            {"a": ids_a[ii][keep], "b": ids_b[jj][keep], "sim": M[ii, jj][keep]}
+        )
+
+    tiles = both.groupBy("bi", "bj").applyInPandas(
+        tile, schema="a long, b long, sim double"
+    )
     return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
+        tiles.select("a", "b", F.round("sim", 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
         .orderBy("a", "b")
     )
+
+
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_pairs(spark, sf, threshold=0.4)
 
 
 DEDUP_EMBEDDING_SQL = """

@@ -64,29 +64,54 @@ def _hyperplane(i: int) -> list[float]:
     return comps
 
 
-def lsh_bucket_expr(vec: Column) -> Column:
-    """8-bit bucket id: bit i = sign(dot(vec, hyperplane_i))."""
-    v = as_double(vec)
-    bits = []
+def lsh_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(… , bucket) — 8-bit signature, bit i = sign(dot(vec, hyperplane_i)).
+
+    Computed by posexplode → broadcast join against the tiny (plane, pos,
+    weight) table → two keyed aggregations — every arithmetic op is codegen
+    (an aggregate-lambda dot product runs interpreted).  At scale the table
+    is written ``partitionBy(bucket)`` once and probes prune to one bucket.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (i, j, _hyperplane(i)[j])
+            for i in range(N_PLANES)
+            for j in range(DIM)
+        ],
+        "plane int, pos int, w double",
+    )
+    comps = df.select("vec_id", F.posexplode(vec_col).alias("pos", "x"))
+    dots = (
+        comps.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1, plane)")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    return df.join(buckets, "vec_id")
+
+
+def _python_bucket(vec: list[float]) -> int:
+    out = 0
     for i in range(N_PLANES):
-        plane = F.array(*[F.lit(x).cast("double") for x in _hyperplane(i)])
-        bits.append(F.when(dot(v, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        plane = _hyperplane(i)
+        if sum(x * w for x, w in zip(vec, plane)) >= 0:
+            out |= 1 << i
     return out
 
 
 def ann_lsh_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
-    """Top-k within the probe's LSH bucket — the pruned-scan path."""
+    """Top-k within the probe's LSH bucket — the pruned-scan path.  The
+    probe's bucket is computed driver-side (the hyperplanes are constants),
+    so the query plan is: scan → bucket filter → cosine → top-k."""
     q = _query_vector(spark, sf)
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
-    e = t(spark, sf, "embeddings").withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"))
-    )
-    qbucket = (
-        spark.range(1).select(lsh_bucket_expr(qcol).alias("b")).head()["b"]
-    )
+    qbucket = _python_bucket(q)
+    e = lsh_buckets(t(spark, sf, "embeddings"))
     return (
         e.filter(F.col("bucket") == qbucket)
         .select("vec_id", F.round(cosine(F.col("embedding"), qcol), 6).alias("sim"))

@@ -142,11 +142,20 @@ TEXT_LANGID_SQL = f"""
 
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over distinct word
-    3-gram shingles (winnowing-lite rolling signature); null if < 3 words."""
+    3-gram shingles (winnowing-lite rolling signature); null if < 3 words.
+
+    Row-based shingles (codegen lead() windows) → md5 → groupBy-min → left
+    join restores shingle-less docs as null."""
+    from event_stream_spark.datapipe.text import shingle_rows
+
     d = t(spark, sf, "documents")
-    shg = shingles(words(F.col("text")))
-    fp = F.array_min(F.transform(shg, lambda s: F.md5(s)))
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    fp = (
+        shingle_rows(d, 3)
+        .select("doc_id", F.md5("s").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+    return d.select("doc_id").join(fp, "doc_id", "left").orderBy("doc_id")
 
 
 TEXT_FINGERPRINT_SQL = """

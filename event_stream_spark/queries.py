@@ -24,6 +24,9 @@ TABLES = (
 ).split()
 
 
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table, tolerating TIMESTAMP(NANOS) parquet columns.
 
@@ -32,8 +35,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds JVM-side (integer division — a double division would lose
     precision above 2^53 ns).  DuckDB's TIMESTAMP_NS fetch truncates the same
     way, so oracle comparisons agree.
+
+    DataFrames are memoized per (session, path): the footer/schema probe and
+    relation setup run once, not once per query.
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     import pyarrow.dataset as ds
 
     ns_cols = [
@@ -45,6 +56,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
