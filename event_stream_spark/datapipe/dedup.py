@@ -109,10 +109,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via banded min-hash, verified with exact
     shingle-set jaccard ≥ threshold.  Returns (a, b, jacc) with a < b."""
-    from event_stream_spark.datapipe.text import shingle_rows
+    from event_stream_spark.datapipe.text import doc_shingles
 
     k = bands * rows
-    shg = shingle_rows(t(spark, sf, "documents"), 3)
+    # Session-persisted: the shingle relation feeds the signature AND all
+    # three verify joins here, plus the fingerprint operator — materialized
+    # once per (session, sf), the way a cluster pipeline would keep it as a
+    # table.
+    shg = doc_shingles(spark, sf, 3)
     # One md5 per shingle → 32-bit base hash → k universal hashes
     # (A_i·h + B_i) mod P.  16× fewer cryptographic hashes than md5-per-seed;
     # pure int64 arithmetic (A_i < 2^30, h < 2^32 ⇒ product < 2^62, no
@@ -277,6 +281,8 @@ def simhash_near_pairs(
 
     hamming(a,b) ≤ 3 with 4 blocks ⇒ at least one block identical, so an
     equi-join per block finds every true pair without an n² compare."""
+    # both sides of the block self-join read the same subtree; ReusedExchange
+    # dedups the aggregation (persist measured slower — blinds AQE)
     sh = simhash_df(spark, sf)
     blocks = sh.select(
         "doc_id",
@@ -330,9 +336,11 @@ def ngram_jaccard_pairs(
     prefix rows; exact jaccard verifies."""
     from pyspark.sql import Window
 
-    from event_stream_spark.datapipe.text import shingle_rows
+    from event_stream_spark.datapipe.text import doc_shingles
 
-    shg = shingle_rows(t(spark, sf, "documents"), n)
+    # session-persisted: feeds sizes, the ranked prefix relation, and both
+    # verify joins (see minhash note)
+    shg = doc_shingles(spark, sf, n)
     sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
     win = Window.partitionBy("doc_id").orderBy("k")
     ranked = (

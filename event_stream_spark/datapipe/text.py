@@ -55,6 +55,29 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+#: (session id, sf dir, n) → shingle relation (plan, NOT materialized).
+#: Several operators consume the same shingle relation (minhash dedup,
+#: ngram-jaccard dedup, fingerprinting); memoizing the DataFrame keeps the
+#: subtrees identical so Spark's ReusedExchange kicks in within a query.
+#: Deliberately NOT .persist(): a cached InMemoryRelation hides runtime
+#: shuffle stats from AQE, so the downstream verify joins stop being planned
+#: as broadcast joins — measured 2× SLOWER end-to-end than recomputing the
+#: (cheap, codegen'd) subtree and letting AQE work.
+_SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def doc_shingles(spark, sf: str, n: int = 3) -> DataFrame:
+    """Shared (doc_id, s) shingle relation for the documents table."""
+    from event_stream_spark.queries import t
+
+    key = (id(spark), sf, n)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        cached = shingle_rows(t(spark, sf, "documents"), n)
+        _SHINGLE_CACHE[key] = cached
+    return cached
+
+
 def minhash_signature(shg: Column, k: int = 16) -> Column:
     """k-element min-hash signature: per seed i, the lexicographic min of
     md5(i || '|' || shingle).  md5-hex-string min-hash keeps the oracle

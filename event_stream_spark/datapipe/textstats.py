@@ -146,11 +146,11 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
     Row-based shingles (codegen lead() windows) → md5 → groupBy-min → left
     join restores shingle-less docs as null."""
-    from event_stream_spark.datapipe.text import shingle_rows
+    from event_stream_spark.datapipe.text import doc_shingles
 
     d = t(spark, sf, "documents")
     fp = (
-        shingle_rows(d, 3)
+        doc_shingles(spark, sf, 3)
         .select("doc_id", F.md5("s").alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("fingerprint"))
