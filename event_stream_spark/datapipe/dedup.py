@@ -219,31 +219,38 @@ DEDUP_MINHASH_SQL = f"""
 # simhash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash_df(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, simhash): bit b set iff a strict majority of the doc's
-    distinct words have bit b set in their 32-bit md5-prefix hash.
+    distinct words have bit b set in their 64-bit md5-prefix hash — the
+    standard Manku/Charikar 64-bit simhash (widely published for web-scale
+    near-dup detection; 32 bits is far too collision-prone above ~10^4 docs).
 
-    explode → one codegen'd hash column → 32 conditional-sum aggregates in a
-    single groupBy pass — no per-element lambdas, one shuffle."""
+    explode → one codegen'd hash column (two md5 32-bit halves packed into a
+    signed long) → 64 conditional-sum aggregates in a single groupBy pass —
+    no per-element lambdas, one shuffle."""
     d = t(spark, sf, "documents")
     w = d.select(
         "doc_id", F.explode_outer(F.array_distinct(words(F.col("text")))).alias("w")
     )
-    h = w.select(
-        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h")
-    )
+    hi = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+    h = w.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
     bit_sums = [
+        # (h >> b) & 1: arithmetic shift's sign-extension is masked off
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = h.groupBy("doc_id").agg(F.count("h").alias("n"), *bit_sums)
     sim = None
     for b in range(SIMHASH_BITS):
+        # shiftleft wraps for b=63 (sign bit) — exactly the two's-complement
+        # packing we want; a Python 1<<63 literal would overflow LongType
         term = F.when(
-            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+            F.col(f"b{b}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", F.coalesce(sim, F.lit(0)).alias("simhash"))
@@ -253,6 +260,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_df(spark, sf).orderBy("doc_id")
 
 
+# 64-bit replay: hi/lo md5 halves packed with overflow-safe signed arithmetic
+# (DuckDB checks shift/multiply overflow, so bit 63 needs the CASE forms).
 DEDUP_SIMHASH_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -262,14 +271,22 @@ DEDUP_SIMHASH_SQL = """
     ),
     h AS (
         SELECT doc_id,
-               list_transform(ws, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs,
+               list_transform(ws, x ->
+                 CASE WHEN ('0x' || substring(md5(x), 1, 8))::BIGINT >= 2147483648
+                      THEN (('0x' || substring(md5(x), 1, 8))::BIGINT - 4294967296)
+                           * 4294967296 + ('0x' || substring(md5(x), 9, 8))::BIGINT
+                      ELSE ('0x' || substring(md5(x), 1, 8))::BIGINT
+                           * 4294967296 + ('0x' || substring(md5(x), 9, 8))::BIGINT
+                 END) AS hs,
                len(ws) AS n
         FROM w
     )
     SELECT doc_id,
-           list_sum(list_transform(range(0, 32),
+           list_sum(list_transform(range(0, 64),
              b -> CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > n
-                       THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+                       THEN CASE WHEN b = 63 THEN -9223372036854775808
+                                 ELSE (1::BIGINT << b) END
+                       ELSE 0 END))::BIGINT AS simhash
     FROM h ORDER BY doc_id
 """
 
@@ -277,10 +294,11 @@ DEDUP_SIMHASH_SQL = """
 def simhash_near_pairs(
     spark: SparkSession, sf: str, *, max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs by 4×8-bit block pigeonhole, verified by hamming ≤ k.
+    """Candidate pairs by 4×16-bit block pigeonhole, verified by hamming ≤ k.
 
     hamming(a,b) ≤ 3 with 4 blocks ⇒ at least one block identical, so an
-    equi-join per block finds every true pair without an n² compare."""
+    equi-join per block finds every true pair without an n² compare (the
+    Manku et al. WWW'07 construction over the 64-bit simhash)."""
     # both sides of the block self-join read the same subtree; ReusedExchange
     # dedups the aggregation (persist measured slower — blinds AQE)
     sh = simhash_df(spark, sf)
@@ -290,7 +308,7 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
                     for i in range(4)
                 ]
             )
