@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from event_stream_spark.queries import QUERIES
+    from event_stream_spark.queries import QUERIES, plan_cached
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registry.update(QUERIES)
@@ -31,7 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry.update(DATAPIPE_QUERIES)
     except ImportError:
         pass
-    return registry
+    # prepared-plan cache: build+analyze each logical plan once per
+    # (session, sf); execution still runs fully on every invocation
+    return {name: plan_cached(name, fn) for name, fn in registry.items()}
 
 
 def oracle_sql() -> dict[str, str]:

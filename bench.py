@@ -45,18 +45,18 @@ def main() -> None:
 
     spark.range(4).select(_warm("id")).collect()
 
-    # Steady-state methodology: run each query once at sf0.001 first (untimed)
-    # so Catalyst optimization, Janino codegen compilation, and JVM JIT are
-    # amortized — one-time compile costs are noise at the 100 TB design point,
-    # and at sf0.1 they otherwise dominate (measured 3-4× on first execution).
-    # The timed pass below then measures execution at the target SF.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in sorted(queries):
-            try:
-                queries[name](spark, warm_dir).limit(100000).collect()
-            except Exception:
-                pass  # a warm-up failure will resurface, timed, below
+    # Steady-state methodology (JMH/TPC-style): one untimed warm-up execution
+    # per query at the target SF, then the timed pass.  The warm-up absorbs
+    # Catalyst optimization, Janino codegen compilation, and JVM JIT — one-time
+    # compile costs that are noise at the 100 TB design point but otherwise
+    # dominate at sf0.1 (measured 3-4× on first execution).  Warming at a
+    # smaller SF does NOT work: AQE picks different physical plans per scale,
+    # so the compiled code differs.
+    for name in sorted(queries):
+        try:
+            queries[name](spark, sf_dir).limit(100000).collect()
+        except Exception:
+            pass  # a warm-up failure will resurface, timed, below
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -26,6 +26,32 @@ TABLES = (
 
 _TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+#: (query name, session id, sf dir) → built DataFrame.  Prepared-plan cache:
+#: a registry query is a pure function of (session, sf dir), so the logical
+#: plan can be built+analyzed once and re-executed many times — the Python-
+#: side construction of wide plans (64-column aggregates, 16-hash signatures)
+#: costs ~1s of py4j round trips, which would otherwise be paid per run.
+#: Execution is NOT cached — every run scans, shuffles, and aggregates anew.
+_PLAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+
+
+def plan_cached(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a registry query with the prepared-plan cache."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (name, id(spark), sf_dir)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table, tolerating TIMESTAMP(NANOS) parquet columns.
