@@ -216,3 +216,92 @@ def test_panic_aborts_stream(spark, tmp_path, templates_dir):
         q.awaitTermination(30)
     q.stop()
     assert "panic" in str(exc_info.value).lower()
+
+
+def test_kafka_record_decode(spark):
+    """S9: Kafka-shaped records decode with the fixed schema; garbage bytes
+    classify as corrupt (the SerializationException path) instead of failing."""
+    from event_stream_spark.sources.kafka import decode_kafka_records
+
+    good = json.dumps(
+        {
+            "height": 7,
+            "historical": True,
+            "block_events": [],
+            "tx_events": [],
+            "tx_errors": [],
+        }
+    )
+    rows = [
+        (b"chain-1.7", good.encode()),
+        (b"chain-1.8", b"\x00\x01 not json"),
+        (b"chain-1.9", None),
+    ]
+    records = spark.createDataFrame(rows, "key binary, value binary")
+    out = decode_kafka_records(records).orderBy("record_key").collect()
+    assert [r["corrupt"] for r in out] == [False, True, False]
+    assert out[0]["block"]["height"] == 7
+    assert out[0]["block"]["historical"] is True
+    kept = decode_kafka_records(records, drop_corrupt=True).collect()
+    assert len(kept) == 2
+
+    # round-trip: the K4 sink frame decodes back through the S9 source
+    from event_stream_spark.sinks.kafka import kafka_frame
+
+    sb = spark.createDataFrame(
+        [(5, "chain-1", False)], "height long, chain_id string, historical boolean"
+    )
+    rt = decode_kafka_records(kafka_frame(sb)).collect()[0]
+    assert rt["record_key"] == "chain-1.5"
+    assert rt["block"]["height"] == 5 and not rt["corrupt"]
+
+
+def test_backoff_and_restarts():
+    """X12: exponential backoff envelope; restart loop retries transient
+    failures, re-raises fatal ones, and gives up after max_retries."""
+    import random
+
+    from event_stream_spark.streaming import retry
+
+    rng = random.Random(42)
+    for attempt in range(5):
+        v = retry.backoff_millis(attempt, 1000.0, jitter=True, rng=rng)
+        lo, hi = 1000.0 * 2**attempt * 0.75, 1000.0 * 2**attempt * 1.25
+        assert lo <= v <= hi
+    assert retry.backoff_millis(3, 1000.0, jitter=False) == 8000.0
+
+    class FakeQuery:
+        def __init__(self, fail_with=None):
+            self.fail_with = fail_with
+
+        def awaitTermination(self):
+            if self.fail_with is not None:
+                raise self.fail_with
+
+    # transient failures retried (with backoff), then success
+    calls, sleeps = [], []
+    plan = [RuntimeError("SocketTimeoutException: read"), None]
+
+    def start():
+        calls.append(1)
+        return FakeQuery(plan[len(calls) - 1])
+
+    retry.run_with_restarts(start, base_millis=1.0, sleep=sleeps.append)
+    assert len(calls) == 2 and len(sleeps) == 1
+
+    # fatal error propagates immediately
+    with pytest.raises(ValueError):
+        retry.run_with_restarts(
+            lambda: FakeQuery(ValueError("schema mismatch")),
+            base_millis=1.0,
+            sleep=lambda s: None,
+        )
+
+    # retryable but persistent → raises after max_retries
+    with pytest.raises(RuntimeError):
+        retry.run_with_restarts(
+            lambda: FakeQuery(RuntimeError("ConnectException: refused")),
+            max_retries=2,
+            base_millis=1.0,
+            sleep=lambda s: None,
+        )
