@@ -1,0 +1,88 @@
+"""Property-based (hypothesis) scenarios for the stateful stream-assembly
+logic — the one place the reference's own tests are scenario-based
+(missed-block catch-up, BlockDataFlowTest.kt:145-187; merge dedup,
+MultiplexFlow.kt:117-155).  Randomized height-gap/overlap scenarios check:
+
+- J2 gap-fill: any received subset of [lo, hi] → exactly the full contiguous
+  range, each height once
+- J3/F5 merge dedup: any historical/live overlap → one row per height,
+  history preferred, height-ordered
+- O4 count windows: every window has ≤ size rows and contiguous membership
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# One shared SparkSession via the pytest fixture; hypothesis drives many
+# examples through it, so examples are kept small (≤ 60 heights).
+LO, HI = 1, 60
+
+heights_subset = st.sets(st.integers(min_value=LO, max_value=HI), max_size=HI)
+
+prop_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(received=heights_subset)
+@prop_settings
+def test_gap_fill_restores_contiguity(spark, received):
+    from event_stream_spark.operators.merge import gap_fill, missing_heights
+
+    rec_df = spark.createDataFrame(
+        [(h, "rpc") for h in sorted(received)], "height long, src string"
+    )
+    missing = {
+        r["height"] for r in missing_heights(spark, rec_df, LO, HI).collect()
+    }
+    assert missing == set(range(LO, HI + 1)) - received
+
+    def fetch(gaps):
+        return gaps.selectExpr("height", "'fallback' AS src")
+
+    out = gap_fill(spark, rec_df, LO, HI, fetch).collect()
+    assert [r["height"] for r in out] == list(range(LO, HI + 1))
+    by_src = {r["height"]: r["src"] for r in out}
+    for h in range(LO, HI + 1):
+        assert by_src[h] == ("rpc" if h in received else "fallback")
+
+
+@given(
+    hist_hi=st.integers(min_value=LO, max_value=HI),
+    live_lo=st.integers(min_value=LO, max_value=HI),
+)
+@prop_settings
+def test_merge_dedup_history_wins(spark, hist_hi, live_lo):
+    """Any overlap/gap between history [LO, hist_hi] and live [live_lo, HI]:
+    merged stream has one row per height, history's row where both exist."""
+    from event_stream_spark.operators.merge import combine_historical_live
+
+    hist = spark.createDataFrame(
+        [(h, True) for h in range(LO, hist_hi + 1)], "height long, historical boolean"
+    )
+    live = spark.createDataFrame(
+        [(h, False) for h in range(live_lo, HI + 1)], "height long, historical boolean"
+    )
+    out = combine_historical_live(hist, live).collect()
+    expect = sorted(set(range(LO, hist_hi + 1)) | set(range(live_lo, HI + 1)))
+    assert [r["height"] for r in out] == expect
+    for r in out:
+        assert r["historical"] == (r["height"] <= hist_hi)
+
+
+@given(
+    present=st.sets(st.integers(min_value=0, max_value=40), min_size=1),
+    size=st.integers(min_value=1, max_value=7),
+)
+@prop_settings
+def test_count_windows_bounded(spark, present, size):
+    from event_stream_spark.operators.ordering import count_windows
+
+    df = spark.createDataFrame([(h,) for h in sorted(present)], "height long")
+    rows = count_windows(df, size).collect()
+    for r in rows:
+        assert r["window_id"] == r["height"] // size
