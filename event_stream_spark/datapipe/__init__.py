@@ -28,8 +28,10 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
 )
 from event_stream_spark.datapipe.similarity import (  # noqa: F401
     ANN_TOPK_SQL,
+    ann_ivf_topk,
     ann_lsh_topk,
     ann_topk_brute,
+    ivf_assignments,
 )
 from event_stream_spark.datapipe.textstats import (  # noqa: F401
     TEXT_FINGERPRINT_SQL,
@@ -51,6 +53,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "ann_topk_brute": ann_topk_brute,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -69,5 +72,6 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
-    #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe)
+    #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe),
+    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL)
 }

@@ -127,3 +127,19 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG....")
+
+
+def test_ann_ivf_recall(spark):
+    """IVF-Flat probe: exact within probed lists, high recall vs brute force
+    at the correctness SF, sims descending."""
+    from event_stream_spark.datapipe import ann_ivf_topk, ann_topk_brute
+
+    from tests.conftest import SF_CORRECT
+
+    brute = [r["vec_id"] for r in ann_topk_brute(spark, SF_CORRECT).collect()]
+    rows = ann_ivf_topk(spark, SF_CORRECT).collect()
+    ivf = [r["vec_id"] for r in rows]
+    sims = [r["sim"] for r in rows]
+    assert len(ivf) == 10
+    assert sims == sorted(sims, reverse=True)
+    assert len(set(brute) & set(ivf)) / len(brute) >= 0.5
