@@ -305,3 +305,53 @@ def test_backoff_and_restarts():
             base_millis=1.0,
             sleep=lambda s: None,
         )
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    """§2.9 extension: event-time tumbling window + watermark over the live
+    stream; batch run over the same data agrees with the streamed result."""
+    from event_stream_spark.streaming import historical_stream
+    from event_stream_spark.streaming.windows import windowed_event_counts
+
+    # streaming leg (bounded stream → complete drain)
+    sb_stream = historical_stream(
+        spark, 1, 40, backend="synthetic", decode_tx_meta=False
+    )
+    agg = windowed_event_counts(sb_stream, window="1 minute", watermark="1 hour")
+    out = str(tmp_path / "win")
+    _drain(
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .outputMode("complete")
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    # batch leg on the same heights
+    sb_batch = historical_stream(
+        spark, 1, 40, streaming=False, backend="synthetic", decode_tx_meta=False
+    )
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(sb_batch, window="1 minute").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_grouped_agg_udaf(spark):
+    """§2.10: GROUPED_AGG pandas UDF — exact p90 vs a Python reference."""
+    import numpy as np
+
+    from event_stream_spark.functions.udaf import tx_fee_p90_by_type
+
+    rows = [("transfer", float(f)) for f in range(1, 101)] + [
+        ("mint", 5.0),
+        ("mint", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, fee double")
+    got = {r["event_type"]: r["fee_p90"] for r in tx_fee_p90_by_type(df).collect()}
+    assert got["mint"] == 5.0
+    assert abs(got["transfer"] - np.percentile(np.arange(1.0, 101.0), 90)) < 1e-9
