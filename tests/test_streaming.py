@@ -355,3 +355,52 @@ def test_grouped_agg_udaf(spark):
     got = {r["event_type"]: r["fee_p90"] for r in tx_fee_p90_by_type(df).collect()}
     assert got["mint"] == 5.0
     assert abs(got["transfer"] - np.percentile(np.arange(1.0, 101.0), 90)) < 1e-9
+
+
+def test_cli_batch_splay(spark, tmp_path):
+    """§3.3 CLI analog: batch run writes the splayed-JSON contract."""
+    from event_stream_spark.cli import build_parser, build_pipeline
+    from event_stream_spark.sinks.splay import write_splayed_json_batch
+
+    args = build_parser().parse_args(
+        [
+            "--from-height", "1", "--to-height", "20", "--batch",
+            "--backend", "synthetic", "--no-tx-meta", "--skip-empty-blocks",
+        ]
+    )
+    df = build_pipeline(spark, args)
+    out = str(tmp_path / "splay")
+    write_splayed_json_batch(df, out)
+    files = glob.glob(f"{out}/*/*.json")
+    # synthetic backend: height % 3 == 1 blocks carry txs → 7 of 20 non-empty
+    assert len(files) == 7
+    # contract: dir = first-4 sha256 hex of height, name = lpad-10 height
+    sample = json.load(open(files[0]))
+    assert sample["historical"] is True
+    # idempotence: second run rewrites nothing (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    write_splayed_json_batch(df, out)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+
+def test_checkpoint_introspection(spark, tmp_path):
+    """Checkpoint.kt parity: lastCheckpoint() analog reads the resume height
+    from the offset/commit logs without starting a query."""
+    from event_stream_spark.streaming import historical_stream
+    from event_stream_spark.streaming.checkpoint import (
+        last_checkpoint,
+        last_committed_batch,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    assert last_committed_batch(ckpt) is None and last_checkpoint(ckpt) is None
+
+    df = historical_stream(spark, 1, 30, backend="synthetic", decode_tx_meta=False)
+    _drain(
+        df.select("height")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    assert last_checkpoint(ckpt) == 30
