@@ -404,3 +404,50 @@ def test_checkpoint_introspection(spark, tmp_path):
         .outputMode("append")
     )
     assert last_checkpoint(ckpt) == 30
+
+
+def test_stateful_gap_detection(spark, tmp_path):
+    """applyInPandasWithState contiguity tracking: lastSeen persists ACROSS
+    microbatches; gaps within and between batches are each emitted once."""
+    from event_stream_spark.streaming.gapdetect import detect_gaps
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for chain, h in rows:
+                fh.write(json.dumps({"chain_id": chain, "height": h}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    feed("b1", [("a", 1), ("a", 2), ("a", 5), ("b", 10)])  # in-batch gap 3-4
+
+    stream = spark.readStream.schema("chain_id string, height bigint").json(src)
+    gaps = detect_gaps(stream)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("gaps")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gap"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["chain_id"], r["gap_start"], r["gap_end"])
+            for r in spark.sql("SELECT * FROM gaps").collect()
+        }
+        assert got1 == {("a", 3, 4)}
+
+        # second microbatch: cross-batch gap for a (6..7 missing before 8),
+        # none for b (11 is contiguous), dupes/late heights ignored
+        feed("b2", [("a", 8), ("a", 5), ("b", 11)])
+        q.processAllAvailable()
+        got2 = {
+            (r["chain_id"], r["gap_start"], r["gap_end"])
+            for r in spark.sql("SELECT * FROM gaps").collect()
+        }
+        assert got2 == {("a", 3, 4), ("a", 6, 7)}
+    finally:
+        q.stop()
