@@ -351,6 +351,63 @@ def q20(spark, sf):
     )
 
 
+def q21(spark, sf):
+    """NOT EXISTS anti-join: orders with no discounted lineitem — the
+    complement of Q18 (left-anti plans identically to the gap-fill J2)."""
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+def q22(spark, sf):
+    """CUBE over (event_type, weekday): all 4 grouping combinations in one
+    pass — Catalyst expands to a single Expand + partial agg (vs 4 scans)."""
+    e = t(spark, sf, "events").select(
+        "event_type", F.dayofweek("ts").alias("wd"), "value"
+    )
+    return (
+        e.cube("event_type", "wd")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("wd").asc_nulls_first()
+        )
+    )
+
+
+def q23(spark, sf):
+    """Ranking family: ntile quartiles + dense_rank per user over event time
+    (one window shuffle on user_id serves both functions)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def q24(spark, sf):
+    """Pivot-style conditional aggregation: one pass, one shuffle, N
+    FILTER-style aggregates (the scalable alternative to a pivot explode)."""
+    e = t(spark, sf, "events")
+    cnt = lambda ty: F.count(F.when(F.col("event_type") == ty, 1)).alias(f"n_{ty}")
+    return (
+        e.groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("purchase"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -377,6 +434,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18": q18,
     "q19": q19,
     "q20": q20,
+    "q21": q21,
+    "q22": q22,
+    "q23": q23,
+    "q24": q24,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -497,5 +558,31 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q20": """
         SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+    "q21": """
+        SELECT o_orderkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        ORDER BY o_orderkey LIMIT 500
+    """,
+    # DuckDB dayofweek: Sunday=0 → +1 matches Spark's dayofweek (Sunday=1)
+    "q22": """
+        SELECT event_type, wd, COUNT(*) AS n, round(SUM(value), 4) AS total
+        FROM (SELECT event_type, dayofweek(ts) + 1 AS wd, value FROM events)
+        GROUP BY CUBE(event_type, wd)
+        ORDER BY event_type NULLS FIRST, wd NULLS FIRST
+    """,
+    "q23": """
+        SELECT event_id, user_id,
+               ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+        FROM events ORDER BY event_id LIMIT 500
+    """,
+    "q24": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'view') AS n_view,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
 }
