@@ -38,9 +38,11 @@ def _norm(v):
 
 
 def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Driver-style: sort columns by name, then sort rows."""
+    """Driver-style: sort columns by name, then sort rows (None-safe — cube/
+    rollup rows carry NULL group keys; sort key stringifies per cell)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda row: tuple(str(v) for v in row))
 
 
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
