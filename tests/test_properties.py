@@ -86,3 +86,30 @@ def test_count_windows_bounded(spark, present, size):
     rows = count_windows(df, size).collect()
     for r in rows:
         assert r["window_id"] == r["height"] // size
+
+
+@given(
+    n_hot=st.integers(min_value=0, max_value=30),
+    salt_n=st.integers(min_value=1, max_value=8),
+)
+@prop_settings
+def test_salted_join_row_identical(spark, n_hot, salt_n):
+    """salted_join returns exactly the rows of the plain join, for any skew
+    profile and salt width (inner + left)."""
+    from event_stream_spark.operators.skew import salted_join
+
+    left_rows = [(1, f"hot{i}") for i in range(n_hot)] + [
+        (k, f"cold{k}") for k in range(2, 6)
+    ]
+    right_rows = [(1, "dim1"), (2, "dim2"), (99, "unmatched")]
+    left = spark.createDataFrame(left_rows, "k long, payload string")
+    right = spark.createDataFrame(right_rows, "k long, dim string")
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k", how).collect()
+        )
+        salted = sorted(
+            tuple(r) for r in salted_join(left, right, "k", n=salt_n, how=how).collect()
+        )
+        assert salted == plain
