@@ -33,6 +33,10 @@ from event_stream_spark.datapipe.similarity import (  # noqa: F401
     ann_topk_brute,
     ivf_assignments,
 )
+from event_stream_spark.datapipe.multimodal import (  # noqa: F401
+    media_from_documents,
+    multimodal_meta,
+)
 from event_stream_spark.datapipe.textstats import (  # noqa: F401
     TEXT_FINGERPRINT_SQL,
     TEXT_LANGID_SQL,
@@ -58,6 +62,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -73,5 +78,6 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe),
-    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL)
+    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL),
+    #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -144,3 +144,72 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# registry query: deterministic media derived from the documents table
+# ---------------------------------------------------------------------------
+
+def media_from_documents(spark, sf: str) -> DataFrame:
+    """Synthesize a deterministic media table from ``documents`` (the test
+    corpus has no binary columns): content bytes are built JVM-side —
+    doc_id % 3 == 0 → a real PNG header (IHDR width/height derived from
+    doc_id), % 3 == 1 → jpeg magic + text bytes, % 3 == 2 → a "video" with
+    duration metadata.  Everything is a codegen'd column expression; the
+    binary column is exactly what a real lake would carry opaquely."""
+    from event_stream_spark.queries import t
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A" + "0000000D49484452"),  # sig + IHDR len/type
+            hex4(w),
+            hex4(h),
+        )
+    )
+    jpeg = F.concat(F.unhex(F.lit("FFD8FF")), F.encode("text", "UTF-8"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("image"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    content = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    duration = F.when(
+        F.col("doc_id") % 3 == 2, (F.col("doc_id") % 10 + 1) * 1000
+    ).cast("long")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        duration.alias("duration_ms"),
+    )
+
+
+def multimodal_meta(spark, sf: str) -> DataFrame:
+    """Registry entry (rows-only): sniff formats/dimensions via mapInPandas,
+    join the digest feature — the full multimodal pipeline minus the stubbed
+    codec.  Deterministic output: (media_id, kind, format, width, height,
+    digest, n_frames)."""
+    media = media_from_documents(spark, sf)
+    sniffed = with_sniffed_metadata(media)
+    feats = extract_features(media).filter(F.col("feature") == "content_digest")
+    frames = (
+        frame_sample_plan(media)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return (
+        sniffed.select("media_id", "kind", "format", "width", "height")
+        .join(feats.select("media_id", F.col("value").alias("digest")), "media_id", "left")
+        .join(frames, "media_id", "left")
+        .orderBy("media_id")
+    )

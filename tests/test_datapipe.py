@@ -143,3 +143,22 @@ def test_ann_ivf_recall(spark):
     assert len(ivf) == 10
     assert sims == sorted(sims, reverse=True)
     assert len(set(brute) & set(ivf)) / len(brute) >= 0.5
+
+
+def test_multimodal_meta_query(spark):
+    """Registry entry: deterministic media synthesis + the real sniff/feature
+    pipeline — PNG dims parsed from true IHDR bytes, digests stable."""
+    from event_stream_spark.datapipe import multimodal_meta
+
+    from tests.conftest import SF_CORRECT
+
+    rows = multimodal_meta(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["format"] == "png" and by_id[0]["width"] == 1
+    assert by_id[3]["width"] == 4 and by_id[3]["height"] == 4
+    assert by_id[1]["format"] == "jpeg" and by_id[1]["width"] is None
+    assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 4
+    # digest is deterministic across runs
+    again = {r["media_id"]: r["digest"] for r in multimodal_meta(spark, SF_CORRECT).collect()}
+    assert all(again[r["media_id"]] == r["digest"] for r in rows)
