@@ -64,7 +64,7 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
 #: shuffle stats from AQE so the verify joins degrade from broadcast to
 #: sort-merge (measured 2× slower end-to-end; see git history).  Measured:
 #: parquet-materialized beats recompute ~1.3–2.3× per query steady-state.
-_SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def doc_shingles(spark, sf: str, n: int = 3) -> DataFrame:
@@ -73,9 +73,9 @@ def doc_shingles(spark, sf: str, n: int = 3) -> DataFrame:
     import os
     import tempfile
 
-    from event_stream_spark.queries import t
+    from event_stream_spark.queries import _session_key, t
 
-    key = (id(spark), sf, n)
+    key = (_session_key(spark), sf, n)
     cached = _SHINGLE_CACHE.get(key)
     if cached is None:
         tag = hashlib.md5(f"{sf}|{n}".encode()).hexdigest()[:12]

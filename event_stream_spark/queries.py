@@ -24,7 +24,13 @@ TABLES = (
 ).split()
 
 
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+def _session_key(spark: SparkSession) -> str:
+    """Cache key that cannot alias across stop/start cycles (``id()`` can be
+    reused after GC; applicationId is unique per session)."""
+    return spark.sparkContext.applicationId
+
+
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 #: (query name, session id, sf dir) → built DataFrame.  Prepared-plan cache:
 #: a registry query is a pure function of (session, sf dir), so the logical
@@ -32,7 +38,7 @@ _TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 #: side construction of wide plans (64-column aggregates, 16-hash signatures)
 #: costs ~1s of py4j round trips, which would otherwise be paid per run.
 #: Execution is NOT cached — every run scans, shuffles, and aggregates anew.
-_PLAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def plan_cached(
@@ -41,7 +47,7 @@ def plan_cached(
     """Wrap a registry query with the prepared-plan cache."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, id(spark), sf_dir)
+        key = (name, _session_key(spark), sf_dir)
         df = _PLAN_CACHE.get(key)
         if df is None:
             df = fn(spark, sf_dir)
@@ -66,7 +72,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     relation setup run once, not once per query.
     """
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path)
+    key = (_session_key(spark), path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
