@@ -54,7 +54,7 @@ def main() -> None:
     # so the compiled code differs.
     for name in sorted(queries):
         try:
-            queries[name](spark, sf_dir).limit(100000).collect()
+            queries[name](spark, sf_dir).limit(100000).toPandas()
         except Exception:
             pass  # a warm-up failure will resurface, timed, below
 
@@ -67,8 +67,9 @@ def main() -> None:
         for name in sorted(queries):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
-            # force full execution; limit collect size defensively
-            df.limit(100000).collect()
+            # force full execution + driver materialization (Arrow transfer;
+            # row-based collect() adds ~0.4s/100k rows of pure deserialization)
+            df.limit(100000).toPandas()
             elapsed = round(time.perf_counter() - start, 6)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
