@@ -1,0 +1,120 @@
+"""Scalar-function parity (SURVEY §2.8 X1–X13): the reference's exact edge
+semantics, asserted per function — especially the odd ones (decode failure
+returns input unchanged, repeat-decode fixpoint/printability stops, coin
+parse defaults ZERO)."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()["v"]
+
+
+def test_sha256_and_hex(spark):
+    """X1/X2/X3: sha256 hex digest; concat-then-hash; uppercase hex."""
+    from event_stream_spark.functions.hashing import (
+        sha256_concat,
+        sha256_hex,
+        to_hex_upper,
+    )
+
+    expect = hashlib.sha256(b"abc").hexdigest()
+    assert one(spark, sha256_hex(F.lit("abc"))) == expect
+    assert one(spark, sha256_hex(F.lit("abc"), upper=True)) == expect.upper()
+    # X2: concat non-null inputs then hash (null skipped, concat_ws semantics)
+    assert one(
+        spark, sha256_concat(F.lit("a"), F.lit(None).cast("string"), F.lit("bc"))
+    ) == expect
+    assert one(spark, to_hex_upper(F.lit("az"))) == "617A"
+
+
+def test_tx_hash(spark):
+    """X4: base64-decode then sha256 then UPPER hex — the tx-hash function."""
+    from event_stream_spark.functions.hashing import tx_hash
+
+    payload = b"\x01\x02protobuf-ish"
+    b64 = base64.b64encode(payload).decode()
+    assert one(spark, tx_hash(F.lit(b64))) == hashlib.sha256(payload).hexdigest().upper()
+
+
+def test_decode_base64_failure_returns_input(spark):
+    """X5: invalid base64 → the input string unchanged (Extensions.kt:25-26)."""
+    from event_stream_spark.functions.encoding import decode_base64
+
+    assert one(spark, decode_base64(F.lit("aGVsbG8="))) == "hello"
+    assert one(spark, decode_base64(F.lit("%%not-base64%%"))) == "%%not-base64%%"
+
+
+def test_strip_quotes_and_printable(spark):
+    """X6/X7."""
+    from event_stream_spark.functions.encoding import is_ascii_printable, strip_quotes
+
+    assert one(spark, strip_quotes(F.lit('"quoted"'))) == "quoted"
+    assert one(spark, strip_quotes(F.lit('no"inner"kept'))) == 'no"inner"kept'
+    assert one(spark, is_ascii_printable(F.lit("plain text!"))) is True
+    assert one(spark, is_ascii_printable(F.lit("tab\there"))) is False
+    assert one(spark, is_ascii_printable(F.lit(None).cast("string"))) is False
+
+
+def test_repeat_decode_base64(spark):
+    """X8: iterate decode+strip ≤10 rounds, stop at fixpoint or first
+    non-printable, return last good value."""
+    from event_stream_spark.functions.encoding import repeat_decode_base64
+
+    double = base64.b64encode(base64.b64encode(b"target").decode().encode()).decode()
+    assert one(spark, repeat_decode_base64(F.lit(double))) == "target"
+    # already-plain strings come back unchanged (decode fails → input)
+    assert one(spark, repeat_decode_base64(F.lit("plain words"))) == "plain words"
+    # decoding that yields non-printable bytes keeps the last printable form
+    binary_b64 = base64.b64encode(b"\x01\x02\x03").decode()
+    assert one(spark, repeat_decode_base64(F.lit(binary_b64))) == binary_b64
+
+
+def test_attributes_to_map(spark):
+    """X9: base64-decoded attribute keys → map."""
+    from event_stream_spark.functions.encoding import attributes_to_map
+
+    key = base64.b64encode(b"denom").decode()
+    val = base64.b64encode(b"nhash").decode()
+    df = spark.createDataFrame(
+        [([{"key": key, "value": val, "index": True}],)],
+        "attrs array<struct<key:string,value:string,index:boolean>>",
+    )
+    m = df.select(attributes_to_map("attrs").alias("m")).head()["m"]
+    assert m == {"denom": "nhash"}
+
+
+def test_iso_timestamps(spark):
+    """X10/P7: ISO-8601 format; unparseable header time → null."""
+    from event_stream_spark.functions.timeutil import header_datetime, to_iso_string
+
+    ts = one(spark, header_datetime(F.lit("2021-03-02T10:15:30.123456789Z")))
+    assert ts is not None and ts.year == 2021 and ts.microsecond == 123456
+    assert one(spark, header_datetime(F.lit("not a time"))) is None
+    iso = one(spark, to_iso_string(header_datetime(F.lit("2021-03-02T10:15:30Z"))))
+    assert iso.startswith("2021-03-02T10:15:30")
+
+
+def test_splay_path(spark):
+    """K3 path contract: first-4 sha256 hex dir + zero-padded-10 filename."""
+    from event_stream_spark.functions.hashing import splay_filename, splay_key
+
+    expect_dir = hashlib.sha256(b"42").hexdigest()[:4]
+    assert one(spark, splay_key(F.lit(42).cast("bigint"))) == expect_dir
+    assert one(spark, splay_filename(F.lit(42).cast("bigint"))) == "0000000042"
+
+
+def test_coin_parse(spark):
+    """X13: string amount → DECIMAL(38,0), ZERO on unparseable (InnerCoin.kt:6-8)."""
+    from event_stream_spark.functions.coins import parse_coin_amount
+
+    assert int(one(spark, parse_coin_amount(F.lit("12345")))) == 12345
+    assert int(one(spark, parse_coin_amount(F.lit("garbage")))) == 0
+    assert int(one(spark, parse_coin_amount(F.lit(None).cast("string")))) == 0
+    big = "9" * 38
+    assert int(one(spark, parse_coin_amount(F.lit(big)))) == int(big)
