@@ -26,6 +26,10 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
     simhash_df,
     simhash_near_pairs,
 )
+from event_stream_spark.datapipe.pipeline import (  # noqa: F401
+    DATAPIPE_CLEAN_SQL,
+    datapipe_clean_corpus,
+)
 from event_stream_spark.datapipe.similarity import (  # noqa: F401
     ANN_TOPK_SQL,
     ann_ivf_topk,
@@ -63,6 +67,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
+    "datapipe_clean_corpus": datapipe_clean_corpus,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -76,6 +81,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "datapipe_clean_corpus": DATAPIPE_CLEAN_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe),
     #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL),
