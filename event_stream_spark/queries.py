@@ -1,4 +1,5 @@
-"""The declared correctness query set (SURVEY.md §2.11, Q1–Q20).
+"""The declared correctness query set (SURVEY.md §2.11, Q1–Q20) plus
+capability-depth extensions Q21–Q24.
 
 Each query witnesses one or more reference operators (cited per entry) over
 the driver's synthetic tables.  Every entry exists twice, with IDENTICAL
