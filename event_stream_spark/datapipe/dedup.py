@@ -422,15 +422,22 @@ def embedding_pairs(
     (bi ≤ bj) becomes one task that computes its numpy similarity tile and
     emits qualifying (a, b, sim).  Work distributes across ⌈n/block⌉² /2
     tasks; per-tile math is BLAS.  Thresholding happens after a Spark-side
-    round(6) so results match the sequential-sum oracle."""
+    round(6) so results match the sequential-sum oracle.
+
+    The block-pair driving table is built with a distributed self-join — no
+    driver-side collect: at 10⁹ vectors the block list alone is 10⁶ rows and
+    the pair table 5·10¹¹, which must never materialize on the driver (the
+    pairs frame stays lazy and feeds the join directly)."""
     import pandas as pd
 
     e = t(spark, sf, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
     )
-    blks = [r["blk"] for r in e.select("blk").distinct().collect()]
-    pairs = [(bi, bj) for bi in blks for bj in blks if bi <= bj]
-    pairs_df = spark.createDataFrame(pairs, "bi long, bj long")
+    blks = e.select("blk").distinct()
+    pairs_df = (
+        blks.select(F.col("blk").alias("bi"))
+        .join(blks.select(F.col("blk").alias("bj")), F.col("bi") <= F.col("bj"))
+    )
 
     left = e.join(pairs_df, e["blk"] == pairs_df["bi"]).select(
         "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
