@@ -150,7 +150,14 @@ def ivf_assignments(
     vec = e.select(
         "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(vec)
+    # Train the quantizer on a bounded deterministic sample (id-decimation,
+    # no RNG): centroid quality needs ~1000×nlist points, not the corpus —
+    # at 10⁹ vectors full-data Lloyd iterations would dominate the build.
+    n = vec.count()
+    target = max(1000 * nlist, 20_000)
+    stride = max(1, n // target)
+    train = vec.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
     assigned = (
         model.transform(vec)
         .select("vec_id", F.col("prediction").alias("list_id"))
