@@ -10,3 +10,14 @@ from event_stream_spark.streaming.control import (  # noqa: F401
     panic_guard,
     guarded_foreach_batch,
 )
+from event_stream_spark.streaming.checkpoint import (  # noqa: F401
+    last_checkpoint,
+    last_committed_batch,
+)
+from event_stream_spark.streaming.gapdetect import detect_gaps  # noqa: F401
+from event_stream_spark.streaming.retry import (  # noqa: F401
+    backoff_millis,
+    is_retryable,
+    run_with_restarts,
+)
+from event_stream_spark.streaming.windows import windowed_event_counts  # noqa: F401
