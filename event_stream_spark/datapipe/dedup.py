@@ -9,8 +9,8 @@ Five dedup families, each designed scale-first:
                 → groupBy-min (a per-element lambda would run interpreted —
                 ~10× slower; see git history), candidates are |bands| rows/doc
                 joined on band key — never n²
-- simhash     : 32-bit majority-bit signature via explode + 32 codegen'd bit
-                sums; candidates via 4×8-bit block pigeonhole (hamming ≤ 3 ⇒
+- simhash     : 64-bit majority-bit signature via explode + 64 codegen'd bit
+                sums; candidates via 4×16-bit block pigeonhole (hamming ≤ 3 ⇒
                 some block equal), verified by bit_count(xor)
 - n-gram jaccard : EXACT set-similarity join with prefix filtering
                 (SSJoin/PPJoin family): under a global token order, two sets
@@ -112,10 +112,8 @@ def minhash_lsh_pairs(
     from event_stream_spark.datapipe.text import doc_shingles
 
     k = bands * rows
-    # Session-persisted: the shingle relation feeds the signature AND all
-    # three verify joins here, plus the fingerprint operator — materialized
-    # once per (session, sf), the way a cluster pipeline would keep it as a
-    # table.
+    # Parquet-materialized once per (session, sf) — feeds the signature AND
+    # all three verify joins here, plus the fingerprint operator (matview.py).
     shg = doc_shingles(spark, sf, 3)
     # One md5 per shingle → 32-bit base hash → k universal hashes
     # (A_i·h + B_i) mod P.  16× fewer cryptographic hashes than md5-per-seed;
@@ -299,9 +297,12 @@ def simhash_near_pairs(
     hamming(a,b) ≤ 3 with 4 blocks ⇒ at least one block identical, so an
     equi-join per block finds every true pair without an n² compare (the
     Manku et al. WWW'07 construction over the 64-bit simhash)."""
-    # both sides of the block self-join read the same subtree; ReusedExchange
-    # dedups the aggregation (persist measured slower — blinds AQE)
-    sh = simhash_df(spark, sf)
+    # both sides of the block self-join read this; exchange reuse does NOT
+    # fire across the aliased sides (verified: 0 ReusedExchange), so the
+    # 64-agg relation is parquet-materialized once per session (matview.py)
+    from event_stream_spark.datapipe.matview import materialized
+
+    sh = materialized(spark, f"simhash|{sf}", lambda: simhash_df(spark, sf))
     blocks = sh.select(
         "doc_id",
         "simhash",

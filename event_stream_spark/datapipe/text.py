@@ -55,39 +55,14 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
-#: (session id, sf dir, n) → shingle relation, materialized ONCE as parquet.
-#: Several operators consume the same shingle relation (minhash dedup,
-#: ngram-jaccard dedup, fingerprinting), and each query references it up to
-#: 6× (signature + sizes + both verify-join sides).  A parquet round-trip is
-#: the cluster-correct "materialize the shingles table" step AND keeps AQE
-#: fully effective — unlike ``.persist()``, whose InMemoryRelation hides
-#: shuffle stats from AQE so the verify joins degrade from broadcast to
-#: sort-merge (measured 2× slower end-to-end; see git history).  Measured:
-#: parquet-materialized beats recompute ~1.3–2.3× per query steady-state.
-_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-
-
 def doc_shingles(spark, sf: str, n: int = 3) -> DataFrame:
     """Shared (doc_id, s) shingle relation for the documents table."""
-    import hashlib
-    import os
-    import tempfile
+    from event_stream_spark.datapipe.matview import materialized
+    from event_stream_spark.queries import t
 
-    from event_stream_spark.queries import _session_key, t
-
-    key = (_session_key(spark), sf, n)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is None:
-        tag = hashlib.md5(f"{sf}|{n}".encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(), f"es_shingles_{os.getpid()}", f"shg_{tag}"
-        )
-        shingle_rows(t(spark, sf, "documents"), n).write.mode(
-            "overwrite"
-        ).parquet(path)
-        cached = spark.read.parquet(path)
-        _SHINGLE_CACHE[key] = cached
-    return cached
+    return materialized(
+        spark, f"shingles|{sf}|{n}", lambda: shingle_rows(t(spark, sf, "documents"), n)
+    )
 
 
 def minhash_signature(shg: Column, k: int = 16) -> Column:
