@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_stream_spark.datapipe.text import lsh_bands, shingles, words
+from event_stream_spark.datapipe.text import lsh_bands, words
 from event_stream_spark.queries import t
 
 

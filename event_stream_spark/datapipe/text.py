@@ -65,20 +65,6 @@ def doc_shingles(spark, sf: str, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signature(shg: Column, k: int = 16) -> Column:
-    """k-element min-hash signature: per seed i, the lexicographic min of
-    md5(i || '|' || shingle).  md5-hex-string min-hash keeps the oracle
-    portable (DuckDB has md5; it does not share Spark's xxhash64)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shg, lambda s, seed=i: F.md5(F.concat(F.lit(f"{seed}|"), s)))
-            )
-            for i in range(k)
-        ]
-    )
-
-
 def lsh_bands(sig: Column, bands: int = 4, rows: int = 4, sep: str = "|") -> Column:
     """Band keys: separator-joined ``rows``-slices of the signature (the
     separator prevents concat ambiguity between numeric signature values)."""

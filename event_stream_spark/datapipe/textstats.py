@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_stream_spark.datapipe.text import shingles, words
+from event_stream_spark.datapipe.text import words
 from event_stream_spark.queries import t
 
 # small per-language stopword lists for the n-gram/stopword-hit heuristic
