@@ -51,7 +51,7 @@ def build_pipeline(spark, args) -> DataFrame:
 
     options = {"backend": args.backend}
     if args.templates_dir:
-        options["templates_dir"] = args.templates_dir
+        options["fixtures_dir"] = args.templates_dir
     to = args.to_height
     if to is None and args.batch:
         raise SystemExit("--batch needs --to-height (bounded scan)")

@@ -14,14 +14,26 @@ slower end-to-end; see git history).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_ROOT = os.path.join(tempfile.gettempdir(), f"es_matview_{os.getpid()}")
+
+
+@atexit.register
+def _cleanup() -> None:
+    """Remove this process's materialized parquet at interpreter exit (the
+    per-pid dir would otherwise accumulate across sessions)."""
+    _CACHE.clear()
+    shutil.rmtree(_ROOT, ignore_errors=True)
 
 
 def materialized(
@@ -35,9 +47,7 @@ def materialized(
     cached = _CACHE.get(key)
     if cached is None:
         digest = hashlib.md5(tag.encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(), f"es_matview_{os.getpid()}", digest
-        )
+        path = os.path.join(_ROOT, digest)
         build().write.mode("overwrite").parquet(path)
         cached = spark.read.parquet(path)
         _CACHE[key] = cached

@@ -26,11 +26,13 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-#: Strict base64 shape: standard alphabet, padded length multiple of 4.
-#: Spark's unbase64 is lenient (best-effort decode of garbage); the reference's
-#: Base64.getDecoder() throws on malformed input and the caller keeps the
-#: original string.  The RLIKE guard reproduces throw-→-keep-original.
-_B64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+#: Base64 shapes Java's Base64.getDecoder() accepts: standard alphabet, whole
+#: 4-char groups, and a final unit that is either 2 chars (+ optional ``==``)
+#: or 3 chars (+ optional ``=``) — i.e. padding is OPTIONAL ("aGk" == "aGk=" ==
+#: "hi"), but a dangling single char or wrong padding throws.  Spark's unbase64
+#: is lenient (best-effort decode of garbage); the RLIKE guard reproduces the
+#: reference's throw-→-keep-original semantics (Extensions.kt:25-26).
+_B64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}(?:==)?|[A-Za-z0-9+/]{3}=?)?$"
 
 
 def is_ascii_printable(c: Column | str) -> Column:
@@ -45,9 +47,15 @@ def strip_quotes(c: Column | str) -> Column:
 
 
 def decode_base64(c: Column | str) -> Column:
-    """X5: base64 → UTF-8 string; on malformed input return input unchanged."""
+    """X5: base64 → UTF-8 string; on malformed input return input unchanged.
+
+    Decode is ``cast(binary AS string)`` + ``make_valid_utf8`` — NOT
+    ``F.decode(_, 'UTF-8')``, which throws MALFORMED_CHARACTER_CODING in
+    Spark 4; the reference's ``String(bytes, UTF_8)`` substitutes U+FFFD for
+    invalid sequences, which is exactly ``make_valid_utf8``'s contract.
+    """
     cc = _col(c)
-    decoded = F.decode(F.unbase64(cc), "UTF-8")
+    decoded = F.make_valid_utf8(F.unbase64(cc).cast("string"))
     return F.when(cc.isNull(), F.lit(None).cast("string")).otherwise(
         F.when(cc.rlike(_B64_RE), F.coalesce(decoded, cc)).otherwise(cc)
     )

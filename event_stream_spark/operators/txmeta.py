@@ -104,7 +104,10 @@ def decode_tx_meta(tx_b64: str | None) -> tuple[int | None, str | None, str | No
         raw = base64.b64decode(tx_b64, validate=True)
         body = _first(raw, 1)
         auth = _first(raw, 2)
-        memo = None
+        # proto3 omits empty strings on the wire, and the reference does
+        # `decodedTxData.body.memo ?: ""` — so a parseable tx with no memo
+        # field yields "" (None is reserved for undecodable payloads).
+        memo = ""
         if body is not None:
             m = _first(body, 2)
             if m is not None:

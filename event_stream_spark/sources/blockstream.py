@@ -159,7 +159,11 @@ class SyntheticNode:
 def _make_node(options: dict):
     backend = options.get("backend", "synthetic")
     if backend == "fixtures":
-        return FixtureNode(options["fixtures_dir"])
+        # `templates_dir` accepted as an alias (the CLI flag is --templates-dir)
+        root = options.get("fixtures_dir") or options.get("templates_dir")
+        if not root:
+            raise ValueError("fixtures backend needs fixtures_dir/templates_dir")
+        return FixtureNode(root)
     if backend == "synthetic":
         return SyntheticNode(options.get("chain_id", "synthetic-1"))
     raise ValueError(f"unknown blockstream backend: {backend}")

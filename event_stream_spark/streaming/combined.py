@@ -55,7 +55,7 @@ def _source(
     blockstream.register(spark)
     reader = spark.readStream if streaming else spark.read
     raw = reader.format("blockstream").options(
-        **{k: str(v) for k, v in options.items()}
+        **{k: str(v) for k, v in options.items() if v is not None}
     ).load()
     return assemble_stream_blocks(
         parse_source_rows(raw), historical=historical, decode_tx_meta=decode_tx_meta
@@ -74,7 +74,7 @@ def live_stream(
 def historical_stream(
     spark: SparkSession,
     from_height: int,
-    to_height: int,
+    to_height: int | None,
     *,
     streaming: bool = True,
     decode_tx_meta: bool = True,

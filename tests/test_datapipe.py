@@ -97,6 +97,21 @@ def test_ann_brute_vs_lsh_recall(spark):
     assert sims_l == sorted(sims_l, reverse=True)
 
 
+def test_matview_cleanup(spark):
+    """The per-pid matview parquet dir is removed by the atexit hook (no
+    /tmp leak across sessions); re-materialization works after cleanup."""
+    import os
+
+    from event_stream_spark.datapipe import matview
+
+    df = matview.materialized(spark, "cleanup_probe", lambda: spark.range(5))
+    assert df.count() == 5 and os.path.isdir(matview._ROOT)
+    matview._cleanup()  # what atexit runs
+    assert not os.path.exists(matview._ROOT) and not matview._CACHE
+    df2 = matview.materialized(spark, "cleanup_probe", lambda: spark.range(7))
+    assert df2.count() == 7
+
+
 def test_multimodal_plumbing(spark):
     import struct
 

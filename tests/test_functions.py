@@ -50,6 +50,25 @@ def test_decode_base64_failure_returns_input(spark):
     assert one(spark, decode_base64(F.lit("%%not-base64%%"))) == "%%not-base64%%"
 
 
+def test_decode_base64_unpadded(spark):
+    """Java's Base64.getDecoder() accepts UNPADDED input (len%4 in {2,3}) —
+    'aGk' decodes to 'hi' — but still throws on a dangling single char or
+    wrong padding; mirror both sides."""
+    import base64 as b64mod
+
+    from event_stream_spark.functions.encoding import decode_base64
+
+    assert one(spark, decode_base64(F.lit("aGk"))) == "hi"       # 3-char tail
+    assert one(spark, decode_base64(F.lit("aGVsbG8"))) == "hello"  # 7 chars
+    assert one(spark, decode_base64(F.lit("aGVsbA"))) == "hell"  # 2-char tail
+    # Java throws on these → input returned unchanged
+    assert one(spark, decode_base64(F.lit("aGVsbimpossible!"))) == "aGVsbimpossible!"
+    assert one(spark, decode_base64(F.lit("aGVsb"))) == "aGVsb"  # dangling 1 char
+    assert one(spark, decode_base64(F.lit("aGVsbA="))) == "aGVsbA="  # bad padding
+    # sanity: the python decoder agrees on the positive cases
+    assert b64mod.b64decode("aGk" + "=").decode() == "hi"
+
+
 def test_strip_quotes_and_printable(spark):
     """X6/X7."""
     from event_stream_spark.functions.encoding import is_ascii_printable, strip_quotes
@@ -107,6 +126,25 @@ def test_splay_path(spark):
     expect_dir = hashlib.sha256(b"42").hexdigest()[:4]
     assert one(spark, splay_key(F.lit(42).cast("bigint"))) == expect_dir
     assert one(spark, splay_filename(F.lit(42).cast("bigint"))) == "0000000042"
+
+
+def test_tx_memo_default_empty():
+    """P5 memo parity: proto3 omits empty strings on the wire and the
+    reference does `body.memo ?: ""` — a PARSEABLE tx with no memo field
+    yields note="" (None is only for undecodable payloads)."""
+    import base64 as b64mod
+
+    from event_stream_spark.operators.txmeta import decode_tx_meta
+
+    no_memo = b64mod.b64encode(b"\x0a\x00").decode()  # Tx{body: {}}
+    assert decode_tx_meta(no_memo) == (None, None, "")
+    with_memo = b64mod.b64encode(b"\x0a\x04\x12\x02hi").decode()
+    assert decode_tx_meta(with_memo) == (None, None, "hi")
+    # tx parses but has no body field at all → still "" (empty TxBody default)
+    auth_only = b64mod.b64encode(b"\x12\x00").decode()  # Tx{auth_info: {}}
+    assert decode_tx_meta(auth_only) == (None, None, "")
+    assert decode_tx_meta("%%%") == (None, None, None)
+    assert decode_tx_meta(None) == (None, None, None)
 
 
 def test_coin_parse(spark):

@@ -383,6 +383,51 @@ def test_cli_batch_splay(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in files} == mtimes
 
 
+def test_cli_batch_fixtures(spark, templates_dir):
+    """§3.3 CLI fixtures backend: --templates-dir reaches FixtureNode and the
+    bounded scan replays the golden 100-block corpus."""
+    from event_stream_spark.cli import build_parser, build_pipeline
+
+    args = build_parser().parse_args(
+        [
+            "--from-height", str(MIN_HIST_HEIGHT),
+            "--to-height", str(MAX_HIST_HEIGHT),
+            "--batch", "--backend", "fixtures",
+            "--templates-dir", templates_dir,
+            "--no-tx-meta",
+        ]
+    )
+    df = build_pipeline(spark, args)
+    assert df.count() == 100
+
+
+def test_cli_unbounded_stream(spark, templates_dir):
+    """CLI streaming mode without --to-height (the reference's primary
+    live-tail use): to_height must NOT leak into options as the string
+    "None" — the stream plans [from, head] and drains the corpus."""
+    from event_stream_spark.cli import build_parser, build_pipeline
+
+    from tests.conftest import EXPECTED_LIVE_COUNT, MIN_LIVE_HEIGHT
+
+    args = build_parser().parse_args(
+        [
+            "--from-height", str(MIN_LIVE_HEIGHT),
+            "--backend", "fixtures",
+            "--templates-dir", templates_dir,
+            "--no-tx-meta",
+        ]
+    )
+    df = build_pipeline(spark, args)
+    assert df.isStreaming
+    counted = []
+    _drain(
+        df.select("height").writeStream.foreachBatch(
+            lambda b, _id: counted.append(b.count())
+        )
+    )
+    assert sum(counted) == EXPECTED_LIVE_COUNT  # tail [MIN_LIVE_HEIGHT, head]
+
+
 def test_checkpoint_introspection(spark, tmp_path):
     """Checkpoint.kt parity: lastCheckpoint() analog reads the resume height
     from the offset/commit logs without starting a query."""
