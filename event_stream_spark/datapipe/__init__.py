@@ -10,16 +10,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from event_stream_spark.datapipe.dedup import (  # noqa: F401
+    DEDUP_EMBEDDING_EXACT_SQL,
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL,
     DEDUP_MINHASH_SQL,
     DEDUP_NGRAM_JACCARD_SQL,
     DEDUP_SIMHASH_SQL,
     dedup_embedding,
+    dedup_embedding_exact,
     dedup_exact,
     dedup_minhash,
     dedup_ngram_jaccard,
     dedup_simhash,
+    embedding_lsh_pairs,
     embedding_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -59,6 +62,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": simhash_near_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_exact": dedup_embedding_exact,
     "ann_topk_brute": ann_topk_brute,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -76,6 +80,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_embedding_exact": DEDUP_EMBEDDING_EXACT_SQL,
     "ann_topk_brute": ANN_TOPK_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

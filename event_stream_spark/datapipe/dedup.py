@@ -17,11 +17,12 @@ Five dedup families, each designed scale-first:
                 with J ≥ t must share a token in their size-(|X|-⌈t|X|⌉+1)
                 prefixes — candidates come from a prefix-token equi-join,
                 then exact jaccard verifies.  Never materializes n² pairs.
-- embedding cosine : block-matrix exact pairwise — vectors are grouped into
-                id-range blocks, block pairs fan out across the cluster, and
-                each task computes a dense numpy (BLAS) similarity tile.
-                Same O(n²) flops as naive, ~100× faster per flop, and
-                distributed.
+- embedding cosine : banded hyperplane-LSH blocking (shared with
+                ann_lsh_topk's plane family) → per-(band, bucket) BLAS tile
+                verify → group-max dedup across bands.  Candidates never
+                expand n²; `bits` scales with log₂(n) to keep cells small.
+                The exact all-block-pairs tile join survives as the declared
+                baseline (`dedup_embedding_exact`), like ann_topk_brute.
 
 md5-hex hashing keeps the DuckDB oracle exactly replayable (DuckDB has md5;
 it does not share Spark's xxhash64).
@@ -411,13 +412,152 @@ DEDUP_NGRAM_JACCARD_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup (block-matrix exact)
+# embedding cosine near-dup
 # ---------------------------------------------------------------------------
+
+def embedding_lsh_pairs(
+    spark: SparkSession,
+    sf: str,
+    *,
+    threshold: float = 0.4,
+    bands: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding near-dup via banded hyperplane-LSH blocking — the scale path.
+
+    Candidate generation NEVER expands n² pairs: each vector lands in
+    ``bands`` buckets (one ``bits``-bit sign signature per band, from the
+    deterministic hyperplane family shared with ``ann_lsh_topk``), and only
+    vectors sharing a (band, bucket) cell are compared — one dense BLAS tile
+    per cell via applyInPandas, exactly the SemDeDup/SimHash production shape.
+    A pair colliding in several bands is deduped by a (a, b) group-max.
+
+    Total verify work is Σ_cells |cell|² ≈ n²·bands/2^bits for uncorrelated
+    data — ``bits`` scales with log₂(n) (buckets stay ~constant-sized), so at
+    10⁹ vectors bits≈24-28 keeps cells in the hundreds while a plain
+    all-pairs table would be 5·10¹⁷.  Recall per pair at cosine s is
+    1-(1-p^bits)^bands with p = 1-acos(s)/π — sized for the near-dup regime
+    (s ≥ 0.9 ⇒ ~99%+); exact ground truth lives in
+    :func:`embedding_pairs_exact` (the declared baseline).
+
+    The DuckDB oracle (DEDUP_EMBEDDING_SQL) replays candidate generation AND
+    verification — same md5-derived hyperplanes, same banding, same rounded
+    cosine — like the minhash oracle."""
+    import pandas as pd
+
+    from event_stream_spark.datapipe.similarity import lsh_band_buckets
+
+    import math
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # Spark group = (band, bucket mod G): per-cell groups would mean one
+    # Python invocation per (mostly tiny) cell — measured overhead-bound at
+    # ~0.2 ms/group.  Packing ~GROUP_ROWS rows per group keeps invocation
+    # count ∝ n/GROUP_ROWS at every scale; the per-BUCKET exact tiles run in
+    # a numpy loop inside the group.  G comes from the parquet row count (a
+    # metadata-only lookup, no scan).
+    GROUP_ROWS = 4096
+    n = e.count()
+    groups_per_band = max(1, math.ceil(n / GROUP_ROWS))
+    exploded = (
+        lsh_band_buckets(e, bands=bands, bits=bits)
+        .select(
+            "vec_id",
+            "embedding",
+            F.posexplode("buckets").alias("band_id", "bucket"),
+        )
+        .withColumn("cell_grp", F.pmod(F.col("bucket"), F.lit(groups_per_band)))
+    )
+
+    margin = threshold - 1e-6  # final filter happens on the rounded value
+
+    def cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a, out_b, out_s = [], [], []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue  # singleton cell — no pairs
+            V = np.stack(sub["embedding"].to_numpy()).astype("float64")
+            ids = sub["vec_id"].to_numpy()
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            M = Vn @ Vn.T
+            ii, jj = np.where(M >= margin)
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+            out_s.append(M[ii, jj][keep])
+        if not out_a:
+            return pd.DataFrame(columns=["a", "b", "sim"])
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    tiles = exploded.groupBy("band_id", "cell_grp").applyInPandas(
+        cells, schema="a long, b long, sim double"
+    )
+    return (
+        tiles.groupBy("a", "b")  # multi-band collisions → one row (max is
+        .agg(F.max("sim").alias("sim"))  # order-free: ulp-identical inputs)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_lsh_pairs(spark, sf, threshold=0.4)
+
+
+# The LSH pipeline restated in DuckDB SQL: hyperplane components regenerated
+# from the same md5(plane || '|' || comp) family (exact in binary64 — see
+# similarity._hyperplane), same 8×8 banding, same rounded-cosine verify.
+DEDUP_EMBEDDING_SQL = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planes AS (
+        SELECT pk,
+               list_transform(range(64),
+                 j -> ('0x' || substring(md5(pk::VARCHAR || '|' || j::VARCHAR), 1, 8))::BIGINT
+                      / 2147483648.0 - 1.0) AS p
+        FROM (SELECT unnest(range(64)) AS pk)
+    ),
+    bits AS (
+        SELECT e.vec_id, (p.pk // 8) AS band_id,
+               CASE WHEN list_dot_product(e.v, p.p) >= 0
+                    THEN 1 << (p.pk % 8) ELSE 0 END AS bit
+        FROM e CROSS JOIN planes p
+    ),
+    bk AS (
+        SELECT vec_id, band_id, sum(bit) AS bucket
+        FROM bits GROUP BY vec_id, band_id
+    ),
+    cand AS (
+        SELECT DISTINCT e1.vec_id AS a, e2.vec_id AS b
+        FROM bk e1 JOIN bk e2
+          ON e1.band_id = e2.band_id AND e1.bucket = e2.bucket
+         AND e1.vec_id < e2.vec_id
+    )
+    SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+    FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+    WHERE sim >= 0.4
+    ORDER BY a, b
+"""
+
 
 def embedding_pairs(
     spark: SparkSession, sf: str, *, threshold: float = 0.4, block: int = 1024
 ) -> DataFrame:
-    """Exact pairwise cosine ≥ threshold via distributed block-matrix tiles.
+    """EXACT pairwise cosine ≥ threshold via distributed block-matrix tiles —
+    the declared correctness baseline for :func:`embedding_lsh_pairs` (the
+    registry's ``dedup_embedding_exact``), exactly as ``ann_topk_brute``
+    baselines the ANN operators.  O(n²) flops by admission: use the LSH path
+    in production.
 
     Vectors are grouped into id-range blocks of ``block``; every block pair
     (bi ≤ bj) becomes one task that computes its numpy similarity tile and
@@ -426,9 +566,8 @@ def embedding_pairs(
     round(6) so results match the sequential-sum oracle.
 
     The block-pair driving table is built with a distributed self-join — no
-    driver-side collect: at 10⁹ vectors the block list alone is 10⁶ rows and
-    the pair table 5·10¹¹, which must never materialize on the driver (the
-    pairs frame stays lazy and feeds the join directly)."""
+    driver-side collect: the pairs frame stays lazy and feeds the join
+    directly, never materializing on the driver."""
     import pandas as pd
 
     e = t(spark, sf, "embeddings").select(
@@ -485,11 +624,11 @@ def embedding_pairs(
     )
 
 
-def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_embedding_exact(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_pairs(spark, sf, threshold=0.4)
 
 
-DEDUP_EMBEDDING_SQL = """
+DEDUP_EMBEDDING_EXACT_SQL = """
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -58,7 +58,10 @@ ANN_TOPK_SQL = """
 
 def _hyperplane(i: int) -> list[float]:
     """Deterministic pseudo-random hyperplane i: component j from md5(i|j),
-    mapped to [-1, 1].  No RNG state → identical across engines/runs."""
+    mapped to [-1, 1].  No RNG state → identical across engines/runs, and
+    exactly regenerable in SQL (``md5(i || '|' || j)`` — the dedup_embedding
+    DuckDB oracle rebuilds this family verbatim).  h/2^31 and the -1.0 are
+    both exact in binary64, so the two engines agree bit-for-bit."""
     comps = []
     for j in range(DIM):
         h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16)
@@ -66,10 +69,39 @@ def _hyperplane(i: int) -> list[float]:
     return comps
 
 
-def _planes_matrix():
+def _planes_matrix(n_planes: int = N_PLANES):
     import numpy as np
 
-    return np.array([_hyperplane(i) for i in range(N_PLANES)], dtype="float64")
+    return np.array([_hyperplane(i) for i in range(n_planes)], dtype="float64")
+
+
+def lsh_band_buckets(
+    df: DataFrame, *, bands: int, bits: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """(…, buckets: ARRAY<LONG>) — ``bands`` independent ``bits``-bit
+    signatures per vector; band k uses hyperplanes ``k*bits .. k*bits+bits-1``
+    of the same deterministic family as :func:`lsh_buckets` (band 0 with
+    ``bits == N_PLANES`` IS the ann bucket).
+
+    One Arrow pandas_udf projection computes all ``bands*bits`` signs in a
+    single (rows × DIM) @ (DIM × bands·bits) BLAS matmul — zero shuffles,
+    embarrassingly parallel, same pattern measured ~4× faster than shuffle
+    formulations for :func:`lsh_buckets`."""
+    import numpy as np
+
+    P = _planes_matrix(bands * bits)
+    weights = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        sgn = (V @ P.T >= 0).astype(np.int64).reshape(len(V), bands, bits)
+        packed = (sgn << weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return df.withColumn("buckets", buckets_udf(vec_col))
 
 
 def lsh_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -74,10 +74,49 @@ def test_simhash_near_pairs(spark, dup_corpus):
 
 
 def test_embedding_near_dup(spark, dup_corpus):
-    from event_stream_spark.datapipe import dedup_embedding
+    """The LSH-blocked path catches the planted near-identical pair, and the
+    exact baseline agrees on it."""
+    from event_stream_spark.datapipe import dedup_embedding, dedup_embedding_exact
 
     pairs = {(r["a"], r["b"]): r["sim"] for r in dedup_embedding(spark, dup_corpus).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in dedup_embedding_exact(spark, dup_corpus).collect()
+    }
+    assert exact[(1, 2)] == pairs[(1, 2)]
+
+
+def test_embedding_lsh_recall_on_near_dups(spark, tmp_path):
+    """Recall gate for the scale path: planted near-dup pairs (cosine ≥ .95,
+    the SemDeDup regime the blocking is sized for) are ALL recovered, and
+    every reported pair matches the exact baseline's value."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((25, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v], 0))
+        dup = v + 0.08 * rng.standard_normal(64)  # cosine ≈ 0.97-0.99
+        rows.append((2 * i + 1, [float(x) for x in dup], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    from event_stream_spark.datapipe.dedup import embedding_lsh_pairs, embedding_pairs
+
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_lsh_pairs(spark, str(tmp_path), threshold=0.9).collect()
+    }
+    truth = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_pairs(spark, str(tmp_path), threshold=0.9).collect()
+    }
+    planted = {p for p in truth if p == (p[0], p[0] + 1) and p[0] % 2 == 0}
+    assert len(planted) >= 20  # the construction really planted high-sim pairs
+    assert planted <= set(got)  # 100% recall on the near-dup regime
+    assert all(got[p] == truth[p] for p in got if p in truth)
 
 
 def test_ann_brute_vs_lsh_recall(spark):

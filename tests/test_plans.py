@@ -73,6 +73,25 @@ def test_simhash_stays_jvm_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_embedding_dedup_bucket_keyed(spark):
+    """dedup_embedding candidates come from (band, bucket) grouping — the
+    plan has NO join before the tile verify: no cartesian/nested-loop pair
+    expansion (the old bi<=bj block self-join), just one hashpartitioning
+    exchange on the bucket key feeding FlatMapGroupsInPandas."""
+    from event_stream_spark.datapipe.dedup import dedup_embedding
+
+    p = plan(dedup_embedding(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "FlatMapGroupsInPandas" in p
+    bucket_exchanges = [
+        l
+        for l in p.splitlines()
+        if "Exchange hashpartitioning" in l and "band_id" in l and "cell_grp" in l
+    ]
+    assert len(bucket_exchanges) == 1
+
+
 def test_lake_range_scan_prunes_buckets(spark, tmp_path):
     """Height-bucketed block lake: a [lo, hi] range scan keeps the bucket
     partition filter + height pushdown at the scan."""
