@@ -113,6 +113,21 @@ def new_blocks(decoded: DataFrame) -> DataFrame:
     )
 
 
+def new_block_headers(decoded: DataFrame) -> DataFrame:
+    """P10: NewBlockHeader messages → header rows.
+
+    Mirrors ``mapLiveBlockHeader`` (WsBlockHeaderFlow.kt:26:
+    ``it.header.data.value!!.header!!``) plus the height/time projections the
+    downstream flows key on.  Only the header struct is touched — no block
+    body, no txs."""
+    h = F.col("msg.result.data.value.header")
+    return decoded.filter(F.col("msg_class") == MSG_NEW_BLOCK_HEADER).select(
+        h["height"].cast("long").alias("height"),
+        h["chain_id"].alias("chain_id"),
+        h.alias("header"),
+    )
+
+
 def check_no_panic(decoded: DataFrame) -> None:
     """Panic → abort (F8): raise if any panic message is present.
 

@@ -215,6 +215,10 @@ NEW_BLOCK_MESSAGE = StructType(
                                                 True,
                                             ),
                                             StructField("block", BLOCK, True),
+                                            # NewBlockHeader messages carry the
+                                            # header directly (WsBlockHeaderFlow
+                                            # .kt:26 data.value.header)
+                                            StructField("header", BLOCK_HEADER, True),
                                         ]
                                     ),
                                     True,
@@ -237,6 +241,27 @@ NEW_BLOCK_MESSAGE = StructType(
                         ),
                         True,
                     ),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: Header-only /block parse schema (S6/S8 header flows): from_json with THIS
+#: schema never materializes data.txs — the nested-schema pruning happens at
+#: the parse, so the header path moves no tx payloads at any point.
+BLOCK_HEADER_RPC_RESPONSE = StructType(
+    [
+        StructField(
+            "result",
+            StructType(
+                [
+                    StructField(
+                        "block",
+                        StructType([StructField("header", BLOCK_HEADER, True)]),
+                        True,
+                    )
                 ]
             ),
             True,

@@ -10,3 +10,9 @@ from event_stream_spark.sources.blocks import (  # noqa: F401
     historical_block_meta,
     write_block_lake,
 )
+from event_stream_spark.sources.wsfeed import (  # noqa: F401
+    SUBSCRIPTION_NEW_BLOCK,
+    SUBSCRIPTION_NEW_BLOCK_HEADER,
+    append_messages,
+    live_message_stream,
+)

@@ -1,8 +1,13 @@
 from event_stream_spark.streaming.combined import (  # noqa: F401
     parse_source_rows,
+    parse_header_rows,
+    resolve_heights,
     live_stream,
     historical_stream,
     combined_block_stream,
+    live_header_stream,
+    historical_header_stream,
+    combined_header_stream,
     dedup_heights_stream,
 )
 from event_stream_spark.streaming.control import (  # noqa: F401

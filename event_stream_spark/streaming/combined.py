@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from event_stream_spark.functions import header_datetime
 from event_stream_spark.operators.flatten import assemble_stream_blocks
-from event_stream_spark.schemas import BLOCK_RESULTS_RPC_RESPONSE, BLOCK_RPC_RESPONSE
+from event_stream_spark.schemas import (
+    BLOCK_HEADER_RPC_RESPONSE,
+    BLOCK_RESULTS_RPC_RESPONSE,
+    BLOCK_RPC_RESPONSE,
+)
 
 
 def parse_source_rows(df: DataFrame) -> DataFrame:
@@ -47,16 +51,62 @@ def parse_source_rows(df: DataFrame) -> DataFrame:
     )
 
 
-def _source(
-    spark: SparkSession, *, streaming: bool, historical: bool, decode_tx_meta: bool, **options
-) -> DataFrame:
+def parse_header_rows(df: DataFrame) -> DataFrame:
+    """(height, block_json, …) → header-only projection (S6/S8/P10 flows).
+
+    Parses with ``BLOCK_HEADER_RPC_RESPONSE`` — a schema that simply does not
+    contain ``data.txs``, so tx payloads are pruned AT THE PARSE and never
+    enter the plan (the header path of ``blockHeaderFlow``)."""
+    h = F.from_json(F.col("block_json"), BLOCK_HEADER_RPC_RESPONSE)["result"]["block"][
+        "header"
+    ]
+    return df.select(
+        "height",
+        h["chain_id"].alias("chain_id"),
+        header_datetime(h["time"]).alias("block_ts"),
+        h.alias("header"),
+    )
+
+
+def resolve_heights(
+    from_height: int | str, to_height: int | None, **options
+) -> tuple[int, int | None, int]:
+    """`From.Latest` / open-`to` resolution at plan time
+    (MultiplexBlockDataFlow.kt:82-92 + the builder's ``from("latest")``).
+
+    Returns ``(from_height, to_height, head)`` with ``from="latest"``
+    resolved to the backend's current head and an omitted ``to`` resolved to
+    the head for the bounded backfill leg (the live tail continues past it).
+    Resolution asks the node backend once — no Spark job."""
+    from event_stream_spark.sources import blockstream
+
+    node = blockstream._make_node(
+        {k: str(v) for k, v in options.items() if v is not None}
+    )
+    head = node.head()
+    if from_height == "latest":
+        from_height = head
+    elif isinstance(from_height, str):
+        raise ValueError(f"invalid height specifier: {from_height!r}")
+    if to_height is None:
+        to_height = head
+    return from_height, to_height, head
+
+
+def _raw_source(spark: SparkSession, *, streaming: bool, **options) -> DataFrame:
     from event_stream_spark.sources import blockstream
 
     blockstream.register(spark)
     reader = spark.readStream if streaming else spark.read
-    raw = reader.format("blockstream").options(
+    return reader.format("blockstream").options(
         **{k: str(v) for k, v in options.items() if v is not None}
     ).load()
+
+
+def _source(
+    spark: SparkSession, *, streaming: bool, historical: bool, decode_tx_meta: bool, **options
+) -> DataFrame:
+    raw = _raw_source(spark, streaming=streaming, **options)
     return assemble_stream_blocks(
         parse_source_rows(raw), historical=historical, decode_tx_meta=decode_tx_meta
     )
@@ -106,7 +156,7 @@ def dedup_heights_stream(df: DataFrame, *, watermark: str | None = None) -> Data
 
 def combined_block_stream(
     spark: SparkSession,
-    from_height: int,
+    from_height: int | str,
     to_height: int | None = None,
     *,
     live_from: int | None = None,
@@ -116,13 +166,18 @@ def combined_block_stream(
 ) -> DataFrame:
     """J3: historical backfill ∪ live tail, deduped on height.
 
+    ``from_height`` accepts the literal ``"latest"`` (resolved to the current
+    head at plan time — the builder's ``from("latest")``,
+    MultiplexBlockDataFlow.kt:82-92); ``to_height=None`` resolves the bounded
+    backfill leg to the head the same way, with the live tail continuing
+    past it (the reference's open-ended ``to``).
+
     ``live_from`` is where the live tail starts (defaults to the backfill
     upper bound + 1 — contiguous handoff); overlap between the two legs is
     resolved by the height dedup exactly like the reference's lastSeen skip
     (MultiplexFlow.kt:142-145).
     """
-    if to_height is None:
-        raise ValueError("bounded backfill needs to_height (head at plan time)")
+    from_height, to_height, _head = resolve_heights(from_height, to_height, **options)
     hist = historical_stream(
         spark, from_height, to_height, decode_tx_meta=decode_tx_meta, **options
     )
@@ -130,6 +185,54 @@ def combined_block_stream(
         spark,
         from_height=(live_from if live_from is not None else to_height + 1),
         decode_tx_meta=decode_tx_meta,
+        **options,
+    )
+    return dedup_heights_stream(hist.unionByName(live), watermark=watermark)
+
+
+def live_header_stream(spark: SparkSession, **options) -> DataFrame:
+    """S8 live tail, header-only (``pollingBlockHeaderFlow`` analog)."""
+    raw = _raw_source(spark, streaming=True, **options)
+    return parse_header_rows(raw).withColumn("historical", F.lit(False))
+
+
+def historical_header_stream(
+    spark: SparkSession,
+    from_height: int,
+    to_height: int | None,
+    *,
+    streaming: bool = True,
+    **options,
+) -> DataFrame:
+    """S6 header-only backfill (``historicalBlockHeaderFlow`` analog) — the
+    blockstream-source variant; the lake variant is sources/blocks.py."""
+    raw = _raw_source(
+        spark,
+        streaming=streaming,
+        from_height=from_height,
+        to_height=to_height,
+        **options,
+    )
+    return parse_header_rows(raw).withColumn("historical", F.lit(True))
+
+
+def combined_header_stream(
+    spark: SparkSession,
+    from_height: int | str,
+    to_height: int | None = None,
+    *,
+    live_from: int | None = None,
+    watermark: str | None = None,
+    **options,
+) -> DataFrame:
+    """``blockHeaderFlow`` (MultiplexBlockHeaderFlow.kt:23-61): historical
+    header backfill ∪ live header tail, deduped on height — the legacy
+    metadata surface, without ever materializing a tx column."""
+    from_height, to_height, _head = resolve_heights(from_height, to_height, **options)
+    hist = historical_header_stream(spark, from_height, to_height, **options)
+    live = live_header_stream(
+        spark,
+        from_height=(live_from if live_from is not None else to_height + 1),
         **options,
     )
     return dedup_heights_stream(hist.unionByName(live), watermark=watermark)

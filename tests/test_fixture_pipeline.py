@@ -106,6 +106,43 @@ def test_live_fixture_decode(spark, templates_dir):
     assert rows == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
 
 
+def test_new_block_header_decode(spark, templates_dir):
+    """P10: NewBlockHeader messages classify and project to header rows
+    (WsBlockHeaderFlow.kt:26 data.value.header) — synthesized from the live
+    fixture corpus by rewriting each NewBlock message into its header-only
+    twin, so heights/chain match the golden constants."""
+    import json
+
+    from event_stream_spark import decode
+    from event_stream_spark.sources import read_live_fixtures
+
+    raw = [
+        r["payload"] for r in read_live_fixtures(spark, templates_dir).collect()
+    ]
+    header_msgs = []
+    for payload in raw:
+        m = json.loads(payload)
+        block = m["result"]["data"]["value"]["block"]
+        m["result"]["data"]["type"] = "tendermint/event/NewBlockHeader"
+        m["result"]["data"]["value"] = {"header": block["header"]}
+        header_msgs.append((json.dumps(m),))
+    df = spark.createDataFrame(header_msgs, "payload string")
+    decoded = decode.decode_messages(df)
+    assert (
+        decoded.filter(
+            F.col("msg_class") == decode.MSG_NEW_BLOCK_HEADER
+        ).count()
+        == EXPECTED_LIVE_COUNT
+    )
+    headers = decode.new_block_headers(decoded)
+    rows = sorted(r["height"] for r in headers.collect())
+    assert rows == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
+    sample = headers.orderBy("height").head()
+    assert sample["header"]["proposer_address"] and sample["chain_id"]
+    # header-only rows: no block body / txs anywhere in the output schema
+    assert "txs" not in headers.schema.simpleString()
+
+
 def test_combined_historical_live_count(spark, templates_dir, hist_stream_blocks):
     # combined = 100 + 6 (BlockDataFlowTest.kt:195-200)
     from event_stream_spark import decode

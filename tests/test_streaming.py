@@ -383,6 +383,193 @@ def test_cli_batch_splay(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in files} == mtimes
 
 
+def _live_fixture_payloads(templates_dir):
+    """The 6 golden NewBlock ws messages, ordered by height."""
+    import json as _json
+
+    root = os.path.join(templates_dir, "live")
+    msgs = []
+    for name in os.listdir(root):
+        if name.endswith(".json"):
+            with open(os.path.join(root, name)) as fh:
+                m = _json.load(fh)
+            h = int(m["result"]["data"]["value"]["block"]["header"]["height"])
+            msgs.append((h, m))
+    return [m for _, m in sorted(msgs)]
+
+
+def test_push_feed_combined_with_reconnect(spark, templates_dir, tmp_path):
+    """S1: history from fixtures ∪ live from a PUSH feed (the websocket
+    stand-in) = the golden 100+6, with a mid-stream reconnect: after 3 live
+    messages the channel drops (feed file rotated); the resubscribed channel
+    replays 1 message and delivers the remaining 3 — height dedup absorbs
+    the replay (at-least-once transport + F5 = exactly-once effect, the
+    reference's lastSeen skip)."""
+    from tests.conftest import (
+        EXPECTED_HISTORICAL_BLOCK_COUNT,
+        EXPECTED_LIVE_COUNT,
+        MAX_LIVE_HEIGHT,
+        MIN_LIVE_HEIGHT,
+    )
+    from event_stream_spark import decode
+    from event_stream_spark.sources.wsfeed import append_messages, live_message_stream
+    from event_stream_spark.streaming import dedup_heights_stream, historical_stream
+
+    feed = str(tmp_path / "feed.ndjson")
+    msgs = _live_fixture_payloads(templates_dir)
+    assert len(msgs) == EXPECTED_LIVE_COUNT
+    append_messages(feed, msgs[:3])
+
+    live = decode.new_blocks(
+        decode.decode_messages(live_message_stream(spark, feed))
+    ).select(
+        F.col("block.header.height").cast("long").alias("height"),
+        F.lit(False).alias("historical"),
+    )
+    hist = historical_stream(
+        spark,
+        MIN_HIST_HEIGHT,
+        MAX_HIST_HEIGHT,
+        backend="fixtures",
+        fixtures_dir=templates_dir,
+        decode_tx_meta=False,
+    ).select("height", "historical")
+    merged = dedup_heights_stream(hist.unionByName(live))
+
+    seen = []
+    q = (
+        merged.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: seen.extend((r["height"], r["historical"]) for r in b.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # connection drop + resubscribe: rotated buffer replays message 3
+        # (dup) then delivers 4..6
+        os.remove(feed)
+        append_messages(feed, msgs[2:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    heights = sorted(h for h, _ in seen)
+    assert len(heights) == EXPECTED_HISTORICAL_BLOCK_COUNT + EXPECTED_LIVE_COUNT
+    live_seen = sorted(h for h, is_hist in seen if not is_hist)
+    assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
+
+
+def test_push_feed_throttle_and_subscription(spark, templates_dir, tmp_path):
+    """O7/O8 + S2 parity: max_per_trigger caps each microbatch (the ws
+    throttle), and an unsupported subscription type is rejected like
+    nodeEventStream's require (NodeEventStream.kt:28-46)."""
+    from tests.conftest import EXPECTED_LIVE_COUNT
+    from event_stream_spark.sources.wsfeed import append_messages, live_message_stream
+
+    feed = str(tmp_path / "feed.ndjson")
+    append_messages(feed, _live_fixture_payloads(templates_dir))
+
+    batch_sizes = []
+    _drain(
+        live_message_stream(spark, feed, max_per_trigger=2)
+        .writeStream.foreachBatch(lambda b, _id: batch_sizes.append(b.count()))
+    )
+    assert sum(batch_sizes) == EXPECTED_LIVE_COUNT
+    assert max(batch_sizes) <= 2  # throttled
+
+    with pytest.raises(Exception, match="unsupported subscription"):
+        _drain(
+            live_message_stream(
+                spark, feed, subscription="tm.event='Tx'"
+            ).writeStream.format("noop")
+        )
+
+
+def test_combined_header_stream_fixtures(spark, templates_dir):
+    """blockHeaderFlow parity (MultiplexBlockHeaderFlow.kt:23-61): header
+    backfill ∪ live header tail = the golden 100+6 heights, schema carries
+    the header struct only — the parse schema contains no txs field, so tx
+    payloads are pruned at from_json (never materialized)."""
+    from tests.conftest import (
+        EXPECTED_HISTORICAL_BLOCK_COUNT,
+        EXPECTED_LIVE_COUNT,
+        MAX_LIVE_HEIGHT,
+        MIN_LIVE_HEIGHT,
+    )
+    from event_stream_spark.streaming import combined_header_stream
+
+    df = combined_header_stream(
+        spark,
+        MIN_HIST_HEIGHT,
+        MAX_HIST_HEIGHT,
+        live_from=MIN_LIVE_HEIGHT,
+        backend="fixtures",
+        fixtures_dir=templates_dir,
+    )
+    assert df.isStreaming
+    assert "txs" not in df.schema.simpleString()  # nested pruning at parse
+    assert "header" in df.columns and "historical" in df.columns
+    batches = []
+    _drain(
+        df.select("height", "historical").writeStream.foreachBatch(
+            lambda b, _id: batches.append(b.toPandas())
+        )
+    )
+    import pandas as pd
+
+    got = pd.concat(batches)
+    assert len(got) == EXPECTED_HISTORICAL_BLOCK_COUNT + EXPECTED_LIVE_COUNT
+    assert set(got[~got.historical].height) == set(
+        range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1)
+    )
+
+
+def test_from_latest_resolution(spark, templates_dir):
+    """from="latest" resolves to the current head at plan time
+    (MultiplexBlockDataFlow.kt:82-92): the bounded run emits exactly the
+    head block; to_height=None resolves the backfill leg to head too."""
+    from tests.conftest import EXPECTED_LIVE_COUNT, MAX_LIVE_HEIGHT, MIN_LIVE_HEIGHT
+    from event_stream_spark.streaming import combined_block_stream, resolve_heights
+
+    fh, th, head = resolve_heights(
+        "latest", None, backend="fixtures", fixtures_dir=templates_dir
+    )
+    assert fh == th == head == MAX_LIVE_HEIGHT
+    with pytest.raises(ValueError, match="invalid height specifier"):
+        resolve_heights("newest", None, backend="fixtures", fixtures_dir=templates_dir)
+
+    df = combined_block_stream(
+        spark,
+        "latest",
+        backend="fixtures",
+        fixtures_dir=templates_dir,
+        decode_tx_meta=False,
+    )
+    heights = []
+    _drain(
+        df.select("height").writeStream.foreachBatch(
+            lambda b, _id: heights.extend(r["height"] for r in b.collect())
+        )
+    )
+    assert heights == [MAX_LIVE_HEIGHT]
+
+    # open-ended `to`: backfill leg resolves to head; bounded corpus = the tail
+    df2 = combined_block_stream(
+        spark,
+        MIN_LIVE_HEIGHT,
+        backend="fixtures",
+        fixtures_dir=templates_dir,
+        decode_tx_meta=False,
+    )
+    got = []
+    _drain(
+        df2.select("height").writeStream.foreachBatch(
+            lambda b, _id: got.extend(r["height"] for r in b.collect())
+        )
+    )
+    assert sorted(got) == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
+    assert len(got) == EXPECTED_LIVE_COUNT
+
+
 def test_cli_batch_fixtures(spark, templates_dir):
     """§3.3 CLI fixtures backend: --templates-dir reaches FixtureNode and the
     bounded scan replays the golden 100-block corpus."""
