@@ -15,6 +15,7 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
     DEDUP_EXACT_SQL,
     DEDUP_MINHASH_SQL,
     DEDUP_NGRAM_JACCARD_SQL,
+    DEDUP_SIMHASH_PAIRS_SQL,
     DEDUP_SIMHASH_SQL,
     dedup_embedding,
     dedup_embedding_exact,
@@ -34,6 +35,7 @@ from event_stream_spark.datapipe.pipeline import (  # noqa: F401
     datapipe_clean_corpus,
 )
 from event_stream_spark.datapipe.similarity import (  # noqa: F401
+    ANN_LSH_SQL,
     ANN_TOPK_SQL,
     ann_ivf_topk,
     ann_lsh_topk,
@@ -78,17 +80,19 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_embedding_exact": DEDUP_EMBEDDING_EXACT_SQL,
     "ann_topk_brute": ANN_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "datapipe_clean_corpus": DATAPIPE_CLEAN_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
-    #   dedup_simhash_pairs (pigeonhole blocking), ann_lsh_topk (LSH probe),
-    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL),
+    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL; recall
+    #   floor vs brute force asserted in tests/test_datapipe.py),
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -340,6 +340,56 @@ def simhash_near_pairs(
     )
 
 
+# Pigeonhole replay: the same 64-bit simhash construction (shared CTE text
+# with DEDUP_SIMHASH_SQL), 4×16-bit blocks via shift/mask, bit_count(xor)
+# verify — candidate generation AND verification both replayed, like the
+# minhash/embedding oracles.  `&` masking makes the arithmetic >> sign
+# extension irrelevant, matching Spark's shiftright+bitwiseAND.
+DEDUP_SIMHASH_PAIRS_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS ws
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(ws, x ->
+                 CASE WHEN ('0x' || substring(md5(x), 1, 8))::BIGINT >= 2147483648
+                      THEN (('0x' || substring(md5(x), 1, 8))::BIGINT - 4294967296)
+                           * 4294967296 + ('0x' || substring(md5(x), 9, 8))::BIGINT
+                      ELSE ('0x' || substring(md5(x), 1, 8))::BIGINT
+                           * 4294967296 + ('0x' || substring(md5(x), 9, 8))::BIGINT
+                 END) AS hs,
+               len(ws) AS n
+        FROM w
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 64),
+                 b -> CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > n
+                           THEN CASE WHEN b = 63 THEN -9223372036854775808
+                                     ELSE (1::BIGINT << b) END
+                           ELSE 0 END))::BIGINT AS simhash
+        FROM h
+    ),
+    blocks AS (
+        SELECT doc_id, simhash, g.block_id,
+               (simhash >> (16 * g.block_id)) & 65535 AS block_val
+        FROM sh, (SELECT unnest(range(4)) AS block_id) g
+    ),
+    cand AS (
+        SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b,
+               b1.simhash AS sa, b2.simhash AS sb
+        FROM blocks b1 JOIN blocks b2
+          ON b1.block_id = b2.block_id AND b1.block_val = b2.block_val
+         AND b1.doc_id < b2.doc_id
+    )
+    SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE hamming <= 3 ORDER BY a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram jaccard via prefix-filtered set-similarity join (exact)
 # ---------------------------------------------------------------------------

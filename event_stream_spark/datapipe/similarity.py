@@ -155,6 +155,38 @@ def ann_lsh_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
     )
 
 
+# Full DuckDB replay of the LSH probe: hyperplanes regenerated from the same
+# md5(plane || '|' || comp) family (exact in binary64 — see _hyperplane),
+# same 8-bit sign bucket, probe bucket from vec 0, cosine top-k within it.
+ANN_LSH_SQL = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planes AS (
+        SELECT pk,
+               list_transform(range(64),
+                 j -> ('0x' || substring(md5(pk::VARCHAR || '|' || j::VARCHAR), 1, 8))::BIGINT
+                      / 2147483648.0 - 1.0) AS p
+        FROM (SELECT unnest(range(8)) AS pk)
+    ),
+    bk AS (
+        SELECT e.vec_id,
+               sum(CASE WHEN list_dot_product(e.v, p.p) >= 0
+                        THEN 1 << p.pk ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id
+    )
+    SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+    FROM e
+    JOIN bk ON bk.vec_id = e.vec_id
+    CROSS JOIN (SELECT e2.v AS qv, b2.bucket AS qbucket
+                FROM e e2 JOIN bk b2 ON b2.vec_id = e2.vec_id
+                WHERE e2.vec_id = 0) q
+    WHERE bk.bucket = q.qbucket
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path
 # ---------------------------------------------------------------------------

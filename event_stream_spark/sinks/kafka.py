@@ -17,8 +17,25 @@ from pyspark.sql import functions as F
 
 
 def kafka_frame(stream_blocks: DataFrame, chain_id_col: str = "chain_id") -> DataFrame:
-    key = F.concat_ws(".", F.col(chain_id_col), F.col("height").cast("string"))
-    value = F.to_json(F.struct(*stream_blocks.columns))
+    """(key, value) kafka record frame.
+
+    Key chain-id comes from ``block.header.chain_id`` when the block struct
+    is present (KafkaBlockSink.kt:30 ``block.block.header!!.chainId``), else
+    from ``chain_id_col``.  The value serializes the STREAM_BLOCK fields only
+    — the reference writes StreamBlockImpl, so engine-side convenience
+    columns (chain_id, block_ts) stay out of the record and the S9 decode
+    round-trips byte-identically."""
+    from event_stream_spark.schemas import STREAM_BLOCK
+
+    cols = stream_blocks.columns
+    cid_sources = []
+    if "block" in cols:
+        cid_sources.append(F.col("block.header.chain_id"))
+    if chain_id_col in cols:
+        cid_sources.append(F.col(chain_id_col))
+    key = F.concat_ws(".", F.coalesce(*cid_sources), F.col("height").cast("string"))
+    value_fields = [f.name for f in STREAM_BLOCK.fields if f.name in cols] or cols
+    value = F.to_json(F.struct(*value_fields))
     return stream_blocks.select(
         key.cast("binary").alias("key"), value.cast("binary").alias("value")
     )

@@ -56,3 +56,24 @@ def splayed_json_sink(stream_blocks: DataFrame, out_dir: str, checkpoint: str):
         stream_blocks.writeStream.option("checkpointLocation", checkpoint)
         .foreachBatch(lambda df, _id: write_splayed_json_batch(df, out_dir))
     )
+
+
+def write_kafka_fed_splay_batch(kafka_records: DataFrame, out_dir: str) -> None:
+    """K5: Kafka-fed file sink — StreamBlock JSON consumed off a topic frame
+    (S9 decode) splayed to the K3 file contract.  The reference's
+    ``KafkaFileOutput`` composition: KafkaBlockSource → FileOutput.  Corrupt
+    records are dropped (the SerializationException path); output files are
+    byte-compatible with the direct K3 path because both serialize through
+    ``to_json`` of the same STREAM_BLOCK struct."""
+    from event_stream_spark.sources.kafka import decode_kafka_records
+
+    blocks = decode_kafka_records(kafka_records, drop_corrupt=True).select("block.*")
+    write_splayed_json_batch(blocks, out_dir)
+
+
+def kafka_fed_splay_sink(kafka_records: DataFrame, out_dir: str, checkpoint: str):
+    """Streaming form of K5 (topic → files, checkpointed)."""
+    return (
+        kafka_records.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda df, _id: write_kafka_fed_splay_batch(df, out_dir))
+    )

@@ -157,6 +157,15 @@ class SyntheticNode:
 
 
 def _make_node(options: dict):
+    """The NetAdapter seam (NetAdapter.kt:13-30): resolve the node backend.
+
+    Besides the built-ins, ``backend="pkg.module:ClassName"`` imports a
+    custom adapter class and instantiates it with the options dict — the
+    plug point for alternate transports (the reference's gRPC fetcher,
+    es-grpc/.../GrpcBlockFlow.kt:26-66, plugs in exactly here; see
+    sources/grpcmock.py).  A dotted path — not a runtime registry — because
+    ``read()`` runs in executor worker processes that must re-resolve the
+    backend by import."""
     backend = options.get("backend", "synthetic")
     if backend == "fixtures":
         # `templates_dir` accepted as an alias (the CLI flag is --templates-dir)
@@ -166,6 +175,12 @@ def _make_node(options: dict):
         return FixtureNode(root)
     if backend == "synthetic":
         return SyntheticNode(options.get("chain_id", "synthetic-1"))
+    if ":" in backend:
+        import importlib
+
+        mod_name, _, cls_name = backend.partition(":")
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+        return cls(options)
     raise ValueError(f"unknown blockstream backend: {backend}")
 
 

@@ -256,6 +256,91 @@ def test_kafka_record_decode(spark):
     assert rt["block"]["height"] == 5 and not rt["corrupt"]
 
 
+def test_kafka_fed_splay_roundtrip(spark, tmp_path):
+    """K5 end-to-end: StreamBlock → kafka record frame → S9 decode → K3
+    splayed files, identical to the direct K3 path on the same blocks
+    (KafkaFileOutput composition)."""
+    from event_stream_spark.schemas import STREAM_BLOCK
+    from event_stream_spark.sinks.kafka import kafka_frame
+    from event_stream_spark.sinks.splay import (
+        write_kafka_fed_splay_batch,
+        write_splayed_json_batch,
+    )
+    from event_stream_spark.streaming import historical_stream
+
+    sb = historical_stream(
+        spark, 1, 20, streaming=False, backend="synthetic", decode_tx_meta=False
+    )
+    stream_block_cols = [f.name for f in STREAM_BLOCK.fields]
+
+    direct = str(tmp_path / "direct")
+    write_splayed_json_batch(sb.select(*stream_block_cols), direct)
+    fed = str(tmp_path / "fed")
+    write_kafka_fed_splay_batch(kafka_frame(sb), fed)
+
+    d_files = sorted(os.path.relpath(p, direct) for p in glob.glob(f"{direct}/*/*.json"))
+    f_files = sorted(os.path.relpath(p, fed) for p in glob.glob(f"{fed}/*/*.json"))
+    assert d_files == f_files and len(d_files) == 20
+    for rel in d_files:
+        a = json.load(open(os.path.join(direct, rel)))
+        b = json.load(open(os.path.join(fed, rel)))
+        assert a == b
+
+    # corrupt record on the topic → dropped, not written (S9 drop_corrupt)
+    corrupt_dir = str(tmp_path / "corrupt")
+    records = spark.createDataFrame(
+        [(b"k", b"not json at all")], "key binary, value binary"
+    )
+    write_kafka_fed_splay_batch(records, corrupt_dir)
+    assert glob.glob(f"{corrupt_dir}/*/*.json") == []
+
+
+def test_grpc_shaped_backend(spark):
+    """S10: the NetAdapter seam accepts a dotted-path adapter class — the
+    gRPC-mock backend drives the same offset-planned source (GrpcBlockFlow's
+    poll→dedupe→gap-fill composition IS BlockStreamReader's contract), and
+    the shared decode path is transport-agnostic."""
+    from event_stream_spark.operators import explode_tx_events
+    from event_stream_spark.streaming import historical_stream
+
+    sb = historical_stream(
+        spark,
+        1,
+        30,
+        streaming=False,
+        backend="event_stream_spark.sources.grpcmock:GrpcMockNode",
+        grpc_target="dns:///node.example:9090",
+        decode_tx_meta=False,
+    )
+    rows = sb.select("height", "chain_id").collect()
+    assert sorted(r["height"] for r in rows) == list(range(1, 31))
+    assert {r["chain_id"] for r in rows} == {"grpc-mock-1"}
+    te = explode_tx_events(sb)
+    assert te.count() == 15  # every other height carries one tx
+
+    # streaming: offsets poll the adapter's head (bounded by grpc_head)
+    stream = historical_stream(
+        spark,
+        1,
+        None,
+        backend="event_stream_spark.sources.grpcmock:GrpcMockNode",
+        grpc_head=25,
+        decode_tx_meta=False,
+    )
+    got = []
+    _drain(
+        stream.select("height").writeStream.foreachBatch(
+            lambda b, _id: got.extend(r["height"] for r in b.collect())
+        )
+    )
+    assert sorted(got) == list(range(1, 26))
+
+    with pytest.raises(Exception, match="unknown blockstream backend"):
+        historical_stream(
+            spark, 1, 5, streaming=False, backend="bogus", decode_tx_meta=False
+        ).count()
+
+
 def test_backoff_and_restarts():
     """X12: exponential backoff envelope; restart loop retries transient
     failures, re-raises fatal ones, and gives up after max_retries."""
