@@ -30,6 +30,14 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
     simhash_df,
     simhash_near_pairs,
 )
+from event_stream_spark.datapipe.corpusops import (  # noqa: F401
+    CORPUS_MIX_SQL,
+    DECONTAMINATE_SQL,
+    VOCAB_TOPK_SQL,
+    corpus_mix,
+    decontaminate,
+    vocab_topk,
+)
 from event_stream_spark.datapipe.pipeline import (  # noqa: F401
     DATAPIPE_CLEAN_SQL,
     datapipe_clean_corpus,
@@ -74,6 +82,9 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "datapipe_clean_corpus": datapipe_clean_corpus,
+    "decontaminate": decontaminate,
+    "corpus_mix": corpus_mix,
+    "vocab_topk": vocab_topk,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -91,6 +102,9 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "datapipe_clean_corpus": DATAPIPE_CLEAN_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "corpus_mix": CORPUS_MIX_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL; recall
     #   floor vs brute force asserted in tests/test_datapipe.py),

@@ -1,0 +1,174 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+stratified corpus mixing, and vocabulary building.
+
+These complement the dedup/similarity family with the remaining ops a
+large-scale LM data pipeline runs before training:
+
+- ``decontaminate``: flag training documents that share any word n-gram with
+  a held-out eval/benchmark slice (GPT-3 App. C / PaLM-style n-gram overlap
+  decontamination).  At 100 TB the eval side is tiny (benchmarks are MBs),
+  so its distinct-shingle set broadcasts and the training side streams
+  through a broadcast hash join — no shuffle of the big side at all.
+- ``corpus_mix``: deterministic per-language stratified sampling (the
+  "sampling weights" table of every LM data recipe).  Pure narrow filter —
+  the keep/drop decision is a hash of doc_id compared to the stratum's rate,
+  so there is NO shuffle and NO global coordination at any scale.
+- ``vocab_topk``: global top-k token counts (vocabulary building).  Explode →
+  partial-aggregated count (map-side combine) → TakeOrderedAndProject; the
+  only full shuffle is on the token key, and the final top-k never
+  global-sorts.
+
+All three ship exactly-mirrored DuckDB oracles; determinism comes from
+md5-based sampling hashes and total-order tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_spark.datapipe.text import doc_shingles
+from event_stream_spark.queries import t
+
+# Decontamination n-gram order.  13 is the GPT-3 setting; the synthetic docs
+# are ~50 words so 5 keeps the overlap test discriminative at every SF.
+DECON_N = 5
+# Deterministic eval slice: every 50th doc stands in for the benchmark set.
+DECON_EVAL_MOD = 50
+
+# Per-language sampling rates (out of 10000) for the corpus mix.
+MIX_RATES = {"en": 9000, "de": 6000, "fr": 6000, "es": 6000, "zh": 3000}
+MIX_DEFAULT_RATE = 1000
+
+VOCAB_K = 100
+
+
+def _sample_bucket(doc_id: Column) -> Column:
+    """Deterministic 0..9999 bucket from md5(doc_id) — identical arithmetic
+    in Spark (conv hex→dec) and DuckDB ('0x'||… cast)."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per training doc: how many of its distinct word 5-grams appear in the
+    eval slice (doc_id % 50 == 0), and the resulting contaminated flag.
+
+    Scale shape: the eval shingle set is tiny relative to the corpus →
+    broadcast; the training shingle relation is the shared ``doc_shingles``
+    mat-view, so candidate generation is a broadcast semi-probe with one
+    groupBy(doc_id) on the (few) hits.  The big side is never shuffled on
+    the shingle key.
+    """
+    sh = doc_shingles(spark, sf, DECON_N)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("s").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))
+    )
+    train = t(spark, sf, "documents").filter(~is_eval).select("doc_id")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+                 list_distinct(list_transform(range(1, len(ws) - {DECON_N - 2}),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4]))) AS s
+        FROM w WHERE len(ws) >= {DECON_N}),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    hits AS (
+        SELECT sh.doc_id, count(*) AS n_eval_hits
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id % {DECON_EVAL_MOD} <> 0
+        GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    ORDER BY d.doc_id
+"""
+
+
+def corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified corpus sample: keep each doc iff its deterministic
+    md5(doc_id) bucket falls under its language's sampling rate.
+
+    Scale shape: one narrow projection + filter, zero shuffles — the stratum
+    is a column already on the row and the keep decision is per-row hash
+    arithmetic, so this runs at scan speed on any corpus size.
+    """
+    d = t(spark, sf, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", "source", _sample_bucket(F.col("doc_id")).alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in MIX_RATES.items()
+)
+
+CORPUS_MIX_SQL = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          < (CASE {_MIX_CASE} ELSE {MIX_DEFAULT_RATE} END)
+    ORDER BY doc_id
+"""
+
+
+def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{VOCAB_K} tokens by global count (vocabulary building), ties
+    broken by token ascending for a total order.
+
+    Scale shape: posexplode-free token explode → groupBy(token) count with
+    map-side partial aggregation (the shuffle moves one (token, partial)
+    row per distinct token per partition, not one row per occurrence) →
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    d = t(spark, sf, "documents")
+    w = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT {VOCAB_K}
+"""

@@ -223,3 +223,69 @@ def test_multimodal_meta_query(spark):
     # digest is deterministic across runs
     again = {r["media_id"]: r["digest"] for r in multimodal_meta(spark, SF_CORRECT).collect()}
     assert all(again[r["media_id"]] == r["digest"] for r in rows)
+
+
+@pytest.fixture(scope="module")
+def decon_corpus(spark, tmp_path_factory):
+    """doc 0 is the eval slice (0 % 50 == 0); doc 1 shares a 5-gram with it,
+    doc 2 shares none."""
+    base = tmp_path_factory.mktemp("decondata")
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "prefix words alpha beta gamma delta epsilon more trailing words",
+        2: "an entirely unrelated document about spark shuffles and joins",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return str(base)
+
+
+def test_decontaminate_flags_overlap(spark, decon_corpus):
+    from event_stream_spark.datapipe import decontaminate
+
+    rows = {r["doc_id"]: r for r in decontaminate(spark, decon_corpus).collect()}
+    assert 0 not in rows  # eval docs never appear in the training output
+    assert rows[1]["contaminated"] and rows[1]["n_eval_hits"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_eval_hits"] == 0
+
+
+def test_corpus_mix_deterministic_and_rate_shaped(spark):
+    """Sampling is a pure function of doc_id: identical across runs, every
+    kept doc's recomputed md5 bucket is under its language's rate."""
+    import hashlib
+
+    from event_stream_spark.datapipe import corpus_mix
+    from event_stream_spark.datapipe.corpusops import MIX_DEFAULT_RATE, MIX_RATES
+
+    from tests.conftest import SF_CORRECT
+
+    rows = corpus_mix(spark, SF_CORRECT).collect()
+    again = corpus_mix(spark, SF_CORRECT).collect()
+    assert rows == again
+    assert 0 < len(rows) < 500  # a strict, non-empty subsample
+    for r in rows:
+        bucket = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10000
+        assert bucket < MIX_RATES.get(r["lang"], MIX_DEFAULT_RATE)
+
+
+def test_vocab_topk_order_and_counts(spark):
+    from event_stream_spark.datapipe import vocab_topk
+
+    from tests.conftest import SF_CORRECT
+
+    rows = vocab_topk(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= 100
+    keys = [(-r["cnt"], r["word"]) for r in rows]
+    assert keys == sorted(keys)  # total order: count desc, word asc
+    # spot-check the top count against an independent recount
+    from event_stream_spark.queries import t
+
+    top = rows[0]
+    docs = t(spark, SF_CORRECT, "documents").collect()
+    cnt = sum(
+        sum(1 for w in d["text"].lower().split() if w == top["word"]) for d in docs
+    )
+    assert cnt == top["cnt"]

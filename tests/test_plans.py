@@ -111,3 +111,41 @@ def test_lake_range_scan_prunes_buckets(spark, tmp_path):
         601,
         602,
     ]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Benchmark decontamination: the eval shingle set broadcasts — the
+    training-side shingle relation is never shuffled on the shingle key."""
+    from event_stream_spark.datapipe import decontaminate
+
+    p = plan(decontaminate(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    # the only shingle-key exchange is the eval side's tiny distinct — the
+    # training side must probe the broadcast, never hash-partition on s
+    shingle_exchanges = [
+        l
+        for l in p.splitlines()
+        if "Exchange hashpartitioning" in l and re.search(r"\bs#", l)
+    ]
+    assert len(shingle_exchanges) == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_mix_is_shuffle_free(spark):
+    """Stratified sampling is a narrow filter: no hash-partitioning exchange
+    anywhere in the plan (the only exchange is the presentation sort)."""
+    from event_stream_spark.datapipe import corpus_mix
+
+    p = plan(corpus_mix(spark, SF_CORRECT))
+    assert "Exchange hashpartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Vocabulary top-k: partial count map-side, TakeOrderedAndProject for
+    the limit — never a global sort of the token histogram."""
+    from event_stream_spark.datapipe import vocab_topk
+
+    p = plan(vocab_topk(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
