@@ -54,7 +54,7 @@ def main() -> None:
     # so the compiled code differs.
     for name in sorted(queries):
         try:
-            queries[name](spark, sf_dir).limit(100000).toPandas()
+            queries[name](spark, sf_dir).toPandas()
         except Exception:
             pass  # a warm-up failure will resurface, timed, below
 
@@ -68,8 +68,12 @@ def main() -> None:
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             # force full execution + driver materialization (Arrow transfer;
-            # row-based collect() adds ~0.4s/100k rows of pure deserialization)
-            df.limit(100000).toPandas()
+            # row-based collect() adds ~0.4s/100k rows of pure deserialization).
+            # NO .limit() wrapper: CollectLimit executes partitions in serial
+            # ramp-up waves (1, then scaleUpFactor²…), which serializes every
+            # sub-limit query and was measured at ~0.9s/query of pure
+            # scheduling overhead; registry results are bounded at every SF
+            df.toPandas()
             elapsed = round(time.perf_counter() - start, 6)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
