@@ -43,6 +43,7 @@ from event_stream_spark.datapipe.pipeline import (  # noqa: F401
     datapipe_clean_corpus,
 )
 from event_stream_spark.datapipe.similarity import (  # noqa: F401
+    ANN_IVF_SQL,
     ANN_LSH_SQL,
     ANN_TOPK_SQL,
     ann_ivf_topk,
@@ -97,6 +98,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_exact": DEDUP_EMBEDDING_EXACT_SQL,
     "ann_topk_brute": ANN_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
@@ -106,7 +108,5 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "corpus_mix": CORPUS_MIX_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
-    #   ann_ivf_topk (k-means coarse quantizer — iterative, not SQL; recall
-    #   floor vs brute force asserted in tests/test_datapipe.py),
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -195,39 +195,50 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def ivf_assignments(
-    spark: SparkSession, sf: str, *, nlist: int = IVF_NLIST, seed: int = 42
-):
+def ivf_assignments(spark: SparkSession, sf: str, *, nlist: int = IVF_NLIST):
     """(assigned DataFrame with ``list_id``, centroids ndarray [nlist × DIM]).
 
-    Coarse quantizer = seeded k-means (Spark ML, distributed Lloyd).  At
-    scale the assignment is written ``partitionBy(list_id)`` once, so a probe
-    scans ~nprobe/nlist of the data — the classic IVF-Flat layout.  Training
-    cost is one pass over a sample; assignment is one broadcast-join-like
-    transform (centroids ship to executors inside the model).
+    Coarse quantizer = deterministic seed decimation: centroid ``j`` is the
+    vector at ``vec_id = j·stride`` (``stride = n // nlist``) — no RNG, no
+    Lloyd iterations, so the whole build (seed pick + argmin assignment) is
+    exactly replayable in the DuckDB oracle.  Lloyd refinement is an
+    orthogonal quality knob that doesn't change the IVF layout or probe
+    semantics; a production build would plug Spark ML ``KMeans`` centroids
+    into the same assignment expression.
+
+    Scale shape: the seed fetch collects ``nlist`` rows; assignment is a
+    shuffle-free narrow projection (distance-to-each-centroid as one array
+    expression — no join, no groupBy).  At scale the assignment is written
+    ``partitionBy(list_id)`` once, so a probe scans ~nprobe/nlist of the
+    data — the classic IVF-Flat layout (mirrors the reference's pluggable
+    fetch/partition seam, es-core/.../HistoricalBlockFlow.kt:26-41 analog).
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = t(spark, sf, "embeddings")
-    vec = e.select(
-        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    n = e.count()
+    stride = max(1, n // nlist)
+    seed_ids = [j * stride for j in range(nlist)]
+    rows = e.filter(F.col("vec_id").isin(seed_ids)).select("vec_id", "embedding").collect()
+    cent = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    centroids = np.asarray(cent, dtype="float64")
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent])
+    v = as_double(F.col("embedding"))
+    ds = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
-    # Train the quantizer on a bounded deterministic sample (id-decimation,
-    # no RNG): centroid quality needs ~1000×nlist points, not the corpus —
-    # at 10⁹ vectors full-data Lloyd iterations would dominate the build.
-    n = vec.count()
-    target = max(1000 * nlist, 20_000)
-    stride = max(1, n // target)
-    train = vec.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
-    assigned = (
-        model.transform(vec)
-        .select("vec_id", F.col("prediction").alias("list_id"))
-        .join(e, "vec_id")
+    # first-occurrence argmin == ties broken toward the smaller list_id
+    assigned = e.withColumn(
+        "list_id", (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
     )
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids
 
 
@@ -260,3 +271,44 @@ def ann_ivf_topk(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+# Full DuckDB replay of the IVF build + probe: same seed-decimation
+# centroids, same first-occurrence argmin assignment (list_position of
+# list_min ≡ ties toward the smaller list_id), same nprobe-nearest-centroid
+# probe with list_id tiebreak (np.argsort is stable), cosine top-k within
+# the probed lists.
+ANN_IVF_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT greatest((SELECT count(*) FROM e) // {IVF_NLIST}, 1) AS stride),
+    seeds AS (
+        SELECT (vec_id // stride)::INT AS list_id, v
+        FROM e, p
+        WHERE vec_id % stride = 0 AND vec_id // stride < {IVF_NLIST}
+    ),
+    cents AS (SELECT list(v ORDER BY list_id) AS cs FROM seeds),
+    assign AS (
+        SELECT vec_id, v,
+               list_transform(cs, c -> list_sum(list_transform(range({DIM}),
+                   j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1])))) AS ds
+        FROM e, cents
+    ),
+    a2 AS (
+        SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS list_id
+        FROM assign
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT s.list_id
+        FROM seeds s, q
+        ORDER BY list_sum(list_transform(range({DIM}),
+                 j -> (s.v[j+1] - q.qv[j+1]) * (s.v[j+1] - q.qv[j+1]))) ASC,
+                 s.list_id ASC
+        LIMIT {IVF_NPROBE}
+    )
+    SELECT a2.vec_id AS vec_id, round(list_cosine_similarity(a2.v, q.qv), 6) AS sim
+    FROM a2, q
+    WHERE a2.list_id IN (SELECT list_id FROM probe)
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+"""
