@@ -33,9 +33,13 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
 from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     CORPUS_MIX_SQL,
     DECONTAMINATE_SQL,
+    PII_SCRUB_SQL,
+    TEXT_REPETITION_SQL,
     VOCAB_TOPK_SQL,
     corpus_mix,
     decontaminate,
+    pii_scrub,
+    text_repetition,
     vocab_topk,
 )
 from event_stream_spark.datapipe.pipeline import (  # noqa: F401
@@ -86,6 +90,8 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate,
     "corpus_mix": corpus_mix,
     "vocab_topk": vocab_topk,
+    "pii_scrub": pii_scrub,
+    "text_repetition": text_repetition,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -107,6 +113,8 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "decontaminate": DECONTAMINATE_SQL,
     "corpus_mix": CORPUS_MIX_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -172,3 +172,120 @@ VOCAB_TOPK_SQL = f"""
     ORDER BY cnt DESC, word ASC
     LIMIT {VOCAB_K}
 """
+
+
+# PII patterns: deliberately simple and identical under Java regex (Spark)
+# and RE2 (DuckDB) — no lookarounds, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, with per-doc counts.
+
+    Scale shape: three chained ``regexp_replace`` + three
+    ``regexp_extract_all`` counts — a narrow scan-local projection with no
+    shuffle; at 100 TB this runs at scan speed and is the standard pre-dedup
+    scrub stage.  Replacement order (email → phone → ip) is fixed so the
+    two engines redact identically when patterns could overlap.
+    """
+    d = t(spark, sf, "documents")
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0))
+    n_ip = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g'),
+               '{PII_IPV4}', '[IP]', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+           len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ip
+    FROM documents
+    ORDER BY doc_id
+"""
+
+# Gopher-style repetition thresholds
+REP_DUP_WORD_MAX = 0.7
+REP_DUP_2GRAM_MAX = 0.5
+
+
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition signals (Gopher repetition filters):
+    duplicate-word fraction, duplicate-2-gram fraction, and the resulting
+    `repetitive` flag.
+
+    Scale shape: pure array expressions over the tokenized text — narrow,
+    shuffle-free, scan-speed."""
+    d = t(spark, sf, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    n = F.size(ws)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    dup_w = F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(ws)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    dup_g = F.when(
+        F.size(grams) > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        dup_w.alias("dup_word_frac"),
+        dup_g.alias("dup_2gram_frac"),
+        (
+            (dup_w > REP_DUP_WORD_MAX) | (dup_g > REP_DUP_2GRAM_MAX)
+        ).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    g AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               ELSE [] END AS grams
+        FROM w),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 0
+                    THEN round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+                    ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN len(grams) > 0
+                    THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+                    ELSE 0.0 END AS dup_2gram_frac
+        FROM g)
+    SELECT doc_id, dup_word_frac, dup_2gram_frac,
+           (dup_word_frac > {REP_DUP_WORD_MAX} OR dup_2gram_frac > {REP_DUP_2GRAM_MAX})
+               AS repetitive
+    FROM f ORDER BY doc_id
+"""

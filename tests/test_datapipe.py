@@ -289,3 +289,40 @@ def test_vocab_topk_order_and_counts(spark):
         sum(1 for w in d["text"].lower().split() if w == top["word"]) for d in docs
     )
     assert cnt == top["cnt"]
+
+
+@pytest.fixture(scope="module")
+def pii_corpus(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("piidata")
+    texts = {
+        1: "contact alice.smith+x@example.org or call +1 555-867-5309 today",
+        2: "server at 192.168.10.254 responded then 10.0.0.1 timed out",
+        3: "no sensitive content in this document at all",
+        4: "the the the the the the the the the the",  # maximally repetitive
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return str(base)
+
+
+def test_pii_scrub_redacts_planted(spark, pii_corpus):
+    from event_stream_spark.datapipe import pii_scrub
+
+    rows = {r["doc_id"]: r for r in pii_scrub(spark, pii_corpus).collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["scrubbed"]
+    assert "example.org" not in rows[1]["scrubbed"]
+    assert rows[1]["n_phone"] == 1 and "[PHONE]" in rows[1]["scrubbed"]
+    assert rows[2]["n_ip"] == 2 and rows[2]["scrubbed"].count("[IP]") == 2
+    assert rows[3]["scrubbed"] == "no sensitive content in this document at all"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ip"] == 0
+
+
+def test_text_repetition_flags_planted(spark, pii_corpus):
+    from event_stream_spark.datapipe import text_repetition
+
+    rows = {r["doc_id"]: r for r in text_repetition(spark, pii_corpus).collect()}
+    assert rows[4]["repetitive"] and rows[4]["dup_word_frac"] == 0.9
+    assert not rows[3]["repetitive"] and rows[3]["dup_word_frac"] == 0.0
