@@ -235,33 +235,53 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     duplicate-word fraction, duplicate-2-gram fraction, and the resulting
     `repetitive` flag.
 
-    Scale shape: pure array expressions over the tokenized text — narrow,
-    shuffle-free, scan-speed."""
+    Scale shape: ROW-based, not array-HOF — explode the words, assemble
+    2-grams with a codegen'd ``lead()`` window, aggregate count +
+    count-distinct per doc.  The array-``transform``/``element_at``
+    formulation evaluates its lambdas interpreted per element and measured
+    9× slower at 20k docs (82 s at 200k); this shape is one doc_id shuffle
+    of narrow rows, fully whole-stage codegen, linear in corpus size."""
+    from pyspark.sql import Window
+
     d = t(spark, sf, "documents")
-    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    n = F.size(ws)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    dup_w = F.when(
-        n > 0, F.round(1.0 - F.size(F.array_distinct(ws)) / n, 6)
-    ).otherwise(F.lit(0.0))
-    dup_g = F.when(
-        F.size(grams) > 0,
-        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
-    ).otherwise(F.lit(0.0))
-    return d.select(
+    w = d.select(
         "doc_id",
-        dup_w.alias("dup_word_frac"),
-        dup_g.alias("dup_2gram_frac"),
-        (
-            (dup_w > REP_DUP_WORD_MAX) | (dup_g > REP_DUP_2GRAM_MAX)
-        ).alias("repetitive"),
-    ).orderBy("doc_id")
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    g = w.select(
+        "doc_id",
+        "w",
+        F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("w"), nxt)).alias("gram"),
+    )
+    agg = g.groupBy("doc_id").agg(
+        F.count("w").alias("n_w"),
+        F.countDistinct("w").alias("d_w"),
+        F.count("gram").alias("n_g"),
+        F.countDistinct("gram").alias("d_g"),
+    )
+    dup_w = F.round(1.0 - F.col("d_w") / F.col("n_w"), 6)
+    dup_g = F.when(
+        F.col("n_g") > 0, F.round(1.0 - F.col("d_g") / F.col("n_g"), 6)
+    ).otherwise(F.lit(0.0))
+    per_doc = agg.select(
+        "doc_id", dup_w.alias("dup_word_frac"), dup_g.alias("dup_2gram_frac")
+    )
+    # restore zero-word docs (excluded by the explode) with 0.0 signals
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_word_frac", F.lit(0.0)).alias("dup_word_frac"),
+            F.coalesce("dup_2gram_frac", F.lit(0.0)).alias("dup_2gram_frac"),
+            (
+                (F.coalesce("dup_word_frac", F.lit(0.0)) > REP_DUP_WORD_MAX)
+                | (F.coalesce("dup_2gram_frac", F.lit(0.0)) > REP_DUP_2GRAM_MAX)
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 TEXT_REPETITION_SQL = f"""
