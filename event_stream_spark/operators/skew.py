@@ -19,10 +19,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic-per-row salt in [0, n): hash of all columns mod n —
-    reproducible (no RNG state) and uniform enough to split a hot key."""
+    """Per-row salt in [0, n): hash of all columns mixed with the row's
+    position (``monotonically_increasing_id``) mod n.  The position term
+    spreads fully-identical duplicate rows across salt buckets — a
+    columns-only hash would pin every copy of a hot duplicated row to ONE
+    bucket, re-creating the skew salting exists to fix.  No RNG state; the
+    salt is reproducible for a fixed partitioning (and any salt value
+    yields identical join results, so a repartition between runs is
+    harmless)."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n)).cast("int")
+        col_name,
+        F.pmod(
+            F.xxhash64(*df.columns, F.monotonically_increasing_id()), F.lit(n)
+        ).cast("int"),
     )
 
 

@@ -113,3 +113,14 @@ def test_salted_join_row_identical(spark, n_hot, salt_n):
             tuple(r) for r in salted_join(left, right, "k", n=salt_n, how=how).collect()
         )
         assert salted == plain
+
+
+def test_salt_spreads_identical_duplicates(spark):
+    """64 byte-identical copies of one hot row must land in >1 salt bucket —
+    a columns-only hash pins them all to one, re-creating the skew."""
+    from event_stream_spark.operators.skew import with_salt
+
+    df = spark.createDataFrame([(1, "dup")] * 64, "k long, v string")
+    salts = {r["_salt"] for r in with_salt(df.repartition(8), 8).collect()}
+    assert len(salts) > 1
+    assert all(0 <= s < 8 for s in salts)
