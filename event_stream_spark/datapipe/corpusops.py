@@ -151,10 +151,10 @@ def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     map-side partial aggregation (the shuffle moves one (token, partial)
     row per distinct token per partition, not one row per occurrence) →
     TakeOrderedAndProject for the top-k (no global sort)."""
+    from event_stream_spark.datapipe.text import word_rows
+
     d = t(spark, sf, "documents")
-    w = d.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    w = word_rows(d).select(F.col("w").alias("word"))
     return (
         w.groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -243,11 +243,10 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     of narrow rows, fully whole-stage codegen, linear in corpus size."""
     from pyspark.sql import Window
 
+    from event_stream_spark.datapipe.text import word_rows
+
     d = t(spark, sf, "documents")
-    w = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+    w = word_rows(d)
     nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
     g = w.select(
         "doc_id",

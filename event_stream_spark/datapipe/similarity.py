@@ -227,12 +227,18 @@ def ivf_assignments(spark: SparkSession, sf: str, *, nlist: int = IVF_NLIST):
     centroids = np.asarray(cent, dtype="float64")
     carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent])
     v = as_double(F.col("embedding"))
+    # distances rounded to 9dp before the argmin: both engines' float sums
+    # can differ in the last ulp (fold order), and a rounded compare keeps
+    # near-ties resolving identically (then the list_id tiebreak applies)
     ds = F.transform(
         carr,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
         ),
     )
     # first-occurrence argmin == ties broken toward the smaller list_id
@@ -262,8 +268,8 @@ def ann_ivf_topk(
     q = _query_vector(spark, sf)
     assigned, centroids = ivf_assignments(spark, sf, nlist=nlist)
     qv = np.asarray(q, dtype="float64")
-    d2 = ((centroids - qv) ** 2).sum(axis=1)
-    probe_lists = [int(i) for i in np.argsort(d2)[:nprobe]]
+    d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
+    probe_lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
     return (
         assigned.filter(F.col("list_id").isin(probe_lists))
@@ -289,8 +295,8 @@ ANN_IVF_SQL = f"""
     cents AS (SELECT list(v ORDER BY list_id) AS cs FROM seeds),
     assign AS (
         SELECT vec_id, v,
-               list_transform(cs, c -> list_sum(list_transform(range({DIM}),
-                   j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1])))) AS ds
+               list_transform(cs, c -> round(list_sum(list_transform(range({DIM}),
+                   j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1]))), 9)) AS ds
         FROM e, cents
     ),
     a2 AS (
@@ -301,8 +307,8 @@ ANN_IVF_SQL = f"""
     probe AS (
         SELECT s.list_id
         FROM seeds s, q
-        ORDER BY list_sum(list_transform(range({DIM}),
-                 j -> (s.v[j+1] - q.qv[j+1]) * (s.v[j+1] - q.qv[j+1]))) ASC,
+        ORDER BY round(list_sum(list_transform(range({DIM}),
+                 j -> (s.v[j+1] - q.qv[j+1]) * (s.v[j+1] - q.qv[j+1]))), 9) ASC,
                  s.list_id ASC
         LIMIT {IVF_NPROBE}
     )

@@ -31,6 +31,17 @@ def shingles(ws: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, w) — the tokenization contract as ROWS: lowercase,
+    split \\s+, drop empties.  THE single definition every row-based text
+    operator builds on (shingles, repetition, vocab) — the DuckDB oracles
+    mirror this exact contract, so it must not fork per operator."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+
+
 def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, s) — distinct word n-gram shingles as ROWS.
 
@@ -41,10 +52,7 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     ``shingles(words(text), n)``: lowercase, split \\s+, drop empties,
     consecutive n-grams space-joined, distinct per doc.
     """
-    w = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+    w = word_rows(docs, text_col)
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     s = F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))

@@ -18,20 +18,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n: int, col_name: str = "_salt") -> DataFrame:
-    """Per-row salt in [0, n): hash of all columns mixed with the row's
-    position (``monotonically_increasing_id``) mod n.  The position term
-    spreads fully-identical duplicate rows across salt buckets — a
-    columns-only hash would pin every copy of a hot duplicated row to ONE
-    bucket, re-creating the skew salting exists to fix.  No RNG state; the
-    salt is reproducible for a fixed partitioning (and any salt value
-    yields identical join results, so a repartition between runs is
-    harmless)."""
+def with_salt(
+    df: DataFrame, n: int, col_name: str = "_salt", *, spread_duplicates: bool = False
+) -> DataFrame:
+    """Deterministic-per-row salt in [0, n): hash of all columns mod n —
+    reproducible (no RNG state) and uniform enough to split a hot key.
+
+    ``spread_duplicates=True`` additionally mixes in the row position
+    (``monotonically_increasing_id``) so byte-identical copies of a hot row
+    land in different buckets.  Caveat: position is NONDETERMINISTIC under
+    partial stage recomputation when the upstream is a shuffle (task retry
+    can reorder rows), and a salt that doubles as a join key must not change
+    between attempts — so only enable it when the salted side is read
+    directly from stable storage (file scans re-execute identically), which
+    is exactly the hot-duplicated-fact-table case that needs it."""
+    cols = [*df.columns]
+    if spread_duplicates:
+        cols.append(F.monotonically_increasing_id())
     return df.withColumn(
-        col_name,
-        F.pmod(
-            F.xxhash64(*df.columns, F.monotonically_increasing_id()), F.lit(n)
-        ).cast("int"),
+        col_name, F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
     )
 
 

@@ -33,6 +33,11 @@ def kafka_frame(stream_blocks: DataFrame, chain_id_col: str = "chain_id") -> Dat
         cid_sources.append(F.col("block.header.chain_id"))
     if chain_id_col in cols:
         cid_sources.append(F.col(chain_id_col))
+    if not cid_sources:
+        raise ValueError(
+            "kafka_frame needs a chain id: neither a 'block' struct nor a "
+            f"'{chain_id_col}' column is present"
+        )
     key = F.concat_ws(".", F.coalesce(*cid_sources), F.col("height").cast("string"))
     value_fields = [f.name for f in STREAM_BLOCK.fields if f.name in cols] or cols
     value = F.to_json(F.struct(*value_fields))

@@ -82,16 +82,25 @@ class FixtureNode:
         return rd("block"), rd("block_results")
 
 
+#: default synthetic chain length — finite so head()-derived planning
+#: (open ``to``, ``from="latest"``, unbounded live polls) stays bounded;
+#: raise via the ``synthetic_head`` option for longer runs
+DEFAULT_SYNTHETIC_HEAD = 10_000
+
+
 class SyntheticNode:
     """Deterministic fake chain: every height yields a valid block/results
     JSON pair; ~1 in 3 blocks carries txs (mirroring the 29% non-empty golden
-    corpus)."""
+    corpus).  The chain is ``head`` blocks long — a finite head, because an
+    "infinite" sentinel head makes any head-resolved plan (open ``to`` /
+    unbounded live tail) enumerate ~2^62 heights on the driver."""
 
-    def __init__(self, chain_id: str = "synthetic-1"):
+    def __init__(self, chain_id: str = "synthetic-1", head: int = DEFAULT_SYNTHETIC_HEAD):
         self.chain_id = chain_id
+        self._head = int(head)
 
-    def head(self) -> int:  # pragma: no cover - bounded use sets to_height
-        return 1 << 62
+    def head(self) -> int:
+        return self._head
 
     def fetch(self, height: int) -> tuple[str, str]:
         n_txs = height % 3 if height % 3 != 2 else 0
@@ -168,13 +177,16 @@ def _make_node(options: dict):
     backend by import."""
     backend = options.get("backend", "synthetic")
     if backend == "fixtures":
-        # `templates_dir` accepted as an alias (the CLI flag is --templates-dir)
-        root = options.get("fixtures_dir") or options.get("templates_dir")
+        # single option name; the CLI's --templates-dir flag maps to it
+        root = options.get("fixtures_dir")
         if not root:
-            raise ValueError("fixtures backend needs fixtures_dir/templates_dir")
+            raise ValueError("fixtures backend needs fixtures_dir")
         return FixtureNode(root)
     if backend == "synthetic":
-        return SyntheticNode(options.get("chain_id", "synthetic-1"))
+        return SyntheticNode(
+            options.get("chain_id", "synthetic-1"),
+            int(options.get("synthetic_head", DEFAULT_SYNTHETIC_HEAD)),
+        )
     if ":" in backend:
         import importlib
 
@@ -212,6 +224,11 @@ class BlockBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.options = options
+        if "to_height" not in options:
+            raise ValueError(
+                "batch blockstream scan is bounded: pass to_height "
+                "(use the streaming reader for an open-ended tail)"
+            )
         self.lo = int(options["from_height"])
         self.hi = int(options["to_height"])
         if self.lo > self.hi:

@@ -136,6 +136,26 @@ class WsFeedStreamReader(DataSourceStreamReader):
         self._last_lines = 0
         self._last_global = 0
         self.reconnects = 0
+        # The (conn, base) line→global rebase mapping must survive a query
+        # restart: checkpointed global offsets are meaningless against the
+        # current file without it (a fresh reader would remap them straight
+        # onto line numbers, stalling or skipping post-reconnect messages).
+        # Persisted in commit() as a sidecar next to the feed — one consumer
+        # per feed, like a websocket subscription; override with
+        # ``offsets_path`` when the feed location isn't writable.
+        self.offsets_path = options.get("offsets_path") or (self.path + ".offsets")
+        self._load_rebase_state()
+
+    def _load_rebase_state(self) -> None:
+        try:
+            with open(self.offsets_path) as fh:
+                st = json.load(fh)
+            self._conn = st.get("conn")
+            self._base = int(st.get("base", 0))
+            self._last_global = int(st.get("global", 0))
+            self._last_lines = max(0, self._last_global - self._base)
+        except (OSError, ValueError):
+            pass  # no sidecar yet: first run
 
     def initialOffset(self) -> dict:
         return {"global": 0}
@@ -156,6 +176,12 @@ class WsFeedStreamReader(DataSourceStreamReader):
         if self.max_per_trigger is not None:
             target = min(target, self._last_global + self.max_per_trigger)
         self._last_global = max(self._last_global, target)
+        # Write-through on every poll, not only in commit(): the final
+        # batch's commit() can race query stop, and a sidecar that lags the
+        # checkpoint under-delivers after a reconnect-while-down.  An
+        # OVER-advanced sidecar is safe — the clamped s = max(0, lo - base)
+        # mapping degrades to replay (at-least-once), never to skip.
+        self._persist(self._last_global)
         return {"global": self._last_global}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -183,8 +209,21 @@ class WsFeedStreamReader(DataSourceStreamReader):
                 if line and not line.startswith(_CONN_PREFIX):
                     yield (partition.base + i, line)
 
+    def _persist(self, global_offset: int) -> None:
+        """Persist the connection→global rebase mapping (atomic replace).
+        The offsets themselves live in the checkpoint log; this sidecar is
+        what makes them resolvable against the feed file after a restart."""
+        st = {"conn": self._conn, "base": self._base, "global": int(global_offset)}
+        tmp = self.offsets_path + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(st, fh)
+            os.replace(tmp, self.offsets_path)
+        except OSError:
+            pass
+
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint log
+        self._persist(max(self._last_global, int(end["global"])))
 
 
 class WsFeedDataSource(DataSource):

@@ -121,6 +121,9 @@ def test_salt_spreads_identical_duplicates(spark):
     from event_stream_spark.operators.skew import with_salt
 
     df = spark.createDataFrame([(1, "dup")] * 64, "k long, v string")
-    salts = {r["_salt"] for r in with_salt(df.repartition(8), 8).collect()}
+    salts = {
+        r["_salt"]
+        for r in with_salt(df.repartition(8), 8, spread_duplicates=True).collect()
+    }
     assert len(salts) > 1
     assert all(0 <= s < 8 for s in salts)

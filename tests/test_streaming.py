@@ -768,3 +768,49 @@ def test_stateful_gap_detection(spark, tmp_path):
         assert got2 == {("a", 3, 4), ("a", 6, 7)}
     finally:
         q.stop()
+
+
+def test_push_feed_restart_from_checkpoint(spark, templates_dir, tmp_path):
+    """The line→global rebase mapping survives a query restart: a fresh
+    reader resumes from checkpointed offsets without stalling or skipping,
+    both when the connection is unchanged and after a reconnect-while-down
+    (sidecar-persisted (conn, base) state)."""
+    from event_stream_spark.sources.wsfeed import append_messages, live_message_stream
+
+    feed = str(tmp_path / "feed.ndjson")
+    ckpt = str(tmp_path / "ckpt")
+    msgs = _live_fixture_payloads(templates_dir)
+    seen: list[str] = []
+
+    def run_once():
+        q = (
+            live_message_stream(spark, feed)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _id: seen.extend(r["payload"] for r in b.collect())
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    append_messages(feed, msgs[:3])
+    run_once()
+    assert len(seen) == 3
+
+    # same connection, query down while one more message arrives
+    append_messages(feed, msgs[3:4])
+    run_once()
+    assert len(seen) == 4  # resumed exactly: no re-delivery, no skip
+
+    # reconnect while down: rotated buffer holds the remaining messages
+    os.remove(feed)
+    append_messages(feed, msgs[4:])
+    run_once()
+    expected = {
+        json.dumps(
+            m if isinstance(m, dict) else json.loads(m), separators=(",", ":")
+        )
+        for m in msgs
+    }
+    assert expected <= set(seen)  # every message delivered (dups allowed)
