@@ -245,11 +245,12 @@ class BlockBatchReader(DataSourceReader):
 class BlockStreamReader(DataSourceStreamReader):
     """S3/S4/S10 polling live source with height offsets.
 
-    ``latestOffset`` is STATELESS — it reports the (optionally ``to``-bounded)
-    chain head, so a query restarted from its checkpoint plans exactly the
-    uncommitted [committed+1, head] span: no dupes, no gaps.  (A stateful
-    rate-limited latestOffset breaks on restart: a fresh reader instance
-    cannot see the checkpointed offset and would report a head below it.)
+    ``latestOffset`` reports the (optionally ``to``-bounded) chain head, so
+    a query restarted from its checkpoint plans exactly the uncommitted
+    [committed+1, head] span: no dupes, no gaps.  The optional
+    ``max_heights_per_trigger`` throttle (O7) keeps a cursor; it is re-seeded
+    from the committed offset in ``partitions()`` so a restarted reader never
+    reports a capped head below the checkpoint for more than one poll.
     """
 
     def __init__(self, options: dict):
@@ -257,6 +258,12 @@ class BlockStreamReader(DataSourceStreamReader):
         self.start = int(options.get("from_height", 1))
         self.to = int(options["to_height"]) if "to_height" in options else None
         self.page = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        # O7 throttle (the reference's buffer caps, EventStream.kt:239 /
+        # MultiplexFlow.kt:74): bound each microbatch's height span so a
+        # deep backlog drains in rate-limited steps instead of one giant
+        # batch (same knob as Kafka's maxOffsetsPerTrigger)
+        self.max_per_trigger = int(options.get("max_heights_per_trigger", 0)) or None
+        self._last = self.start - 1
         self._node = _make_node(options)
 
     def initialOffset(self) -> dict:
@@ -266,9 +273,16 @@ class BlockStreamReader(DataSourceStreamReader):
         head = self._node.head()
         if self.to is not None:
             head = min(head, self.to)
+        if self.max_per_trigger is not None:
+            head = min(head, self._last + self.max_per_trigger)
+        self._last = max(self._last, head)
         return {"height": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # re-seed the throttle cursor from the committed offset: a restarted
+        # reader would otherwise report capped heads below the checkpoint
+        # for a few empty triggers before catching up
+        self._last = max(self._last, start["height"])
         lo, hi = start["height"] + 1, end["height"]
         if lo > hi:
             return []

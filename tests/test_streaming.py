@@ -814,3 +814,28 @@ def test_push_feed_restart_from_checkpoint(spark, templates_dir, tmp_path):
         for m in msgs
     }
     assert expected <= set(seen)  # every message delivered (dups allowed)
+
+
+def test_blockstream_max_heights_per_trigger(spark, templates_dir, tmp_path):
+    """O7 throttle on the polling source: each microbatch spans at most
+    max_heights_per_trigger heights; the full range still arrives."""
+    from tests.conftest import EXPECTED_HISTORICAL_BLOCK_COUNT
+    from event_stream_spark.streaming import historical_stream
+
+    batch_sizes = []
+    _drain(
+        historical_stream(
+            spark,
+            MIN_HIST_HEIGHT,
+            MAX_HIST_HEIGHT,
+            backend="fixtures",
+            fixtures_dir=templates_dir,
+            decode_tx_meta=False,
+            max_heights_per_trigger=25,
+        )
+        .writeStream.foreachBatch(lambda b, _id: batch_sizes.append(b.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt")),
+    )
+    assert sum(batch_sizes) == EXPECTED_HISTORICAL_BLOCK_COUNT
+    assert max(batch_sizes) <= 25  # throttled
+    assert len([s for s in batch_sizes if s]) >= 4  # drained in steps
