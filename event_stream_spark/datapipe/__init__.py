@@ -33,14 +33,20 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
 from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     CORPUS_MIX_SQL,
     DECONTAMINATE_SQL,
+    DUP_SPANS_SQL,
     PII_SCRUB_SQL,
     TEXT_REPETITION_SQL,
     VOCAB_TOPK_SQL,
     corpus_mix,
     decontaminate,
+    dup_spans,
     pii_scrub,
     text_repetition,
     vocab_topk,
+)
+from event_stream_spark.datapipe.packing import (  # noqa: F401
+    SEQ_PACK_SQL,
+    seq_pack,
 )
 from event_stream_spark.datapipe.pipeline import (  # noqa: F401
     DATAPIPE_CLEAN_SQL,
@@ -92,6 +98,8 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": vocab_topk,
     "pii_scrub": pii_scrub,
     "text_repetition": text_repetition,
+    "dup_spans": dup_spans,
+    "seq_pack": seq_pack,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -115,6 +123,8 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "dup_spans": DUP_SPANS_SQL,
+    "seq_pack": SEQ_PACK_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -225,6 +225,81 @@ PII_SCRUB_SQL = f"""
     ORDER BY doc_id
 """
 
+# Duplicated-span detection: span order (production value ~50 tokens per
+# Lee et al. "Deduplicating Training Data Makes Language Models Better";
+# 5 keeps it discriminative on the ~50-word synthetic docs) and the flag
+# threshold on the duplicated fraction.
+DUP_SPAN_N = DECON_N  # same order as decontamination → shares the mat-view
+DUP_SPAN_FRAC_MAX = 0.3
+
+
+def dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span analysis: for each doc, how many of
+    its distinct word {DUP_SPAN_N}-gram spans also occur in at least one
+    other document, and the resulting flag (approximate exact-substring
+    dedup signal, Lee et al. 2022 §4.1 re-expressed relationally).
+
+    Scale shape: the shared ``doc_shingles`` mat-view is aggregated once on
+    the span key (map-side partial count, one shuffle), joined back to the
+    span rows co-partitioned on the same key (no re-shuffle of the count
+    side), then reduced per doc — two linear shuffles total, no pairwise
+    doc×doc expansion at any corpus size.  The span relation is distinct
+    per (doc_id, span), so the per-span document count is a plain
+    ``count(*)`` — no count-distinct state.
+    """
+    sh = doc_shingles(spark, sf, DUP_SPAN_N)
+    counts = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    per = (
+        sh.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    frac = F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(frac, F.lit(0.0)).alias("dup_span_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > DUP_SPAN_FRAC_MAX).alias("span_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPANS_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+                 list_distinct(list_transform(range(1, len(ws) - {DUP_SPAN_N - 2}),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4]))) AS s
+        FROM w WHERE len(ws) >= {DUP_SPAN_N}),
+    c AS (SELECT s, count(*) AS nd FROM sh GROUP BY s),
+    per AS (
+        SELECT sh.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM sh JOIN c USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(round(p.n_dup_spans::DOUBLE / p.n_spans, 6), 0.0) AS dup_span_frac,
+           coalesce(round(p.n_dup_spans::DOUBLE / p.n_spans, 6), 0.0)
+               > {DUP_SPAN_FRAC_MAX} AS span_flagged
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 # Gopher-style repetition thresholds
 REP_DUP_WORD_MAX = 0.7
 REP_DUP_2GRAM_MAX = 0.5

@@ -326,3 +326,59 @@ def test_text_repetition_flags_planted(spark, pii_corpus):
     rows = {r["doc_id"]: r for r in text_repetition(spark, pii_corpus).collect()}
     assert rows[4]["repetitive"] and rows[4]["dup_word_frac"] == 0.9
     assert not rows[3]["repetitive"] and rows[3]["dup_word_frac"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def span_corpus(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("spandata")
+    shared = "alpha beta gamma delta epsilon zeta"  # two shared 5-gram spans
+    texts = {
+        1: shared,
+        2: shared + " eta theta iota kappa lambda",
+        3: "one two three four five six seven eight nine ten",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return str(base)
+
+
+def test_dup_spans_flags_planted(spark, span_corpus):
+    from event_stream_spark.datapipe import dup_spans
+
+    rows = {r["doc_id"]: r for r in dup_spans(spark, span_corpus).collect()}
+    # doc 1 is wholly contained in doc 2: both its 5-gram spans are shared
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_dup_spans"] == 2
+    assert rows[1]["dup_span_frac"] == 1.0 and rows[1]["span_flagged"]
+    # doc 2 shares only the first two of its seven spans (2/7 < 0.3)
+    assert rows[2]["n_spans"] == 7 and rows[2]["n_dup_spans"] == 2
+    assert not rows[2]["span_flagged"]
+    # doc 3 shares nothing
+    assert rows[3]["n_dup_spans"] == 0 and not rows[3]["span_flagged"]
+
+
+def test_seq_pack_contiguous(spark, tmp_path_factory):
+    """Docs in one (lang, shard) stratum pack contiguously: each doc's
+    sequence index / offset equals the running token total before it."""
+    from event_stream_spark.datapipe import seq_pack
+    from event_stream_spark.datapipe.packing import SEQ_LEN, SHARDS
+
+    base = tmp_path_factory.mktemp("packdata")
+    # doc_ids all ≡ 0 (mod SHARDS) → a single packing stratum
+    n_words = {0: 300, SHARDS: 300, 2 * SHARDS: 100, 3 * SHARDS: 500}
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n)), "en", "s", n) for i, n in n_words.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in seq_pack(spark, str(base)).collect()}
+    start = 0
+    for i in sorted(n_words):
+        assert rows[i]["n_tokens"] == n_words[i]
+        assert rows[i]["seq_ix"] == start // SEQ_LEN
+        assert rows[i]["seq_offset"] == start % SEQ_LEN
+        assert rows[i]["shard"] == 0
+        start += n_words[i]

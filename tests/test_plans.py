@@ -149,3 +149,28 @@ def test_vocab_topk_take_ordered(spark):
     p = plan(vocab_topk(spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p
+
+
+def test_seq_pack_window_partitioned(spark):
+    """Sequence packing's cumulative-sum window is partitioned by
+    (lang, shard) — never a single-partition global window."""
+    from event_stream_spark.datapipe import seq_pack
+
+    p = plan(seq_pack(spark, SF_CORRECT))
+    win_exchanges = [
+        l
+        for l in p.splitlines()
+        if "Exchange hashpartitioning" in l and "lang" in l and "shard" in l
+    ]
+    assert len(win_exchanges) == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_dup_spans_linear_joins(spark):
+    """Duplicated-span analysis never pairwise-expands documents: no
+    cartesian / nested-loop joins, no Python evaluation nodes."""
+    from event_stream_spark.datapipe import dup_spans
+
+    p = plan(dup_spans(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
