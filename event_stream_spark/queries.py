@@ -415,6 +415,51 @@ def q24(spark, sf):
     )
 
 
+#: sessionization gap: a new session starts after >30 min of user inactivity
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q25(spark, sf):
+    """Gap-based sessionization: per user, a new session starts when the gap
+    since their previous event exceeds 30 minutes; per-session aggregates.
+
+    Scale shape: one shuffle on user_id serves BOTH window passes (lag,
+    then running sum of session starts) AND the final (user_id, session_seq)
+    groupBy — Catalyst sees the compatible partitioning and inserts no
+    further exchange.  Gap arithmetic is in epoch microseconds so the
+    DuckDB oracle is bit-identical (no truncation-semantics drift).
+    The streaming counterpart is ``streaming.windows.sessionized_counts``
+    (``F.session_window`` + watermark); this batch form is the
+    oracle-checkable twin.
+    """
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | (us - prev > SESSION_GAP_US), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.select(
+        "user_id", "ts", "event_id", "value", new_s.alias("new_s")
+    ).select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_s").over(cum).alias("session_seq"),
+    )
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("t_start_us"),
+            F.unix_micros(F.max("ts")).alias("t_end_us"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -445,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22": q22,
     "q23": q23,
     "q24": q24,
+    "q25": q25,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -591,5 +637,32 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) FILTER (event_type = 'view') AS n_view,
                COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    # epoch_us == Spark unix_micros; CAST the window SUM to BIGINT because
+    # DuckDB widens SUM(int) to HUGEINT while Spark stays at long.
+    "q25": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               epoch_us(MIN(ts)) AS t_start_us,
+               epoch_us(MAX(ts)) AS t_end_us,
+               ROUND(SUM(value), 4) AS total_value
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
     """,
 }

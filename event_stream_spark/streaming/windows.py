@@ -48,3 +48,40 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessions via ``F.session_window``: a session extends while
+    consecutive events per key arrive within ``gap`` of each other; the
+    watermark lets Structured Streaming finalize (and evict) closed sessions.
+
+    The batch/oracle twin is ``queries.q25`` (lag + cumulative-sum session
+    assignment) — same gap semantics, exact microsecond arithmetic.  At scale
+    the plan is a single shuffle on ``key_col`` with session merge handled by
+    the native ``MergingSessionsExec``; no Python in the loop.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -392,6 +392,57 @@ def test_backoff_and_restarts():
         )
 
 
+def test_sessionized_counts_stream(spark, tmp_path):
+    """§2.9 extension: ``session_window`` sessions — batch and streamed runs
+    agree, and session boundaries land where the 30-minute gap dictates."""
+    import datetime as dt
+
+    from event_stream_spark.streaming.windows import sessionized_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(minutes=70), 4.0),  # 60-min gap → new session
+        (2, base + dt.timedelta(minutes=5), 8.0),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    val = lambda r: (r["n_events"], r["total_value"])  # noqa: E731
+    batch = {key(r): val(r) for r in sessionized_counts(batch_df).collect()}
+    assert batch == {
+        (1, base): (2, 3.0),
+        (1, base + dt.timedelta(minutes=70)): (1, 4.0),
+        (2, base + dt.timedelta(minutes=5)): (1, 8.0),
+    }
+
+    # streaming leg: session windows stream in append mode only — sessions
+    # emit once the watermark passes their end, so a far-future sentinel row
+    # drives the watermark past every real session (and never finalizes its
+    # own, keeping it out of the sink)
+    src = str(tmp_path / "sess_src")
+    batch_df.coalesce(1).write.parquet(src)
+    sentinel = spark.createDataFrame(
+        [(999, base + dt.timedelta(days=2), 0.0)], batch_df.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = sessionized_counts(stream, watermark="0 seconds")
+    _drain(
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+    )
+    streamed = {
+        key(r): val(r)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    assert streamed == batch
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     """§2.9 extension: event-time tumbling window + watermark over the live
     stream; batch run over the same data agrees with the streamed result."""
