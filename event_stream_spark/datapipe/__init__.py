@@ -10,6 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from event_stream_spark.datapipe.dedup import (  # noqa: F401
+    DEDUP_CLUSTERS_SQL,
     DEDUP_EMBEDDING_EXACT_SQL,
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL,
@@ -17,6 +18,8 @@ from event_stream_spark.datapipe.dedup import (  # noqa: F401
     DEDUP_NGRAM_JACCARD_SQL,
     DEDUP_SIMHASH_PAIRS_SQL,
     DEDUP_SIMHASH_SQL,
+    connected_components,
+    dedup_clusters,
     dedup_embedding,
     dedup_embedding_exact,
     dedup_exact,
@@ -79,6 +82,7 @@ from event_stream_spark.datapipe.textstats import (  # noqa: F401
 DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": simhash_near_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -105,6 +109,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

@@ -166,8 +166,11 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 _MH_A_SQL = "[" + ", ".join(str(a) for a in _MH_A[:16]) + "]"
 _MH_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:16]) + "]"
 
-DEDUP_MINHASH_SQL = f"""
-    WITH docs AS (
+# The minhash pipeline as a reusable CTE block: DEDUP_MINHASH_SQL selects
+# the pairs directly; DEDUP_CLUSTERS_SQL extends the same block with a
+# recursive connected-components CTE.
+_MINHASH_PAIRS_CTES = f"""
+    docs AS (
         SELECT doc_id,
                list_distinct(
                  list_transform(
@@ -202,16 +205,129 @@ DEDUP_MINHASH_SQL = f"""
         FROM bands e1 JOIN bands e2
           ON e1.band_id = e2.band_id AND e1.band_key = e2.band_key
          AND e1.doc_id < e2.doc_id
+    ),
+    pairs AS (
+        SELECT a, b,
+               round(len(list_intersect(da.shg, db.shg))::DOUBLE /
+                     (len(da.shg) + len(db.shg) - len(list_intersect(da.shg, db.shg))), 6) AS jacc
+        FROM cand
+        JOIN docs da ON da.doc_id = a
+        JOIN docs db ON db.doc_id = b
+        WHERE jacc >= 0.5
     )
-    SELECT a, b,
-           round(len(list_intersect(da.shg, db.shg))::DOUBLE /
-                 (len(da.shg) + len(db.shg) - len(list_intersect(da.shg, db.shg))), 6) AS jacc
-    FROM cand
-    JOIN docs da ON da.doc_id = a
-    JOIN docs db ON db.doc_id = b
-    WHERE jacc >= 0.5
-    ORDER BY a, b
 """
+
+DEDUP_MINHASH_SQL = f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT a, b, jacc FROM pairs ORDER BY a, b
+"""
+
+# Connected components over the same pair set: min-label over the transitive
+# closure (the recursive CTE's UNION-distinct bounds the closure, so this
+# terminates for any graph).
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM lbl
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, *, max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list ``(a, b)`` →
+    ``(node, label)`` where label = min node id in the component.
+
+    Min-label propagation with pointer jumping (path halving): each round
+    every node takes the min of its own label, its neighbors' labels, and
+    its label's label.  Pointer jumping makes convergence logarithmic in
+    component diameter (plain neighbor propagation is linear — a 1M-node
+    chain would need 1M rounds; this needs ~20).  Each round is two
+    distributed joins + one convergence-count action, and
+    ``localCheckpoint`` truncates the lineage so the plan doesn't double
+    per round (on a cluster: ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` for executor-loss resilience).  This is the same
+    driver-loop shape GraphX/GraphFrames use for CC — the loop is on the
+    driver, all data movement is cluster-side.
+    """
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    lbl = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("node"), F.least("u", "mn").alias("l"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            sym.alias("e")
+            .join(lbl.alias("n"), F.col("e.v") == F.col("n.node"))
+            .groupBy(F.col("e.u").alias("node"))
+            .agg(F.min("n.l").alias("pl"))
+        )
+        merged = (
+            lbl.join(prop, "node", "left")
+            .select("node", F.least("l", F.coalesce("pl", "l")).alias("l"))
+        )
+        jumped = (
+            merged.alias("m1")
+            .join(merged.alias("m2"), F.col("m1.l") == F.col("m2.node"), "left")
+            .select(
+                F.col("m1.node").alias("node"),
+                F.least(
+                    F.col("m1.l"), F.coalesce(F.col("m2.l"), F.col("m1.l"))
+                ).alias("l"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.withColumnRenamed("l", "ln")
+            .join(lbl.withColumnRenamed("l", "lo"), "node")
+            .where(F.col("ln") != F.col("lo"))
+            .count()
+        )
+        lbl = jumped
+        if changed == 0:
+            break
+    return lbl
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: minhash near-dup pairs grouped into connected
+    components; ``keep`` marks the canonical (min-id) doc per cluster —
+    the production keep/drop decision that pair lists alone don't give.
+    """
+    cc = connected_components(minhash_lsh_pairs(spark, sf, threshold=0.5))
+    sizes = cc.groupBy("l").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "l")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("l").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("l")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

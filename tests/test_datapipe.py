@@ -382,3 +382,30 @@ def test_seq_pack_contiguous(spark, tmp_path_factory):
         assert rows[i]["seq_offset"] == start % SEQ_LEN
         assert rows[i]["shard"] == 0
         start += n_words[i]
+
+
+def test_connected_components_chain_and_clusters(spark, dup_corpus):
+    """CC over a 6-node chain (worst-case diameter: plain propagation needs 6
+    rounds, pointer jumping converges in ≤ 25) plus a separate triangle and
+    an isolated pair; then the end-to-end dedup_clusters on planted dups."""
+    from event_stream_spark.datapipe.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain 1..6
+             (10, 11), (11, 12), (10, 12),            # triangle
+             (20, 21)]                                # pair
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["l"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # end-to-end: docs 1/2/3 are mutual near-dups → one cluster, keep doc 1
+    out = {r["doc_id"]: r for r in dedup_clusters(spark, dup_corpus).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
+               for r in out.values())
+    assert [d for d, r in out.items() if r["keep"]] == [1]
