@@ -318,3 +318,138 @@ ANN_IVF_SQL = f"""
     ORDER BY sim DESC, vec_id
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (SemDeDup-style corpus curation)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _centroid_distances(vec: Column, cent: list[list[float]]) -> Column:
+    """Squared L2 distance from ``vec`` to each centroid, rounded to 9dp
+    (same fold-order guard as ``ivf_assignments``)."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cent])
+    return F.transform(
+        carr,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ),
+    )
+
+
+def embed_kmeans(
+    spark: SparkSession,
+    sf: str,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, MLlib-free: assignment is
+    a shuffle-free narrow argmin against broadcast-literal centroids; the
+    update is one groupBy with DIM codegen'd ``avg`` aggregates plus a
+    k-row collect.  Init is the same deterministic seed decimation as
+    ``ivf_assignments`` and ``iters`` is fixed, so the whole build —
+    seeds, every assignment, every centroid update (rounded to 9dp) — is
+    exactly replayed by the DuckDB oracle.  Empty clusters keep their
+    previous centroid (both engines).
+
+    Scale shape: per round, one partial-agg shuffle of k×DIM doubles and a
+    k-row collect — the canonical distributed Lloyd's; no point-to-point
+    joins, no n×k materialization.  SemDeDup-style curation then drops
+    near-dups within each cluster (see ``dedup_embedding`` for the
+    verify machinery).
+    """
+    e = t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // k)
+    seed_ids = [j * stride for j in range(k)]
+    rows = (
+        e.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    v = as_double(F.col("embedding"))
+
+    def assign(c: list[list[float]]) -> DataFrame:
+        ds = _centroid_distances(v, c)
+        return e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias("cluster"),
+            F.array_min(ds).alias("d2"),
+        )
+
+    for _ in range(iters):
+        got = {
+            r["cluster"]: [float(r[f"x{i}"]) for i in range(DIM)]
+            for r in assign(cent)
+            .groupBy("cluster")
+            .agg(*[F.round(F.avg(v[i]), 9).alias(f"x{i}") for i in range(DIM)])
+            .collect()
+        }
+        cent = [got.get(j, cent[j]) for j in range(len(cent))]
+    return (
+        assign(cent)
+        .select("vec_id", "cluster", F.round("d2", 6).alias("d2"))
+        .orderBy("vec_id")
+    )
+
+
+def _km_round_sql(prev_cents: str, idx: int) -> str:
+    """One unrolled Lloyd round: assign against ``prev_cents`` → per-dim
+    grouped avg (rounded 9dp) → carry previous centroid for empty clusters."""
+    return f"""
+    a{idx} AS (
+        SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
+        FROM (SELECT vec_id, v,
+                list_transform(cs, c -> round(list_sum(list_transform(range({DIM}),
+                    j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1]))), 9)) AS ds
+              FROM e, {prev_cents})
+    ),
+    m{idx} AS (
+        SELECT cluster AS cid, d.j, round(avg(v[d.j+1]), 9) AS x
+        FROM a{idx}, (SELECT unnest(range({DIM})) AS j) d
+        GROUP BY cluster, d.j
+    ),
+    upd{idx} AS (SELECT cid, list(x ORDER BY j) AS c FROM m{idx} GROUP BY cid),
+    cl{idx} AS (
+        SELECT s.cid, coalesce(u.c, s.c) AS c
+        FROM cl{idx - 1} s LEFT JOIN upd{idx} u ON u.cid = s.cid
+    ),
+    c{idx} AS (SELECT list(c ORDER BY cid) AS cs FROM cl{idx})"""
+
+
+EMBED_KMEANS_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT greatest((SELECT count(*) FROM e) // {KMEANS_K}, 1) AS stride),
+    cl0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM e, p
+        WHERE vec_id % stride = 0 AND vec_id // stride < {KMEANS_K}
+    ),
+    c0 AS (SELECT list(c ORDER BY cid) AS cs FROM cl0),
+    {_km_round_sql("c0", 1)},
+    {_km_round_sql("c1", 2)},
+    final AS (
+        SELECT vec_id,
+               list_position(ds, list_min(ds)) - 1 AS cluster,
+               round(list_min(ds), 6) AS d2
+        FROM (SELECT vec_id,
+                list_transform(cs, c -> round(list_sum(list_transform(range({DIM}),
+                    j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1]))), 9)) AS ds
+              FROM e, c2)
+    )
+    SELECT vec_id, cluster, d2 FROM final ORDER BY vec_id
+"""

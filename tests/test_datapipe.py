@@ -409,3 +409,27 @@ def test_connected_components_chain_and_clusters(spark, dup_corpus):
     assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
                for r in out.values())
     assert [d for d, r in out.items() if r["keep"]] == [1]
+
+
+def test_embed_kmeans_separates_two_groups(spark, tmp_path_factory):
+    """Two tight groups of 10 vectors each, k=2: Lloyd's recovers the
+    grouping exactly, and every vector lands nearer its own centroid."""
+    from event_stream_spark.datapipe.similarity import embed_kmeans
+
+    base = tmp_path_factory.mktemp("km")
+    rows = []
+    for i in range(20):
+        group = i // 10
+        center = 1.0 if group == 0 else -1.0
+        vec = [center + 0.001 * ((i * 7 + j) % 5) for j in range(64)]
+        rows.append((i, [float(x) for x in vec], group))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{base}/embeddings.parquet")
+
+    out = {r["vec_id"]: r for r in embed_kmeans(spark, str(base), k=2).collect()}
+    assert set(out) == set(range(20))
+    a = {out[i]["cluster"] for i in range(10)}
+    b = {out[i]["cluster"] for i in range(10, 20)}
+    assert a == {0} and b == {1}
+    assert all(r["d2"] < 0.1 for r in out.values())
