@@ -60,11 +60,13 @@ from event_stream_spark.datapipe.similarity import (  # noqa: F401
     ANN_LSH_SQL,
     ANN_TOPK_SQL,
     EMBED_KMEANS_SQL,
+    SEMDEDUP_SQL,
     ann_ivf_topk,
     ann_lsh_topk,
     ann_topk_brute,
     embed_kmeans,
     ivf_assignments,
+    semdedup,
 )
 from event_stream_spark.datapipe.multimodal import (  # noqa: F401
     media_from_documents,
@@ -94,6 +96,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embed_kmeans": embed_kmeans,
+    "semdedup": semdedup,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -122,6 +125,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embed_kmeans": EMBED_KMEANS_SQL,
+    "semdedup": SEMDEDUP_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -345,28 +345,16 @@ def _centroid_distances(vec: Column, cent: list[list[float]]) -> Column:
     )
 
 
-def embed_kmeans(
+def _kmeans_assignment(
     spark: SparkSession,
     sf: str,
     *,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding column, MLlib-free: assignment is
-    a shuffle-free narrow argmin against broadcast-literal centroids; the
-    update is one groupBy with DIM codegen'd ``avg`` aggregates plus a
-    k-row collect.  Init is the same deterministic seed decimation as
-    ``ivf_assignments`` and ``iters`` is fixed, so the whole build —
-    seeds, every assignment, every centroid update (rounded to 9dp) — is
-    exactly replayed by the DuckDB oracle.  Empty clusters keep their
-    previous centroid (both engines).
-
-    Scale shape: per round, one partial-agg shuffle of k×DIM doubles and a
-    k-row collect — the canonical distributed Lloyd's; no point-to-point
-    joins, no n×k materialization.  SemDeDup-style curation then drops
-    near-dups within each cluster (see ``dedup_embedding`` for the
-    verify machinery).
-    """
+    """Final Lloyd's assignment frame ``(vec_id, embedding, cluster, d2)``
+    — shared by :func:`embed_kmeans` (the clustering query) and
+    :func:`semdedup` (within-cluster pruning)."""
     e = t(spark, sf, "embeddings")
     n = e.count()
     stride = max(1, n // k)
@@ -400,9 +388,93 @@ def embed_kmeans(
             .collect()
         }
         cent = [got.get(j, cent[j]) for j in range(len(cent))]
+    return assign(cent)
+
+
+def embed_kmeans(
+    spark: SparkSession,
+    sf: str,
+    *,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, MLlib-free: assignment is
+    a shuffle-free narrow argmin against broadcast-literal centroids; the
+    update is one groupBy with DIM codegen'd ``avg`` aggregates plus a
+    k-row collect.  Init is the same deterministic seed decimation as
+    ``ivf_assignments`` and ``iters`` is fixed, so the whole build —
+    seeds, every assignment, every centroid update (rounded to 9dp) — is
+    exactly replayed by the DuckDB oracle.  Empty clusters keep their
+    previous centroid (both engines).
+
+    Scale shape: per round, one partial-agg shuffle of k×DIM doubles and a
+    k-row collect — the canonical distributed Lloyd's; no point-to-point
+    joins, no n×k materialization.  SemDeDup-style curation then drops
+    near-dups within each cluster (:func:`semdedup`).
+    """
     return (
-        assign(cent)
+        _kmeans_assignment(spark, sf, k=k, iters=iters)
         .select("vec_id", "cluster", F.round("d2", 6).alias("d2"))
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup(
+    spark: SparkSession,
+    sf: str,
+    *,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster embeddings with k-means, then
+    within each cluster drop every vector that has a near-duplicate
+    (cosine ≥ ``threshold``) with a smaller ``vec_id`` — the deterministic
+    keep-first greedy.  Returns ``(vec_id, cluster, keep)``.
+
+    Plan shape: the Lloyd's assignment is narrow (argmin against literal
+    centroids); pairing shuffles once on ``cluster`` into per-cluster BLAS
+    tiles (applyInPandas — same dense-matmul verify as
+    ``embedding_lsh_pairs``); the drop set comes back as a broadcast
+    semi-join.  Work is Σ_clusters |cluster|², the SemDeDup design point:
+    production k scales as n/target_cluster_size (the paper uses ~n/10⁴),
+    so tiles stay bounded while all-pairs would be n².  For clusters that
+    still overflow a tile, the ``embedding_lsh_pairs`` band-packing trick
+    composes (bucket within cluster).
+
+    The DuckDB oracle replays the full chain — same centroids, same
+    assignment, same rounded-cosine pair predicate.
+    """
+    import numpy as np
+
+    a = _kmeans_assignment(spark, sf, k=k, iters=iters)
+    margin = threshold - 1e-6  # final filter happens on the rounded value
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["b", "sim"])
+        V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        M = Vn @ Vn.T
+        ii, jj = np.where(M >= margin)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"b": ids[jj][keep], "sim": M[ii, jj][keep]})
+
+    dropped = (
+        a.select("vec_id", "embedding", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(pairs, schema="b long, sim double")
+        .filter(F.round("sim", 6) >= threshold)
+        .select("b")
+        .distinct()
+    )
+    return (
+        a.join(dropped, a.vec_id == dropped.b, "left")
+        .select("vec_id", "cluster", F.col("b").isNull().alias("keep"))
         .orderBy("vec_id")
     )
 
@@ -431,7 +503,9 @@ def _km_round_sql(prev_cents: str, idx: int) -> str:
     c{idx} AS (SELECT list(c ORDER BY cid) AS cs FROM cl{idx})"""
 
 
-EMBED_KMEANS_SQL = f"""
+#: Shared CTE chain: embeddings as DOUBLE[], seed-decimation init, two
+#: unrolled Lloyd rounds, ``final(vec_id, cluster, d2)`` assignment.
+_KMEANS_CTES = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (SELECT greatest((SELECT count(*) FROM e) // {KMEANS_K}, 1) AS stride),
     cl0 AS (
@@ -450,6 +524,31 @@ EMBED_KMEANS_SQL = f"""
                 list_transform(cs, c -> round(list_sum(list_transform(range({DIM}),
                     j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1]))), 9)) AS ds
               FROM e, c2)
-    )
+    )"""
+
+
+EMBED_KMEANS_SQL = f"""
+    {_KMEANS_CTES}
     SELECT vec_id, cluster, d2 FROM final ORDER BY vec_id
+"""
+
+
+# SemDeDup replay: same assignment chain, then the keep-first greedy —
+# a vector is dropped iff a smaller-id member of its cluster is within
+# the rounded-cosine threshold.
+SEMDEDUP_SQL = f"""
+    {_KMEANS_CTES},
+    sd AS (
+        SELECT f.vec_id, f.cluster, e.v
+        FROM final f JOIN e ON e.vec_id = f.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id AS b
+        FROM sd x JOIN sd y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cluster,
+           (s.vec_id NOT IN (SELECT b FROM dropped)) AS keep
+    FROM sd s ORDER BY s.vec_id
 """

@@ -433,3 +433,29 @@ def test_embed_kmeans_separates_two_groups(spark, tmp_path_factory):
     b = {out[i]["cluster"] for i in range(10, 20)}
     assert a == {0} and b == {1}
     assert all(r["d2"] < 0.1 for r in out.values())
+
+
+def test_semdedup_keeps_first_per_cluster(spark, tmp_path_factory):
+    """Two tight clusters (near-identical members ⇒ cosine ≈ 1): SemDeDup's
+    keep-first greedy keeps exactly the smallest vec_id of each cluster and
+    drops every other member; a far outlier in its own region survives."""
+    from event_stream_spark.datapipe.similarity import semdedup
+
+    base = tmp_path_factory.mktemp("sd")
+    rows = []
+    for i in range(20):
+        center = 1.0 if i < 10 else -1.0
+        vec = [center + 1e-6 * ((i * 7 + j) % 5) for j in range(64)]
+        rows.append((i, [float(x) for x in vec]))
+    # orthogonal-ish outlier: alternating signs — low cosine to both blobs
+    rows.append((20, [float(1 if j % 2 else -1) for j in range(64)]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(f"{base}/embeddings.parquet")
+
+    out = {r["vec_id"]: r for r in semdedup(spark, str(base), k=2).collect()}
+    assert set(out) == set(range(21))
+    kept = sorted(i for i, r in out.items() if r["keep"])
+    assert 0 in kept and 10 in kept
+    assert not any(r["keep"] for i, r in out.items() if i not in (0, 10, 20))
+    assert out[20]["keep"]
