@@ -460,6 +460,42 @@ def q25(spark, sf):
     )
 
 
+def q26(spark, sf):
+    """As-of join: each purchase event is enriched with the same user's
+    latest click at or before it (point-in-time lookup,
+    ``operators/asof.py``).
+
+    Scale shape: one shuffle on user_id over clicks+purchases, then a
+    linear window pass — the union+window as-of formulation; the DuckDB
+    oracle is the engine's native ASOF LEFT JOIN, a genuinely independent
+    algorithm for the same semantics.
+    """
+    from event_stream_spark.operators.asof import as_of_join
+
+    e = t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["event_id", "ts", "value"],
+        tiebreak=["event_id"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_r").alias("match_id"),
+        F.unix_micros("ts_r").alias("match_ts_us"),
+        F.col("value_r").alias("match_value"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -491,6 +527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23,
     "q24": q24,
     "q25": q25,
+    "q26": q26,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -664,5 +701,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    # DuckDB's native ASOF LEFT JOIN — an independent algorithm for the
+    # same point-in-time semantics as the union+window Spark operator.
+    "q26": """
+        WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+               r.event_id AS match_id, epoch_us(r.ts) AS match_ts_us,
+               r.value AS match_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
     """,
 }

@@ -156,3 +156,41 @@ def test_coin_parse(spark):
     assert int(one(spark, parse_coin_amount(F.lit(None).cast("string")))) == 0
     big = "9" * 38
     assert int(one(spark, parse_coin_amount(F.lit(big)))) == int(big)
+
+
+def test_as_of_join_semantics(spark):
+    """Generic as-of join: inclusive vs strict boundary, atomic struct carry
+    (matched attrs all from ONE right row), no-match nulls, tiebreak winner."""
+    from event_stream_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "k", 5), (4, "x", 50)],
+        "lid long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100, None), ("k", 15, 101, "b"), ("k", 15, 102, "c")],
+        "key string, ts long, rid long, tag string",
+    )
+    out = {
+        r["lid"]: r
+        for r in as_of_join(
+            left, right, on="key", right_cols=["rid", "tag"], tiebreak=["rid"]
+        ).collect()
+    }
+    # inclusive: lid=1 at ts=10 sees the ts=10 right row — whose tag is NULL;
+    # the struct carry must NOT fall through to an earlier row's tag
+    assert out[1]["rid_r"] == 100 and out[1]["tag_r"] is None
+    # two right rows tie at ts=15: tiebreak picks the larger rid (last in order)
+    assert out[2]["rid_r"] == 102 and out[2]["tag_r"] == "c"
+    assert out[3]["rid_r"] is None  # nothing at-or-before ts=5
+    assert out[4]["rid_r"] is None  # no right rows for key x
+    assert len(out) == 4  # every left row exactly once
+
+    strict = {
+        r["lid"]: r
+        for r in as_of_join(
+            left, right, on="key", right_cols=["rid"], strict=True, tiebreak=["rid"]
+        ).collect()
+    }
+    assert strict[1]["rid_r"] is None  # ts=10 excluded under strict <
+    assert strict[2]["rid_r"] == 102

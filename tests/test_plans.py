@@ -174,3 +174,18 @@ def test_dup_spans_linear_joins(spark):
     p = plan(dup_spans(spark, SF_CORRECT))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_as_of_join_single_shuffle(spark):
+    """q26 (as-of join): exactly one hash exchange on the join key — the
+    union+window formulation never expands an inequality-join pair fan-out
+    (no NestedLoop/Cartesian in the plan)."""
+    from event_stream_spark.queries import q26
+
+    p = plan(q26(spark, SF_CORRECT))
+    hash_exchanges = [
+        l for l in p.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1
+    assert "user_id" in hash_exchanges[0]
+    assert "NestedLoop" not in p and "Cartesian" not in p
