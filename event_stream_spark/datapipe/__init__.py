@@ -39,12 +39,14 @@ from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     DUP_SPANS_SQL,
     PII_SCRUB_SQL,
     TEXT_REPETITION_SQL,
+    TFIDF_TOPTERMS_SQL,
     VOCAB_TOPK_SQL,
     corpus_mix,
     decontaminate,
     dup_spans,
     pii_scrub,
     text_repetition,
+    tfidf_topterms,
     vocab_topk,
 )
 from event_stream_spark.datapipe.packing import (  # noqa: F401
@@ -106,6 +108,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate,
     "corpus_mix": corpus_mix,
     "vocab_topk": vocab_topk,
+    "tfidf_topterms": tfidf_topterms,
     "pii_scrub": pii_scrub,
     "text_repetition": text_repetition,
     "dup_spans": dup_spans,
@@ -134,6 +137,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "decontaminate": DECONTAMINATE_SQL,
     "corpus_mix": CORPUS_MIX_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "tfidf_topterms": TFIDF_TOPTERMS_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "dup_spans": DUP_SPANS_SQL,

@@ -383,3 +383,73 @@ TEXT_REPETITION_SQL = f"""
                AS repetitive
     FROM f ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-{k} terms by tf-idf (score = tf · ln(N/df)) — the
+    classic document-keyword / topic-signal extraction pass.
+
+    Scale shape: one explode → groupBy(doc_id, word) count (shuffle 1);
+    document frequency reuses that output grouped by word (shuffle 2 moves
+    one row per distinct (doc, word), never per occurrence); the df table is
+    vocabulary-sized — orders of magnitude smaller than the corpus — so AQE
+    broadcasts it back onto tf; the final per-doc top-k is a row_number
+    window over the doc_id partitioning tf already has.  Determinism: score
+    rounded to 6dp BEFORE ranking (ln may differ in the last ulp across
+    engines), ties broken by term ascending.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import word_rows
+
+    d = t(spark, sf, "documents")
+    n_docs = d.count()
+    w = word_rows(d).select("doc_id", F.col("w").alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", F.col("word").alias("term"), "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_TOPTERMS_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df),
+                     6) AS score
+        FROM tf JOIN df USING (word)),
+    ranked AS (
+        SELECT doc_id, word, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, word ASC)
+                    AS INTEGER) AS rank
+        FROM scored)
+    SELECT doc_id, rank, word AS term, score
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    ORDER BY doc_id, rank
+"""

@@ -459,3 +459,31 @@ def test_semdedup_keeps_first_per_cluster(spark, tmp_path_factory):
     assert 0 in kept and 10 in kept
     assert not any(r["keep"] for i, r in out.items() if i not in (0, 10, 20))
     assert out[20]["keep"]
+
+
+def test_tfidf_topterms_ranks_distinctive_words(spark, tmp_path_factory):
+    """4 docs sharing the word 'common'; each doc has a unique word repeated
+    twice.  tf-idf ranks the unique word first (tf=2, df=1) and scores
+    'common' exactly 0 (ln(4/4))."""
+    from event_stream_spark.datapipe.corpusops import tfidf_topterms
+
+    base = tmp_path_factory.mktemp("tfidf")
+    rows = [
+        (i, f"common uniq{i} uniq{i}", "en", "s", 20) for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+
+    out = tfidf_topterms(spark, str(base)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import math
+
+    for i in range(4):
+        terms = by_doc[i]
+        assert terms[0]["term"] == f"uniq{i}"
+        assert terms[0]["score"] == round(2 * math.log(4 / 1), 6)
+        assert terms[1]["term"] == "common" and terms[1]["score"] == 0.0
+        assert len(terms) == 2  # only two distinct words per doc
