@@ -50,7 +50,9 @@ from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     vocab_topk,
 )
 from event_stream_spark.datapipe.packing import (  # noqa: F401
+    CHUNK_DOCS_SQL,
     SEQ_PACK_SQL,
+    chunk_docs,
     seq_pack,
 )
 from event_stream_spark.datapipe.pipeline import (  # noqa: F401
@@ -113,6 +115,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "dup_spans": dup_spans,
     "seq_pack": seq_pack,
+    "chunk_docs": chunk_docs,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -142,6 +145,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "text_repetition": TEXT_REPETITION_SQL,
     "dup_spans": DUP_SPANS_SQL,
     "seq_pack": SEQ_PACK_SQL,
+    "chunk_docs": CHUNK_DOCS_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -74,3 +74,57 @@ SEQ_PACK_SQL = f"""
            (start % {SEQ_LEN})::BIGINT AS seq_offset
     FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / long-context preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # chunk start spacing (CHUNK_SIZE - CHUNK_STRIDE overlap)
+
+
+def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks — the
+    standard RAG-indexing / long-context windowing pass.  Chunk ``i`` covers
+    tokens ``[i·stride, i·stride + size)``; the tail chunk may be short.
+
+    Scale shape: zero shuffles — tokenize, generate chunk starts
+    (``sequence`` stepped by stride), explode, ``slice`` the word array —
+    all narrow per-row array expressions in codegen.  Output order is the
+    natural (doc_id, chunk_id); the ORDER BY here is presentation-only and
+    absent from the production pipeline.
+    """
+    d = t(spark, sf, "documents")
+    ws = words(F.col("text"))
+    starts = F.when(
+        F.size(ws) > 0,
+        F.sequence(F.lit(0), F.size(ws) - 1, F.lit(CHUNK_STRIDE)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    c = d.select(
+        "doc_id", ws.alias("ws"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, CHUNK_SIZE)
+    return c.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_DOCS_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    c AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start
+        FROM w WHERE len(ws) > 0)
+    SELECT doc_id,
+           (start // {CHUNK_STRIDE})::INT AS chunk_id,
+           len(ws[start + 1 : start + {CHUNK_SIZE}])::INT AS n_tokens,
+           array_to_string(ws[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+"""

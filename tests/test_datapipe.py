@@ -487,3 +487,25 @@ def test_tfidf_topterms_ranks_distinctive_words(spark, tmp_path_factory):
         assert terms[0]["score"] == round(2 * math.log(4 / 1), 6)
         assert terms[1]["term"] == "common" and terms[1]["score"] == 0.0
         assert len(terms) == 2  # only two distinct words per doc
+
+
+def test_chunk_docs_overlap_and_tail(spark, tmp_path_factory):
+    """50-word doc, size=32/stride=24: chunks start at words 0/24/48 with
+    32/26/2 tokens; the overlap region is shared verbatim."""
+    from event_stream_spark.datapipe.packing import chunk_docs
+
+    base = tmp_path_factory.mktemp("chunks")
+    text = " ".join(f"w{i}" for i in range(50))
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+
+    out = {r["chunk_id"]: r for r in chunk_docs(spark, str(base)).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert [out[i]["n_tokens"] for i in range(3)] == [32, 26, 2]
+    assert out[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert out[1]["chunk_text"].split()[0] == "w24"
+    # overlap: chunk 0's last 8 words == chunk 1's first 8
+    assert out[0]["chunk_text"].split()[24:] == out[1]["chunk_text"].split()[:8]
+    assert out[2]["chunk_text"] == "w48 w49"

@@ -189,3 +189,13 @@ def test_as_of_join_single_shuffle(spark):
     assert len(hash_exchanges) == 1
     assert "user_id" in hash_exchanges[0]
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_chunk_docs_shuffle_free(spark):
+    """chunk_docs: tokenize → explode starts → slice are all narrow — no
+    hash exchange anywhere (the trailing ORDER BY is presentation-only)."""
+    from event_stream_spark.datapipe.packing import chunk_docs
+
+    p = plan(chunk_docs(spark, SF_CORRECT))
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate explode" in p  # the chunk-start explode, in codegen
