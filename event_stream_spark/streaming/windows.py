@@ -85,3 +85,45 @@ def sessionized_counts(
             "total_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "15 minutes",
+    suffix: str = "_r",
+    watermark: str = "0 seconds",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream time-interval join: each left row pairs with the right
+    rows of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the streaming counterpart of the
+    batch as-of join (``operators/asof.py``), relaxed from "latest match
+    only" to "all matches in the window" because latest-only needs
+    unbounded-past state a watermarked stream cannot keep.
+
+    Works unchanged on batch frames (watermarks are skipped).  In streaming
+    both sides get event-time watermarks and the interval condition bounds
+    the join state: Spark evicts right-side rows older than
+    ``watermark + lookback`` — state is O(rate × lookback), not O(history).
+    One shuffle per side on the key.  ``join_type='leftOuter'`` emits
+    unmatched left rows once the watermark passes their window.
+    """
+    r = right.select([F.col(c).alias(f"{c}{suffix}") for c in right.columns])
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_ts}{suffix}", watermark)
+    cond = (
+        (F.col(on) == F.col(f"{on}{suffix}"))
+        & (
+            F.col(f"{right_ts}{suffix}")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts))
+    )
+    return left.join(r, cond, join_type)

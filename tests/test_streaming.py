@@ -890,3 +890,44 @@ def test_blockstream_max_heights_per_trigger(spark, templates_dir, tmp_path):
     assert sum(batch_sizes) == EXPECTED_HISTORICAL_BLOCK_COUNT
     assert max(batch_sizes) <= 25  # throttled
     assert len([s for s in batch_sizes if s]) >= 4  # drained in steps
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """§2.9 extension: stream-stream time-interval join — the streamed run
+    (two file streams, watermarked, bounded state) produces exactly the
+    batch join's pairs; lookback boundary rows are inclusive both ends."""
+    import datetime as dt
+
+    from event_stream_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_id long"
+    purchases = [(1, mins(30), 100), (1, mins(60), 101), (2, mins(30), 102)]
+    clicks = [
+        (1, mins(15), 200),  # exactly lookback before purchase 100 → kept
+        (1, mins(29), 201),  # within both purchase windows? 60-15=45 > 29 → only 100
+        (1, mins(50), 202),  # matches purchase 101 only
+        (1, mins(31), 203),  # after purchase 100, before 101-15 → matches none
+        (2, mins(40), 204),  # after the only user-2 purchase → none
+    ]
+    lb = spark.createDataFrame(purchases, schema)
+    rb = spark.createDataFrame(clicks, schema)
+    pair = lambda r: (r["event_id"], r["event_id_r"])  # noqa: E731
+    batch = {pair(r) for r in interval_join(lb, rb).collect()}
+    assert batch == {(100, 200), (100, 201), (101, 202)}
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lb.coalesce(1).write.parquet(lsrc)
+    rb.coalesce(1).write.parquet(rsrc)
+    ls = spark.readStream.schema(lb.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rb.schema).parquet(rsrc)
+    _drain(
+        interval_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .outputMode("append")
+    )
+    streamed = {pair(r) for r in spark.sql("SELECT * FROM ivj").collect()}
+    assert streamed == batch
