@@ -931,3 +931,52 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     streamed = {pair(r) for r in spark.sql("SELECT * FROM ivj").collect()}
     assert streamed == batch
+
+
+def test_rollup_incremental_maintenance(spark, tmp_path):
+    """Continuous-aggregate maintenance: events arrive in two chunks with a
+    restart between them; the maintained parquet rollup equals the batch
+    rollup over all events, and re-running a completed stream (replay) is a
+    no-op (idempotent dynamic partition overwrite)."""
+    import datetime as dt
+
+    from event_stream_spark.streaming.rollup import hourly_rollup, maintain_rollup
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    schema = "ts timestamp, event_type string, value double"
+    chunk1 = [(mins(5), "click", 1.0), (mins(20), "view", 2.0), (mins(65), "click", 4.0)]
+    chunk2 = [(mins(70), "click", 8.0), (mins(130), "view", 16.0)]
+    sentinel = [(mins(60 * 24), "zz_sentinel", 0.0)]  # drives watermark past all
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt_rollup")
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        _drain(maintain_rollup(stream, out, ckpt))
+
+    arrive(chunk1)
+    run_once()  # hour 0 may finalize once chunk2's times arrive — not yet
+    arrive(chunk2)
+    run_once()
+    arrive(sentinel)
+    run_once()  # sentinel finalizes hours 1 and 2
+    run_once()  # replay with nothing new: must not duplicate or corrupt
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "zz_sentinel"
+    }
+    batch_df = spark.createDataFrame(chunk1 + chunk2, schema)
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in hourly_rollup(batch_df, watermark=None).collect()
+    }
+    assert got == want
+    assert (mins(0).replace(minute=0), "click") in got  # hour-0 click present
