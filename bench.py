@@ -63,17 +63,23 @@ def main() -> None:
     # is the standard steady-state estimator and is what a capacity plan
     # would use
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in sorted(queries):
-            start = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            # force full execution + driver materialization (Arrow transfer;
-            # row-based collect() adds ~0.4s/100k rows of pure deserialization).
-            # NO .limit() wrapper: CollectLimit executes partitions in serial
-            # ramp-up waves (1, then scaleUpFactor²…), which serializes every
-            # sub-limit query and was measured at ~0.9s/query of pure
-            # scheduling overhead; registry results are bounded at every SF
-            df.toPandas()
+            try:
+                start = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                # force full execution + driver materialization (Arrow
+                # transfer; row-based collect() adds ~0.4s/100k rows of pure
+                # deserialization).  NO .limit() wrapper: CollectLimit
+                # executes partitions in serial ramp-up waves (1, then
+                # scaleUpFactor²…), which serializes every sub-limit query
+                # and was measured at ~0.9s/query of pure scheduling
+                # overhead; registry results are bounded at every SF
+                df.toPandas()
+            except Exception as exc:  # one broken query must not zero the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             elapsed = round(time.perf_counter() - start, 6)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
@@ -85,17 +91,16 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 6)
-    print(
-        json.dumps(
-            {
-                "metric": "qset_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 6) for k, v in timings.items()},
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "qset_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 6) for k, v in timings.items()},
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

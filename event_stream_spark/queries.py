@@ -86,9 +86,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (no-timezone) parquet timestamps must land as TIMESTAMP (LTZ),
+    # not TIMESTAMP_NTZ: the stored int64 micros are then the epoch verbatim —
+    # zero timezone arithmetic — which is exactly how DuckDB's epoch_us reads
+    # the same file, and epoch helpers (unix_micros) reject NTZ outright.
+    # Spark 4 defaults inferTimestampNTZ=true, so flip it per-session; the
+    # post-read cast below covers sessions where the conf is pinned.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [name for name, dt in df.dtypes if dt == "timestamp_ntz"]
+    for c in ntz_cols:
+        # session tz is UTC (set above), so this cast maps the naive wall
+        # value to the identical epoch — bit-equal to the non-NTZ read path
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

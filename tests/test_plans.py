@@ -199,3 +199,25 @@ def test_chunk_docs_shuffle_free(spark):
     p = plan(chunk_docs(spark, SF_CORRECT))
     assert "Exchange hashpartitioning" not in p
     assert "Generate explode" in p  # the chunk-start explode, in codegen
+
+
+def test_events_ts_never_ntz(spark):
+    """Naive parquet timestamps must load as TIMESTAMP (LTZ), never
+    TIMESTAMP_NTZ, even when the session pins inferTimestampNTZ=true — the
+    driver's session defaults differ from ours, and epoch helpers
+    (unix_micros, q25/q26) reject NTZ outright.  Regression for the round-2
+    correctness failure."""
+    from event_stream_spark.queries import _TABLE_CACHE, t
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        _TABLE_CACHE.clear()
+        df = t(spark, SF_CORRECT, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # and the epoch expression that killed q25 must analyze cleanly
+        from pyspark.sql import functions as F
+
+        df.select(F.unix_micros("ts")).limit(1).collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        _TABLE_CACHE.clear()
