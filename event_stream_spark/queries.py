@@ -509,6 +509,72 @@ def q26(spark, sf):
     ).orderBy("event_id")
 
 
+def q27(spark, sf):
+    """Interval-overlap range join (``operators/rangejoin.py``): purchase
+    windows [ts, ts+10min] × error windows [ts, ts+2min], keyless — which
+    errors were in flight while each purchase was open.
+
+    Scale shape: bin-blocked equi-join on a 10-minute bin key (one hash
+    shuffle, ≤2 bins per interval) with the overlap test as a residual
+    filter — never the BroadcastNestedLoopJoin a raw inequality join plans
+    to.  The DuckDB oracle runs the SAME semantics through its IEJoin
+    operator — a genuinely independent range-join algorithm.
+    """
+    from event_stream_spark.operators.rangejoin import interval_overlap_join
+
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        us.alias("p_start"),
+        (us + 600_000_000).alias("p_end"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        us.alias("e_start"),
+        (us + 120_000_000).alias("e_end"),
+    )
+    j = interval_overlap_join(
+        purch,
+        err,
+        left_start="p_start",
+        left_end="p_end",
+        right_start="e_start",
+        right_end="e_end",
+        bin_width_us=600_000_000,
+    )
+    return j.select(
+        "p_id",
+        "e_id",
+        (F.least("p_end", "e_end") - F.greatest("p_start", "e_start")).alias(
+            "overlap_us"
+        ),
+    ).orderBy("p_id", "e_id")
+
+
+def q28(spark, sf):
+    """Exact distributed percentiles: p50/p90/p99 of extended price per
+    return flag over lineitem (``F.percentile`` — Spark's exact
+    sort-based percentile aggregate, continuous interpolation).
+
+    Scale shape: ordinary partial-agg + one shuffle on the 3-value group
+    key; the per-group sort is distributed inside the aggregate buffer.
+    DuckDB's quantile_cont uses the same linear-interpolation definition,
+    so values match bit-for-bit after rounding.
+    """
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -541,6 +607,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24": q24,
     "q25": q25,
     "q26": q26,
+    "q27": q27,
+    "q28": q28,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -726,5 +794,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id
+    """,
+    # DuckDB plans this raw inequality join through IEJoin — an independent
+    # range-join algorithm vs the Spark operator's bin blocking.
+    "q27": """
+        WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_start,
+                          epoch_us(ts) + 600000000 AS p_end
+                   FROM events WHERE event_type = 'purchase'),
+             e AS (SELECT event_id AS e_id, epoch_us(ts) AS e_start,
+                          epoch_us(ts) + 120000000 AS e_end
+                   FROM events WHERE event_type = 'error')
+        SELECT p_id, e_id,
+               LEAST(p_end, e_end) - GREATEST(p_start, e_start) AS overlap_us
+        FROM p JOIN e ON p_start <= e_end AND e_start <= p_end
+        ORDER BY p_id, e_id
+    """,
+    "q28": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

@@ -221,3 +221,15 @@ def test_events_ts_never_ntz(spark):
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         _TABLE_CACHE.clear()
+
+
+def test_range_join_is_bin_blocked(spark):
+    """q27's interval-overlap join must plan as an equi-join on the bin key
+    (hash exchange + residual filter), never BroadcastNestedLoopJoin or
+    CartesianProduct — the raw inequality-join plan that is O(n*m) at any
+    scale."""
+    from event_stream_spark.queries import q27
+
+    p = plan(q27(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p

@@ -127,3 +127,52 @@ def test_salt_spreads_identical_duplicates(spark):
     }
     assert len(salts) > 1
     assert all(0 <= s < 8 for s in salts)
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # start
+        st.integers(min_value=0, max_value=80),  # span
+        st.integers(min_value=0, max_value=2),  # key
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(ls=intervals, rs=intervals)
+@prop_settings
+def test_interval_overlap_join_matches_bruteforce(spark, ls, rs):
+    """Any two interval sets: the bin-blocked join emits exactly the
+    brute-force overlap pairs (per key), each exactly once — including
+    intervals spanning many bins and touching at endpoints."""
+    from event_stream_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(i, s, s + sp, k) for i, (s, sp, k) in enumerate(ls)],
+        "l_id long, l_s long, l_e long, key long",
+    )
+    right = spark.createDataFrame(
+        [(i, s, s + sp, k) for i, (s, sp, k) in enumerate(rs)],
+        "r_id long, r_s long, r_e long, key long",
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left,
+            right,
+            left_start="l_s",
+            left_end="l_e",
+            right_start="r_s",
+            right_end="r_e",
+            bin_width_us=64,
+            on=["key"],
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, sp1, k1) in enumerate(ls)
+        for j, (s2, sp2, k2) in enumerate(rs)
+        if k1 == k2 and s1 <= s2 + sp2 and s2 <= s1 + sp1
+    )
+    assert got == want
