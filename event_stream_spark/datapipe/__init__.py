@@ -64,13 +64,24 @@ from event_stream_spark.datapipe.similarity import (  # noqa: F401
     ANN_LSH_SQL,
     ANN_TOPK_SQL,
     EMBED_KMEANS_SQL,
+    EMBED_QUANTIZE_SQL,
     SEMDEDUP_SQL,
     ann_ivf_topk,
     ann_lsh_topk,
     ann_topk_brute,
     embed_kmeans,
+    embed_quantize,
     ivf_assignments,
     semdedup,
+)
+from event_stream_spark.datapipe.webops import (  # noqa: F401
+    DEDUP_INCREMENTAL_SQL,
+    DEDUP_PARAGRAPH_SQL,
+    URL_DEDUP_SQL,
+    canonicalize_url,
+    dedup_incremental,
+    dedup_paragraph,
+    url_dedup,
 )
 from event_stream_spark.datapipe.multimodal import (  # noqa: F401
     media_from_documents,
@@ -116,6 +127,10 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": dup_spans,
     "seq_pack": seq_pack,
     "chunk_docs": chunk_docs,
+    "url_dedup": url_dedup,
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_incremental": dedup_incremental,
+    "embed_quantize": embed_quantize,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -146,6 +161,10 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dup_spans": DUP_SPANS_SQL,
     "seq_pack": SEQ_PACK_SQL,
     "chunk_docs": CHUNK_DOCS_SQL,
+    "url_dedup": URL_DEDUP_SQL,
+    "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "embed_quantize": EMBED_QUANTIZE_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

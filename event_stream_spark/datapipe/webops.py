@@ -1,0 +1,257 @@
+"""Web-corpus curation operators: URL canonicalization + URL-level dedup,
+domain blocklist filtering, paragraph-level exact dedup, and incremental
+dedup of a new batch against an existing corpus.
+
+These are the remaining curation stages of a CommonCrawl-style LM pipeline
+(RefinedWeb/C4 recipes) that the dedup/similarity family doesn't cover:
+
+- ``url_dedup``: canonicalize URLs (case-fold host, strip scheme/'www.',
+  drop tracking query params, strip trailing slash) and keep the first doc
+  per canonical URL, after dropping blocklisted domains.  Pure string
+  expressions + one shuffle on the canonical-URL key; the blocklist is a
+  broadcast anti-join (blocklists are KBs at any corpus size).
+- ``dedup_paragraph``: RefinedWeb-style sub-document dedup — split each doc
+  into fixed 10-word paragraphs, hash them, and mark every paragraph
+  instance that repeats an earlier occurrence (global first-occurrence
+  rule).  One shuffle on the paragraph hash; text never shuffles (only the
+  64-bit hash + position travel).
+- ``dedup_incremental``: dedup a NEW ingest batch against the EXISTING
+  corpus by content hash — the every-crawl-cycle operation.  The existing
+  side is reduced to distinct 128-bit hashes; the new side anti-joins on
+  them.  At 100 TB the hash index either broadcasts (small refresh) or the
+  anti-join co-partitions on the hash — and because the probe is pure
+  equality, a bloom filter built from the existing hashes can pre-filter
+  the scan (Spark injects exactly that via
+  spark.sql.optimizer.runtime.bloomFilter.enabled when the build side is
+  under threshold); the full anti-join then touches only survivors.
+
+The documents table has no URL column, so a deterministic synthetic URL is
+derived from (source, lang, doc_id) IDENTICALLY in Spark and the DuckDB
+oracle — the operator surface (parsing/normalization) is what's under test,
+not the generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_spark.queries import t
+
+#: Domains dropped before URL dedup (robots/abuse blocklist stand-in).
+BLOCKED_SOURCES = ("src3", "src7")
+
+#: Words per paragraph for sub-document dedup.
+PARA_WORDS = 10
+
+#: Existing-corpus marker for incremental dedup: src0 docs are "already
+#: ingested"; everything else is the new batch.
+EXISTING_SOURCE = "src0"
+
+
+def synthetic_url(doc_id: Column, source: Column, lang: Column) -> Column:
+    """Deterministic raw URL with the warts normalization must handle:
+    upper-case scheme/host, ``www.``, a tracking query param, and a
+    trailing slash on every 3rd page."""
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(source),
+        F.lit(".example.com/"),
+        lang,
+        F.lit("/page"),
+        (doc_id % 40).cast("string"),
+        F.when(doc_id % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&uid="),
+        doc_id.cast("string"),
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Scheme stripped, host case-folded, ``www.`` dropped, query string
+    dropped (tracking params carry no identity), trailing slash removed."""
+    no_q = F.split(url, r"\?").getItem(0)
+    no_scheme = F.regexp_replace(no_q, r"(?i)^https?://", "")
+    host = F.lower(F.split(no_scheme, "/").getItem(0))
+    path = F.substring(no_scheme, F.length(host) + 1, 1 << 20)
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(path, r"/$", "")
+    return F.concat(host, path)
+
+
+def url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist filter → canonical-URL keep-first dedup.
+
+    Scale shape: the blocklist join broadcasts (blocklists are tiny); the
+    keep-first is one shuffle on the canonical URL carrying only
+    (canon_url, doc_id) — document text is joined back by doc_id only for
+    survivors, so the wide column never rides the dedup shuffle.
+    """
+    d = t(spark, sf, "documents")
+    raw = synthetic_url(F.col("doc_id"), F.col("source"), F.col("lang"))
+    urls = d.select(
+        "doc_id", "source", raw.alias("url"), canonicalize_url(raw).alias("canon_url")
+    )
+    block = spark.createDataFrame(
+        [(s,) for s in BLOCKED_SOURCES], "source string"
+    )
+    allowed = urls.join(F.broadcast(block), "source", "left_anti")
+    keep = allowed.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        allowed.join(keep.select("doc_id"), "doc_id")
+        .select("doc_id", "url", "canon_url")
+        .orderBy("doc_id")
+    )
+
+
+URL_DEDUP_SQL = f"""
+    WITH u AS (
+        SELECT doc_id, source,
+               'HTTPS://WWW.' || upper(source) || '.example.com/' || lang
+                 || '/page' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || '?utm_source=feed&uid=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, url,
+               regexp_replace(
+                 lower(string_split(regexp_replace(string_split(url, '?')[1],
+                                                   '^(?i)https?://', ''), '/')[1]),
+                 '^www\\.', '')
+               || regexp_replace(
+                    substring(regexp_replace(string_split(url, '?')[1],
+                                             '^(?i)https?://', ''),
+                              1 + len(string_split(regexp_replace(
+                                    string_split(url, '?')[1],
+                                    '^(?i)https?://', ''), '/')[1])),
+                    '/$', '') AS canon_url
+        FROM u
+        WHERE source NOT IN {BLOCKED_SOURCES!r}),
+    keep AS (SELECT canon_url, min(doc_id) AS doc_id FROM c GROUP BY canon_url)
+    SELECT c.doc_id, c.url, c.canon_url
+    FROM c JOIN keep ON c.doc_id = keep.doc_id
+    ORDER BY c.doc_id
+"""
+
+
+def paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, para_idx, para) — consecutive {PARA_WORDS}-word windows."""
+    d = t(spark, sf, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    n_para = F.ceil(F.size(words) / PARA_WORDS).cast("int")
+    return (
+        d.select("doc_id", words.alias("ws"), n_para.alias("np"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("para_idx"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "para_idx",
+            F.array_join(
+                F.slice("ws", F.col("para_idx") * PARA_WORDS + 1, PARA_WORDS), " "
+            ).alias("para"),
+        )
+    )
+
+
+def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
+    """Per doc: paragraph count and how many of its paragraph instances
+    duplicate an earlier occurrence anywhere in the corpus (first occurrence
+    by (doc_id, para_idx) order survives).
+
+    Scale shape: only (xxhash64(para), doc_id, para_idx) rides the shuffle —
+    one exchange on the 64-bit hash, then a per-hash window; the final
+    per-doc rollup reuses the doc_id exchange.  Paragraph text itself is
+    dropped before any wide operation.
+    """
+    p = paragraphs(spark, sf).select(
+        "doc_id", "para_idx", F.xxhash64("para").alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    marked = p.select(
+        "doc_id", (F.row_number().over(w) > 1).cast("int").alias("is_dup")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("is_dup").alias("n_dup_paras"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# xxhash64 is Spark-only; the oracle keys the first-occurrence window on the
+# paragraph STRING itself — same equivalence classes, independent mechanism.
+DEDUP_PARAGRAPH_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(1, CAST(ceil(len(ws) / {PARA_WORDS}.0) AS BIGINT) + 1))
+                 AS i
+        FROM w),
+    p AS (
+        SELECT doc_id, i - 1 AS para_idx,
+               array_to_string(ws[(i - 1) * {PARA_WORDS} + 1 :
+                                  i * {PARA_WORDS}], ' ') AS para
+        FROM idx),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, para_idx) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM p)
+    SELECT doc_id, count(*) AS n_paras, CAST(sum(is_dup) AS BIGINT) AS n_dup_paras
+    FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """New-batch docs (source != '{EXISTING_SOURCE}') that survive dedup
+    against the existing corpus (source == '{EXISTING_SOURCE}') AND
+    within-batch keep-first, both by md5 of the normalized text.
+
+    Scale shape: the existing side collapses to distinct hashes before the
+    anti-join — at a small refresh that relation broadcasts, and Spark's
+    runtime bloom filter (optimizer.runtime.bloomFilter) can push the
+    membership probe into the new-batch scan; the within-batch keep-first
+    is one shuffle carrying (hash, doc_id) only.
+    """
+    d = t(spark, sf, "documents")
+    h = F.md5(F.lower(F.trim("text")))
+    existing = (
+        d.filter(F.col("source") == EXISTING_SOURCE)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    new = d.filter(F.col("source") != EXISTING_SOURCE).select(
+        "doc_id", "source", h.alias("h")
+    )
+    fresh = new.join(F.broadcast(existing), "h", "left_anti")
+    keep = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        fresh.join(keep.select("doc_id"), "doc_id")
+        .select("doc_id", "source", "h")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+    WITH hashed AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents),
+    fresh AS (
+        SELECT * FROM hashed
+        WHERE source <> '{EXISTING_SOURCE}'
+          AND h NOT IN (SELECT h FROM hashed WHERE source = '{EXISTING_SOURCE}')),
+    keep AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h)
+    SELECT f.doc_id, f.source, f.h
+    FROM fresh f JOIN keep ON f.doc_id = keep.doc_id
+    ORDER BY f.doc_id
+"""

@@ -509,3 +509,58 @@ def test_chunk_docs_overlap_and_tail(spark, tmp_path_factory):
     # overlap: chunk 0's last 8 words == chunk 1's first 8
     assert out[0]["chunk_text"].split()[24:] == out[1]["chunk_text"].split()[:8]
     assert out[2]["chunk_text"] == "w48 w49"
+
+
+def test_quantized_ann_recall(spark):
+    """int8-quantized cosine top-k must keep >=8/10 of the float top-k —
+    the compression-accuracy contract of embed_quantize."""
+    import pyspark.sql.functions as F
+
+    from event_stream_spark.datapipe.vector import as_double, cosine, dequantize, quantize_int8
+    from event_stream_spark.queries import t
+    from tests.conftest import SF_CORRECT
+
+    e = t(spark, SF_CORRECT, "embeddings")
+    scale, qv = quantize_int8("embedding")
+    deq = e.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        dequantize(scale, qv).alias("dq"),
+    )
+    probe = deq.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("dq").alias("pdq")
+    )
+    joined = deq.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    top_f = [
+        r.vec_id
+        for r in joined.select("vec_id", cosine(F.col("v"), F.col("pv")).alias("c"))
+        .orderBy(F.desc("c"), "vec_id").limit(10).collect()
+    ]
+    top_q = [
+        r.vec_id
+        for r in joined.select("vec_id", cosine(F.col("dq"), F.col("pdq")).alias("c"))
+        .orderBy(F.desc("c"), "vec_id").limit(10).collect()
+    ]
+    assert len(set(top_f) & set(top_q)) >= 8
+
+
+def test_paragraph_dedup_flags_planted(spark, tmp_path):
+    """Two docs sharing an identical 10-word paragraph: the later doc gets
+    n_dup_paras >= 1, the earlier keeps 0 (first occurrence wins)."""
+    from event_stream_spark.datapipe.webops import dedup_paragraph
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, shared + " tail0 alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "srcA", 0),
+        (1, shared + " tail1 one two three four five six seven eight nine ten", "en", "srcB", 0),
+        (2, "totally different words here nothing shared at all with others x", "en", "srcB", 0),
+    ]
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d / "documents.parquet")
+    out = {r.doc_id: r.n_dup_paras for r in dedup_paragraph(spark, str(d)).collect()}
+    assert out[0] == 0 and out[1] >= 1 and out[2] == 0

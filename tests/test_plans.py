@@ -233,3 +233,24 @@ def test_range_join_is_bin_blocked(spark):
     p = plan(q27(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_url_dedup_broadcasts_blocklist(spark):
+    """url_dedup: the blocklist anti-join must broadcast (blocklists are KBs
+    at any corpus scale) — never a shuffled anti-join of the corpus."""
+    from event_stream_spark.datapipe.webops import url_dedup
+
+    p = plan(url_dedup(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_dedup_paragraph_shuffles_hash_not_text(spark):
+    """dedup_paragraph: the first-occurrence window shuffles only
+    (xxhash64, doc_id, para_idx) — the paragraph string is projected away
+    before every exchange."""
+    from event_stream_spark.datapipe.webops import dedup_paragraph
+
+    p = plan(dedup_paragraph(spark, SF_CORRECT))
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "para#" not in line and "text#" not in line
