@@ -430,6 +430,7 @@ def q24(spark, sf):
 
 #: sessionization gap: a new session starts after >30 min of user inactivity
 SESSION_GAP_US = 30 * 60 * 1_000_000
+FUNNEL_WINDOW_US = 3_600_000_000  # 1-hour per-step conversion window (q29)
 
 
 def q25(spark, sf):
@@ -575,6 +576,116 @@ def q28(spark, sf):
     )
 
 
+def q29(spark, sf):
+    """Ordered funnel analysis: view → click → purchase, each step strictly
+    after the previous one and within a 1-hour conversion window, per user;
+    emits users reaching each step.
+
+    Scale shape: three conditional min-aggregations all keyed on user_id —
+    one hash shuffle establishes the partitioning and the chained
+    aggregations reuse it (no per-step re-shuffle of the events table; the
+    step conditions are map-side filters).  This is the standard funnel
+    without any self-join blowup.
+    """
+    e = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.when(F.col("t3").isNotNull(), 3)
+                .when(F.col("t2").isNotNull(), 2)
+                .when(F.col("t1").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("funnel_step"),
+        )
+        .groupBy("funnel_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+def q30(spark, sf):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; per (cohort week, week offset) the distinct users active.
+
+    Scale shape: first-event timestamps are one shuffle on user_id; the
+    join back to events broadcasts nothing but stays on the same key, and
+    the final count-distinct shuffles on the (cohort, offset) pair — the
+    canonical two-shuffle cohort plan.  date_trunc('week') starts Monday in
+    both engines, so offsets are exact multiples of 7 days.
+    """
+    e = t(spark, sf, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    j = e.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", "t0").cast("date").alias("cohort_week"),
+        (
+            F.datediff(
+                F.date_trunc("week", "ts").cast("date"),
+                F.date_trunc("week", "t0").cast("date"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def sketch_profile(spark, sf):
+    """Approximate sketches per event type: HyperLogLog++ distinct users and
+    GK-sketch approximate median value, alongside the exact twins — the
+    cardinality/quantile profiling pass a 100 TB pipeline runs where exact
+    computation would shuffle the full key set.
+
+    Scale shape: both sketches are single-pass, mergeable, fixed-size
+    aggregation buffers — partial aggregation map-side, tiny merge traffic
+    (KBs per partition vs the full distinct key set).  Rows-only in the
+    driver gate (HLL/GK internals aren't SQL-replayable); the accuracy
+    contract vs the exact twins is pinned in pytest instead.
+    """
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("n_users_hll"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+            F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 4).alias(
+                "p50_approx"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -609,6 +720,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26": q26,
     "q27": q27,
     "q28": q28,
+    "q29": q29,
+    "q30": q30,
+    "sketch_profile": sketch_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -817,4 +931,35 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "q29": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 3600000000 GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_step,
+               count(*) AS n_users
+        FROM u LEFT JOIN s1 USING (user_id)
+               LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id)
+        GROUP BY funnel_step ORDER BY funnel_step
+    """,
+    "q30": """
+        WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+        SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+               CAST(date_diff('day', date_trunc('week', t0),
+                              date_trunc('week', ts)) / 7 AS INT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f USING (user_id)
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    # sketch_profile: rows-only by design — HLL++/GK sketch internals are
+    # engine-specific; accuracy vs exact twins is pinned in pytest
 }

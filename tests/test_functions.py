@@ -194,3 +194,15 @@ def test_as_of_join_semantics(spark):
     }
     assert strict[1]["rid_r"] is None  # ts=10 excluded under strict <
     assert strict[2]["rid_r"] == 102
+
+
+def test_sketch_profile_accuracy(spark):
+    """HLL distinct count within 5% of exact; approx median within 5% of the
+    exact median — the accuracy contract behind the rows-only registry
+    entry."""
+    from event_stream_spark.queries import sketch_profile
+    from tests.conftest import SF_CORRECT
+
+    for r in sketch_profile(spark, SF_CORRECT).collect():
+        assert abs(r.n_users_hll - r.n_users_exact) <= 0.05 * r.n_users_exact, r
+        assert abs(r.p50_approx - r.p50_exact) <= 0.05 * abs(r.p50_exact) + 1e-9, r

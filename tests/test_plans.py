@@ -254,3 +254,12 @@ def test_dedup_paragraph_shuffles_hash_not_text(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "para#" not in line and "text#" not in line
+
+
+def test_funnel_all_joins_keyed(spark):
+    """q29: every join in the funnel is an equi-join on user_id — no
+    nested-loop fan-out anywhere in the chained step aggregations."""
+    from event_stream_spark.queries import q29
+
+    p = plan(q29(spark, SF_CORRECT))
+    assert "NestedLoop" not in p and "Cartesian" not in p
