@@ -555,33 +555,57 @@ SEMDEDUP_SQL = f"""
 
 
 def embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
-    """Symmetric int8 quantization of every embedding (vector.quantize_int8)
-    plus per-vector reconstruction MSE — the standard 4x compression step
-    before ANN indexing at corpus scale.
+    """Symmetric int8 quantization of every embedding plus per-vector
+    reconstruction MSE — the standard 4x compression step before ANN
+    indexing at corpus scale.
 
-    Scale shape: narrow per-row transform/aggregate expressions only — zero
-    shuffles, runs at scan speed; the serialized int8 column is what a
-    100 TB pipeline would persist (4 bytes/dim -> 1).
+    Scale shape: one Arrow-batched kernel, zero shuffles — runs at scan
+    speed.  The pure-HOF formulation (vector.quantize_int8, still there for
+    expression-level composition) is NOT used here: Catalyst's
+    CollapseProject inlines the per-vector scale fold into every element
+    lambda, and higher-order functions evaluate interpreted — measured
+    10.7 s → 190.6 s on 20k → 200k 64-d vectors (O(dim²) interpreted work
+    per row).  The numpy kernel is vectorized across the row batch and
+    left-folds the MSE across dims so the double-summation order stays
+    bit-identical to the DuckDB oracle's list_reduce.
     """
-    from event_stream_spark.datapipe.vector import as_double, dequantize, quantize_int8
+
+    @F.pandas_udf("struct<scale: double, qv: array<int>, mse: double>")
+    def _quant(emb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        V = np.vstack(emb.to_numpy()).astype(np.float64)
+        scale = np.abs(V).max(axis=1) / 127.0
+        X = V / scale[:, None]
+        # round half-away-from-zero (Spark/DuckDB round), NOT np.round's
+        # banker's rounding
+        q = np.copysign(np.floor(np.abs(X) + 0.5), X)
+        np.clip(q, -127, 127, out=q)
+        deq = q * scale[:, None]
+        acc = np.zeros(len(V))
+        for j in range(V.shape[1]):  # left-fold: oracle-identical fp order
+            d = deq[:, j] - V[:, j]
+            acc += d * d
+        mse = acc / V.shape[1]
+        return pd.DataFrame(
+            {"scale": scale, "qv": list(q.astype(np.int32)), "mse": mse}
+        )
 
     e = t(spark, sf, "embeddings")
-    scale, q = quantize_int8("embedding")
-    withq = e.select(
-        "vec_id", as_double("embedding").alias("v"), scale.alias("scale"), q.alias("qv")
-    )
-    err = F.zip_with(
-        dequantize(F.col("scale"), F.col("qv")), F.col("v"), lambda a, b: (a - b) * (a - b)
-    )
-    mse = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size("v")
     # integer-scaled outputs: round(x * 10^n) to a WHOLE number is exact in
     # both engines, while DuckDB's round(x, n) decimal-scales internally and
-    # drifts 1 ulp on deep decimals (measured: 368/500 mse mismatches at 12dp)
-    return withq.select(
+    # drifts 1 ulp on deep decimals (measured: 368/500 mse mismatches at 12dp).
+    # The final rounding stays JVM-side (BigDecimal HALF_UP).
+    qs = e.select("vec_id", _quant("embedding").alias("s"))
+    return qs.select(
         "vec_id",
-        F.round(F.col("scale") * 1e9).cast("long").alias("scale_p9"),
-        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("qvec"),
-        F.round(mse * 1e12).cast("long").alias("mse_p12"),
+        F.round(F.col("s.scale") * 1e9).cast("long").alias("scale_p9"),
+        # CSV form only exists for oracle hashing; the int8 array in s.qv is
+        # what a production pipeline persists.  array_join runs in codegen.
+        F.array_join(F.transform("s.qv", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        F.round(F.col("s.mse") * 1e12).cast("long").alias("mse_p12"),
     ).orderBy("vec_id")
 
 
