@@ -659,6 +659,61 @@ def q30(spark, sf):
     )
 
 
+def q31(spark, sf):
+    """SCD2-style keyed point-in-interval join: each user's signup events
+    define profile "versions" valid [signup, next signup); every click is
+    joined to the version active at its timestamp — the keyed path of
+    ``operators/rangejoin.py``.
+
+    Scale shape: versions are built with one lead() window on user_id; the
+    join co-partitions on (bin, user_id) — the keyed bin join never
+    degenerates to a per-user cross product even for power users, because
+    the bin key splits a user's history across time.  Clicks enter as
+    zero-length intervals.
+    """
+    from event_stream_spark.operators.rangejoin import interval_overlap_join
+
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    # plan-time scalar (same pattern as from="latest" head resolution): an
+    # open-ended validity of +inf would explode the bin sequence, so the
+    # last version is capped at the corpus horizon
+    horizon = e.agg(F.max(us).alias("m")).head()["m"]
+    versions = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("event_id").alias("version_id"), us.alias("v_from"))
+        .withColumn(
+            "v_to",
+            F.coalesce(
+                F.lead("v_from").over(
+                    Window.partitionBy("user_id").orderBy("v_from", "version_id")
+                )
+                - 1,
+                F.lit(horizon),
+            ),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us.alias("c_at"),
+        us.alias("c_end"),  # zero-length interval: a point-in-time probe
+    )
+    j = interval_overlap_join(
+        clicks,
+        versions,
+        left_start="c_at",
+        left_end="c_end",
+        right_start="v_from",
+        right_end="v_to",
+        bin_width_us=86_400_000_000,  # 1-day bins
+        on=["user_id"],
+    )
+    return j.select("click_id", "user_id", "version_id", "c_at").orderBy(
+        "click_id", "version_id"
+    )
+
+
 def sketch_profile(spark, sf):
     """Approximate sketches per event type: HyperLogLog++ distinct users and
     GK-sketch approximate median value, alongside the exact twins — the
@@ -722,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28": q28,
     "q29": q29,
     "q30": q30,
+    "q31": q31,
     "sketch_profile": sketch_profile,
 }
 
@@ -959,6 +1015,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN f USING (user_id)
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "q31": """
+        WITH v AS (
+            SELECT user_id, event_id AS version_id, epoch_us(ts) AS v_from,
+                   coalesce(lead(epoch_us(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) - 1,
+                            (SELECT max(epoch_us(ts)) FROM events)) AS v_to
+            FROM events WHERE event_type = 'signup'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_at
+              FROM events WHERE event_type = 'click')
+        SELECT click_id, c.user_id, version_id, c_at
+        FROM c JOIN v ON c.user_id = v.user_id
+                     AND c_at >= v_from AND c_at <= v_to
+        ORDER BY click_id, version_id
     """,
     # sketch_profile: rows-only by design — HLL++/GK sketch internals are
     # engine-specific; accuracy vs exact twins is pinned in pytest

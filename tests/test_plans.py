@@ -263,3 +263,12 @@ def test_funnel_all_joins_keyed(spark):
 
     p = plan(q29(spark, SF_CORRECT))
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_scd2_join_keyed_no_nested_loop(spark):
+    """q31: the keyed interval join must stay an equi-join on
+    (bin, user_id) — no nested-loop or per-user cross product."""
+    from event_stream_spark.queries import q31
+
+    p = plan(q31(spark, SF_CORRECT))
+    assert "NestedLoop" not in p and "Cartesian" not in p
