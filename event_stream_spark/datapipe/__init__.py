@@ -37,6 +37,7 @@ from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     CORPUS_MIX_SQL,
     DECONTAMINATE_SQL,
     DUP_SPANS_SQL,
+    LM_SCORE_SQL,
     PII_SCRUB_SQL,
     TEXT_REPETITION_SQL,
     TFIDF_TOPTERMS_SQL,
@@ -44,6 +45,7 @@ from event_stream_spark.datapipe.corpusops import (  # noqa: F401
     corpus_mix,
     decontaminate,
     dup_spans,
+    lm_score,
     pii_scrub,
     text_repetition,
     tfidf_topterms,
@@ -131,6 +133,7 @@ DATAPIPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraph": dedup_paragraph,
     "dedup_incremental": dedup_incremental,
     "embed_quantize": embed_quantize,
+    "lm_score": lm_score,
 }
 
 DATAPIPE_ORACLE_SQL: dict[str, str] = {
@@ -165,6 +168,7 @@ DATAPIPE_ORACLE_SQL: dict[str, str] = {
     "dedup_paragraph": DEDUP_PARAGRAPH_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
+    "lm_score": LM_SCORE_SQL,
     # rows-only (non-SQL-expressible or engine-specific):
     #   multimodal_meta (mapInPandas binary sniffing — no SQL twin)
 }

@@ -453,3 +453,55 @@ TFIDF_TOPTERMS_SQL = f"""
     FROM ranked WHERE rank <= {TFIDF_TOPK}
     ORDER BY doc_id, rank
 """
+
+
+def lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram surprisal score per document: the corpus unigram
+    model is fit in one pass and each doc scored by its mean word surprisal
+    ``avg(ln N - ln count(w))`` — high scores flag rare-word/gibberish docs,
+    the standard perplexity-bucket quality filter (KenLM stands in for the
+    unigram model in the original recipe; the Spark shape is identical).
+
+    Scale shape: fit = one word-keyed partial-agg shuffle; the model (vocab
+    × 8 bytes) broadcasts back — a 10M-type vocabulary is ~100 MB, still a
+    broadcast candidate, else the join co-partitions on the word key.  The
+    grand total joins as a broadcast single-row relation, so scoring is one
+    doc_id-keyed aggregation — two shuffles end-to-end at any corpus size.
+    """
+    from event_stream_spark.datapipe.text import word_rows
+
+    w = word_rows(t(spark, sf, "documents")).select("doc_id", "w")
+    uni = w.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        w.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(F.log(F.col("n")) - F.log(F.col("c"))) * 1e6)
+            .cast("long")
+            .alias("surprisal_p6"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+# integer-scaled rounding (see embed_quantize): round to a WHOLE number after
+# *1e6 — DuckDB's round(x, n) decimal-scaling drifts 1 ulp on deep decimals
+LM_SCORE_SQL = """
+    WITH w AS (
+        SELECT doc_id, x.w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents) d,
+             unnest(d.ws) AS x(w)),
+    uni AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni)
+    SELECT doc_id, count(*) AS n_words,
+           CAST(round(avg(ln((SELECT n FROM tot)) - ln(c)) * 1e6) AS BIGINT)
+             AS surprisal_p6
+    FROM w JOIN uni USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+"""

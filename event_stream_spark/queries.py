@@ -714,6 +714,48 @@ def q31(spark, sf):
     )
 
 
+def q32(spark, sf):
+    """TPC-H Q5-style local-supplier volume: 6-way join
+    (region→nation→{customer,supplier}→orders→lineitem) with a region
+    filter and a one-year order window, revenue per nation.
+
+    Scale shape: Catalyst's join reordering + AQE pick the physical order;
+    region/nation/customer/supplier broadcast under the 64 MB threshold, so
+    the only exchanges are the orders⋈lineitem equi-join and the final
+    4-row aggregate — the canonical star-schema plan.  The date filter is
+    pushed to the orders scan (PushedFilters), pruning before the join.
+    """
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def sketch_profile(spark, sf):
     """Approximate sketches per event type: HyperLogLog++ distinct users and
     GK-sketch approximate median value, alongside the exact twins — the
@@ -778,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29": q29,
     "q30": q30,
     "q31": q31,
+    "q32": q32,
     "sketch_profile": sketch_profile,
 }
 
@@ -1030,6 +1073,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN v ON c.user_id = v.user_id
                      AND c_at >= v_from AND c_at <= v_to
         ORDER BY click_id, version_id
+    """,
+    "q32": """
+        SELECT n_name,
+               round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
     # sketch_profile: rows-only by design — HLL++/GK sketch internals are
     # engine-specific; accuracy vs exact twins is pinned in pytest

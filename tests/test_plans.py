@@ -310,3 +310,15 @@ def test_event_lake_rewrite_is_idempotent(spark, tmp_path):
     write_event_lake(ev, lake)
     n2 = read_event_lake(spark, lake).count()
     assert n1 == n2 == ev.count()
+
+
+def test_q32_star_schema_broadcasts_dims(spark):
+    """q32 (TPC-H Q5 shape): region/nation/customer/supplier broadcast; the
+    o_orderdate window is pushed to the orders scan."""
+    from event_stream_spark.queries import q32
+
+    p = plan(q32(spark, SF_CORRECT))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    scan = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert scan, "date filter must reach the orders parquet scan"
