@@ -473,8 +473,11 @@ def lm_score(spark: SparkSession, sf: str) -> DataFrame:
     w = word_rows(t(spark, sf, "documents")).select("doc_id", "w")
     uni = w.groupBy("w").agg(F.count("*").alias("c"))
     total = uni.agg(F.sum("c").cast("double").alias("n"))
+    # no broadcast hint on the model: AQE broadcasts it under the threshold
+    # and falls back to a word-keyed co-partitioned join above it — a forced
+    # hint would make the documented fallback unreachable
     scored = (
-        w.join(F.broadcast(uni), "w")
+        w.join(uni, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

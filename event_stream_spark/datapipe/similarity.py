@@ -576,6 +576,9 @@ def embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
 
         V = np.vstack(emb.to_numpy()).astype(np.float64)
         scale = np.abs(V).max(axis=1) / 127.0
+        # all-zero vector: scale 0 would make X = 0/0 = NaN (int32 garbage
+        # downstream); scale 1 quantizes it to exact zeros with zero mse
+        scale = np.where(scale == 0.0, 1.0, scale)
         X = V / scale[:, None]
         # round half-away-from-zero (Spark/DuckDB round), NOT np.round's
         # banker's rounding
@@ -614,8 +617,11 @@ EMBED_QUANTIZE_SQL = """
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     s AS (SELECT vec_id, v,
-                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
-                   AS scale
+                 -- zero-vector guard mirrors the kernel: scale 0 -> 1.0
+                 CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0
+                      THEN 1.0
+                      ELSE list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+                 END AS scale
           FROM d),
     q AS (SELECT vec_id, v, scale,
                  list_transform(v, x -> least(127, greatest(-127,

@@ -138,11 +138,16 @@ def paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     n_para = F.ceil(F.size(words) / PARA_WORDS).cast("int")
+    # guard np >= 1: sequence(0, -1) would DESCEND, emitting two phantom
+    # empty paragraphs per empty/whitespace-only doc (oracle emits none)
+    idx = F.when(
+        F.col("np") >= 1, F.sequence(F.lit(0), F.col("np") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         d.select("doc_id", words.alias("ws"), n_para.alias("np"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("para_idx"),
+            F.explode(idx).alias("para_idx"),
             F.col("ws"),
         )
         .select(
@@ -234,7 +239,10 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new = d.filter(F.col("source") != EXISTING_SOURCE).select(
         "doc_id", "source", h.alias("h")
     )
-    fresh = new.join(F.broadcast(existing), "h", "left_anti")
+    # no broadcast hint: under the threshold AQE broadcasts anyway; above
+    # it the anti-join co-partitions on the hash and the runtime bloom
+    # filter can pre-filter the probe side (a forced hint would disable both)
+    fresh = new.join(existing, "h", "left_anti")
     keep = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     return (
         fresh.join(keep.select("doc_id"), "doc_id")
@@ -247,9 +255,12 @@ DEDUP_INCREMENTAL_SQL = f"""
     WITH hashed AS (
         SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents),
     fresh AS (
-        SELECT * FROM hashed
+        -- NOT EXISTS, not NOT IN: a NULL hash in the existing slice must not
+        -- null out the whole predicate (left_anti keeps unmatched rows)
+        SELECT * FROM hashed f
         WHERE source <> '{EXISTING_SOURCE}'
-          AND h NOT IN (SELECT h FROM hashed WHERE source = '{EXISTING_SOURCE}')),
+          AND NOT EXISTS (SELECT 1 FROM hashed x
+                          WHERE x.source = '{EXISTING_SOURCE}' AND x.h = f.h)),
     keep AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h)
     SELECT f.doc_id, f.source, f.h
     FROM fresh f JOIN keep ON f.doc_id = keep.doc_id

@@ -91,7 +91,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # zero timezone arithmetic — which is exactly how DuckDB's epoch_us reads
     # the same file, and epoch helpers (unix_micros) reject NTZ outright.
     # Spark 4 defaults inferTimestampNTZ=true, so flip it per-session; the
-    # post-read cast below covers sessions where the conf is pinned.
+    # post-read cast below is forward-compat insurance only (it fires if a
+    # future Spark ignores/renames the conf and NTZ leaks through the read).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)

@@ -28,13 +28,14 @@ from pyspark.sql import functions as F
 def write_event_lake(events: DataFrame, path: str) -> None:
     """Idempotent daily-partitioned writer; within-partition sort by
     (user_id, ts) for row-group stat pruning on user probes."""
-    spark = events.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         events.withColumn("event_date", F.to_date("ts"))
         .repartition("event_date")
         .sortWithinPartitions("user_id", "ts")
         .write.mode("overwrite")
+        # per-write option, NOT a session conf mutation: other overwrites in
+        # the same session keep their static-overwrite semantics
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(path)
     )

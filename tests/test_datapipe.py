@@ -564,3 +564,42 @@ def test_paragraph_dedup_flags_planted(spark, tmp_path):
     ).to_parquet(d / "documents.parquet")
     out = {r.doc_id: r.n_dup_paras for r in dedup_paragraph(spark, str(d)).collect()}
     assert out[0] == 0 and out[1] >= 1 and out[2] == 0
+
+
+def test_paragraph_dedup_empty_doc_emits_nothing(spark, tmp_path):
+    """Empty/whitespace-only docs must produce NO paragraph rows (regression:
+    sequence(0, -1) descends and emitted two phantom empty paragraphs)."""
+    import pandas as pd
+
+    from event_stream_spark.datapipe.webops import dedup_paragraph
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [(0, "", "en", "srcA", 0), (1, "   ", "en", "srcA", 3),
+         (2, "one two three", "en", "srcA", 13)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet")
+    out = {r.doc_id: (r.n_paras, r.n_dup_paras)
+           for r in dedup_paragraph(spark, str(d)).collect()}
+    assert out == {2: (1, 0)}
+
+
+def test_embed_quantize_zero_vector(spark, tmp_path):
+    """All-zero embedding: scale guard keeps qvec at exact zeros and mse 0
+    (regression: scale 0 produced NaN -> int32 garbage)."""
+    import numpy as np
+    import pandas as pd
+
+    from event_stream_spark.datapipe.similarity import embed_quantize
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.zeros(4, dtype=np.float32), np.ones(4, dtype=np.float32)],
+        "label": [0, 0],
+    }).to_parquet(d / "embeddings.parquet")
+    rows = {r.vec_id: r for r in embed_quantize(spark, str(d)).collect()}
+    assert rows[0].qvec == "0,0,0,0" and rows[0].mse_p12 == 0
+    assert rows[1].qvec == "127,127,127,127"
