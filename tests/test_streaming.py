@@ -980,3 +980,87 @@ def test_rollup_incremental_maintenance(spark, tmp_path):
     }
     assert got == want
     assert (mins(0).replace(minute=0), "click") in got  # hour-0 click present
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel (applyInPandasWithState) vs the batch q29 logic on
+    the same in-order events: the furthest step per user must agree, with
+    state persisting across microbatches (the click that converts arrives
+    a batch after its view)."""
+    from event_stream_spark.streaming.funnel import WINDOW_US, funnel_progress
+
+    src = str(tmp_path / "funnel_feed")
+    os.makedirs(src)
+
+    H = 3_600_000_000
+    batch1 = [
+        (1, 0, "view"), (1, H // 2, "click"),          # u1: view+click in window
+        (2, 0, "view"), (2, 2 * H, "click"),           # u2: click too late
+        (3, 0, "click"),                                # u3: click before any view
+        (4, 0, "view"),
+    ]
+    batch2 = [
+        (1, H // 2 + 10, "purchase"),                   # u1 completes
+        (3, H, "view"), (3, H + 5, "click"),            # u3 recovers to step 2
+        (4, H // 2, "click"), (4, 3 * H, "purchase"),   # u4 purchase too late
+    ]
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for u, us, et in rows:
+                fh.write(json.dumps({"user_id": u, "us": us, "event_type": et}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    feed("b1", batch1)
+    stream = spark.readStream.schema(
+        "user_id bigint, us bigint, event_type string"
+    ).json(src)
+    q = (
+        funnel_progress(stream)
+        .writeStream.format("memory")
+        .queryName("funnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("b2", batch2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel").collect()
+    finally:
+        q.stop()
+
+    furthest = {}
+    for r in rows:
+        furthest[r.user_id] = max(furthest.get(r.user_id, 0), r.funnel_step)
+
+    # batch-side expectation: q29's conditional-min logic on the union
+    def batch_funnel(events):
+        steps = {}
+        for u in {e[0] for e in events}:
+            ev = sorted(e for e in events if e[0] == u)
+            t1 = min((us for _, us, et in ev if et == "view"), default=None)
+            t2 = (
+                min((us for _, us, et in ev
+                     if et == "click" and t1 is not None and t1 < us <= t1 + WINDOW_US),
+                    default=None)
+                if t1 is not None else None
+            )
+            t3 = (
+                min((us for _, us, et in ev
+                     if et == "purchase" and t2 is not None and t2 < us <= t2 + WINDOW_US),
+                    default=None)
+                if t2 is not None else None
+            )
+            steps[u] = (
+                3 if t3 is not None else 2 if t2 is not None
+                else 1 if t1 is not None else 0
+            )
+        return steps
+
+    expected = batch_funnel(batch1 + batch2)
+    for u, s in expected.items():
+        assert furthest.get(u, 0) == s, (u, furthest.get(u), s)
+    assert expected == {1: 3, 2: 1, 3: 2, 4: 2}
