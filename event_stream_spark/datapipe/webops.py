@@ -266,3 +266,73 @@ DEDUP_INCREMENTAL_SQL = f"""
     FROM fresh f JOIN keep ON f.doc_id = keep.doc_id
     ORDER BY f.doc_id
 """
+
+
+def dedup_paragraph_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The transformation half of paragraph dedup: drop every paragraph
+    instance that repeats an earlier occurrence (global first-occurrence
+    rule, same as :func:`dedup_paragraph`) and reassemble each doc's cleaned
+    text.  Docs whose every paragraph was dropped disappear (RefinedWeb
+    drops empty shells).
+
+    Scale shape: the keep/drop decision shuffles only (hash, doc_id, idx);
+    the reassembly groups by doc_id carrying (para_idx, para) — the cleaned
+    text exists only inside its final partition, never as a join key.  The
+    emitted digest keeps driver-side comparison O(32 bytes/doc).
+    """
+    from pyspark.sql import Window
+
+    p = paragraphs(spark, sf)
+    w = Window.partitionBy(F.xxhash64("para")).orderBy("doc_id", "para_idx")
+    kept = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    packed = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_kept",
+        F.length("clean_text").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# first-occurrence window keyed on the paragraph STRING (independent of the
+# Spark side's xxhash64 — same equivalence classes), then ordered reassembly
+DEDUP_PARAGRAPH_CLEAN_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(1, CAST(ceil(len(ws) / {PARA_WORDS}.0) AS BIGINT) + 1))
+                 AS i
+        FROM w),
+    p AS (
+        SELECT doc_id, i - 1 AS para_idx,
+               array_to_string(ws[(i - 1) * {PARA_WORDS} + 1 :
+                                  i * {PARA_WORDS}], ' ') AS para
+        FROM idx),
+    kept AS (
+        SELECT doc_id, para_idx, para
+        FROM (SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM p)
+        WHERE rn = 1),
+    packed AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+        FROM kept GROUP BY doc_id)
+    SELECT doc_id, n_kept, length(clean_text) AS clean_len,
+           md5(clean_text) AS clean_md5
+    FROM packed ORDER BY doc_id
+"""

@@ -603,3 +603,30 @@ def test_embed_quantize_zero_vector(spark, tmp_path):
     rows = {r.vec_id: r for r in embed_quantize(spark, str(d)).collect()}
     assert rows[0].qvec == "0,0,0,0" and rows[0].mse_p12 == 0
     assert rows[1].qvec == "127,127,127,127"
+
+
+def test_paragraph_clean_drops_planted_dup(spark, tmp_path):
+    """The cleaned text of a later doc loses exactly its duplicated
+    paragraph; the first occurrence keeps it."""
+    import pandas as pd
+
+    from event_stream_spark.datapipe.webops import dedup_paragraph_clean
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, shared + " " + uniq, "en", "srcA", 0),
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         "en", "srcB", 0),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d / "documents.parquet")
+    out = {r.doc_id: r for r in dedup_paragraph_clean(spark, str(d)).collect()}
+    assert out[0].n_kept == 2                       # keeps shared + unique
+    assert out[1].n_kept == 1                       # shared paragraph dropped
+    assert out[1].clean_len == len(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
