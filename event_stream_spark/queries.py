@@ -757,6 +757,32 @@ def q32(spark, sf):
     )
 
 
+def fuzzy_match_q(spark, sf):
+    """Entity resolution: every 100th customer name probed against the full
+    customer master for edit-distance ≤ 1 matches (``operators/fuzzy.py``,
+    PassJoin segment blocking — candidates from an equi-join on verbatim
+    segments, never |probe|×|master| levenshtein).
+
+    The DuckDB oracle IS the brute-force all-pairs levenshtein join, so the
+    hash-match doubles as a completeness proof for the blocking.
+    """
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+
+    c = t(spark, sf, "customer")
+    probes = c.filter(F.col("c_custkey") % 100 == 0).select("c_custkey", "c_name")
+    return fuzzy_match(
+        c.select("c_custkey", "c_name"),
+        probes,
+        text="c_name",
+        key="c_custkey",
+        k=1,
+    ).select(
+        F.col("p_key").alias("probe_key"),
+        F.col("m_key").alias("match_key"),
+        "dist",
+    )
+
+
 def sketch_profile(spark, sf):
     """Approximate sketches per event type: HyperLogLog++ distinct users and
     GK-sketch approximate median value, alongside the exact twins — the
@@ -822,6 +848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30": q30,
     "q31": q31,
     "q32": q32,
+    "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
 }
 
@@ -1088,6 +1115,19 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    # brute-force all-pairs levenshtein: an independent algorithm for the
+    # same semantics — hash-match proves the PassJoin blocking complete
+    "fuzzy_match": """
+        WITH p AS (SELECT c_custkey, c_name FROM customer
+                   WHERE c_custkey % 100 = 0)
+        SELECT p.c_custkey AS probe_key, m.c_custkey AS match_key,
+               levenshtein(p.c_name, m.c_name) AS dist
+        FROM p JOIN customer m
+          ON p.c_custkey <> m.c_custkey
+         AND abs(len(p.c_name) - len(m.c_name)) <= 1
+         AND levenshtein(p.c_name, m.c_name) <= 1
+        ORDER BY probe_key, match_key
     """,
     # sketch_profile: rows-only by design — HLL++/GK sketch internals are
     # engine-specific; accuracy vs exact twins is pinned in pytest

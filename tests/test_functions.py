@@ -206,3 +206,21 @@ def test_sketch_profile_accuracy(spark):
     for r in sketch_profile(spark, SF_CORRECT).collect():
         assert abs(r.n_users_hll - r.n_users_exact) <= 0.05 * r.n_users_exact, r
         assert abs(r.p50_approx - r.p50_exact) <= 0.05 * abs(r.p50_exact) + 1e-9, r
+
+
+def test_fuzzy_match_finds_all_edit_types(spark):
+    """PassJoin blocking must catch substitution, insertion, AND deletion
+    neighbors (shifted segments), and nothing at distance 2 when k=1."""
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+
+    master = spark.createDataFrame(
+        [(1, "hello world"), (2, "hellp world"), (3, "helo world"),
+         (4, "hello worlds"), (5, "hello wrold"), (6, "completely different")],
+        "id long, name string",
+    )
+    probes = master.filter("id = 1")
+    got = {(r.p_key, r.m_key, r.dist)
+           for r in fuzzy_match(master, probes, text="name", key="id", k=1).collect()}
+    # sub (2), deletion (3), insertion (4) are dist 1; transposition (5) is
+    # dist 2 and must be excluded at k=1
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1)}

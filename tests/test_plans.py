@@ -322,3 +322,13 @@ def test_q32_star_schema_broadcasts_dims(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p
     scan = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
     assert scan, "date filter must reach the orders parquet scan"
+
+
+def test_fuzzy_match_broadcasts_probe_keys(spark):
+    """fuzzy_match: the probe key set broadcasts — the master is never
+    shuffled for candidate generation, and no nested-loop join appears."""
+    from event_stream_spark.queries import fuzzy_match_q
+
+    p = plan(fuzzy_match_q(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
