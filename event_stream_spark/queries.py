@@ -810,6 +810,30 @@ def sketch_profile(spark, sf):
     )
 
 
+def sketch_exact(spark, sf):
+    """Exact twins of ``sketch_profile``'s sketches — COUNT(DISTINCT) and the
+    exact interpolated median per event type — split out so the driver's
+    hash-match gate witnesses them (the sketch columns themselves stay
+    rows-only in ``sketch_profile``; their 5% accuracy contract vs these
+    exact values is pinned in ``tests/test_functions.py``).
+
+    Scale shape: one key-shuffle on the (tiny) event_type key; the distinct
+    count and exact percentile both partial-aggregate map-side.  At 100 TB a
+    pipeline would run the sketch variant — this entry exists to prove the
+    sketches against ground truth at test scale.
+    """
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -850,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32": q32,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
+    "sketch_exact": sketch_exact,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1130,5 +1155,14 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY probe_key, match_key
     """,
     # sketch_profile: rows-only by design — HLL++/GK sketch internals are
-    # engine-specific; accuracy vs exact twins is pinned in pytest
+    # engine-specific; accuracy vs exact twins is pinned in pytest.  The
+    # exact twins are hash-checked separately via sketch_exact below.
+    # DuckDB quantile_cont == Spark percentile (exact interpolated median).
+    "sketch_exact": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users_exact,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }
