@@ -41,6 +41,9 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: Execution is NOT cached — every run scans, shuffles, and aggregates anew.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: sessions whose timezone/NTZ confs have been pinned by t() (see its doc)
+_CONF_PINNED: set[str] = set()
+
 
 def plan_cached(
     name: str, fn: Callable[[SparkSession, str], DataFrame]
@@ -73,7 +76,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     relation setup run once, not once per query.
     """
     path = f"{sf_dir}/{name}.parquet"
-    key = (_session_key(spark), path)
+    skey = _session_key(spark)
+    key = (skey, path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -86,15 +90,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Naive (no-timezone) parquet timestamps must land as TIMESTAMP (LTZ),
-    # not TIMESTAMP_NTZ: the stored int64 micros are then the epoch verbatim —
-    # zero timezone arithmetic — which is exactly how DuckDB's epoch_us reads
-    # the same file, and epoch helpers (unix_micros) reject NTZ outright.
-    # Spark 4 defaults inferTimestampNTZ=true, so flip it per-session; the
-    # post-read cast below is forward-compat insurance only (it fires if a
-    # future Spark ignores/renames the conf and NTZ leaks through the read).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive (no-timezone) parquet timestamps must land as TIMESTAMP (LTZ)
+    # under a UTC session tz: the stored int64 micros are then the epoch
+    # verbatim — zero timezone arithmetic — which is exactly how DuckDB's
+    # epoch_us reads the same file, and epoch helpers (unix_micros) reject
+    # NTZ outright.  UTC session tz is a CONTRACT of this engine (all
+    # Q-set time functions assume it; the oracle runs in UTC) — get_spark
+    # sets both at construction; for foreign sessions (the driver passes
+    # its own) they are pinned here ONCE per session, not per read, so a
+    # read is otherwise conf-neutral.  The post-read cast below is
+    # forward-compat insurance only (it fires if a future Spark ignores or
+    # renames the conf and NTZ leaks through the read).
+    if skey not in _CONF_PINNED:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _CONF_PINNED.add(skey)
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -676,13 +686,31 @@ def q31(spark, sf):
 
     e = t(spark, sf, "events")
     us = F.unix_micros(F.col("ts"))
-    # plan-time scalar (same pattern as from="latest" head resolution): an
-    # open-ended validity of +inf would explode the bin sequence, so the
-    # last version is capped at the corpus horizon
-    horizon = e.agg(F.max(us).alias("m")).head()["m"]
+    # An open-ended validity of +inf would explode the bin sequence, so the
+    # last version is capped at the USER's event horizon — a window max over
+    # the same user_id shuffle, no job at plan-build time (the r3 version
+    # ran an eager corpus-wide .head() scan here).  Result-equal to capping
+    # at the global corpus horizon: every click of a user is <= that user's
+    # max event time, so membership in the last version's interval is
+    # decided by c_at >= v_from under either cap (the oracle states the
+    # same semantics with the global max — results provably identical).
+    # The window max includes the signup row itself, so user_hz >= v_from
+    # and the fallback interval is never inverted.
     versions = (
-        e.filter(F.col("event_type") == "signup")
-        .select("user_id", F.col("event_id").alias("version_id"), us.alias("v_from"))
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            us.alias("us"),
+            F.max(us).over(Window.partitionBy("user_id")).alias("user_hz"),
+        )
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("us").alias("v_from"),
+            "user_hz",
+        )
         .withColumn(
             "v_to",
             F.coalesce(
@@ -690,9 +718,10 @@ def q31(spark, sf):
                     Window.partitionBy("user_id").orderBy("v_from", "version_id")
                 )
                 - 1,
-                F.lit(horizon),
+                F.col("user_hz"),
             ),
         )
+        .drop("user_hz")
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -776,6 +805,7 @@ def fuzzy_match_q(spark, sf):
         text="c_name",
         key="c_custkey",
         k=1,
+        broadcast_probes=True,  # probes are 1% of the master — provably small
     ).select(
         F.col("p_key").alias("probe_key"),
         F.col("m_key").alias("match_key"),

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps land as TIMESTAMP (LTZ) with UTC session
+        # tz — epoch-verbatim, matching DuckDB's epoch_us read of the same
+        # files; see queries.t() which pins the same pair for foreign sessions
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")

@@ -224,3 +224,29 @@ def test_fuzzy_match_finds_all_edit_types(spark):
     # sub (2), deletion (3), insertion (4) are dist 1; transposition (5) is
     # dist 2 and must be excluded at k=1
     assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1)}
+
+
+def test_fuzzy_match_short_strings_complete(spark):
+    """Masters of length <= k break the pigeonhole guarantee (empty
+    segments); the bounded-domain direct pass must still find them —
+    including the empty master (ADVICE r3: master 'a' vs probe 'bc' at
+    k=2 was unreachable)."""
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+
+    master = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "ab"), (4, "xyz")], "id long, name string"
+    )
+    probes = spark.createDataFrame(
+        [(10, "bc"), (11, "a"), (12, "xy")], "id long, name string"
+    )
+    got = {(r.p_key, r.m_key, r.dist)
+           for r in fuzzy_match(master, probes, text="name", key="id", k=2).collect()}
+    # probe 'bc': lev to 'a'=2, ''=2, 'ab'=2 ('xyz'=3 excluded)
+    # probe 'a':  lev to ''=1, 'ab'=1 (master 'a' same text but different key
+    #             -> dist 0; 'xyz'=3 excluded)
+    # probe 'xy': lev to 'xyz'=1, 'a'=2, ''=2, 'ab'=2
+    assert got == {
+        (10, 1, 2), (10, 2, 2), (10, 3, 2),
+        (11, 1, 0), (11, 2, 1), (11, 3, 1),
+        (12, 4, 1), (12, 1, 2), (12, 2, 2), (12, 3, 2),
+    }

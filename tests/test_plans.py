@@ -276,6 +276,19 @@ def test_scd2_join_keyed_no_nested_loop(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p
 
 
+def test_q31_plan_build_runs_no_job(spark):
+    """Building q31's plan must not launch a Spark job: the r3 version ran
+    an eager corpus-wide .head() scan to resolve the horizon at plan time
+    (VERDICT r3 nit 2); the horizon is now a window max inside the plan."""
+    from event_stream_spark.queries import q31, t
+
+    t(spark, SF_CORRECT, "events")  # warm the table cache (footer probe)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().numTotalJobs()
+    q31(spark, SF_CORRECT)
+    assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
+
+
 def test_event_lake_prunes_date_partitions(spark, tmp_path):
     """A date-ranged scan over the daily-partitioned event lake must prune
     at PLAN time: PartitionFilters carries the event_date bounds and the
@@ -325,10 +338,34 @@ def test_q32_star_schema_broadcasts_dims(spark):
 
 
 def test_fuzzy_match_broadcasts_probe_keys(spark):
-    """fuzzy_match: the probe key set broadcasts — the master is never
-    shuffled for candidate generation, and no nested-loop join appears."""
+    """fuzzy_match with broadcast_probes=True: the probe key set broadcasts —
+    the master is never shuffled for candidate generation, and no
+    nested-loop join appears (the short-master completeness path is
+    length-blocked into hash joins)."""
     from event_stream_spark.queries import fuzzy_match_q
 
     p = plan(fuzzy_match_q(spark, SF_CORRECT))
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_fuzzy_match_big_probe_has_no_forced_broadcast(spark):
+    """Default broadcast_probes=None must not force the probe-key broadcast:
+    the only hint in the analyzed plan is the provably-bounded short-text
+    relation, so a huge probe batch can degrade to sort-merge instead of
+    OOMing the driver (hint hygiene, VERDICT r3 item 2)."""
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+    from event_stream_spark.queries import t
+
+    c = t(spark, SF_CORRECT, "customer").select("c_custkey", "c_name")
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    free = fuzzy_match(c, c, text="c_name", key="c_custkey", k=1)
+    forced = fuzzy_match(
+        c, c, text="c_name", key="c_custkey", k=1, broadcast_probes=True
+    )
+    assert hints(free) == 1  # short-master bounded-domain broadcast only
+    assert hints(forced) == 2  # + the explicit probe-key broadcast
+    assert "Cartesian" not in plan(free) and "NestedLoop" not in plan(free)
