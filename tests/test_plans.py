@@ -325,6 +325,42 @@ def test_event_lake_rewrite_is_idempotent(spark, tmp_path):
     assert n1 == n2 == ev.count()
 
 
+def test_ivf_lake_prunes_list_partitions(spark, tmp_path):
+    """The written IVF layout (partitionBy(list_id)) must prune probes at
+    PLAN time: the IN-list lands in PartitionFilters and only the probed
+    list directories are scanned — SCALE.md's IVF claim, gated (VERDICT r3
+    item 4)."""
+    from event_stream_spark.datapipe.similarity import (
+        ivf_assignments,
+        read_ivf_lake,
+        write_ivf_lake,
+    )
+
+    assigned, _ = ivf_assignments(spark, SF_CORRECT)
+    lake = str(tmp_path / "ivf_lake")
+    write_ivf_lake(assigned, lake)
+
+    df = read_ivf_lake(spark, lake, [0, 3, 7, 9])
+    p = plan(df)
+    assert "PartitionFilters" in p and "list_id" in p.split("PartitionFilters", 1)[1][:200]
+    assert df.select("list_id").distinct().count() == 4
+    # full-lake row parity: the layout loses nothing
+    assert read_ivf_lake(spark, lake).count() == assigned.count()
+
+
+def test_ivf_seed_build_is_cached(spark):
+    """Repeated ann_ivf_topk plan builds must not re-run the seed jobs
+    (count + nlist-row collect) — the r3 bench regression (VERDICT r3
+    nit 3)."""
+    from event_stream_spark.datapipe.similarity import ann_ivf_topk
+
+    ann_ivf_topk(spark, SF_CORRECT)  # warm seed + table caches
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().numTotalJobs()
+    ann_ivf_topk(spark, SF_CORRECT)
+    assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
+
+
 def test_q32_star_schema_broadcasts_dims(spark):
     """q32 (TPC-H Q5 shape): region/nation/customer/supplier broadcast; the
     o_orderdate window is pushed to the orders scan."""
