@@ -594,6 +594,119 @@ def test_push_feed_combined_with_reconnect(spark, templates_dir, tmp_path):
     assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
 
 
+def _pump(q, cond, timeout=60.0):
+    """Drive a streaming query until ``cond()`` holds (the transport side
+    appends asynchronously, so availability must be polled)."""
+    import time as _time
+
+    t0 = _time.time()
+    while _time.time() - t0 < timeout:
+        q.processAllAvailable()
+        if cond():
+            return True
+        _time.sleep(0.05)
+    return False
+
+
+def test_socket_transport_combined_with_drop(spark, templates_dir, tmp_path):
+    """S1 over a REAL TCP connection: history from fixtures ∪ live frames
+    pushed through WsFeedServer → WsSocketRelay → wsfeed reader = the
+    golden 100+6, surviving a mid-stream hard connection drop.  The
+    resubscribed session replays the server's retained log (at-least-once
+    transport, WebSocketFlow.kt:65-115 lifecycle) and height dedup (F5)
+    absorbs the replay — BlockDataFlowTest.kt:145-187 shape."""
+    from tests.conftest import (
+        EXPECTED_HISTORICAL_BLOCK_COUNT,
+        EXPECTED_LIVE_COUNT,
+        MAX_LIVE_HEIGHT,
+        MIN_LIVE_HEIGHT,
+    )
+    from event_stream_spark import decode
+    from event_stream_spark.sources.wstransport import (
+        WsFeedServer,
+        live_socket_stream,
+    )
+    from event_stream_spark.streaming import dedup_heights_stream, historical_stream
+
+    msgs = _live_fixture_payloads(templates_dir)
+    assert len(msgs) == EXPECTED_LIVE_COUNT
+    server = WsFeedServer()
+    feed = str(tmp_path / "socketfeed.ndjson")
+    server.push(msgs[:2])  # retained pre-subscribe, replayed on connect
+
+    df, relay = live_socket_stream(spark, server.host, server.port, feed)
+    live = decode.new_blocks(decode.decode_messages(df)).select(
+        F.col("block.header.height").cast("long").alias("height"),
+        F.lit(False).alias("historical"),
+    )
+    hist = historical_stream(
+        spark,
+        MIN_HIST_HEIGHT,
+        MAX_HIST_HEIGHT,
+        backend="fixtures",
+        fixtures_dir=templates_dir,
+        decode_tx_meta=False,
+    ).select("height", "historical")
+    merged = dedup_heights_stream(hist.unionByName(live))
+
+    seen: list[tuple[int, bool]] = []
+    q = (
+        merged.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, _id: seen.extend(
+                (r["height"], r["historical"]) for r in b.collect()
+            )
+        )
+        .start()
+    )
+    try:
+        n_live = lambda: sum(1 for _, is_hist in seen if not is_hist)  # noqa: E731
+        assert _pump(q, lambda: n_live() >= 2), "first frames never arrived"
+        server.drop_connections()  # mid-stream websocket drop
+        server.push(msgs[2:])  # delivered on the resubscribed session
+        assert _pump(q, lambda: n_live() >= EXPECTED_LIVE_COUNT), (
+            "post-reconnect frames never arrived"
+        )
+    finally:
+        q.stop()
+        relay.stop()
+        server.close()
+
+    heights = sorted(h for h, _ in seen)
+    assert len(heights) == EXPECTED_HISTORICAL_BLOCK_COUNT + EXPECTED_LIVE_COUNT
+    live_seen = sorted(h for h, is_hist in seen if not is_hist)
+    assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
+    assert relay.reconnects >= 1  # the drop really tore the TCP session
+    assert server.subscriptions >= 2  # and the client really resubscribed
+
+
+def test_socket_transport_refuses_bad_subscription(tmp_path):
+    """Handshake parity with nodeEventStream's require: the server refuses
+    an unsupported subscription over the wire and the relay treats that as
+    terminal (no reconnect storm), never opening a feed channel."""
+    import time as _time
+
+    from event_stream_spark.sources.wstransport import WsFeedServer, WsSocketRelay
+
+    server = WsFeedServer()
+    feed = str(tmp_path / "refused.ndjson")
+    relay = WsSocketRelay(
+        server.host, server.port, feed, subscription="tm.event='Tx'"
+    ).start()
+    try:
+        t0 = _time.time()
+        while relay.error is None and _time.time() - t0 < 10:
+            _time.sleep(0.02)
+        assert relay.error is not None
+        assert "unsupported subscription" in str(relay.error)
+        assert relay.connections == 0
+        assert server.refused == 1
+        assert not os.path.exists(feed)  # channel never opened
+    finally:
+        relay.stop()
+        server.close()
+
+
 def test_push_feed_throttle_and_subscription(spark, templates_dir, tmp_path):
     """O7/O8 + S2 parity: max_per_trigger caps each microbatch (the ws
     throttle), and an unsupported subscription type is rejected like
