@@ -1177,3 +1177,149 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     for u, s in expected.items():
         assert furthest.get(u, 0) == s, (u, furthest.get(u), s)
     assert expected == {1: 3, 2: 1, 3: 2, 4: 2}
+
+
+def test_streaming_funnel_out_of_order_buffer_policy(spark, tmp_path):
+    """late_policy="buffer": a click arriving a batch BEFORE its view (and a
+    purchase before both) still converts once the watermark passes — the
+    events are buffered and applied in event-time order, matching batch q29
+    under arbitrary arrival order.  The default "arrival" policy documents
+    the opposite contract: that click is dropped (tested by the assertion
+    on the arrival-mode run below).  Also exercises the event-time timeout:
+    u2's buffered view flushes in a batch carrying no u2 rows at all."""
+    from event_stream_spark.streaming.funnel import funnel_progress
+
+    H = 3_600_000_000
+    src = str(tmp_path / "funnel_ooo")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for u, us, et in rows:
+                fh.write(json.dumps({"user_id": u, "us": us, "event_type": et}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    # u1 arrives fully REVERSED across batches: purchase+click first, view
+    # later; u99 only drives the watermark (delay = 1h)
+    b1 = [(1, int(1.5 * H), "click"), (1, int(1.6 * H), "purchase"),
+          (99, int(0.1 * H), "view")]
+    b2 = [(1, int(1.1 * H), "view"), (2, int(2.5 * H), "view"),
+          (99, 3 * H, "view")]
+    b3 = [(99, 5 * H, "view")]  # watermark driver only: u2 must flush via timeout
+
+    def run(policy, qname):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        feed("b1", b1)
+        stream = spark.readStream.schema(
+            "user_id bigint, us bigint, event_type string"
+        ).json(src)
+        q = (
+            funnel_progress(stream, late_policy=policy)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + qname)))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            feed("b2", b2)
+            q.processAllAvailable()
+            feed("b3", b3)
+            q.processAllAvailable()
+            return spark.sql(f"SELECT * FROM {qname}").collect()
+        finally:
+            q.stop()
+
+    rows = run("buffer", "funnel_ooo_buf")
+    steps = {}
+    for r in rows:
+        steps.setdefault(r.user_id, []).append((r.funnel_step, r.at_us))
+    # u1: view@1.1H -> click@1.5H (within 1h of view) -> purchase@1.6H
+    assert sorted(steps[1]) == [
+        (1, int(1.1 * H)), (2, int(1.5 * H)), (3, int(1.6 * H))
+    ]
+    # u2: view buffered in b2 (beyond watermark), flushed by the event-time
+    # timeout when b3 advanced the watermark past it — no u2 rows in b3
+    assert steps[2] == [(1, int(2.5 * H))]
+
+    # contrast: arrival policy drops the out-of-order click/purchase
+    rows_a = run("arrival", "funnel_ooo_arr")
+    steps_a = {}
+    for r in rows_a:
+        steps_a.setdefault(r.user_id, []).append(r.funnel_step)
+    assert steps_a[1] == [1]  # view landed; its click was never revisited
+
+
+def test_streaming_funnel_expire_decided_bounds_state(spark, tmp_path):
+    """expire_decided=True: a decided funnel's state is dropped at the
+    watermark, so a user returning AFTER expiry re-enters the funnel fresh
+    (the documented bounded-state caveat) — while the default retains the
+    decision and stays exactly batch-parity."""
+    from event_stream_spark.streaming.funnel import funnel_progress
+
+    H = 3_600_000_000
+    src = str(tmp_path / "funnel_exp")
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for u, us, et in rows:
+                fh.write(json.dumps({"user_id": u, "us": us, "event_type": et}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    # u1 completes the funnel early; much later (watermark far past the
+    # decision) u1 sends a fresh view.  Timestamps start at 2H: an event at
+    # us=0 sits exactly on the initial watermark and Spark drops it as late
+    # before the operator ever sees it.
+    b1 = [(1, 2 * H, "view"), (1, int(2.5 * H), "click"),
+          (1, int(2.5 * H) + 10, "purchase"), (99, int(2.1 * H), "view")]
+    b2 = [(99, 10 * H, "view")]   # watermark sails past u1's funnel
+    b3 = [(1, 11 * H, "view"), (99, 13 * H, "view")]
+
+    def run(expire, qname):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        feed("b1", b1)
+        stream = spark.readStream.schema(
+            "user_id bigint, us bigint, event_type string"
+        ).json(src)
+        q = (
+            funnel_progress(stream, late_policy="buffer", expire_decided=expire)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + qname)))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            for name, rows in (("b2", b2), ("b3", b3)):
+                q.processAllAvailable()
+                feed(name, rows)
+            q.processAllAvailable()
+            return [
+                (r.funnel_step, r.at_us)
+                for r in spark.sql(
+                    f"SELECT * FROM {qname} WHERE user_id = 1"
+                ).collect()
+            ]
+        finally:
+            q.stop()
+
+    kept = run(False, "funnel_keep")
+    # q29 exact: the decided funnel is remembered; the late view is a no-op
+    assert sorted(kept) == [
+        (1, 2 * H), (2, int(2.5 * H)), (3, int(2.5 * H) + 10)
+    ]
+
+    expired = run(True, "funnel_expire")
+    # funnel re-entered fresh after expiry: the late view re-emits step 1
+    assert sorted(expired) == [
+        (1, 2 * H), (1, 11 * H), (2, int(2.5 * H)), (3, int(2.5 * H) + 10)
+    ]
