@@ -8,13 +8,99 @@ retry/backoff restart loop).
 
     python -m event_stream_spark.cli --from-height 1 --to-height 40 \
         --backend synthetic --batch --splay-dir ./out --console-nth 10
+
+Config-file mode (es-cli ``application.yml`` parity, Main.kt:65-70): every
+option can come from a YAML or JSON file via ``--config``; explicit CLI
+flags override file values, mirroring hoplite's CLI > file precedence.
+The schema follows Config.kt:9-63 — an ``event-stream`` section with
+``height.from/to``, ``filter.tx_events/block_events``,
+``skip_empty_blocks``, ``ordered``, ``batch.size``; hoplite ``ConfigAlias``
+snake_case/camelCase key pairs are both accepted.  Spark-specific keys
+(``backend``, ``templates_dir``, sink options) replace the reference's
+node/websocket URIs, whose transport role the source backends own here.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 
 from pyspark.sql import DataFrame
+
+
+def _load_structured(path: str) -> dict:
+    """YAML (if available) or JSON config file → dict."""
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text) or {}
+    except ImportError:
+        return json.loads(text)
+
+
+def _pick(d: dict, *names, default=None):
+    """First present key among hoplite-style aliases (Config.kt @ConfigAlias)."""
+    for n in names:
+        if isinstance(d, dict) and n in d:
+            return d[n]
+    return default
+
+
+def load_config(path: str) -> dict:
+    """Flatten an es-cli-shaped config file into parser defaults.
+
+    Key layout mirrors Config.kt: top-level ``from``/``to`` override
+    ``event-stream.height`` (as in the reference's Main.kt resolution),
+    ``filter`` carries the keep-sets, booleans pass straight through.
+    """
+    data = _load_structured(path)
+    es = _pick(data, "event-stream", "event_stream", "eventStream", default={}) or {}
+    height = _pick(es, "height", default={}) or {}
+    filt = _pick(es, "filter", default={}) or {}
+    flat: dict = {}
+
+    from_h = _pick(data, "from", default=_pick(height, "from"))
+    if from_h is not None:
+        flat["from_height"] = int(from_h)
+    to_h = _pick(data, "to", default=_pick(height, "to"))
+    if to_h is not None:
+        flat["to_height"] = int(to_h)
+
+    tx_events = _pick(filt, "tx_events", "txEvents", default=None)
+    if tx_events:
+        flat["tx_event"] = [str(x) for x in tx_events]
+    block_events = _pick(filt, "block_events", "blockEvents", default=None)
+    if block_events:
+        flat["block_event"] = [str(x) for x in block_events]
+
+    for key, names in {
+        "skip_empty_blocks": ("skip_empty_blocks", "skipEmptyBlocks"),
+        "ordered": ("ordered",),
+        "verbose": ("verbose",),
+        "batch": ("batch_mode", "batchMode"),
+    }.items():
+        v = _pick(es, *names, default=_pick(data, *names))
+        if isinstance(v, bool):
+            flat[key] = v
+
+    for key, names in {
+        "backend": ("backend",),
+        "templates_dir": ("templates_dir", "templates-dir", "fixtures_dir"),
+        "splay_dir": ("splay_dir", "splay-dir"),
+        "checkpoint": ("checkpoint",),
+    }.items():
+        v = _pick(data, *names)
+        if v is not None:
+            flat[key] = str(v)
+    for key in ("console_nth", "max_retries"):
+        v = _pick(data, key, key.replace("_", "-"))
+        if v is not None:
+            flat[key] = int(v)
+    if "no_tx_meta" in data:
+        flat["no_tx_meta"] = bool(data["no_tx_meta"])
+    return flat
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -22,6 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
         prog="event-stream-spark",
         description="Stream/scan blocks to console, splayed JSON, or Kafka.",
     )
+    p.add_argument("--config", default=None, help="YAML/JSON config file (es-cli application.yml analog)")
     # source (Config.kt: node/from/to)
     p.add_argument("--from-height", type=int, default=1)
     p.add_argument("--to-height", type=int, default=None)
@@ -72,8 +159,18 @@ def build_pipeline(spark, args) -> DataFrame:
     return df
 
 
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Two-pass parse: config file fills parser defaults, then explicit CLI
+    flags override them — hoplite's CLI > file precedence (Main.kt:65-70)."""
+    parser = build_parser()
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        parser.set_defaults(**load_config(pre.config))
+    return parser.parse_args(argv)
+
+
 def run(argv: list[str] | None = None) -> None:
-    args = build_parser().parse_args(argv)
+    args = parse_args(argv)
 
     from event_stream_spark.session import get_spark
 

@@ -837,6 +837,64 @@ def test_cli_batch_fixtures(spark, templates_dir):
     assert df.count() == 100
 
 
+def test_cli_config_file_fixtures(spark, templates_dir, tmp_path):
+    """application.yml parity (Main.kt:65-70, Config.kt:9-63): the whole
+    pipeline configured from a YAML file — event-stream.height window,
+    skipEmptyBlocks (hoplite camelCase alias), fixtures backend — and
+    explicit CLI flags override file values (hoplite CLI > file)."""
+    from tests.conftest import EXPECTED_NONEMPTY_BLOCKS
+    from event_stream_spark.cli import build_pipeline, load_config, parse_args
+
+    cfg = tmp_path / "application.yml"
+    cfg.write_text(
+        "event-stream:\n"
+        "  height:\n"
+        f"    from: {MIN_HIST_HEIGHT}\n"
+        f"    to: {MAX_HIST_HEIGHT}\n"
+        "  skipEmptyBlocks: true\n"
+        "batch_mode: true\n"
+        "backend: fixtures\n"
+        f"templates_dir: {templates_dir}\n"
+        "no_tx_meta: true\n"
+    )
+    args = parse_args(["--config", str(cfg)])
+    assert args.batch and args.skip_empty_blocks and args.backend == "fixtures"
+    df = build_pipeline(spark, args)
+    assert df.count() == EXPECTED_NONEMPTY_BLOCKS  # file's filter applied
+
+    # CLI > file: an explicit flag narrows the file's height window
+    args2 = parse_args(
+        ["--config", str(cfg), "--to-height", str(MIN_HIST_HEIGHT + 9)]
+    )
+    assert args2.from_height == MIN_HIST_HEIGHT  # still from the file
+    assert args2.to_height == MIN_HIST_HEIGHT + 9  # overridden
+
+    # JSON is accepted with the same schema, snake_case aliases included
+    jcfg = tmp_path / "config.json"
+    jcfg.write_text(
+        json.dumps(
+            {
+                "event-stream": {
+                    "height": {"from": 5, "to": 10},
+                    "filter": {"tx_events": ["transfer"]},
+                    "skip_empty_blocks": False,
+                },
+                "backend": "synthetic",
+                "console_nth": 7,
+            }
+        )
+    )
+    flat = load_config(str(jcfg))
+    assert flat == {
+        "from_height": 5,
+        "to_height": 10,
+        "tx_event": ["transfer"],
+        "skip_empty_blocks": False,
+        "backend": "synthetic",
+        "console_nth": 7,
+    }
+
+
 def test_cli_unbounded_stream(spark, templates_dir):
     """CLI streaming mode without --to-height (the reference's primary
     live-tail use): to_height must NOT leak into options as the string
