@@ -1,12 +1,20 @@
 #!/usr/bin/env python
-"""Reproducible 10× scaling harness behind README's "Measured scaling" notes.
+"""Reproducible scaling harness behind README's "Measured scaling" notes.
 
-Generates synthetic corpora at 1× and 10× (constant doc length, planted
-shared paragraphs, random 64-d vectors), runs the round-3 operators at both
-sizes on local[$SPARK_GRAFT_CPUS], and prints min-of-2 wall times with the
-scaling factor.  Usage:
+Two sections:
+- 10× size sweep: synthetic corpora at 1× and 10× (constant doc length,
+  planted shared paragraphs, random 64-d vectors), round-3 operators timed
+  at both sizes — the asymptotics check.
+- skew sweep (``--skew``): same-size corpora, uniform vs hot-key — one user
+  holding 10% of all events, 2% of events packed into a single range-join
+  bin, and a 400-doc exact near-dup clique — timing the range join, dedup
+  family, sessionization, and funnel under AQE skew handling
+  (spark.sql.adaptive.skewJoin is on in the session defaults).
 
-    python scripts/scaling.py [workdir]    # default /tmp/es_scaling
+Runs on local[$SPARK_GRAFT_CPUS], min-of-2 wall times.  Usage:
+
+    python scripts/scaling.py [workdir]          # 10x sweep (default /tmp/es_scaling)
+    python scripts/scaling.py --skew [workdir]   # skew sweep
 """
 
 from __future__ import annotations
@@ -24,20 +32,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VOCAB = [f"w{i}" for i in range(2000)]
 
 
-def gen_docs(n: int, path: str, seed: int = 7) -> None:
+def gen_docs(n: int, path: str, seed: int = 7, clique: int = 0) -> None:
+    """``clique`` > 0 plants that many EXACT-duplicate docs (one hot
+    sha-bucket for exact dedup, one hot band-bucket for minhash)."""
     rng = random.Random(seed)
     shared = " ".join(rng.choice(VOCAB) for _ in range(10))
+    clique_txt = " ".join(rng.choice(VOCAB) for _ in range(40))
     rows = []
     for i in range(n):
         words = [rng.choice(VOCAB) for _ in range(40)]
         if i % 20 == 5:  # 5% of docs embed the shared paragraph
             words[10:20] = shared.split()
-        txt = " ".join(words)
+        txt = clique_txt if clique and i % (n // clique) == 0 else " ".join(words)
         rows.append((i, txt, rng.choice(["en", "de", "fr"]), f"src{i % 10}", len(txt)))
     os.makedirs(path, exist_ok=True)
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(f"{path}/documents.parquet")
+
+
+def gen_events(
+    n: int,
+    path: str,
+    seed: int = 7,
+    hot_user_frac: float = 0.0,
+    hot_bin_frac: float = 0.0,
+) -> None:
+    """Synthetic events over 30 days; ``hot_user_frac`` routes that share of
+    ALL rows to user 0 (funnel/sessionization key skew), ``hot_bin_frac``
+    packs that share into one 10-minute span (range-join bin skew)."""
+    rng = np.random.default_rng(seed)
+    users = rng.integers(1, max(2, n // 100), n)
+    if hot_user_frac:
+        users[rng.random(n) < hot_user_frac] = 0
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = rng.integers(0, span_us, n)
+    if hot_bin_frac:
+        hot = rng.random(n) < hot_bin_frac
+        ts[hot] = span_us // 2 + rng.integers(0, 600_000_000, int(hot.sum()))
+    types = rng.choice(
+        ["view", "click", "purchase", "error", "signup"], n, p=[0.4, 0.3, 0.15, 0.1, 0.05]
+    )
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": users.astype("int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_type": types,
+            "value": rng.random(n).round(4),
+        }
+    ).to_parquet(f"{path}/events.parquet")
 
 
 def gen_vecs(n: int, path: str, seed: int = 7) -> None:
@@ -49,8 +94,49 @@ def gen_vecs(n: int, path: str, seed: int = 7) -> None:
     ).to_parquet(f"{path}/embeddings.parquet")
 
 
+def run_skew(work: str) -> None:
+    """Uniform vs hot-key at the SAME size: the wall-time ratio is the skew
+    penalty, with AQE skew-join splitting active."""
+    from event_stream_spark.datapipe.dedup import dedup_exact, dedup_minhash
+    from event_stream_spark.queries import q25, q27, q29
+    from event_stream_spark.session import get_spark
+
+    uni, skew = f"{work}/uniform", f"{work}/skewed"
+    gen_events(60_000, uni)
+    gen_events(60_000, skew, hot_user_frac=0.10, hot_bin_frac=0.02)
+    gen_docs(20_000, uni)
+    gen_docs(20_000, skew, clique=400)
+
+    spark = get_spark("skew", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timeit(fn, arg: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            fn(spark, arg).toPandas()
+            best = min(best, time.perf_counter() - s)
+        return best
+
+    print("60k events (10% on one user, 2% in one bin) / 20k docs (400-doc clique):")
+    for name, fn in [
+        ("q27_range_join", q27),
+        ("q25_sessionize", q25),
+        ("q29_funnel", q29),
+        ("dedup_exact", dedup_exact),
+        ("dedup_minhash", dedup_minhash),
+    ]:
+        tu, tsk = timeit(fn, uni), timeit(fn, skew)
+        print(f"{name}: uniform {tu:.2f}s -> skewed {tsk:.2f}s  ({tsk / tu:.1f}x)")
+    spark.stop()
+
+
 def main() -> None:
-    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/es_scaling"
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    if "--skew" in sys.argv[1:]:
+        run_skew(argv[0] if argv else "/tmp/es_skew")
+        return
+    work = argv[0] if argv else "/tmp/es_scaling"
     one, ten = f"{work}/1x", f"{work}/10x"
     gen_docs(20_000, one), gen_docs(200_000, ten)
     gen_vecs(20_000, one), gen_vecs(200_000, ten)
