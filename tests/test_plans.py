@@ -325,6 +325,31 @@ def test_event_lake_rewrite_is_idempotent(spark, tmp_path):
     assert n1 == n2 == ev.count()
 
 
+def test_corpus_split_shuffle_free(spark):
+    """corpus_split: the hash assignment is a narrow projection — no hash
+    exchange anywhere (the trailing ORDER BY is presentation-only)."""
+    from event_stream_spark.datapipe.splits import corpus_split
+
+    p = plan(corpus_split(spark, SF_CORRECT))
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_heavy_hitters_never_shuffles_full_key_set(spark):
+    """heavy_hitters: candidates broadcast into the verify join (the token
+    stream is never hash-exchanged on the raw word key before the candidate
+    filter), and the exact count aggregates candidate occurrences only."""
+    from event_stream_spark.datapipe.splits import heavy_hitters
+
+    df = heavy_hitters(spark, SF_CORRECT)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p  # candidate semi-filter
+    # the only hash exchange keys on the post-filter word column, i.e. the
+    # aggregation of candidate occurrences — count them to catch a future
+    # formulation that adds a full-vocabulary exchange
+    assert p.count("Exchange hashpartitioning") <= 2  # partial/final agg split
+    assert df.count() > 0  # the corpus genuinely has hitters at K=200
+
+
 def test_ivf_lake_prunes_list_partitions(spark, tmp_path):
     """The written IVF layout (partitionBy(list_id)) must prune probes at
     PLAN time: the IN-list lands in PartitionFilters and only the probed
