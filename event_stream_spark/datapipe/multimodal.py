@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED
-(deterministic fake or NotImplementedError as marked) — but everything
-Spark-side is real and tested: schemas, the mapInPandas batch contract,
-partition sizing, and the metadata fast paths (magic-byte sniffing, header
-dimension parse) which need no codec at all.
+The container has no image/audio codec libraries, so decode for png/jpeg/
+gif is STUBBED (NotImplementedError as marked) — but binary NetPBM (P6)
+needs no library, so for it the pipeline is REAL end-to-end: header parse,
+pixel decode, nearest-neighbor resize, per-channel stats
+(``decode_ppm``/``resize_nearest``/``image_pixel_stats``).  Everything
+Spark-side is real for every format: schemas, the mapInPandas batch
+contract, partition sizing, and the metadata fast paths (magic-byte
+sniffing, header dimension parse).
 
 Scale design: media rows are wide (MBs) — ``maxPartitionBytes`` counts bytes,
 so partitions stay balanced; the decode is a mapInPandas pipeline stage that
@@ -54,6 +57,7 @@ _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
+    b"P6": "ppm",  # binary NetPBM — decodable with no codec library
     b"RIFF": "riff",  # wav/avi container
     b"\x00\x00\x00": "mp4",  # ftyp boxes start with size; loose sniff
 }
@@ -79,10 +83,70 @@ def png_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
     return (w, h)
 
 
+def ppm_tokens(content: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` integer header tokens of a NetPBM file (after the magic),
+    honoring '#' comments; returns (tokens, offset_past_header)."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    while len(toks) < n and i < len(content):
+        c = content[i:i + 1]
+        if c == b"#":
+            i = content.find(b"\n", i)
+            i = len(content) if i < 0 else i + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j:j + 1].isspace():
+                j += 1
+            toks.append(int(content[i:j]))
+            i = j
+    return toks, i + 1  # +1: the single whitespace after maxval
+
+
+def decode_ppm(content: bytes):
+    """REAL pixel decode for binary NetPBM (P6) — the one raster format
+    parseable with no codec library (public spec: magic, width, height,
+    maxval, raw RGB bytes).  Returns an (h, w, 3) uint8 ndarray."""
+    import numpy as np
+
+    if not content or not content.startswith(b"P6"):
+        raise ValueError("not a P6 NetPBM payload")
+    (w, h, maxval), off = ppm_tokens(content, 3)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit P6 supported")
+    data = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=off)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize via pure index arithmetic (no codec)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
 def decode_image(content: bytes) -> "object":
-    """STUB: full pixel decode requires an image codec not present in this
-    container.  The Spark-side contract (mapInPandas over binary) is real."""
+    """Pixel decode dispatch: PPM decodes for real; png/jpeg/gif need a
+    codec library this container doesn't ship — those stay stubbed.  The
+    Spark-side contract (mapInPandas over binary) is identical either way."""
+    if content and content.startswith(b"P6"):
+        return decode_ppm(content)
     raise NotImplementedError("image codec not available in this environment")
+
+
+def ppm_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    """P6 width/height from the text header — metadata without decoding."""
+    if not content or not content.startswith(b"P6"):
+        return (None, None)
+    try:
+        (w, h), _ = ppm_tokens(content, 2)
+        return (w, h)
+    except (ValueError, IndexError):
+        return (None, None)
 
 
 def with_sniffed_metadata(df: DataFrame) -> DataFrame:
@@ -98,12 +162,57 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                 b = bytes(content) if content is not None else None
                 fmts.append(sniff_format(b))
                 w, h = png_dimensions(b)
+                if w is None:
+                    w, h = ppm_dimensions(b)
                 widths.append(w)
                 heights.append(h)
             pdf = pdf.assign(format=fmts, width=widths, height=heights)
             yield pdf
 
     return df.mapInPandas(sniff, schema=df.schema)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, mean_r double, mean_g double, mean_b double, "
+    "thumb_digest string"
+)
+
+
+def image_pixel_stats(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFrame:
+    """mapInPandas decode → resize → feature stage, REAL end-to-end for
+    codec-free formats (P6): per-channel means over the full raster and a
+    digest of the nearest-neighbor thumbnail.  Rows whose format needs a
+    codec are skipped (their path is the stubbed ``decode_image``).
+
+    Scale shape: streaming Arrow batches; each row's work is O(pixels) with
+    no shuffle — the canonical wide-row media pipeline stage."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                if not b or not b.startswith(b"P6"):
+                    continue
+                img = decode_ppm(b)
+                t = resize_nearest(img, thumb[0], thumb[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(mid),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        hashlib.sha256(t.tobytes()).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mean_r", "mean_g", "mean_b", "thumb_digest"],
+            )
+
+    return df.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:

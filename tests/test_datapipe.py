@@ -206,6 +206,50 @@ def test_ann_ivf_recall(spark):
     assert len(set(brute) & set(ivf)) / len(brute) >= 0.5
 
 
+def test_multimodal_ppm_decode_real(spark):
+    """P6 NetPBM is decodable with zero codec libraries, so decode → resize
+    → stats runs for REAL: exact per-channel means and a thumbnail digest
+    that matches the same numpy math computed locally."""
+    import hashlib
+
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    ppm = b"P6\n# comment\n6 4\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm), None, None, None, None),
+         (2, "image", bytearray(b"\xff\xd8\xffrest"), None, None, None, None)],
+        mm.MEDIA,
+    )
+
+    sniffed = {r["media_id"]: r for r in mm.with_sniffed_metadata(df).collect()}
+    assert sniffed[1]["format"] == "ppm"
+    assert (sniffed[1]["width"], sniffed[1]["height"]) == (6, 4)
+
+    stats = {r["media_id"]: r for r in mm.image_pixel_stats(df, thumb=(3, 2)).collect()}
+    assert list(stats) == [1]  # jpeg row skipped (codec path is stubbed)
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert abs(stats[1]["mean_r"] - means[0]) < 1e-9
+    assert abs(stats[1]["mean_g"] - means[1]) < 1e-9
+    assert abs(stats[1]["mean_b"] - means[2]) < 1e-9
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    want = hashlib.sha256(img[ys][:, xs].tobytes()).hexdigest()[:16]
+    assert stats[1]["thumb_digest"] == want
+
+    # round-trip identity at native size: resize to (w, h) is the identity
+    assert np.array_equal(mm.resize_nearest(img, 6, 4), img)
+    # decode_image dispatch: ppm real, jpeg still the documented stub
+    assert np.array_equal(mm.decode_image(ppm), img)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xffrest")
+
+
 def test_multimodal_meta_query(spark):
     """Registry entry: deterministic media synthesis + the real sniff/feature
     pipeline — PNG dims parsed from true IHDR bytes, digests stable."""
