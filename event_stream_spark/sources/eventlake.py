@@ -31,7 +31,12 @@ def write_event_lake(events: DataFrame, path: str) -> None:
     (
         events.withColumn("event_date", F.to_date("ts"))
         .repartition("event_date")
-        .sortWithinPartitions("user_id", "ts")
+        # the sort MUST lead with the partition column: FileFormatWriter
+        # requires its output ordered by partition columns and silently
+        # re-sorts by [event_date] alone (unstably!) when it is not —
+        # which would destroy the (user_id, ts) file order this layout
+        # promises (caught by test_event_lake_compaction's monotone check)
+        .sortWithinPartitions("event_date", "user_id", "ts")
         .write.mode("overwrite")
         # per-write option, NOT a session conf mutation: other overwrites in
         # the same session keep their static-overwrite semantics
@@ -39,6 +44,50 @@ def write_event_lake(events: DataFrame, path: str) -> None:
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def compact_event_lake(spark: SparkSession, path: str) -> None:
+    """Small-file compaction — the maintenance job every long-lived lake
+    needs: streaming ingest (microbatch appends) and repeated per-day
+    overwrites leave each partition with many small files, and at 100 TB
+    file-count, not bytes, is what kills scan planning (one task + one
+    footer per file).
+
+    Rewrites every partition to one file (hash-repartition on event_date —
+    days compact in parallel, one task each; a day too big for one file
+    would add a salt column to the repartition, same as the writer would),
+    preserving the lake's contracts: daily dirs, within-file (user_id, ts)
+    sort for row-group stat pruning, and row-for-row content equality.
+    Spark can't
+    overwrite a path it is reading, so the compacted copy lands in a
+    sibling temp dir first and partition dirs are swapped in afterwards —
+    per-partition, so a crash mid-swap leaves each day either old or new,
+    never mixed (the same per-partition idempotence contract as the
+    writer).  On a real cluster the swap step is the table format's commit
+    (Iceberg/Delta rewrite-files); the read→rewrite plan is identical.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(path)
+    (
+        df.repartition("event_date")
+        # leading event_date keeps FileFormatWriter from injecting its own
+        # unstable partition-column sort (see write_event_lake)
+        .sortWithinPartitions("event_date", "user_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(tmp)
+    )
+    for entry in sorted(os.listdir(tmp)):
+        if not entry.startswith("event_date="):
+            continue
+        dst = os.path.join(path, entry)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(tmp, entry), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_event_lake(

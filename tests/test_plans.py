@@ -310,6 +310,54 @@ def test_event_lake_prunes_date_partitions(spark, tmp_path):
     assert "PushedFilters" in p2 and "user_id" in p2.split("PushedFilters", 1)[1][:200]
 
 
+def test_event_lake_compaction(spark, tmp_path):
+    """compact_event_lake: a fragmented lake (16 files/day from parallel
+    microbatch writers) compacts to 1 file/day with identical content, the
+    (user_id, ts) within-file sort restored, and partition pruning
+    untouched."""
+    import glob as _glob
+
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources.eventlake import (
+        compact_event_lake,
+        read_event_lake,
+    )
+
+    lake = str(tmp_path / "fraglake")
+    ev = t(spark, SF_CORRECT, "events")
+    # fragment: random 16-way split per day (the streaming-append shape)
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition(16)
+        .write.partitionBy("event_date")
+        .parquet(lake)
+    )
+    days = _glob.glob(f"{lake}/event_date=*")
+    assert max(len(_glob.glob(d + "/*.parquet")) for d in days) > 4
+
+    before = sorted(
+        tuple(r) for r in read_event_lake(spark, lake).drop("event_date").collect()
+    )
+    compact_event_lake(spark, lake)
+
+    days = _glob.glob(f"{lake}/event_date=*")
+    assert days and all(len(_glob.glob(d + "/*.parquet")) == 1 for d in days)
+    after_df = read_event_lake(spark, lake)
+    after = sorted(tuple(r) for r in after_df.drop("event_date").collect())
+    assert after == before  # row-for-row content equality
+    # within-file (user_id, ts) sort restored: each file is monotone
+    import pyarrow.parquet as pq
+
+    f = _glob.glob(days[0] + "/*.parquet")[0]
+    tbl = pq.read_table(f, columns=["user_id", "ts"]).to_pandas()
+    key = list(zip(tbl["user_id"], tbl["ts"]))
+    assert key == sorted(key)
+    # partition pruning still works on the compacted layout
+    one_day = str(after_df.select(F.min("event_date")).head()[0])
+    p = plan(read_event_lake(spark, lake, one_day, one_day))
+    assert "PartitionFilters" in p and "event_date" in p
+
+
 def test_event_lake_rewrite_is_idempotent(spark, tmp_path):
     """Dynamic partition overwrite: re-writing the same data replaces
     partitions in place — same count, no duplicates."""
