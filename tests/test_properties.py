@@ -176,3 +176,44 @@ def test_interval_overlap_join_matches_bruteforce(spark, ls, rs):
         if k1 == k2 and s1 <= s2 + sp2 and s2 <= s1 + sp1
     )
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_match_exhaustive_small_domain(spark):
+    """Completeness proof over an EXHAUSTIVE domain: every string of length
+    0..3 over {a, b} as both master and probe, k in {1, 2} — the PassJoin
+    blocking plus the short-string path must reproduce the brute-force
+    levenshtein pair set exactly (the ADVICE-r3 short-string omission class
+    cannot hide in an exhaustive sweep)."""
+    from itertools import product
+
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+
+    strings = [""] + [
+        "".join(p) for n in (1, 2, 3) for p in product("ab", repeat=n)
+    ]
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        got = sorted(
+            (r.p_key, r.m_key, r.dist)
+            for r in fuzzy_match(df, df, text="s", key="id", k=k).collect()
+        )
+        want = sorted(
+            (pi, mi, _lev(ps, ms))
+            for pi, ps in rows
+            for mi, ms in rows
+            if pi != mi and _lev(ps, ms) <= k
+        )
+        assert got == want, f"k={k}"
