@@ -19,6 +19,10 @@ from event_stream_spark.streaming.checkpoint import (  # noqa: F401
     last_checkpoint,
     last_committed_batch,
 )
+from event_stream_spark.streaming.dedupstream import (  # noqa: F401
+    corpus_ingest_sink,
+    ingest_batch,
+)
 from event_stream_spark.streaming.gapdetect import detect_gaps  # noqa: F401
 from event_stream_spark.streaming.retry import (  # noqa: F401
     backoff_millis,

@@ -1153,6 +1153,61 @@ def test_rollup_incremental_maintenance(spark, tmp_path):
     assert (mins(0).replace(minute=0), "click") in got  # hour-0 click present
 
 
+def test_streaming_incremental_dedup_corpus(spark, tmp_path):
+    """Streaming twin of dedup_incremental: crawl batches stream in; each
+    dedups within itself (keep-first) and against the corpus built so far;
+    and a full checkpoint-loss replay of already-ingested files is a
+    no-op — at-least-once delivery + hash anti-join = exactly-once corpus
+    membership."""
+    from event_stream_spark.streaming.dedupstream import corpus_ingest_sink
+
+    src = str(tmp_path / "crawl")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    b1 = [(1, "alpha"), (2, "beta"), (3, "  Alpha "), (4, "gamma")]  # 3 dup of 1
+    b2 = [(5, "beta"), (6, "delta"), (7, "delta"), (8, "ALPHA")]  # 5,8 cross-dups
+
+    def start(ckpt):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+        return (
+            corpus_ingest_sink(stream, corpus, str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    feed("b1", b1)
+    q = start("ck1")
+    q.awaitTermination(120)
+    feed("b2", b2)
+    q = start("ck1")
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    # keep-first within batch; normalized-hash dedup across batches
+    assert got == {(1, "alpha"), (2, "beta"), (4, "gamma"), (6, "delta")}
+
+    # checkpoint loss: the SAME files replay from scratch under a fresh
+    # checkpoint — every row hash-collides with the corpus, nothing appends
+    q = start("ck2_fresh")
+    q.awaitTermination(120)
+    after = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert after == got
+
+
 def test_streaming_funnel_matches_batch(spark, tmp_path):
     """Streaming funnel (applyInPandasWithState) vs the batch q29 logic on
     the same in-order events: the furthest step per user must agree, with
