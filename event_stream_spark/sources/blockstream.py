@@ -23,7 +23,9 @@ historical scan (S5); streaming mode covers polling live tail (S3/S4/S10).
 
 Node backends are pluggable like the reference's NetAdapter (NetAdapter.kt:13-30):
 ``fixtures`` replays the golden template corpus; ``synthetic`` generates
-deterministic blocks for scale/soak tests.
+deterministic blocks for scale/soak tests; ``http`` speaks real HTTP RPC
+(two GETs per height + /status head probe, 502-retry with backoff — the
+TendermintServiceOpenApiClient fetch model) via ``sources/rpcnode.py``.
 """
 
 from __future__ import annotations
@@ -187,6 +189,12 @@ def _make_node(options: dict):
             options.get("chain_id", "synthetic-1"),
             int(options.get("synthetic_head", DEFAULT_SYNTHETIC_HEAD)),
         )
+    if backend == "http":
+        # real-wire HTTP RPC (two GETs per height + /status head probe),
+        # with 502/transient-fault retry — sources/rpcnode.py
+        from event_stream_spark.sources.rpcnode import HttpNode
+
+        return HttpNode(options)
     if ":" in backend:
         import importlib
 

@@ -594,6 +594,68 @@ def test_push_feed_combined_with_reconnect(spark, templates_dir, tmp_path):
     assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
 
 
+def test_http_rpc_transport_batch_scan(spark, templates_dir):
+    """S5/S7 over REAL HTTP: executors fetch the golden corpus with two
+    GETs per height from a localhost Tendermint-RPC-shaped server (the
+    reference's TendermintServiceOpenApiClient fetch model), and the
+    /status head probe resolves an open ``to``."""
+    from event_stream_spark.operators.flatten import assemble_stream_blocks
+    from event_stream_spark.sources import blockstream
+    from event_stream_spark.sources.blockstream import FixtureNode
+    from event_stream_spark.sources.rpcnode import RpcNodeServer
+    from event_stream_spark.streaming import parse_source_rows
+
+    server = RpcNodeServer(FixtureNode(templates_dir))
+    try:
+        blockstream.register(spark)
+        df = (
+            spark.read.format("blockstream")
+            .option("backend", "http")
+            .option("rpc_url", server.url)
+            .option("from_height", str(MIN_HIST_HEIGHT))
+            .option("to_height", str(MAX_HIST_HEIGHT))
+            .load()
+        )
+        sb = assemble_stream_blocks(
+            parse_source_rows(df), historical=True, decode_tx_meta=False
+        )
+        assert sb.count() == 100  # golden corpus over the wire
+        assert server.requests >= 200  # two RPCs per height really happened
+
+        # open `to`: resolved via the /status head probe over HTTP
+        from event_stream_spark.streaming import resolve_heights
+
+        frm, to, head = resolve_heights(
+            "latest", None, backend="http", rpc_url=server.url
+        )
+        assert frm == to == head == FixtureNode(templates_dir).head()
+    finally:
+        server.close()
+
+
+def test_http_rpc_transport_retries_502(templates_dir):
+    """Transient 502s (the reference's retryable server-error class,
+    EventStream.kt:222-233) are absorbed by exponential-backoff retry in
+    the executor-side fetch; a missing height degrades to None like the
+    other backends."""
+    from event_stream_spark.sources.blockstream import FixtureNode
+    from event_stream_spark.sources.rpcnode import HttpNode, RpcNodeServer
+
+    server = RpcNodeServer(FixtureNode(templates_dir))
+    try:
+        node = HttpNode({"rpc_url": server.url, "rpc_base_backoff_millis": "5"})
+        server.fail_next(3)
+        block, results = node.fetch(MIN_HIST_HEIGHT)  # 2 GETs, 3 injected 502s
+        assert block is not None and results is not None
+        assert json.loads(block)["result"]["block"]["header"]["height"] == str(
+            MIN_HIST_HEIGHT
+        )
+        missing, _ = node.fetch(1)  # height not in the corpus → 404 → None
+        assert missing is None
+    finally:
+        server.close()
+
+
 def _pump(q, cond, timeout=60.0):
     """Drive a streaming query until ``cond()`` holds (the transport side
     appends asynchronously, so availability must be polled)."""
