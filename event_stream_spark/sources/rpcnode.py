@@ -43,6 +43,7 @@ class RpcNodeServer:
         self.node = node
         self.requests = 0
         self._fail_budget = 0
+        self._head_override: int | None = None
         self._lock = threading.Lock()
         outer = self
 
@@ -78,12 +79,15 @@ class RpcNodeServer:
 
     def _route(self, path: str, qs: dict) -> str:
         if path == "/status":
+            head = (
+                self._head_override
+                if self._head_override is not None
+                else self.node.head()
+            )
             return json.dumps(
                 {
                     "jsonrpc": "2.0",
-                    "result": {
-                        "sync_info": {"latest_block_height": str(self.node.head())}
-                    },
+                    "result": {"sync_info": {"latest_block_height": str(head)}},
                 }
             )
         if path in ("/block", "/block_results"):
@@ -94,6 +98,11 @@ class RpcNodeServer:
                 raise KeyError(path)
             return body
         raise KeyError(path)
+
+    def set_head(self, height: int) -> None:
+        """Advance the advertised chain head (simulated block production) —
+        heights above the inner node's corpus just fetch as missing."""
+        self._head_override = int(height)
 
     def fail_next(self, n: int) -> None:
         """The next ``n`` requests answer 502 (retryable server error)."""

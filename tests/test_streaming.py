@@ -633,6 +633,63 @@ def test_http_rpc_transport_batch_scan(spark, templates_dir):
         server.close()
 
 
+def test_combined_flow_over_http_with_advancing_head(spark, templates_dir, tmp_path):
+    """The flagship blockDataFlow shape with BOTH legs on a real wire:
+    historical backfill (paged GETs) ∪ live polling tail whose /status head
+    ADVANCES mid-stream (simulated block production) = the golden 100+6,
+    heights exact, no dupes — S3/S4/S11 over genuine HTTP."""
+    from tests.conftest import (
+        EXPECTED_HISTORICAL_BLOCK_COUNT,
+        EXPECTED_LIVE_COUNT,
+        MAX_LIVE_HEIGHT,
+        MIN_LIVE_HEIGHT,
+    )
+    from event_stream_spark.sources.blockstream import FixtureNode
+    from event_stream_spark.sources.rpcnode import RpcNodeServer
+    from event_stream_spark.streaming import combined_block_stream
+
+    server = RpcNodeServer(FixtureNode(templates_dir))
+    server.set_head(MIN_LIVE_HEIGHT + 2)  # chain head mid-live-corpus
+    try:
+        df = combined_block_stream(
+            spark,
+            MIN_HIST_HEIGHT,
+            MAX_HIST_HEIGHT,
+            live_from=MIN_LIVE_HEIGHT,
+            decode_tx_meta=False,
+            backend="http",
+            rpc_url=server.url,
+        )
+        seen: list[tuple[int, bool]] = []
+        q = (
+            df.select("height", "historical")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_http"))
+            .foreachBatch(
+                lambda b, _id: seen.extend(
+                    (r["height"], r["historical"]) for r in b.collect()
+                )
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_before = len(seen)
+            assert n_before == EXPECTED_HISTORICAL_BLOCK_COUNT + 3
+            server.set_head(MAX_LIVE_HEIGHT)  # three more blocks produced
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        server.close()
+
+    heights = sorted(h for h, _ in seen)
+    assert len(heights) == len(set(heights))  # no dupes across the handoff
+    assert len(heights) == EXPECTED_HISTORICAL_BLOCK_COUNT + EXPECTED_LIVE_COUNT
+    live_seen = sorted(h for h, is_hist in seen if not is_hist)
+    assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
+
+
 def test_http_rpc_transport_retries_502(templates_dir):
     """Transient 502s (the reference's retryable server-error class,
     EventStream.kt:222-233) are absorbed by exponential-backoff retry in
