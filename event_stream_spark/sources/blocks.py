@@ -7,9 +7,14 @@ stream and scanned with partition pruning:
 
 - partitioned by ``height_bucket = floor(height / bucket_size)`` so a
   ``BETWEEN from AND to`` range scan prunes to the touched buckets only
-  (100 TB of chain history → a range query reads only its slice);
-- blocks and block_results written with the SAME bucketing so the J1 join
-  plans without a full shuffle;
+  (100 TB of chain history → a range query reads only its slice).  NOTE:
+  directory partitioning prunes SCANS; it does not by itself co-locate a
+  join's hash distribution;
+- for a shuffle-free J1, ``write_block_warehouse`` writes both tables as
+  HASH-BUCKETED tables (``bucketBy(height) + sortBy``): Spark's bucketed
+  scan reports the matching output partitioning, so ``blocks ⋈
+  block_results ON height`` plans with NO exchange on either side
+  (plan-gated in tests/test_plans.py);
 - metadata scans (S6/S7) are column-pruned header-only projections — Spark's
   nested-schema pruning means the parquet reader never materializes txs.
 """
@@ -41,6 +46,51 @@ def write_block_lake(
     )
     withb(block_results).write.mode("overwrite").partitionBy("height_bucket").parquet(
         f"{path}/block_results"
+    )
+
+
+def write_block_warehouse(
+    blocks: DataFrame,
+    block_results: DataFrame,
+    path: str,
+    *,
+    table_prefix: str,
+    buckets: int = 16,
+) -> None:
+    """Hash-bucketed warehouse tables for the shuffle-free J1 join.
+
+    Both tables are ``bucketBy(buckets, "height").sortBy("height")`` —
+    Spark's bucketed parquet scan then exposes ``hashpartitioning(height,
+    buckets)`` as its output partitioning, so the enrichment equi-join
+    plans with NO exchange on either side: at 100 TB the J1 join moves
+    zero bytes over the network, the analog of the reference fetching
+    /block and /block_results for the same height in one call
+    (TendermintBlockFetcher.kt:36-46).  A per-task local sort remains in
+    the SMJ — Spark does not consume sortBy metadata for sort elimination
+    (SPARK-19256); that residual is CPU-local and disk-spillable, not a
+    shuffle.  External tables (explicit ``path``) so the data lives with
+    the lake, not the metastore."""
+    for name, df in (("blocks", blocks), ("block_results", block_results)):
+        (
+            # one writer task per bucket → one FILE per bucket, which is
+            # what lets the bucketed scan trust the sortBy order and drop
+            # the join-side sorts too (multi-file buckets force a re-sort)
+            df.repartition(buckets, "height")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{path}/{name}")
+            .bucketBy(buckets, "height")
+            .sortBy("height")
+            .saveAsTable(f"{table_prefix}_{name}")
+        )
+
+
+def read_block_warehouse(
+    spark: SparkSession, table_prefix: str
+) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.table(f"{table_prefix}_blocks"),
+        spark.table(f"{table_prefix}_block_results"),
     )
 
 

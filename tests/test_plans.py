@@ -373,6 +373,46 @@ def test_event_lake_rewrite_is_idempotent(spark, tmp_path):
     assert n1 == n2 == ev.count()
 
 
+def test_bucketed_warehouse_join_is_shuffle_free(spark, tmp_path):
+    """write_block_warehouse: the J1 blocks ⋈ block_results equi-join over
+    hash-bucketed tables plans with NO exchange on either side — the
+    zero-shuffle co-located join SCALE.md promises."""
+    from event_stream_spark.sources import blockstream
+    from event_stream_spark.sources.blocks import (
+        read_block_warehouse,
+        write_block_warehouse,
+    )
+
+    blockstream.register(spark)
+    src = (
+        spark.read.format("blockstream")
+        .option("backend", "synthetic")
+        .option("from_height", "1")
+        .option("to_height", "400")
+        .load()
+    )
+    blocks = src.select("height", "block_json")
+    results = src.select("height", "block_results_json")
+    write_block_warehouse(
+        blocks, results, str(tmp_path / "wh"), table_prefix="t_bwh", buckets=8
+    )
+    b, r = read_block_warehouse(spark, "t_bwh")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(b.join(r, "height"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t_ in ("t_bwh_blocks", "t_bwh_block_results"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p  # co-bucketed: no shuffle on either side
+    assert "Bucketed: true" in p  # and genuinely via the bucketed scan
+    # (a per-task local Sort remains: Spark never consumes sortBy metadata
+    # for sort elimination — SPARK-19256; the win asserted here is the
+    # zero-NETWORK join)
+
+
 def test_corpus_split_shuffle_free(spark):
     """corpus_split: the hash assignment is a narrow projection — no hash
     exchange anywhere (the trailing ORDER BY is presentation-only)."""
