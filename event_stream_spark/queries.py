@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_stream_spark.operators.timegrid import TIME_GAPFILL_SQL
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -864,6 +866,22 @@ def sketch_exact(spark, sf):
     )
 
 
+def time_gapfill_q(spark, sf):
+    """Hypertable-style hourly resample of ``events.value`` per user with
+    LOCF and linear interpolation (``operators/timegrid.py``) — the
+    event-time generalisation of the reference's height-axis gap-fill
+    (ContiguousFlow.kt:17-30): missing grid points are synthesised and
+    filled from neighbouring observations instead of re-fetched.
+
+    The registry slice bounds the key set (user_id < 50, pushed to the
+    scan) so the materialized result stays SF-independent — grid density is
+    span/step per key, so an unbounded slice measures transfer volume
+    rather than operator work."""
+    from event_stream_spark.operators.timegrid import time_gapfill
+
+    return time_gapfill(t(spark, sf, "events").filter(F.col("user_id") < 50))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -905,6 +923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
+    "time_gapfill": time_gapfill_q,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1195,4 +1214,5 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "time_gapfill": TIME_GAPFILL_SQL,
 }

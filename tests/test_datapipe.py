@@ -674,3 +674,54 @@ def test_paragraph_clean_drops_planted_dup(spark, tmp_path):
     assert out[1].clean_len == len(
         "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     )
+
+
+def test_corpus_shuffle_is_seeded_permutation(spark):
+    """Positions are exactly 1..n (a true permutation — the two-phase
+    offset+rank scheme drops or duplicates nothing), the order is NOT the
+    doc_id order (it actually shuffles), and a different seed yields a
+    different permutation while the same seed is bit-stable."""
+    from event_stream_spark.datapipe.shuffleops import corpus_shuffle
+
+    from tests.conftest import SF_SMOKE
+
+    a = corpus_shuffle(spark, SF_SMOKE).collect()
+    n = len(a)
+    assert sorted(r.pos for r in a) == list(range(1, n + 1))
+    by_pos = [r.doc_id for r in sorted(a, key=lambda r: r.pos)]
+    assert by_pos != sorted(by_pos)
+    assert [tuple(r) for r in corpus_shuffle(spark, SF_SMOKE).collect()] == [
+        tuple(r) for r in a
+    ]
+    b = corpus_shuffle(spark, SF_SMOKE, seed=43).collect()
+    assert [r.doc_id for r in sorted(b, key=lambda r: r.pos)] != by_pos
+
+
+def test_time_gapfill_locf_and_interp_edges(spark, tmp_path):
+    """Hand-built series: grid before the first observation is null (no
+    back-fill), between observations interpolates linearly, after the last
+    observation interp == locf (flat extrapolation)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from event_stream_spark.operators.timegrid import time_gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)          # grid starts 00:00
+    rows = [
+        (1, t0, 10.0),                           # obs at 00:30
+        (1, t0 + dt.timedelta(hours=2), 30.0),   # obs at 02:30
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    events = spark.createDataFrame(pdf)
+    out = {
+        r.grid_ts.replace(tzinfo=None): r
+        for r in time_gapfill(events).collect()
+    }
+    g = dt.datetime(2024, 1, 1, 0, 0)
+    assert out[g].locf_value is None and out[g].interp_value is None
+    one = out[g + dt.timedelta(hours=1)]         # 01:00 = 1/4 through gap
+    assert one.locf_value == 10.0 and one.interp_value == 15.0
+    two = out[g + dt.timedelta(hours=2)]         # 02:00 = 3/4 through gap
+    assert two.locf_value == 10.0 and two.interp_value == 25.0
+    assert len(out) == 3                         # grid 00:00..02:00

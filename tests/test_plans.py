@@ -518,3 +518,49 @@ def test_fuzzy_match_big_probe_has_no_forced_broadcast(spark):
     assert hints(free) == 1  # short-master bounded-domain broadcast only
     assert hints(forced) == 2  # + the explicit probe-key broadcast
     assert "Cartesian" not in plan(free) and "NestedLoop" not in plan(free)
+
+
+def test_corpus_shuffle_rank_is_bucket_partitioned(spark):
+    """corpus_shuffle: the corpus-sized row_number window is hash-partitioned
+    on the bucket key — the only SinglePartition exchange in the plan feeds
+    the 256-group offsets window, never corpus-sized data — and the offsets
+    relation broadcasts into the rank side."""
+    from event_stream_spark.datapipe.shuffleops import corpus_shuffle
+
+    p = plan(corpus_shuffle(spark, SF_CORRECT))
+    rank_window = next(
+        l for l in p.splitlines() if "row_number()" in l and "Window" in l
+    )
+    assert "[bucket#" in rank_window  # partition spec present, not global
+    assert p.count("Exchange SinglePartition") == 1
+    assert p.index("Exchange SinglePartition") > p.index("BroadcastExchange")
+    assert "hashpartitioning(bucket#" in p
+
+
+def test_corpus_sample_uses_take_ordered(spark):
+    """corpus_sample: exact-k hash sample compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge) — no global sort, no shuffle."""
+    from event_stream_spark.datapipe.shuffleops import corpus_sample
+
+    p = plan(corpus_sample(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_time_gapfill_single_window_exchange(spark):
+    """time_gapfill: the two window passes (ASC running LOCF, DESC running
+    next-observation) share ONE hashpartitioning(user_id) exchange — the
+    second pass re-sorts within partitions, never re-shuffles — and both
+    use RUNNING frames only (no quadratic UnboundedFollowing frame); the
+    grid is synthesised executor-side (Generate explode(sequence(...)))."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["time_gapfill"](spark, SF_CORRECT))
+    assert p.count("+- Window ") == 2
+    first_w = p.index("+- Window ")
+    second_w = p.index("+- Window ", first_w + 1)
+    assert "Exchange" not in p[first_w:second_w]  # shared key exchange
+    assert "unboundedfollowing" not in p.lower()
+    assert "Generate explode(sequence(" in p
+    assert "SinglePartition" not in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
