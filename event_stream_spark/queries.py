@@ -882,6 +882,75 @@ def time_gapfill_q(spark, sf):
     return time_gapfill(t(spark, sf, "events").filter(F.col("user_id") < 50))
 
 
+#: trailing window for the anomaly baseline: the 20 observations strictly
+#: before the current one; scores need at least 10 of them
+ANOMALY_LOOKBACK = 20
+ANOMALY_MIN_OBS = 10
+
+
+def ts_anomaly(spark, sf):
+    """Rolling z-score anomaly detection per user: each event's value scored
+    against the mean/stddev of its trailing ``ANOMALY_LOOKBACK`` observations
+    (strictly preceding — the scored point never contaminates its own
+    baseline), flagged when \\|z\\| > 3.  The observability-pipeline twin of
+    the reference's monotonic-stream assumptions: where the reference only
+    detects *missing* heights (ContiguousFlow.kt:17-30), this detects
+    *deviant* values on the same ordered-stream shape.
+
+    Scale shape: one hash-exchange on ``user_id``, all three frame
+    aggregates (count/avg/stddev) share it with a bounded ROWS frame —
+    state per key is 20 rows regardless of series length.  The flag is
+    computed from the ROUNDED score in both engines so the boundary cannot
+    flip between float implementations.  Registry slice bounded to
+    user_id < 50 (pushed to the scan) like ``time_gapfill``."""
+    e = t(spark, sf, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+        6,
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.when(
+            (F.count("value").over(w) >= ANOMALY_MIN_OBS)
+            & (F.stddev_samp("value").over(w) > 0),
+            z,
+        ).alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.col("zscore").isNotNull(), F.abs("zscore") > 3),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+TS_ANOMALY_SQL = f"""
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               count(value) OVER tw AS n_prev,
+               avg(value) OVER tw AS mu,
+               stddev_samp(value) OVER tw AS sd
+        FROM events
+        WHERE user_id < 50
+        WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, round(value, 6) AS value,
+           CASE WHEN n_prev >= {ANOMALY_MIN_OBS} AND sd > 0
+                THEN round((value - mu) / sd, 6) END AS zscore,
+           CASE WHEN n_prev >= {ANOMALY_MIN_OBS} AND sd > 0
+                THEN abs(round((value - mu) / sd, 6)) > 3 END AS is_anomaly
+    FROM w
+    ORDER BY user_id, ts, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -924,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
     "time_gapfill": time_gapfill_q,
+    "ts_anomaly": ts_anomaly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1215,4 +1285,5 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "time_gapfill": TIME_GAPFILL_SQL,
+    "ts_anomaly": TS_ANOMALY_SQL,
 }

@@ -725,3 +725,31 @@ def test_time_gapfill_locf_and_interp_edges(spark, tmp_path):
     two = out[g + dt.timedelta(hours=2)]         # 02:00 = 3/4 through gap
     assert two.locf_value == 10.0 and two.interp_value == 25.0
     assert len(out) == 3                         # grid 00:00..02:00
+
+
+def test_ts_anomaly_flags_planted_spike(spark, tmp_path):
+    """A flat series with one planted spike: only the spike is flagged, and
+    rows before the warm-up threshold have no score at all."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from event_stream_spark.queries import ANOMALY_MIN_OBS, ts_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        # mild alternation so stddev > 0; spike at i == 25
+        v = 100.0 if i == 25 else 10.0 + (i % 2)
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "tick", v, "{}"))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(d / "events.parquet")
+    out = {r.event_id: r for r in ts_anomaly(spark, str(d)).collect()}
+    assert len(out) == 30
+    flagged = [i for i, r in out.items() if r.is_anomaly]
+    assert flagged == [25]
+    assert all(out[i].zscore is None for i in range(ANOMALY_MIN_OBS))
+    assert out[26].is_anomaly is False  # spike in lookback inflates sd, not z

@@ -564,3 +564,19 @@ def test_time_gapfill_single_window_exchange(spark):
     assert "Generate explode(sequence(" in p
     assert "SinglePartition" not in p
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_ts_anomaly_single_exchange_bounded_frame(spark):
+    """ts_anomaly: all three baseline aggregates (count/avg/stddev) share
+    one Window behind one hashpartitioning(user_id) exchange; the frame is
+    bounded ROWS (constant state per key, no unbounded accumulation) and
+    the user slice is pushed to the parquet scan."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["ts_anomaly"](spark, SF_CORRECT))
+    assert p.count("+- Window ") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "unboundedpreceding" not in p.lower()
+    assert "unboundedfollowing" not in p.lower()
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "user_id" in scan.split("PushedFilters")[1]
