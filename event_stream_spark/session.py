@@ -52,6 +52,12 @@ def get_spark(
         # tz — epoch-verbatim, matching DuckDB's epoch_us read of the same
         # files; see queries.t() which pins the same pair for foreign sessions
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as INT64 micros, not legacy INT96: INT96 columns
+        # carry NO parquet min/max footer statistics, silently defeating
+        # row-group/file pruning on every time predicate over our own lakes
+        # (eventlake daily files, zorder layout). INT64 micros also round-
+        # trips bit-exactly with DuckDB's epoch_us view of the same files.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")

@@ -580,3 +580,48 @@ def test_ts_anomaly_single_exchange_bounded_frame(spark):
     assert "unboundedfollowing" not in p.lower()
     scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
     assert "user_id" in scan.split("PushedFilters")[1]
+
+
+def test_zorder_lake_narrows_all_dimensions(spark, tmp_path):
+    """Z-order layout: after clustering events on (user_id, ts), the mean
+    per-file footer-stat span of BOTH dimensions is a small fraction of the
+    domain — so min/max pruning works for predicates on either column.  A
+    ts-sorted baseline proves the contrast: its ts spans are tiny but every
+    file covers (almost) the full user_id domain."""
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources.zorder import (
+        file_span_fractions,
+        write_zorder_lake,
+    )
+
+    e = t(spark, SF_CORRECT, "events").select("event_id", "user_id", "ts", "value")
+    zpath = str(tmp_path / "zlake")
+    write_zorder_lake(e, zpath, ["user_id", "ts"], num_files=16)
+    zspan = file_span_fractions(zpath, ["user_id", "ts"])
+    assert zspan["user_id"] < 0.5 and zspan["ts"] < 0.5, zspan
+
+    bpath = str(tmp_path / "ts_sorted")
+    e.repartitionByRange(16, "ts").sortWithinPartitions("ts").write.parquet(bpath)
+    bspan = file_span_fractions(bpath, ["user_id", "ts"])
+    assert bspan["user_id"] > 0.9  # single-key layout can't serve user probes
+    assert zspan["user_id"] < bspan["user_id"] / 2
+
+    # layout change is content-neutral: same rows, filters agree
+    back = spark.read.parquet(zpath)
+    assert back.count() == e.count()
+    probe = lambda df: sorted(
+        r.event_id for r in df.filter("user_id = 7").collect()
+    )
+    assert probe(back) == probe(e)
+
+
+def test_zorder_key_stays_jvm_side(spark):
+    """The Morton key (quantile fold + bit interleave) is pure codegen —
+    no Python evaluation nodes in a plan that computes it."""
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources.zorder import zorder_col
+
+    e = t(spark, SF_CORRECT, "events")
+    df = e.select(zorder_col(e, ["user_id", "ts"], bits_per_dim=4).alias("z"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
