@@ -69,8 +69,42 @@ def sniff_format(content: bytes | None) -> str | None:
         return None
     for magic, fmt in _MAGIC.items():
         if content.startswith(magic):
+            if fmt == "riff" and content[8:12] == b"WAVE":
+                return "wav"
             return fmt
     return "unknown"
+
+
+def parse_wav(content: bytes | None):
+    """RIFF/WAVE chunk walk — codec-free like the P6 path: PCM is raw
+    samples behind a fixed container, so ``struct`` + numpy decode it
+    fully.  Returns (sample_rate, channels, bits, frames, pcm int16 array)
+    or None for non-PCM / malformed input."""
+    import struct
+
+    import numpy as np
+
+    if not content or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1:  # non-PCM needs a real codec
+                return None
+            fmt_info = (rate, ch, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None or data is None or fmt_info[2] != 16:
+        return None
+    rate, ch, bits = fmt_info
+    pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    frames = len(pcm) // max(ch, 1)
+    return rate, ch, bits, frames, pcm
 
 
 def png_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
@@ -215,6 +249,60 @@ def image_pixel_stats(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFra
     return df.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, pcm_frames long, "
+    "audio_ms double, rms double, peak int"
+)
+
+
+def audio_pcm_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas decode → feature stage for audio, REAL end-to-end for
+    PCM WAV (the codec-free audio format, mirroring P6 for images):
+    container walk + raw-sample numpy math give duration, RMS level and
+    peak amplitude.  Compressed formats (mp3/aac) would hit the stubbed
+    codec path and are skipped here.
+
+    Scale shape: streaming Arrow batches, O(samples) per row, no shuffle —
+    identical plumbing to ``image_pixel_stats``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                parsed = parse_wav(b)
+                if parsed is None:
+                    continue
+                rate, ch, _bits, frames, pcm = parsed
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        int(ch),
+                        int(frames),
+                        float(frames / rate * 1000.0),
+                        float(np.sqrt(np.mean(pcm.astype("f8") ** 2))),
+                        int(np.max(np.abs(pcm.astype("i4")))) if len(pcm) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "channels",
+                    "pcm_frames",
+                    "audio_ms",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction.  ``fake=True`` emits a deterministic
     digest-based pseudo-feature (plumbing test); ``fake=False`` would call the
@@ -280,12 +368,40 @@ def media_from_documents(spark, sf: str) -> DataFrame:
         )
     )
     jpeg = F.concat(F.unhex(F.lit("FFD8FF")), F.encode("text", "UTF-8"))
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("image"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+    # a VALID 16-bit mono PCM WAV, entirely in codegen: 44-byte canonical
+    # header with little-endian length fields (payload is < 256 bytes so a
+    # u32le is just `lpad(hex(n),2,'0') || '000000'`), PCM bytes from md5 —
+    # arbitrary bytes are legal samples, and the real parse_wav/numpy path
+    # decodes them like any recorded clip
+    n_bytes = ((F.col("doc_id") % 16 + 4) * 2).cast("int")  # 8..38, even
+    u32le_small = lambda c: F.concat(F.lpad(F.hex(c), 2, "0"), F.lit("000000"))
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),                      # 'RIFF'
+            u32le_small(n_bytes + 36),              # riff size
+            F.lit("57415645" + "666D7420"),         # 'WAVE' 'fmt '
+            F.lit("10000000" + "0100" + "0100"),    # len 16, PCM, mono
+            F.lit("401F0000" + "803E0000"),         # 8000 Hz, 16000 B/s
+            F.lit("0200" + "1000"),                 # block align 2, 16 bit
+            F.lit("64617461"),                      # 'data'
+            u32le_small(n_bytes),
+            F.substring(
+                F.repeat(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pcm"))), 3),
+                1,
+                n_bytes * 2,
+            ),
+        )
+    )
+    is_audio = F.col("doc_id") % 12 == 7  # a slice of the %3==1 class
+    kind = F.when(is_audio, F.lit("audio")).otherwise(
+        F.element_at(
+            F.array(F.lit("image"), F.lit("image"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
     )
     content = (
-        F.when(F.col("doc_id") % 3 == 0, png)
+        F.when(is_audio, wav)
+        .when(F.col("doc_id") % 3 == 0, png)
         .when(F.col("doc_id") % 3 == 1, jpeg)
         .otherwise(F.encode("text", "UTF-8"))
     )
@@ -316,9 +432,13 @@ def multimodal_meta(spark, sf: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count("*").alias("n_frames"))
     )
+    audio = audio_pcm_stats(media.filter(F.col("kind") == "audio")).select(
+        "media_id", "sample_rate", F.round("rms", 4).alias("rms")
+    )
     return (
         sniffed.select("media_id", "kind", "format", "width", "height")
         .join(feats.select("media_id", F.col("value").alias("digest")), "media_id", "left")
         .join(frames, "media_id", "left")
+        .join(audio, "media_id", "left")
         .orderBy("media_id")
     )
