@@ -1555,3 +1555,70 @@ def test_streaming_funnel_expire_decided_bounds_state(spark, tmp_path):
     assert sorted(expired) == [
         (1, 2 * H), (1, 11 * H), (2, int(2.5 * H)), (3, int(2.5 * H) + 10)
     ]
+
+
+def test_streaming_anomaly_matches_batch(spark, tmp_path):
+    """Streaming z-score twin vs batch ts_anomaly on the same in-order
+    events split across microbatches: per-event scores and flags agree
+    (the trailing window persists across the batch boundary)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from event_stream_spark.queries import ts_anomaly
+    from event_stream_spark.streaming.anomaly import anomaly_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 500.0 if i == 30 else 10.0 + (i % 3)  # spike lands in batch 2
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "tick", v, "{}"))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(d / "events.parquet")
+    batch = {r.event_id: r for r in ts_anomaly(spark, str(d)).collect()}
+
+    src = str(tmp_path / "anomaly_feed")
+    os.makedirs(src)
+
+    def feed(name, rs):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for eid, ts, uid, _et, v, _p in rs:
+                us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+                fh.write(json.dumps(
+                    {"user_id": uid, "event_id": eid, "us": us, "value": v}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    feed("b1", rows[:25])
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, us bigint, value double"
+    ).json(src)
+    q = (
+        anomaly_scores(stream)
+        .writeStream.format("memory")
+        .queryName("anomaly_scores")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anomaly"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("b2", rows[25:])
+        q.processAllAvailable()
+        streamed = {r.event_id: r for r in spark.sql(
+            "SELECT * FROM anomaly_scores").collect()}
+    finally:
+        q.stop()
+
+    assert set(streamed) == set(batch) == set(range(40))
+    for eid in batch:
+        b, s = batch[eid], streamed[eid]
+        if b.zscore is None:
+            assert s.zscore is None
+        else:
+            assert abs(b.zscore - s.zscore) <= 1e-6, (eid, b.zscore, s.zscore)
+        assert bool(b.is_anomaly or False) == bool(s.is_anomaly or False)
+    assert [eid for eid, r in streamed.items() if r.is_anomaly] == [30]
