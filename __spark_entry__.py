@@ -42,6 +42,7 @@ WITNESS_ORDER: list[str] = [
     # -- new in round 4 --
     "sketch_exact", "corpus_split", "heavy_hitters",
     "time_gapfill", "corpus_shuffle", "corpus_sample", "ts_anomaly",
+    "json_extract",
     # -- re-witness: one entry per distinct operator family (30 slots) --
     "fuzzy_match",
     "q25", "q26", "q27", "q28", "q29", "q30", "q31", "q32",
@@ -49,10 +50,10 @@ WITNESS_ORDER: list[str] = [
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_exact",
     "ann_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
-    "embed_kmeans", "semdedup", "text_tokens", "text_quality",
+    "embed_kmeans", "semdedup", "text_tokens",
     # ---- driver window boundary (50) ----
-    # triple-witnessed redundant-capability tail (green r1+r2+r3)
-    "q19", "q1", "q2", "q4", "q5", "q14",
+    # multi-witnessed redundant-capability tail (green in earlier rounds)
+    "text_quality", "q2", "q19", "q1", "q4", "q5", "q14",
     "q3", "q6", "q7", "q8_intersect", "q8_except", "q9", "q10", "q11",
     "q12", "q13", "q15", "q16", "q17", "q18", "q20", "q21", "q22", "q23",
     "q24",

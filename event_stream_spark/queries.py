@@ -951,6 +951,39 @@ TS_ANOMALY_SQL = f"""
 """
 
 
+def json_extract(spark, sf):
+    """Semi-structured extraction: parse the ``events.props`` JSON column
+    with a FIXED schema (``from_json`` with ``k INT`` — the engine's
+    no-inference stance, same contract as the decode layer's fixed-schema
+    ``from_json`` over RPC frames, SURVEY §1.3 / MessageType.kt:44) and
+    aggregate over the extracted field.
+
+    Scale shape: ``from_json`` is JVM-side codegen (Jackson under
+    whole-stage codegen — no Python), Catalyst defers it until referenced
+    and prunes unreferenced fields; the aggregate partial-combines
+    map-side, one key-shuffle on a tiny group domain."""
+    e = t(spark, sf, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        e.select((k % 10).alias("k_bucket"), "event_type", "value")
+        .groupBy("k_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_bucket", "event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY k_bucket, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -994,6 +1027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_exact": sketch_exact,
     "time_gapfill": time_gapfill_q,
     "ts_anomaly": ts_anomaly,
+    "json_extract": json_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1286,4 +1320,5 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "time_gapfill": TIME_GAPFILL_SQL,
     "ts_anomaly": TS_ANOMALY_SQL,
+    "json_extract": JSON_EXTRACT_SQL,
 }

@@ -625,3 +625,15 @@ def test_zorder_key_stays_jvm_side(spark):
     df = e.select(zorder_col(e, ["user_id", "ts"], bits_per_dim=4).alias("z"))
     p = plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_json_extract_stays_jvm_side(spark):
+    """json_extract: fixed-schema from_json is JVM codegen — no Python
+    evaluation nodes — and the aggregate partial-combines map-side behind
+    a single key exchange."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["json_extract"](spark, SF_CORRECT))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial_avg" in p
+    assert p.count("Exchange hashpartitioning") == 1
