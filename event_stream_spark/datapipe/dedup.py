@@ -801,3 +801,91 @@ DEDUP_EMBEDDING_EXACT_SQL = """
     WHERE sim >= 0.4
     ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection (keep the best doc, not the min id)
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: for each near-dup cluster
+    (minhash pairs → connected components), keep the member with the
+    HIGHEST quality score (ties → min doc_id) — what production dedup
+    actually does (CCNet/RefinedWeb keep the best-scoring copy), where
+    :func:`dedup_clusters`'s min-id ``keep`` is the arbitrary baseline.
+
+    Scale shape: the component labels (log-diameter pointer-jumping CC)
+    cover only clustered docs — a tiny relation next to the corpus — so
+    the quality join streams the narrow (doc_id, quality) projection
+    against it on the doc_id key; the argmax is one window shuffle on
+    cluster_id over that same small relation.  No full-corpus shuffle
+    carries text.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.textstats import text_quality
+
+    cc = connected_components(minhash_lsh_pairs(spark, sf, threshold=0.5))
+    labels = cc.select(
+        F.col("node").alias("doc_id"), F.col("l").alias("cluster_id")
+    )
+    quality = text_quality(spark, sf).select("doc_id", "quality")
+    joined = labels.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("quality").alias("best_quality"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# The full pipeline restated: minhash CTEs + transitive-closure labels +
+# the same quality formula as TEXT_QUALITY_SQL, argmax per cluster.
+DEDUP_CLUSTER_BEST_SQL = f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    qw AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    quality AS (
+        SELECT doc_id,
+               round(least(1.0, len(ws) / 50.0)
+                     * (1.0 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1))
+                     * (CASE WHEN length(text)::DOUBLE / greatest(len(ws),1) BETWEEN 3 AND 12
+                             THEN 1.0 ELSE 0.5 END), 6) AS quality
+        FROM qw),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.quality,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY q.quality DESC, l.doc_id) AS rn
+        FROM lbl l JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS best_doc_id, quality AS best_quality,
+           cluster_size
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""

@@ -691,3 +691,119 @@ EMBED_QUANTIZE_SQL = """
                  / len(v) * 1e12) AS BIGINT) AS mse_p12
     FROM q ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+
+
+def _jl_signs() -> "list[list[int]]":
+    """Deterministic ±1 Achlioptas projection matrix, sign(i, j) from
+    md5("jl|i|j") parity — no RNG state, identical across engines/runs.
+    The matrix is tiny (16×64) and is embedded as LITERALS in the DuckDB
+    twin, so the oracle replays the exact same projection."""
+    signs = []
+    for i in range(JL_OUT_DIM):
+        row = []
+        for j in range(DIM):
+            h = int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def embed_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64-d → 16-d with a ±1
+    Achlioptas matrix (scale 1/√16), plus the per-vector norm-preservation
+    ratio ‖y‖²/‖v‖² — the standard cheap dimensionality-reduction step
+    before clustering / coarse ANN at corpus scale (distances are preserved
+    to 1±ε with high probability, so downstream kNN runs on 4× less data).
+
+    Scale shape: one Arrow-batched kernel over the scan, zero shuffles —
+    identical plan family to :func:`embed_quantize` (the measured-fast
+    pattern; a 1024-term codegen expression or per-element HOF would run
+    interpreted and O(dim²) per row).  The kernel left-folds every sum in
+    fixed index order so the arithmetic is bit-identical to the DuckDB
+    twin's left-to-right literal chains; ±1 multiplies and the /4.0 scale
+    are fp-exact.  Output floats are integer-scaled (×1e6, round-half-up)
+    before hashing, the proven cross-engine-stable form.
+    """
+    import numpy as np
+
+    S = np.array(_JL_SIGNS, dtype=np.float64)  # (OUT, DIM)
+
+    @F.pandas_udf(
+        "struct<y: array<double>, ny: double, nv: double>"
+    )
+    def _proj(emb: pd.Series) -> pd.DataFrame:
+        if emb.empty:
+            return pd.DataFrame({"y": [], "ny": [], "nv": []})
+        V = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+        n = len(V)
+        acc = np.zeros((n, JL_OUT_DIM))
+        nv = np.zeros(n)
+        # left-fold over j (input dim) — oracle-identical fp order per
+        # output element: acc[:, i] += (±1)·v_j, nv += v_j²
+        for j in range(V.shape[1]):
+            acc += V[:, j:j + 1] * S[None, :, j].reshape(1, JL_OUT_DIM)
+            nv += V[:, j] * V[:, j]
+        y = acc / 4.0  # 1/sqrt(16) — exact in binary64
+        ny = np.zeros(n)
+        for i in range(JL_OUT_DIM):  # left-fold over output dims
+            ny += y[:, i] * y[:, i]
+        return pd.DataFrame({"y": list(y), "ny": ny, "nv": nv})
+
+    e = t(spark, sf, "embeddings")
+    s = e.select("vec_id", _proj("embedding").alias("s"))
+    return s.select(
+        "vec_id",
+        # CSV form only exists for oracle hashing (embed_quantize pattern);
+        # the double array in s.y is what a pipeline persists
+        F.array_join(
+            F.transform(
+                "s.y", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("proj_p6"),
+        F.when(F.col("s.nv") == 0.0, F.lit(None).cast("long"))
+        .otherwise(F.round(F.col("s.ny") / F.col("s.nv") * 1e6).cast("long"))
+        .alias("ratio_p6"),
+    ).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    """The projection restated with literal ±1 chains: left-to-right
+    addition matches the kernel's j-order fold bit-for-bit."""
+    ys = []
+    for i in range(JL_OUT_DIM):
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"v[{j + 1}]"
+            if j else (f"v[{j + 1}]" if s > 0 else f"-v[{j + 1}]")
+            for j, s in enumerate(_JL_SIGNS[i])
+        )
+        ys.append(f"({terms}) / 4.0 AS y{i}")
+    nv = " + ".join(f"v[{j + 1}]*v[{j + 1}]" for j in range(DIM))
+    ny = " + ".join(f"y{i}*y{i}" for i in range(JL_OUT_DIM))
+    proj = ", ".join(
+        f"CAST(round(y{i}*1e6) AS BIGINT)" for i in range(JL_OUT_DIM)
+    )
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id, {", ".join(ys)}, ({nv}) AS nv FROM d)
+    SELECT vec_id,
+           array_to_string([{proj}], ',') AS proj_p6,
+           CASE WHEN nv = 0 THEN NULL
+                ELSE CAST(round(({ny}) / nv * 1e6) AS BIGINT) END AS ratio_p6
+    FROM p ORDER BY vec_id
+"""
+
+
+EMBED_PROJECT_SQL = _jl_sql()

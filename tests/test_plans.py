@@ -637,3 +637,35 @@ def test_json_extract_stays_jvm_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p or "partial_avg" in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_embed_project_arrow_kernel_no_hash_exchange(spark):
+    """embed_project: one Arrow-batched projection over a pruned scan
+    (vec_id + embedding only), zero hash exchanges — runs at scan speed;
+    the only exchange is the range partition for the oracle's total order."""
+    from event_stream_spark.datapipe import DATAPIPE_QUERIES
+
+    p = plan(DATAPIPE_QUERIES["embed_project"](spark, SF_CORRECT))
+    assert "ArrowEvalPython" in p
+    assert "Exchange hashpartitioning" not in p
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
+    assert sorted(f.split(":")[0] for f in read.split(",")) == [
+        "embedding",
+        "vec_id",
+    ]
+
+
+def test_dedup_cluster_best_joins_narrow_quality(spark):
+    """dedup_cluster_best: the documents scan feeding the quality join
+    reads only (doc_id, text) — no full-width corpus columns ride the
+    shuffle — and no nested-loop/cartesian join appears anywhere."""
+    from event_stream_spark.datapipe import DATAPIPE_QUERIES
+
+    p = plan(DATAPIPE_QUERIES["dedup_cluster_best"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for line in p.splitlines():
+        if "FileScan parquet" in line and "documents" in line:
+            read = re.search(r"ReadSchema: struct<([^>]*)>", line).group(1)
+            cols = sorted(f.split(":")[0] for f in read.split(","))
+            assert cols == ["doc_id", "text"], cols

@@ -20,7 +20,10 @@ R2_ONLY = {
     "datapipe_clean_corpus", "decontaminate", "corpus_mix", "vocab_topk",
     "tfidf_topterms",
 }
-NEW_IN_R4 = {"sketch_exact", "corpus_split", "heavy_hitters"}
+NEW_IN_R4 = {
+    "sketch_exact", "corpus_split", "heavy_hitters", "embed_project",
+    "dedup_cluster_best",
+}
 
 
 def test_witness_order_is_exact_registry_permutation():
