@@ -1622,3 +1622,89 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
             assert abs(b.zscore - s.zscore) <= 1e-6, (eid, b.zscore, s.zscore)
         assert bool(b.is_anomaly or False) == bool(s.is_anomaly or False)
     assert [eid for eid, r in streamed.items() if r.is_anomaly] == [30]
+
+
+def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
+    """Streaming heavy-hitters twin (streaming/topk.py): Space-Saving
+    summaries per hash bucket across microbatches — every true heavy
+    hitter (> bucket_total/capacity in its bucket) survives eviction, its
+    true count sits inside [count_lb, count_ub], and state stays hard-
+    bounded at `capacity` entries per bucket."""
+    import random
+
+    from event_stream_spark.streaming.topk import heavy_hitters_stream
+
+    rng = random.Random(7)
+    heavy = {"alpha": 400, "beta": 250, "gamma": 120}
+    words = [w for w, n in heavy.items() for _ in range(n)]
+    words += [f"rare{i}" for i in range(300)]  # eviction pressure
+    rng.shuffle(words)
+
+    src = str(tmp_path / "hh_feed")
+    os.makedirs(src)
+
+    def feed(name, ws):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for w in ws:
+                fh.write(json.dumps({"word": w}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    capacity, n_buckets = 16, 4
+    feed("b1", words[:400])
+    stream = spark.readStream.schema("word string").json(src)
+    latest: dict[tuple[int, str], tuple] = {}
+    sizes: list[int] = []
+
+    def absorb(b, _id):
+        rows = b.collect()
+        per_bucket: dict[int, int] = {}
+        for r in rows:
+            latest[(r["bucket"], r["word"])] = (
+                r["count_lb"], r["count_ub"], r["bucket_total"]
+            )
+            per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + 1
+        sizes.extend(per_bucket.values())
+
+    q = (
+        heavy_hitters_stream(stream, capacity=capacity, n_buckets=n_buckets)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("b2", words[400:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sizes and max(sizes) <= capacity  # hard state bound
+
+    # exact per-bucket truth with the operator's own bucketing
+    truth = {
+        (r["bucket"], r["word"]): (r["cnt"], r["btot"])
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("bucket", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "btot",
+            F.sum("cnt").over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("bucket")
+            ),
+        )
+        .collect()
+    }
+    for (bucket, word), (cnt, btot) in truth.items():
+        if cnt > btot / capacity:  # the Space-Saving guarantee threshold
+            assert (bucket, word) in latest, (bucket, word, cnt, btot)
+            lb, ub, seen_total = latest[(bucket, word)]
+            assert lb <= cnt <= ub, (word, lb, cnt, ub)
+            assert seen_total == btot
+    for w in heavy:  # the actual hitters, specifically
+        assert any(k[1] == w for k in latest)
