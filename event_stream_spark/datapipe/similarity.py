@@ -807,3 +807,118 @@ def _jl_sql() -> str:
 
 
 EMBED_PROJECT_SQL = _jl_sql()
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN join — every query in a batch finds its top-k neighbors
+# ---------------------------------------------------------------------------
+
+ANN_JOIN_BANDS = 4
+ANN_JOIN_BITS = 8
+ANN_JOIN_K = 3
+ANN_JOIN_NQ = 16  # vec_id < NQ form the query batch; the rest are corpus
+
+
+def ann_join(
+    spark: SparkSession,
+    sf: str,
+    *,
+    k: int = ANN_JOIN_K,
+    bands: int = ANN_JOIN_BANDS,
+    bits: int = ANN_JOIN_BITS,
+    n_queries: int = ANN_JOIN_NQ,
+) -> DataFrame:
+    """Batched multi-query ANN: every query vector (``vec_id < n_queries``)
+    finds its cosine top-k among the corpus (``vec_id >= n_queries``) via an
+    OR-amplified banded-LSH equi-join — the shape a 100 TB retrieval pipeline
+    actually runs (N queries at once), which the single-probe ``ann_lsh_topk``
+    path does not exercise.
+
+    Scale shape: both sides get ``bands`` independent ``bits``-bit signatures
+    in one Arrow matmul projection (zero shuffles), are exploded to narrow
+    (band, sig, id) rows — embeddings never ride the exchange — and candidate
+    pairs come from an equi-join on the (band, sig) key.  Distinct pairs are
+    a (long, long) relation; embeddings join back co-partitioned on each id.
+    Per-query top-k is one window shuffle on query_id.  No pairwise
+    query×corpus expansion at any size: candidate volume is governed by
+    bucket occupancy (tune ``bits`` up as the corpus grows), matching the
+    MinHashLSH band-join strategy.  No Cartesian/NestedLoop anywhere
+    (plan-gated).
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    sig = lsh_band_buckets(
+        e.select("vec_id", "embedding"), bands=bands, bits=bits
+    ).select("vec_id", F.posexplode("buckets").alias("band", "sig"))
+    qk = sig.filter(F.col("vec_id") < n_queries).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    ck = sig.filter(F.col("vec_id") >= n_queries).withColumnRenamed(
+        "vec_id", "cand_id"
+    )
+    pairs = (
+        qk.join(ck, ["band", "sig"]).select("query_id", "cand_id").distinct()
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        pairs.join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# Full DuckDB replay: same md5 hyperplane family (bands*bits planes, band =
+# pk // bits, weight = 1 << (pk % bits)), same band equi-join candidate
+# generation, same cosine top-k per query.
+ANN_JOIN_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planes AS (
+        SELECT pk,
+               list_transform(range({DIM}),
+                 j -> ('0x' || substring(md5(pk::VARCHAR || '|' || j::VARCHAR), 1, 8))::BIGINT
+                      / 2147483648.0 - 1.0) AS p
+        FROM (SELECT unnest(range({ANN_JOIN_BANDS * ANN_JOIN_BITS})) AS pk)
+    ),
+    sig AS (
+        SELECT e.vec_id, p.pk // {ANN_JOIN_BITS} AS band,
+               sum(CASE WHEN list_dot_product(e.v, p.p) >= 0
+                        THEN 1 << (p.pk % {ANN_JOIN_BITS}) ELSE 0 END) AS sig
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.pk // {ANN_JOIN_BITS}
+    ),
+    pairs AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM sig q JOIN sig c ON q.band = c.band AND q.sig = c.sig
+        WHERE q.vec_id < {ANN_JOIN_NQ} AND c.vec_id >= {ANN_JOIN_NQ}
+    ),
+    scored AS (
+        SELECT p.query_id, p.cand_id,
+               round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+        FROM pairs p
+        JOIN e qe ON qe.vec_id = p.query_id
+        JOIN e ce ON ce.vec_id = p.cand_id
+    )
+    SELECT query_id, cand_id, sim, rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+    WHERE rank <= {ANN_JOIN_K}
+    ORDER BY query_id, rank
+"""

@@ -669,3 +669,22 @@ def test_dedup_cluster_best_joins_narrow_quality(spark):
             read = re.search(r"ReadSchema: struct<([^>]*)>", line).group(1)
             cols = sorted(f.split(":")[0] for f in read.split(","))
             assert cols == ["doc_id", "text"], cols
+
+
+def test_ann_join_candidates_are_band_equi_join(spark):
+    """ann_join (batched multi-query ANN): candidate pairs come from an
+    equi-join on the (band, sig) LSH key — never a query×corpus Cartesian or
+    nested-loop expansion — and the embeddings never ride the candidate
+    exchange (the pair relation shuffles only (band, sig, id) longs)."""
+    from event_stream_spark.datapipe.similarity import ann_join
+
+    p = plan(ann_join(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the candidate join keys on the banded signature
+    assert "band" in p and "sig" in p
+    # candidate-generation exchanges carry no embedding column
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line and (
+            "band" in line and "sig" in line
+        ):
+            assert "embedding" not in line and "qv" not in line and "cv" not in line
