@@ -688,3 +688,15 @@ def test_ann_join_candidates_are_band_equi_join(spark):
             "band" in line and "sig" in line
         ):
             assert "embedding" not in line and "qv" not in line and "cv" not in line
+
+
+def test_bpe_pairs_topk_and_jvm_only(spark):
+    """bpe_pairs: top-k merge candidates go through TakeOrderedAndProject
+    (never a global Sort), both aggregations carry map-side partial
+    aggregation, and the whole pipeline is JVM codegen (no Python nodes)."""
+    from event_stream_spark.datapipe.bpe import bpe_pairs
+
+    p = plan(bpe_pairs(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial" in p.lower()
