@@ -806,3 +806,42 @@ def test_multimodal_meta_includes_audio(spark):
     assert rows[7]["sample_rate"] == 8000 and rows[7]["rms"] is not None
     assert rows[19]["format"] == "wav"
     assert rows[1]["format"] == "jpeg" and rows[1]["sample_rate"] is None
+
+
+def test_bloom_prune_has_no_false_negatives(spark):
+    """Rows the bloom filter passes through WITHOUT the exact join (bloom
+    says definitely-clean) must contain no flagged user — the Bloom
+    no-false-negative guarantee, asserted on real data."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe import bloom as B
+    from event_stream_spark.queries import t
+    from tests.conftest import SF_CORRECT
+
+    sf = SF_CORRECT
+    e = t(spark, sf, "events")
+    bm = B.bloom_bitmap(spark, sf)
+    lit_map = F.array(*[F.lit(w).cast("long") for w in bm])
+    probe = e.select(
+        "user_id",
+        lit_map.alias("bm"),
+        *[
+            p.alias(f"p{j}")
+            for j, p in enumerate(B._positions(F.col("user_id")))
+        ],
+    )
+    hits = [
+        F.expr(
+            f"(element_at(bm, cast(p{j} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(p{j} % 64 as int))) <> 0"
+        )
+        for j in range(B.BLOOM_K)
+    ]
+    definitely_clean = probe.filter(~reduce(lambda a, b: a & b, hits)).select(
+        "user_id"
+    )
+    flagged = B._flagged(spark, sf)
+    leaked = definitely_clean.join(flagged, "user_id", "inner").count()
+    assert leaked == 0

@@ -700,3 +700,16 @@ def test_bpe_pairs_topk_and_jvm_only(spark):
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p or "partial" in p.lower()
+
+
+def test_bloom_prune_is_codegen_with_candidate_only_join(spark):
+    """bloom_prune: the bitmap probe is a literal-array codegen filter (no
+    Python nodes, no extra shuffle of the fact side for the prune), and the
+    exact-verify join exists only on the candidate branch."""
+    from event_stream_spark.datapipe.bloom import bloom_prune
+
+    p = plan(bloom_prune(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the prune is expressed with element_at against the literal bitmap
+    assert "element_at" in p
