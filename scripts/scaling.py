@@ -140,9 +140,12 @@ def main() -> None:
     one, ten = f"{work}/1x", f"{work}/10x"
     gen_docs(20_000, one), gen_docs(200_000, ten)
     gen_vecs(20_000, one), gen_vecs(200_000, ten)
+    gen_events(60_000, one), gen_events(600_000, ten)
 
+    from event_stream_spark.datapipe.bloom import bloom_prune
+    from event_stream_spark.datapipe.bpe import bpe_pairs
     from event_stream_spark.datapipe.corpusops import lm_score
-    from event_stream_spark.datapipe.similarity import embed_quantize
+    from event_stream_spark.datapipe.similarity import ann_join, embed_quantize
     from event_stream_spark.datapipe.webops import (
         dedup_incremental,
         dedup_paragraph,
@@ -169,6 +172,9 @@ def main() -> None:
         ("dedup_incremental", dedup_incremental),
         ("embed_quantize", embed_quantize),
         ("lm_score", lm_score),
+        ("ann_join", ann_join),
+        ("bpe_pairs", bpe_pairs),
+        ("bloom_prune", bloom_prune),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")
