@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codec libraries, so decode for png/jpeg/
-gif is STUBBED (NotImplementedError as marked) — but binary NetPBM (P6)
-needs no library, so for it the pipeline is REAL end-to-end: header parse,
-pixel decode, nearest-neighbor resize, per-channel stats
-(``decode_ppm``/``resize_nearest``/``image_pixel_stats``).  Everything
-Spark-side is real for every format: schemas, the mapInPandas batch
-contract, partition sizing, and the metadata fast paths (magic-byte
+The container has no image/audio/video codec libraries, so decode for
+png/jpeg/gif/mp3/mp4 is STUBBED (NotImplementedError as marked) — but one
+format per modality needs no library, so for each the pipeline is REAL
+end-to-end:
+
+- image: binary NetPBM (P6) — header parse, pixel decode, nearest-neighbor
+  resize, per-channel stats (``decode_ppm``/``image_pixel_stats``);
+- audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
+  (``parse_wav``/``audio_pcm_stats``);
+- video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
+  with per-frame luma (``parse_y4m``/``video_frame_stats``).
+
+Everything Spark-side is real for every format: schemas, the mapInPandas
+batch contract, partition sizing, and the metadata fast paths (magic-byte
 sniffing, header dimension parse).
 
 Scale design: media rows are wide (MBs) — ``maxPartitionBytes`` counts bytes,
@@ -59,6 +66,7 @@ _MAGIC = {
     b"GIF8": "gif",
     b"P6": "ppm",  # binary NetPBM — decodable with no codec library
     b"RIFF": "riff",  # wav/avi container
+    b"YUV4MPEG2": "y4m",  # uncompressed video — decodable with no codec
     b"\x00\x00\x00": "mp4",  # ftyp boxes start with size; loose sniff
 }
 
@@ -105,6 +113,72 @@ def parse_wav(content: bytes | None):
     pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     frames = len(pcm) // max(ch, 1)
     return rate, ch, bits, frames, pcm
+
+
+def parse_y4m(content: bytes | None):
+    """YUV4MPEG2 stream walk — the codec-free VIDEO path, mirroring P6 for
+    images and PCM WAV for audio: uncompressed planar YUV behind a text
+    header, so ``bytes`` + numpy decode it fully.  Returns
+    (width, height, fps_num, fps_den, [Y planes as uint8 (h, w) arrays]) or
+    None for malformed / non-4:2:0-4:2:2-4:4:4 input."""
+    import numpy as np
+
+    if not content or not content.startswith(b"YUV4MPEG2"):
+        return None
+    nl = content.find(b"\x0a")
+    if nl < 0:
+        return None
+    w = h = None
+    num, den, chroma = 30, 1, "420"
+    for tok in content[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            chroma = val.decode("ascii", "replace")
+    if not w or not h or num <= 0 or den <= 0:
+        return None
+    if chroma.startswith("420"):
+        chroma_bytes = (w // 2) * (h // 2) * 2
+    elif chroma.startswith("422"):
+        chroma_bytes = (w // 2) * h * 2
+    elif chroma.startswith("444"):
+        chroma_bytes = w * h * 2
+    else:
+        return None  # mono/alpha variants need per-variant layouts
+    ysz, pos, frames = w * h, nl + 1, []
+    while pos < len(content):
+        if not content.startswith(b"FRAME", pos):
+            return None
+        fnl = content.find(b"\x0a", pos)
+        if fnl < 0 or fnl + 1 + ysz + chroma_bytes > len(content):
+            return None
+        y = np.frombuffer(content[fnl + 1 : fnl + 1 + ysz], dtype=np.uint8)
+        frames.append(y.reshape(h, w))
+        pos = fnl + 1 + ysz + chroma_bytes
+    return w, h, num, den, frames
+
+
+def y4m_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    """Header-only width/height — metadata fast path, no frame walk."""
+    if not content or not content.startswith(b"YUV4MPEG2"):
+        return (None, None)
+    nl = content.find(b"\x0a")
+    if nl < 0:
+        return (None, None)
+    w = h = None
+    for tok in content[10:nl].split(b" "):
+        if tok[:1] == b"W" and tok[1:].isdigit():
+            w = int(tok[1:])
+        elif tok[:1] == b"H" and tok[1:].isdigit():
+            h = int(tok[1:])
+    return (w, h)
 
 
 def png_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
@@ -198,6 +272,8 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                 w, h = png_dimensions(b)
                 if w is None:
                     w, h = ppm_dimensions(b)
+                if w is None:
+                    w, h = y4m_dimensions(b)
                 widths.append(w)
                 heights.append(h)
             pdf = pdf.assign(format=fmts, width=widths, height=heights)
@@ -303,6 +379,58 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, mean_y double"
+)
+
+
+def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """mapInPandas decode → frame-sample → feature stage for video, REAL
+    end-to-end for YUV4MPEG2 (the codec-free video format, completing the
+    P6-image / PCM-WAV-audio trio): stream walk + numpy give one row per
+    sampled frame (nearest frame at each ``every_ms`` grid point within the
+    clip) with its mean luma.  Compressed containers (mp4/webm) would hit a
+    codec and are skipped here.
+
+    Scale shape: streaming Arrow batches, O(decoded bytes) per row, no
+    shuffle — identical plumbing to ``image_pixel_stats``/``audio_pcm_stats``;
+    frame sampling bounds the emitted rows to duration/every_ms per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                parsed = parse_y4m(b)
+                if parsed is None:
+                    continue
+                w, h, num, den, frames = parsed
+                if not frames:
+                    continue
+                frame_ms = 1000.0 * den / num
+                dur_ms = frame_ms * len(frames)
+                seen = set()
+                ts = 0.0
+                while ts < dur_ms:
+                    idx = min(int(ts / frame_ms), len(frames) - 1)
+                    if idx not in seen:
+                        seen.add(idx)
+                        rows.append(
+                            (
+                                int(mid),
+                                idx,
+                                int(ts),
+                                float(frames[idx].mean()),
+                            )
+                        )
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "mean_y"]
+            )
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction.  ``fake=True`` emits a deterministic
     digest-based pseudo-feature (plumbing test); ``fake=False`` would call the
@@ -326,8 +454,9 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) —
-    the timestamps are computed JVM-side from duration metadata; the actual
-    frame grab is the stubbed codec step."""
+    the timestamps are computed JVM-side from duration metadata without
+    touching the payload.  The actual frame grab happens in
+    ``video_frame_stats`` (real for y4m, codec-stubbed otherwise)."""
     return (
         df.filter(F.col("kind") == "video")
         .select(
@@ -351,7 +480,8 @@ def media_from_documents(spark, sf: str) -> DataFrame:
     """Synthesize a deterministic media table from ``documents`` (the test
     corpus has no binary columns): content bytes are built JVM-side —
     doc_id % 3 == 0 → a real PNG header (IHDR width/height derived from
-    doc_id), % 3 == 1 → jpeg magic + text bytes, % 3 == 2 → a "video" with
+    doc_id), % 3 == 1 → jpeg magic + text bytes, % 3 == 2 → a real
+    YUV4MPEG2 clip (decodable end-to-end) whose frame count matches the
     duration metadata.  Everything is a codegen'd column expression; the
     binary column is exactly what a real lake would carry opaquely."""
     from event_stream_spark.queries import t
@@ -392,6 +522,20 @@ def media_from_documents(spark, sf: str) -> DataFrame:
             ),
         )
     )
+    # a VALID YUV4MPEG2 clip, entirely in codegen: text header (4×2, 1 fps,
+    # 4:2:0), then `n_frames` FRAME blocks of 12 payload bytes (Y 8 + U 2 +
+    # V 2) from md5 — arbitrary bytes are legal samples, and the real
+    # parse_y4m/numpy path decodes them like any captured clip.  1 fps makes
+    # n_frames consistent with duration_ms below.
+    n_frames = (F.col("doc_id") % 10 + 1).cast("int")
+    y4m_header_hex = b"YUV4MPEG2 W4 H2 F1:1 Ip A1:1 C420\x0a".hex().upper()
+    frame_hex = F.concat(
+        F.lit("4652414D450A"),  # 'FRAME\n'
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":y4m"))), 1, 24
+        ),
+    )
+    y4m = F.unhex(F.concat(F.lit(y4m_header_hex), F.repeat(frame_hex, n_frames)))
     is_audio = F.col("doc_id") % 12 == 7  # a slice of the %3==1 class
     kind = F.when(is_audio, F.lit("audio")).otherwise(
         F.element_at(
@@ -403,7 +547,7 @@ def media_from_documents(spark, sf: str) -> DataFrame:
         F.when(is_audio, wav)
         .when(F.col("doc_id") % 3 == 0, png)
         .when(F.col("doc_id") % 3 == 1, jpeg)
-        .otherwise(F.encode("text", "UTF-8"))
+        .otherwise(y4m)
     )
     duration = F.when(
         F.col("doc_id") % 3 == 2, (F.col("doc_id") % 10 + 1) * 1000
@@ -435,10 +579,19 @@ def multimodal_meta(spark, sf: str) -> DataFrame:
     audio = audio_pcm_stats(media.filter(F.col("kind") == "audio")).select(
         "media_id", "sample_rate", F.round("rms", 4).alias("rms")
     )
+    video = (
+        video_frame_stats(media.filter(F.col("kind") == "video"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames_dec"),
+            F.round(F.avg("mean_y"), 4).alias("luma"),
+        )
+    )
     return (
         sniffed.select("media_id", "kind", "format", "width", "height")
         .join(feats.select("media_id", F.col("value").alias("digest")), "media_id", "left")
         .join(frames, "media_id", "left")
         .join(audio, "media_id", "left")
+        .join(video, "media_id", "left")
         .orderBy("media_id")
     )

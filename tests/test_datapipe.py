@@ -845,3 +845,62 @@ def test_bloom_prune_has_no_false_negatives(spark):
     flagged = B._flagged(spark, sf)
     leaked = definitely_clean.join(flagged, "user_id", "inner").count()
     assert leaked == 0
+
+
+def test_multimodal_y4m_decode_real(spark):
+    """A hand-built YUV4MPEG2 clip round-trips through video_frame_stats
+    with exact frame sampling and numpy-exact luma; malformed and
+    codec-needing inputs are skipped, not crashed."""
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    w, h, nf = 4, 2, 5  # 5 frames at 2 fps = 2500 ms clip
+    rng = np.random.default_rng(11)
+    planes = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(nf)]
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    clip = b"YUV4MPEG2 W4 H2 F2:1 Ip A1:1 C420\x0a" + b"".join(
+        b"FRAME\x0a" + p.tobytes() + chroma for p in planes
+    )
+
+    assert mm.sniff_format(clip) == "y4m"
+    assert mm.y4m_dimensions(clip) == (4, 2)
+    parsed = mm.parse_y4m(clip)
+    assert parsed is not None
+    pw, ph, num, den, frames = parsed
+    assert (pw, ph, num, den, len(frames)) == (4, 2, 2, 1, nf)
+    assert all((a == b).all() for a, b in zip(frames, planes))
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(clip), None, None, None, None)],
+        schema=mm.MEDIA,
+    )
+    # 1000 ms grid over a 2500 ms 2-fps clip → ts 0/1000/2000 → frames 0/2/4
+    rows = {r["frame_idx"]: r for r in mm.video_frame_stats(df).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for idx, r in rows.items():
+        assert r["ts_ms"] == idx * 500
+        assert abs(r["mean_y"] - float(planes[idx].mean())) < 1e-9
+
+    assert mm.parse_y4m(b"YUV4MPEG2 W4 H2\x0aFRAME\x0ashort") is None
+    assert mm.parse_y4m(b"\x00\x00\x00\x18ftypmp42") is None
+    assert mm.parse_y4m(None) is None
+
+
+def test_multimodal_meta_includes_video(spark):
+    """Registry entry: the synthesized video slice (doc_id % 3 == 2, not the
+    audio carve-out) is a real y4m clip — sniffed with header dimensions and
+    decoded to a frame count that matches the duration metadata."""
+    from event_stream_spark.datapipe import multimodal_meta
+    from tests.conftest import SF_CORRECT
+
+    rows = {r["media_id"]: r for r in multimodal_meta(spark, SF_CORRECT).collect()}
+    r2 = rows[2]  # doc 2: video, duration (2 % 10 + 1) s = 3 s at 1 fps
+    assert r2["kind"] == "video" and r2["format"] == "y4m"
+    assert (r2["width"], r2["height"]) == (4, 2)
+    assert r2["n_frames_dec"] == 3
+    assert r2["luma"] is not None and 0.0 <= r2["luma"] <= 255.0
+    r5 = rows[5]  # doc 5: video with 6 frames
+    assert r5["n_frames_dec"] == 6
+    # non-video rows carry no decoded-frame columns
+    assert rows[0]["n_frames_dec"] is None
