@@ -82,3 +82,148 @@ BPE_PAIRS_SQL = f"""
     ORDER BY cnt DESC, l, r
     LIMIT {BPE_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training — N greedy merge rounds
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "|"  # symbol-boundary separator (outside the corpus charset)
+BPE_ROUNDS = 6
+
+#: learned merges per (session, sf, rounds) — like similarity._IVF_SEED_CACHE,
+#: so repeated plan builds re-run no round jobs
+_MERGE_CACHE: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def _word_syms(spark: SparkSession, sf: str) -> DataFrame:
+    """(s, freq): each distinct word as a separator-joined symbol string
+    (chars + end-of-word marker), with its corpus frequency."""
+    wc = (
+        word_rows(t(spark, sf, "documents"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW)))
+    return wc.select(F.array_join(syms, BPE_SEP).alias("s"), "freq")
+
+
+def _pair_counts(df: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent-symbol pair counts weighted by word freq —
+    all codegen (split / element_at / partial-agg sum)."""
+    ex = df.select(
+        F.split("s", r"\|").alias("a"), "freq"
+    ).select(
+        "a",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i"),
+    )
+    return (
+        ex.select(
+            F.element_at("a", F.col("i")).alias("l"),
+            F.element_at("a", F.col("i") + 1).alias("r"),
+            "freq",
+        )
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merged(df: DataFrame, l: str, r: str) -> DataFrame:
+    """Apply one merge greedily: ``replace`` consumes non-overlapping
+    ``l SEP r`` occurrences left-to-right — exactly the BPE single-pass
+    merge scan (a merged token never re-pairs with the following symbol in
+    the same round)."""
+    return df.select(
+        F.replace("s", F.lit(l + BPE_SEP + r), F.lit(l + r)).alias("s"),
+        "freq",
+    )
+
+
+def bpe_merges(
+    spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS
+) -> list[tuple[int, str, str, int]]:
+    """The learned merge table [(round, l, r, cnt)].  Each round is one
+    distributed pair-count aggregation plus a 1-row fetch (the
+    ``embed_kmeans`` collect-per-round shape); the chosen pair becomes a
+    literal in the next round's ``replace`` chain."""
+    from event_stream_spark.queries import _session_key
+
+    ck = (_session_key(spark), sf, rounds)
+    merges = _MERGE_CACHE.get(ck)
+    if merges is None:
+        merges = []
+        cur = _word_syms(spark, sf)
+        for rnd in range(rounds):
+            row = (
+                _pair_counts(cur).orderBy(F.desc("cnt"), "l", "r").limit(1).head()
+            )
+            if row is None:
+                break
+            merges.append((rnd, row["l"], row["r"], int(row["cnt"])))
+            cur = _merged(cur, row["l"], row["r"])
+        _MERGE_CACHE[ck] = merges
+    return merges
+
+
+def bpe_learn(spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Iterative BPE tokenizer training: ``rounds`` greedy merge rounds over
+    the corpus, returning the learned merge table (rnd, l, r, cnt).
+
+    Scale shape, per round: the symbol relation stays at DISTINCT-WORD
+    cardinality (Heaps'-law-small vs the corpus — the corpus-scale
+    word-frequency shuffle happens once, before round 0), the pair-count
+    aggregation is map-side combined to the tiny pair key space, the merge
+    itself is a codegen ``replace`` projection (no shuffle), and the chosen
+    pair travels as a literal (1-row fetch, memoized per session/sf).  The
+    DuckDB oracle replays every round verbatim via unrolled CTEs — same
+    split, same greedy non-overlapping replace, same (cnt DESC, l, r)
+    tie-break."""
+    from functools import reduce
+
+    merges = bpe_merges(spark, sf, rounds)
+    cur = _word_syms(spark, sf)
+    outs = []
+    for rnd, l, r, _cnt in merges:
+        outs.append(
+            _pair_counts(cur)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .select(F.lit(rnd).alias("rnd"), "l", "r", "cnt")
+        )
+        cur = _merged(cur, l, r)
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("rnd")
+
+
+def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
+    parts = [
+        f"""w AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    f AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+    wc0 AS (SELECT array_to_string(list_append(string_split(w, ''), '{BPE_EOW}'),
+                                   '{BPE_SEP}') AS s, freq FROM f)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""pc{i} AS (
+        SELECT a[gi] AS l, a[gi + 1] AS r, sum(freq)::BIGINT AS cnt
+        FROM (SELECT string_split(s, '{BPE_SEP}') AS a, freq,
+                     unnest(range(1, len(string_split(s, '{BPE_SEP}')))) AS gi
+              FROM wc{i})
+        GROUP BY a[gi], a[gi + 1]),
+    p{i} AS (SELECT l, r, cnt FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""wc{i + 1} AS (
+        SELECT replace(s, p.l || '{BPE_SEP}' || p.r, p.l || p.r) AS s, freq
+        FROM wc{i} CROSS JOIN p{i} p)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, l, r, cnt FROM p{i}" for i in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({sel}) ORDER BY rnd"
+
+
+BPE_LEARN_SQL = _bpe_learn_sql()

@@ -904,3 +904,27 @@ def test_multimodal_meta_includes_video(spark):
     assert r5["n_frames_dec"] == 6
     # non-video rows carry no decoded-frame columns
     assert rows[0]["n_frames_dec"] is None
+
+
+def test_bpe_learn_greedy_merge_semantics(spark, tmp_path):
+    """BPE on a hand-checkable corpus: 'aaaa aaaa ab' — round 0 must merge
+    (a,a) with GREEDY non-overlapping count 4 (two per 'aaaa', never 3), and
+    the merged token must then pair again in later rounds."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab", "en", "src", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from event_stream_spark.datapipe.bpe import bpe_learn
+
+    rows = [tuple(r) for r in bpe_learn(spark, str(tmp_path), rounds=3).collect()]
+    # counting is OVERLAPPING (Sennrich get_stats): 'a|a|a|a|_' has (a,a) at
+    # 3 indices, ×2 words = 6; the MERGE is then greedy non-overlapping:
+    # 'a|a|a|a|_' → 'aa|aa|_' (two merges, never three)
+    assert rows[0] == (0, "a", "a", 6)
+    # round 1 counts: (aa,aa)=2, (aa,_)=2, (a,b)=1, (b,_)=1 — tie broken by
+    # (l, r) ascending and '_' < 'aa', so (aa, _) wins → 'aa|aa_'
+    assert rows[1] == (1, "aa", "_", 2)
+    # round 2: (aa, aa_)=2 wins over the 'ab' singletons
+    assert rows[2] == (2, "aa", "aa_", 2)
