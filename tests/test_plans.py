@@ -713,3 +713,13 @@ def test_bloom_prune_is_codegen_with_candidate_only_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # the prune is expressed with element_at against the literal bitmap
     assert "element_at" in p
+
+
+def test_quality_classify_is_codegen_single_feature_shuffle(spark):
+    """quality_classify: model inference is pure codegen (no Python nodes);
+    the only corpus-scale exchange is the per-doc feature aggregation."""
+    from event_stream_spark.datapipe.classify import quality_classify
+
+    p = plan(quality_classify(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
