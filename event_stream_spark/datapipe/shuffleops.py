@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_stream_spark.datapipe.corpusops import _sample_bucket
 from event_stream_spark.queries import t
 
 #: permutation seed — part of the output contract (reproducible shards)
@@ -108,4 +109,86 @@ CORPUS_SAMPLE_SQL = f"""
     FROM documents
     ORDER BY sample_key, doc_id
     LIMIT {SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture resampling
+# ---------------------------------------------------------------------------
+
+MIX_TEMP = 2.0  # T > 1 flattens the language distribution (upsamples rare)
+
+
+def corpus_temp_mix(spark: SparkSession, sf: str, temp: float = MIX_TEMP) -> DataFrame:
+    """Temperature-based multilingual mixture resampling (the mBERT/XLM-R
+    recipe): target language share ∝ n_lang^(1/T), realized as a per-doc
+    repeat factor f = p_lang · N / n_lang — integer copies plus one extra
+    copy with probability frac(f), decided by the deterministic md5 bucket
+    (same family as ``corpus_split``, so membership is engine- and
+    re-shard-stable).  Emits one row per (doc_id, copy).
+
+    Scale shape: fully relational — the per-language counts are one
+    map-side-combined aggregation to ≤|langs| rows, the factor table
+    broadcast-joins back (never shuffles the corpus), and copy expansion is
+    a codegen ``explode(sequence)``; output volume is Σ f·n ≈ N by
+    construction.  f is rounded to 4 dp and the extra-copy threshold is an
+    integer bucket compare, so the decision cannot split on last-ulp
+    ``pow`` differences between engines."""
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), 1.0 / temp)).alias("z"),
+        F.sum("n").alias("big_n"),
+    )
+    fac = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.pow(F.col("n").cast("double"), 1.0 / temp)
+            / F.col("z")
+            * F.col("big_n").cast("double")
+            / F.col("n").cast("double"),
+            4,
+        ).alias("f"),
+    )
+    base = F.floor("f").cast("int")
+    thr = F.round((F.col("f") - base) * 10000).cast("long")
+    copies = (base + (_sample_bucket(F.col("doc_id")) < thr).cast("int")).alias(
+        "copies"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(fac), "lang")
+        .select("doc_id", "lang", copies)
+        .filter(F.col("copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy"),
+        )
+        .orderBy("doc_id", "copy")
+    )
+
+
+CORPUS_TEMP_MIX_SQL = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(pow(n::DOUBLE, 1.0 / {MIX_TEMP})) AS z,
+                   sum(n) AS big_n FROM c),
+    fac AS (
+        SELECT lang,
+               round(pow(n::DOUBLE, 1.0 / {MIX_TEMP}) / z
+                     * big_n::DOUBLE / n::DOUBLE, 4) AS f
+        FROM c CROSS JOIN tot
+    ),
+    cp AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(f) AS INT)
+               + CASE WHEN ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                           % 10000
+                           < CAST(round((f - floor(f)) * 10000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN fac USING (lang)
+    )
+    SELECT doc_id, lang, unnest(range(1, copies + 1)) AS copy
+    FROM cp WHERE copies > 0
+    ORDER BY doc_id, copy
 """

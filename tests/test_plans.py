@@ -723,3 +723,21 @@ def test_quality_classify_is_codegen_single_feature_shuffle(spark):
     p = plan(quality_classify(spark, SF_CORRECT))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_temp_mix_broadcasts_factor_table(spark):
+    """corpus_temp_mix: the per-language factor relation broadcasts back to
+    the corpus (the big side never shuffles on lang), copy expansion is
+    codegen explode — no Python nodes, no corpus-keyed exchange."""
+    from event_stream_spark.datapipe.shuffleops import corpus_temp_mix
+
+    p = plan(corpus_temp_mix(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # no corpus-sized exchange keyed on lang (only the tiny counts agg is)
+    corpus_lang_exchanges = [
+        l
+        for l in p.splitlines()
+        if "Exchange hashpartitioning(lang" in l and "doc_id" in l
+    ]
+    assert corpus_lang_exchanges == []
