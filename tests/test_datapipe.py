@@ -928,3 +928,34 @@ def test_bpe_learn_greedy_merge_semantics(spark, tmp_path):
     assert rows[1] == (1, "aa", "_", 2)
     # round 2: (aa, aa_)=2 wins over the 'ab' singletons
     assert rows[2] == (2, "aa", "aa_", 2)
+
+
+def test_ann_join_recovers_planted_neighbors(spark, tmp_path):
+    """Capability gate for the batched ANN join: each query vector is a
+    small perturbation of one corpus vector (cosine ≈ 0.97+); the banded
+    OR-amplified LSH join must recover that true nearest neighbor as rank 1
+    for the overwhelming majority of queries (random hyperplanes leave a
+    small per-query miss probability; 4 bands x 8 bits bounds it low)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n_q = 16
+    corpus = rng.standard_normal((120, 64))
+    rows = []
+    # queries: vec_id 0..15, perturbed copies of corpus vectors 16..31
+    for i in range(n_q):
+        q = corpus[i] + 0.12 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in q], 0))
+    for j, v in enumerate(corpus):
+        rows.append((n_q + j, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    from event_stream_spark.datapipe.similarity import ann_join
+
+    top1 = {
+        r["query_id"]: r["cand_id"]
+        for r in ann_join(spark, str(tmp_path)).filter("rank = 1").collect()
+    }
+    hits = sum(1 for i in range(n_q) if top1.get(i) == n_q + i)
+    assert hits >= 13, f"only {hits}/16 planted neighbors recovered: {top1}"
