@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--splay-dir", default=None, help="splayed JSON file sink dir")
     p.add_argument("--checkpoint", default=None, help="checkpointLocation (streaming)")
     p.add_argument("--max-retries", type=int, default=5)
+    # analytics registry mode (runs any queries() entry instead of the pipeline)
+    p.add_argument("--query", default=None, help="run a registry query by name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table dir for --query")
+    p.add_argument("--out", default=None, help="--query: write result parquet here instead of showing")
+    p.add_argument("--limit", type=int, default=20, help="--query: rows to show")
+    p.add_argument("--list-queries", action="store_true", help="list registry query names")
     return p
 
 
@@ -169,10 +175,40 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return parser.parse_args(argv)
 
 
+def _registry() -> dict:
+    from event_stream_spark.datapipe import DATAPIPE_QUERIES
+    from event_stream_spark.queries import QUERIES
+
+    reg = dict(QUERIES)
+    reg.update(DATAPIPE_QUERIES)
+    return reg
+
+
 def run(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
 
+    if args.list_queries:
+        for name in sorted(_registry()):
+            print(name)
+        return
+
     from event_stream_spark.session import get_spark
+
+    if args.query:
+        reg = _registry()
+        if args.query not in reg:
+            raise SystemExit(
+                f"unknown query {args.query!r}; --list-queries shows all"
+            )
+        spark = get_spark("event-stream-cli")
+        spark.sparkContext.setLogLevel("WARN")
+        result = reg[args.query](spark, args.sf_dir)
+        if args.out:
+            result.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            result.show(args.limit, truncate=True)
+        return
 
     spark = get_spark("event-stream-cli")
     spark.sparkContext.setLogLevel("WARN")

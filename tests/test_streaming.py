@@ -1708,3 +1708,28 @@ def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
             assert seen_total == btot
     for w in heavy:  # the actual hitters, specifically
         assert any(k[1] == w for k in latest)
+
+
+def test_cli_query_mode(spark, tmp_path, capsys):
+    """--query runs any registry entry against --sf-dir: parquet out has the
+    query's schema/rows; --list-queries enumerates the registry."""
+    from event_stream_spark.cli import run
+
+    out = f"{tmp_path}/q19_out"
+    run([
+        "--query", "q19",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out,
+    ])
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert "l_returnflag" in got.columns and "s_qty" in got.columns
+
+    run(["--list-queries"])
+    listed = capsys.readouterr().out.split()
+    assert "q19" in listed and "dedup_minhash" in listed and "bpe_learn" in listed
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run(["--query", "nope_not_a_query"])
