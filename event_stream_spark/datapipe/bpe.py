@@ -195,7 +195,10 @@ def bpe_learn(spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS) -> DataFra
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("rnd")
 
 
-def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """The shared learn-chain CTEs (word freqs, per-round pair counts/top
+    pair/merged vocab) — used by both the learn oracle and the tokenize
+    oracle so the two can never drift."""
     parts = [
         f"""w AS (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -220,10 +223,76 @@ def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
         SELECT replace(s, p.l || '{BPE_SEP}' || p.r, p.l || p.r) AS s, freq
         FROM wc{i} CROSS JOIN p{i} p)"""
         )
+    return ",\n    ".join(parts)
+
+
+def _bpe_learn_sql(rounds: int = BPE_ROUNDS) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {i} AS rnd, l, r, cnt FROM p{i}" for i in range(rounds)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({sel}) ORDER BY rnd"
+    return (
+        "WITH "
+        + _bpe_ctes(rounds)
+        + f"\n    SELECT * FROM ({sel}) ORDER BY rnd"
+    )
 
 
 BPE_LEARN_SQL = _bpe_learn_sql()
+
+
+def bpe_tokenize(spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Apply the learned merge table to the corpus: per document, the word
+    count and the BPE token count after ``rounds`` merges — the
+    learn→apply loop a tokenizer pipeline runs end-to-end.
+
+    Scale shape: the merges are literals (memoized 1-row fetches via
+    :func:`bpe_merges`), so tokenization is a pure codegen projection — a
+    chain of ``rounds`` ``replace`` calls per word occurrence, zero joins.
+    The deliberate choice is per-occurrence CPU over a tokenize-the-vocab +
+    join-back formulation: the join would add a corpus-scale shuffle on the
+    word key, and at 100 TB shuffle bytes dominate a few string replaces
+    per row.  The only exchange is the final per-doc aggregation."""
+    merges = bpe_merges(spark, sf, rounds)
+    w = word_rows(t(spark, sf, "documents"))
+    syms = F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW)))
+    s = F.array_join(syms, BPE_SEP)
+    for _rnd, l, r, _cnt in merges:
+        s = F.replace(s, F.lit(l + BPE_SEP + r), F.lit(l + r))
+    n_sym = F.size(F.split(s, r"\|"))
+    return (
+        w.select("doc_id", n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_tokenize_sql(rounds: int = BPE_ROUNDS) -> str:
+    apply_expr = f"array_to_string(list_append(string_split(o.w, ''), '{BPE_EOW}'), '{BPE_SEP}')"
+    for i in range(rounds):
+        apply_expr = (
+            f"replace({apply_expr}, p{i}.l || '{BPE_SEP}' || p{i}.r, p{i}.l || p{i}.r)"
+        )
+    crosses = " ".join(f"CROSS JOIN p{i}" for i in range(rounds))
+    return (
+        "WITH "
+        + _bpe_ctes(rounds)
+        + f""",
+    occ AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    tok AS (
+        SELECT o.doc_id,
+               len(string_split({apply_expr}, '{BPE_SEP}')) AS n_sym
+        FROM occ o {crosses})
+    SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sym)::BIGINT AS n_bpe_tokens
+    FROM tok GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()

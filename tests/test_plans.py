@@ -741,3 +741,16 @@ def test_corpus_temp_mix_broadcasts_factor_table(spark):
         if "Exchange hashpartitioning(lang" in l and "doc_id" in l
     ]
     assert corpus_lang_exchanges == []
+
+
+def test_bpe_tokenize_is_joinless_codegen(spark):
+    """bpe_tokenize: applying learned merges is a literal replace chain —
+    no joins at all (the merge table travels as literals), no Python nodes;
+    the per-doc aggregation is the only exchange."""
+    from event_stream_spark.datapipe.bpe import bpe_tokenize
+
+    p = plan(bpe_tokenize(spark, SF_CORRECT))
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert len(exchanges) <= 2  # doc_id agg (+ presentation sort)
