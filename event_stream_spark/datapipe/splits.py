@@ -128,3 +128,40 @@ HEAVY_HITTERS_SQL = f"""
     HAVING count(*) > (SELECT count(*) FROM tokens) / {HH_K}
     ORDER BY cnt DESC, word ASC
 """
+
+
+def write_corpus_lake(spark: SparkSession, sf: str, path: str) -> None:
+    """Materialize the curated corpus as a (lang, split)-partitioned lake —
+    the layout the downstream trainer reads.
+
+    Every consumer query is keyed by language and/or split ("give me the
+    non-English train shard"), so those become physical partition columns:
+    a per-language or per-split read prunes at PLAN time to its directories
+    and never opens the rest — the same prune-before-read stance as
+    ``write_block_lake`` (height buckets) and ``write_ivf_lake``
+    (IVF lists).  ``split`` is the deterministic md5 assignment from
+    :func:`corpus_split`, so a rebuild lands every document in the same
+    partition."""
+    d = t(spark, sf, "documents")
+    b = _sample_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(b < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d.withColumn("split", split).write.mode("overwrite").partitionBy(
+        "lang", "split"
+    ).parquet(f"{path}/documents")
+
+
+def read_corpus_lake(
+    spark: SparkSession, path: str, *, lang: str | None = None, split: str | None = None
+) -> DataFrame:
+    """Partition-pruned corpus read: lang/split predicates land in
+    PartitionFilters (asserted in ``test_plans.py``)."""
+    df = spark.read.parquet(f"{path}/documents")
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    return df

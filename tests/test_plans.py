@@ -754,3 +754,31 @@ def test_bpe_tokenize_is_joinless_codegen(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     exchanges = [l for l in p.splitlines() if "Exchange" in l]
     assert len(exchanges) <= 2  # doc_id agg (+ presentation sort)
+
+
+def test_corpus_lake_scan_prunes_lang_and_split(spark, tmp_path):
+    """(lang, split)-partitioned corpus lake: a train/'de' read prunes at
+    PLAN time — both predicates land in PartitionFilters, and the scan's
+    data columns exclude the partition columns (they come from the paths)."""
+    from event_stream_spark.datapipe.splits import (
+        read_corpus_lake,
+        write_corpus_lake,
+    )
+
+    write_corpus_lake(spark, SF_CORRECT, str(tmp_path))
+    df = read_corpus_lake(spark, str(tmp_path), lang="de", split="train")
+    p = plan(df)
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters", 1)[1][:300]
+    assert "lang" in pf and "split" in pf
+    # correctness of the pruned read vs an unpartitioned filter
+    expect = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter("lang = 'de'")
+        .count()
+    )
+    got_all_splits = sum(
+        read_corpus_lake(spark, str(tmp_path), lang="de", split=s).count()
+        for s in ("train", "val", "test")
+    )
+    assert got_all_splits == expect and df.count() > 0
