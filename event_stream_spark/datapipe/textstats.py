@@ -172,3 +172,42 @@ TEXT_FINGERPRINT_SQL = """
            ELSE NULL END AS fingerprint
     FROM w ORDER BY doc_id
 """
+
+
+def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-card summary: CUBE(lang, source) rollup of document counts,
+    exact-distinct text counts (the dup-rate numerator), word totals and
+    mean length — the one-query corpus report a dataset release ships.
+
+    Scale shape: a single CUBE aggregation — Spark expands grouping sets
+    and map-side-combines each; the only corpus-scale exchange carries
+    (lang, source, md5, partial counts).  The distinct-text count rides the
+    same shuffle as a 16-byte hash (text itself never moves)."""
+    d = t(spark, sf, "documents")
+    n_words = F.size(words(F.col("text")))
+    return (
+        d.select("lang", "source", F.md5("text").alias("h"), n_words.alias("nw"), "n_chars")
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct_texts"),
+            F.sum("nw").alias("n_words"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
+CORPUS_REPORT_SQL = """
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+           sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')))::BIGINT AS n_words,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
