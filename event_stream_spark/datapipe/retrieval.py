@@ -1,0 +1,292 @@
+"""Sparse retrieval + collocation mining over the documents corpus.
+
+Two classic corpus operators a training-data / RAG platform needs beyond
+dense-vector ANN (``datapipe/similarity.py``):
+
+- ``bm25_topk``: Okapi BM25 top-k retrieval for a batch of queries — the
+  sparse leg of every retrieval stack (and of retrieval-based
+  decontamination).  The posting list (doc, term, tf) is the only large
+  relation; everything query-sided is tiny and broadcasts.
+- ``collocations``: PMI-ranked bigram collocation mining (Church & Hanks
+  1990) — the standard corpus-statistics pass for tokenizer/vocab design
+  and boilerplate detection.
+
+Tokenization is the shared ``datapipe/text.py`` contract (lowercase, split
+on whitespace, drop empties) so the DuckDB oracles mirror it verbatim.
+
+Determinism contract (same trick as ``embed_kmeans``/``ann_ivf_topk``):
+every float that crosses an aggregation is produced by the identical
+expression shape in both engines, per-term scores are rounded to 6 digits,
+and multi-term sums fold LEFT over a list ordered by the term key —
+``F.aggregate(array_sort(...))`` on the Spark side, ``list_sum(list(x
+ORDER BY term))`` on the DuckDB side — so totals are bit-identical, not
+merely close.  (The unordered map-side-combine sum is the production path;
+the ordered fold is what makes the run reproducible bit-for-bit, which a
+data pipeline that stamps dataset cards actually wants.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_stream_spark.datapipe.text import word_rows
+from event_stream_spark.queries import t
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+# Fixed query batch: terms drawn from the synthetic corpus vocabulary
+# (TESTDATA.md token soup), so every query matches documents at every SF.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark stream join"),
+    (1, "customer query fast"),
+    (2, "hash table scan"),
+    (3, "vector data window"),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf: str,
+    *,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query.
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    Robertson/Spärck-Jones formulation (public BM25 literature; also the
+    Lucene default scoring shape).
+
+    Scale shape: the corpus is scanned ONCE to build the (doc_id, term, tf)
+    posting list — one (doc_id, term)-keyed shuffle with map-side combine —
+    which is parquet-materialized per (session, sf) (``matview.py``): a
+    BM25 index IS a materialized inverted index, and doc lengths (Σtf per
+    doc), document frequencies, and the scoring join all read it instead of
+    re-tokenizing the corpus.  The query batch is a literal in-memory
+    relation: its distinct terms BROADCAST into the posting join, so the
+    postings never shuffle on the term key and non-matching postings are
+    hash-pruned at the join.  The global scalars (N, avgdl) are a 1-row
+    aggregate broadcast into the expression.  Per-query top-k is a window
+    over query_id — at 100 TB each query's candidate posting subset is
+    bounded by its terms' df, not corpus size.
+    """
+    from event_stream_spark.datapipe.matview import materialized
+
+    queries = BM25_QUERIES if queries is None else queries
+    d = t(spark, sf, "documents")
+    tf = materialized(
+        spark,
+        f"bm25tf|{sf}",
+        lambda: word_rows(d)
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("tf")),
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # 1-row global stats; joined in as a broadcast literal-like relation
+    stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    )
+
+    qterms = (
+        spark.createDataFrame(queries, "query_id int, qtext string")
+        .select("query_id", F.explode(F.array_distinct(
+            F.filter(F.split(F.lower("qtext"), r"\s+"), lambda x: x != "")
+        )).alias("term"))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfp = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.round(idf * tfp, 6).alias("ts"),
+        )
+    )
+    # bit-deterministic ordered fold over the (few) query terms
+    total = scored.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("ts")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ts"],
+            ),
+            6,
+        ).alias("score")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.select("query_id", "doc_id", "score", F.row_number().over(rw).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(f"({qid}, '{txt}')" for qid, txt in BM25_QUERIES)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+    ),
+    qraw(query_id, qtext) AS (VALUES {qvals}),
+    qterms AS (
+        SELECT DISTINCT query_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(qtext), '\\s+'), x -> x <> ''))) AS term
+        FROM qraw
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+               round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * {BM25_K1 + 1.0}) /
+                       (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+                     6) AS ts
+        FROM tf
+        JOIN qterms q ON q.term = tf.term
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ),
+    total AS (
+        SELECT query_id, doc_id,
+               round(list_sum(list(ts ORDER BY term)), 6) AS score
+        FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM total
+    )
+    SELECT query_id, doc_id, score, rank
+    FROM ranked WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 50
+
+
+def collocations(
+    spark: SparkSession,
+    sf: str,
+    *,
+    min_count: int = COLLOC_MIN_COUNT,
+    k: int = COLLOC_TOPK,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information.
+
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy/n_bigrams and
+    p(x) = c_x/n_tokens, computed as one double expression from exact
+    integer counts (so both engines evaluate the identical fp sequence —
+    no cross-engine drift possible).  Bigrams under ``min_count`` are
+    dropped first (standard PMI sparse-count correction).
+
+    Scale shape: adjacent-pair assembly is a ``lead()`` over the (doc_id,
+    pos) token rows — one shuffle on doc_id; bigram and unigram counts are
+    map-side-combined aggregations on the gram keys (vocabulary-sized
+    outputs, corpus-sized inputs touched once); the unigram counts join
+    back onto the ≥min_count bigram survivors, which is vocabulary-scale,
+    not corpus-scale.  Final top-k is TakeOrdered — no global sort.
+    """
+    d = t(spark, sf, "documents")
+    wr = word_rows(d)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        wr.select(F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c_xy = big.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
+    uni = wr.groupBy(F.col("w").alias("term")).agg(F.count("*").alias("cnt"))
+    totals = wr.agg(F.count("*").alias("n_uni")).crossJoin(
+        big.agg(F.count("*").alias("n_big"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_cnt").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c_xy.filter(F.col("pair_cnt") >= min_count)
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("cnt").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("cnt").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents)
+    ),
+    big AS (
+        SELECT w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    c_xy AS (SELECT w1, w2, count(*) AS pair_cnt
+             FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    uni AS (SELECT w AS term, count(*) AS cnt FROM toks GROUP BY w),
+    totals AS (
+        SELECT (SELECT count(*) FROM toks) AS n_uni,
+               (SELECT count(*) FROM big WHERE w2 IS NOT NULL) AS n_big
+    )
+    SELECT c.w1, c.w2, c.pair_cnt,
+           round(ln((c.pair_cnt::DOUBLE * t.n_uni * t.n_uni)
+                    / (t.n_big::DOUBLE * u1.cnt * u2.cnt)), 6) AS pmi
+    FROM c_xy c
+    JOIN uni u1 ON u1.term = c.w1
+    JOIN uni u2 ON u2.term = c.w2
+    CROSS JOIN totals t
+    WHERE c.pair_cnt >= {COLLOC_MIN_COUNT}
+    ORDER BY pmi DESC, c.w1, c.w2
+    LIMIT {COLLOC_TOPK}
+"""

@@ -959,3 +959,51 @@ def test_ann_join_recovers_planted_neighbors(spark, tmp_path):
     }
     hits = sum(1 for i in range(n_q) if top1.get(i) == n_q + i)
     assert hits >= 13, f"only {hits}/16 planted neighbors recovered: {top1}"
+
+
+def test_bm25_ranks_matching_docs(spark, dup_corpus):
+    """Docs containing the query terms rank ahead; scores strictly ordered
+    within a query; rank is contiguous from 1."""
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+
+    rows = bm25_topk(
+        spark, dup_corpus, queries=[(7, "spark partitions"), (8, "lazy dog")], k=3
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # "spark partitions" only matches docs 4 and 5
+    assert [r.doc_id for r in by_q[7]] and {r.doc_id for r in by_q[7]} <= {4, 5}
+    for rs in by_q.values():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+
+
+def test_pagerank_mass_and_centrality(spark, dup_corpus):
+    """PageRank over the near-dup graph: probability mass ~1, every node has
+    deg >= 1, and the better-connected node outranks a leaf."""
+    from event_stream_spark.datapipe.graph import graph_pagerank
+
+    rows = graph_pagerank(spark, dup_corpus).collect()
+    assert rows, "planted near-dups must produce a graph"
+    assert abs(sum(r.pr for r in rows) - 1.0) < 1e-3
+    assert all(r.deg >= 1 for r in rows)
+    pr = {r.doc_id: r.pr for r in rows}
+    deg = {r.doc_id: r.deg for r in rows}
+    # docs 1,2,3 form a near-dup triangle; any leaf attached elsewhere ranks lower
+    top_deg = max(deg.values())
+    assert max(pr, key=pr.get) in {d for d, g in deg.items() if g == top_deg}
+
+
+def test_collocations_finds_adjacent_pairs(spark, dup_corpus):
+    """Repeated adjacent word pairs from the planted dup docs surface with
+    positive PMI and counts >= min_count."""
+    from event_stream_spark.datapipe.retrieval import collocations
+
+    rows = collocations(spark, dup_corpus, min_count=2, k=20).collect()
+    pairs = {(r.w1, r.w2) for r in rows}
+    assert ("quick", "brown") in pairs or ("brown", "fox") in pairs
+    assert all(r.pair_cnt >= 2 for r in rows)
+    # sorted by pmi desc then keys
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True) or len(set(pmis)) < len(pmis)

@@ -782,3 +782,32 @@ def test_corpus_lake_scan_prunes_lang_and_split(spark, tmp_path):
         for s in ("train", "val", "test")
     )
     assert got_all_splits == expect and df.count() > 0
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """bm25: the corpus-sized posting list never shuffles on the term key —
+    the literal query batch and the df relation broadcast into it; per-query
+    top-k needs no global sort."""
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+
+    p = plan(bm25_topk(spark, SF_CORRECT))
+    # qterms + df enter via broadcast; postings (the big side) are never the
+    # build side of anything and never sort-merge
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # the corpus is tokenized once: scoring reads the materialized posting
+    # list (parquet), so no second documents scan feeds the score join
+    assert p.count("Scan parquet") >= 2  # documents (stats) + posting matview
+
+
+def test_pagerank_iterations_stay_narrow(spark):
+    """graph_pagerank: the iteration loop exchanges only (src/dst, double)
+    rows — the documents relation (text#) never appears in any exchange,
+    and there is no cartesian pair expansion."""
+    from event_stream_spark.datapipe.graph import graph_pagerank
+
+    p = plan(graph_pagerank(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    for l in p.splitlines():
+        if "Exchange" in l:
+            assert "text#" not in l

@@ -24,7 +24,7 @@ NEW_IN_R4 = {
     "sketch_exact", "corpus_split", "heavy_hitters", "embed_project",
     "dedup_cluster_best", "ann_join", "bpe_pairs", "bpe_learn",
     "bloom_prune", "quality_classify", "corpus_temp_mix", "bpe_tokenize",
-    "corpus_report",
+    "corpus_report", "bm25_topk", "collocations", "graph_pagerank",
 }
 
 
