@@ -251,22 +251,30 @@ def ivf_assignments(spark: SparkSession, sf: str, *, nlist: int = IVF_NLIST):
         ]
         _IVF_SEED_CACHE[ck] = cent
     centroids = np.asarray(cent, dtype="float64")
-    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent])
-    v = as_double(F.col("embedding"))
-    # distances rounded to 9dp before the argmin: both engines' float sums
-    # can differ in the last ulp (fold order), and a rounded compare keeps
-    # near-ties resolving identically (then the list_id tiebreak applies)
-    ds = F.transform(
-        carr,
-        lambda c: F.round(
-            F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            9,
-        ),
-    )
+
+    # Distance-to-every-centroid as ONE Arrow batch kernel.  The naive
+    # array-HOF spelling (transform over centroids × aggregate over dims)
+    # evaluates interpreted per element — nlist×DIM interpreted ops per row
+    # dominated the whole probe (measured ~0.6 s of a 1.1 s sf0.1 run).
+    # The kernel keeps the exact fold arithmetic: np.cumsum accumulates
+    # strictly left-to-right in float64, so its last element is bit-equal
+    # to the F.aggregate/list_sum left fold both oracles replay.  Rounding
+    # to 9dp stays OUTSIDE the kernel (JVM F.round, matching DuckDB's
+    # rounding mode) so near-ties keep resolving identically in both
+    # engines (then the list_id tiebreak applies).
+    import pandas as pd
+
+    @F.pandas_udf("array<double>")
+    def _cent_d2(emb: pd.Series) -> pd.Series:
+        # raw float32 in, widened here: float→double is exact, and feeding
+        # the column directly avoids an interpreted cast-transform lambda
+        # per element on the JVM side (measured ~2× on the whole probe)
+        vm = np.array(emb.tolist(), dtype="float64")  # [batch × DIM]
+        sq = (vm[:, None, :] - centroids[None, :, :]) ** 2
+        d2 = np.cumsum(sq, axis=2)[:, :, -1]  # left-fold sum per centroid
+        return pd.Series(list(d2))
+
+    ds = F.transform(_cent_d2(F.col("embedding")), lambda d: F.round(d, 9))
     # first-occurrence argmin == ties broken toward the smaller list_id
     assigned = e.withColumn(
         "list_id", (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
@@ -288,11 +296,25 @@ def ann_ivf_topk(
     centroid matrix; the plan is scan → IN-list filter (partition pruning on
     a list-partitioned layout) → exact cosine → top-k.  Exactness within the
     probed lists; recall is tested against the brute-force baseline.
+
+    The assignment relation is materialized once per (session, sf)
+    (``matview.py``) before probing: an IVF index is BUILT once and probed
+    many times — recomputing the quantizer per query (the pre-r4 shape)
+    pays the Arrow distance kernel on every probe and is not how the
+    operator would run against a written ``write_ivf_lake`` layout.  With
+    the matview, a probe is a pure JVM scan + IN-filter + cosine top-k.
     """
     import numpy as np
 
+    from event_stream_spark.datapipe.matview import materialized
+
     q = _query_vector(spark, sf)
     assigned, centroids = ivf_assignments(spark, sf, nlist=nlist)
+    assigned = materialized(
+        spark,
+        f"ivf_assign|{sf}|{nlist}",
+        lambda: assigned.select("vec_id", "embedding", "list_id"),
+    )
     qv = np.asarray(q, dtype="float64")
     d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
     probe_lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
