@@ -158,11 +158,22 @@ def _python_bucket(vec: list[float]) -> int:
 def ann_lsh_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
     """Top-k within the probe's LSH bucket — the pruned-scan path.  The
     probe's bucket is computed driver-side (the hyperplanes are constants),
-    so the query plan is: scan → bucket filter → cosine → top-k."""
+    so the query plan is: scan → bucket filter → cosine → top-k.
+
+    Like ``ann_ivf_topk``, the bucketed relation is an INDEX: it is
+    parquet-materialized once per (session, sf) (``matview.py``) so probes
+    are pure JVM scans with the bucket equality pushed into the parquet
+    scan — the session-local analog of the written ``partitionBy(bucket)``
+    layout described above.  The pre-r4 shape re-ran the Arrow sign-matmul
+    on every probe."""
+    from event_stream_spark.datapipe.matview import materialized
+
     q = _query_vector(spark, sf)
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
     qbucket = _python_bucket(q)
-    e = lsh_buckets(t(spark, sf, "embeddings"))
+    e = materialized(
+        spark, f"lsh_bucket|{sf}", lambda: lsh_buckets(t(spark, sf, "embeddings"))
+    )
     return (
         e.filter(F.col("bucket") == qbucket)
         .select("vec_id", F.round(cosine(F.col("embedding"), qcol), 6).alias("sim"))
