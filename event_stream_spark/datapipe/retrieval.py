@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_stream_spark.datapipe.text import word_rows
+from event_stream_spark.datapipe.vector import cosine
 from event_stream_spark.queries import t
 
 # ---------------------------------------------------------------------------
@@ -290,3 +291,164 @@ COLLOCATIONS_SQL = f"""
     ORDER BY pmi DESC, c.w1, c.w2
     LIMIT {COLLOC_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking
+# ---------------------------------------------------------------------------
+
+MMR_NQ = 4  # vec_id < NQ form the query batch; the rest are corpus
+MMR_CAND = 12  # relevance top-N entering the reranker
+MMR_K = 5  # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf: str,
+    *,
+    n_queries: int = MMR_NQ,
+    n_cand: int = MMR_CAND,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    each query's relevance top-``n_cand`` is greedily re-picked k times by
+    ``λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)`` — the standard
+    diversification step after ANN retrieval (RAG context selection,
+    near-dup-collapsed search results).
+
+    Scale shape: candidate generation is the distributed part — here the
+    exact broadcast-query relevance scan (the declared baseline, same
+    contract as ``ann_topk_brute``); a production pipeline swaps in the
+    ``ann_join`` banded-LSH candidates unchanged.  The greedy rerank
+    itself touches only ``n_cand`` rows per query, grouped by query_id
+    through ONE ``applyInPandas`` — O(n_cand·k) local work per query,
+    embarrassingly parallel across queries, no driver-side loop.
+
+    Determinism: relevance is the JVM fold-cosine rounded to 6 (same as
+    every ANN oracle); inside the kernel, pairwise cosines use cumsum
+    left-folds (bit-equal to the JVM/DuckDB fold — see ``ivf_assignments``)
+    rounded to 6 before comparison, and every greedy score is
+    ``round(λ·rel − (1−λ)·pen, 6)`` with ties broken toward the smaller
+    vec_id, so the DuckDB oracle replays the greedy loop exactly,
+    round by round.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rel = (
+        e.filter(F.col("vec_id") >= n_queries)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = rel.select("*", F.row_number().over(rw).alias("rn")).filter(
+        F.col("rn") <= n_cand
+    )
+
+    schema = "query_id long, vec_id long, mmr_rank int, score double"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array(pdf["embedding"].tolist(), dtype="float64")
+        dots = np.cumsum(V[:, None, :] * V[None, :, :], axis=2)[:, :, -1]
+        nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        sims = np.round(dots / (nrm[:, None] * nrm[None, :]), 6)
+        rel_ = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        picked: list[int] = []
+        out = []
+        for step in range(min(k, len(pdf))):
+            best = None
+            for i in range(len(pdf)):
+                if i in picked:
+                    continue
+                if step == 0:
+                    sc = rel_[i]
+                else:
+                    pen = max(sims[i, j] for j in picked)
+                    sc = np.round(lam * rel_[i] - (1.0 - lam) * pen, 6)
+                # score desc, vec_id asc (rows pre-sorted by vec_id, so
+                # strict > keeps the smaller id on ties)
+                if best is None or sc > out_sc:
+                    best, out_sc = i, sc
+            picked.append(best)
+            out.append((pdf["query_id"].iloc[0], int(ids[best]), step + 1, float(out_sc)))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "mmr_rank", "score"])
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(_greedy, schema)
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+def _mmr_sql() -> str:
+    lam = MMR_LAMBDA
+    steps = []
+    for s in range(2, MMR_K + 1):
+        prev = f"sel{s - 1}"
+        steps.append(f"""
+    st{s} AS (
+        SELECT c.query_id, c.vec_id,
+               round({lam} * c.rel - {1.0 - lam} * max(p.s), 6) AS score
+        FROM cand c
+        JOIN sims p ON p.query_id = c.query_id AND p.va = c.vec_id
+        JOIN {prev} sel ON sel.query_id = p.query_id AND p.vb = sel.vec_id
+        LEFT JOIN {prev} x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    w{s} AS (
+        SELECT query_id, vec_id, {s} AS mmr_rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, vec_id) AS rn
+              FROM st{s})
+        WHERE rn = 1
+    ),
+    sel{s} AS (SELECT query_id, vec_id, mmr_rank, score FROM sel{s - 1}
+               UNION ALL SELECT query_id, vec_id, mmr_rank, score FROM w{s})""")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {MMR_NQ}),
+    c AS (
+        SELECT q.query_id, e.vec_id, e.v,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id >= {MMR_NQ}
+    ),
+    cand AS (
+        SELECT query_id, vec_id, v, rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, vec_id) AS rn
+              FROM c)
+        WHERE rn <= {MMR_CAND}
+    ),
+    sims AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    sel1 AS (
+        SELECT query_id, vec_id, 1 AS mmr_rank, rel AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, vec_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT query_id, vec_id, mmr_rank, score
+    FROM sel{MMR_K}
+    ORDER BY query_id, mmr_rank
+"""
+
+
+MMR_RERANK_SQL = _mmr_sql()

@@ -32,17 +32,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VOCAB = [f"w{i}" for i in range(2000)]
 
 
-def gen_docs(n: int, path: str, seed: int = 7, clique: int = 0) -> None:
+def gen_docs(
+    n: int, path: str, seed: int = 7, clique: int = 0, twins: bool = False
+) -> None:
     """``clique`` > 0 plants that many EXACT-duplicate docs (one hot
-    sha-bucket for exact dedup, one hot band-bucket for minhash)."""
+    sha-bucket for exact dedup, one hot band-bucket for minhash).
+    ``twins`` makes every ``i % 10 == 1`` doc a one-word-substituted copy of
+    doc i-1 — a planted near-dup PAIR per 10 docs, so the near-dup graph's
+    edge count grows linearly with the corpus (the realistic regime for
+    graph-op scaling, vs the clique's pathological n² edges)."""
     rng = random.Random(seed)
     shared = " ".join(rng.choice(VOCAB) for _ in range(10))
     clique_txt = " ".join(rng.choice(VOCAB) for _ in range(40))
     rows = []
+    prev: list[str] = []
     for i in range(n):
         words = [rng.choice(VOCAB) for _ in range(40)]
+        if twins and i % 10 == 1 and prev:
+            words = list(prev)
+            words[17] = rng.choice(VOCAB)
         if i % 20 == 5:  # 5% of docs embed the shared paragraph
             words[10:20] = shared.split()
+        prev = words
         txt = clique_txt if clique and i % (n // clique) == 0 else " ".join(words)
         rows.append((i, txt, rng.choice(["en", "de", "fr"]), f"src{i % 10}", len(txt)))
     os.makedirs(path, exist_ok=True)
@@ -145,6 +156,8 @@ def main() -> None:
     from event_stream_spark.datapipe.bloom import bloom_prune
     from event_stream_spark.datapipe.bpe import bpe_pairs
     from event_stream_spark.datapipe.corpusops import lm_score
+    from event_stream_spark.datapipe.graph import graph_pagerank
+    from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
     from event_stream_spark.datapipe.similarity import ann_join, embed_quantize
     from event_stream_spark.datapipe.webops import (
         dedup_incremental,
@@ -175,9 +188,19 @@ def main() -> None:
         ("ann_join", ann_join),
         ("bpe_pairs", bpe_pairs),
         ("bloom_prune", bloom_prune),
+        ("bm25_topk", bm25_topk),
+        ("collocations", collocations),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")
+
+    # linear-edge near-dup corpora (planted twin pairs, not a clique) for
+    # the iterative graph op: edges ∝ docs, so the 10× ratio isolates the
+    # per-iteration join+agg cost rather than output growth
+    one_g, ten_g = f"{work}/1x_graph", f"{work}/10x_graph"
+    gen_docs(20_000, one_g, twins=True), gen_docs(200_000, ten_g, twins=True)
+    t1, t10 = timeit(graph_pagerank, one_g), timeit(graph_pagerank, ten_g)
+    print(f"graph_pagerank: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x edges)")
     spark.stop()
 
 

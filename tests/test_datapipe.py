@@ -1007,3 +1007,25 @@ def test_collocations_finds_adjacent_pairs(spark, dup_corpus):
     # sorted by pmi desc then keys
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True) or len(set(pmis)) < len(pmis)
+
+
+def test_mmr_rerank_diversifies(spark, tmp_path):
+    """Two near-identical high-relevance candidates: pure relevance ranks
+    them 1-2, but MMR's second pick must jump to the diverse candidate."""
+    from event_stream_spark.datapipe.retrieval import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0] * 16
+    c1 = [0.7, 0.7, 0.0, 0.0] * 16              # relevant
+    c2 = [0.7, 0.701, 0.0, 0.0] * 16            # near-identical to c1
+    c3 = [0.7, -0.7, 0.0, 0.0] * 16             # equally relevant, orthogonal to c1
+    vecs = [(0, q), (1, c1), (2, c2), (3, c3)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    rows = mmr_rerank(spark, str(tmp_path), n_queries=1, n_cand=3, k=2, lam=0.5).collect()
+    assert [r.mmr_rank for r in rows] == [1, 2]
+    assert rows[0].vec_id == 1          # relevance argmax (exact match, smaller id)
+    assert rows[1].vec_id == 3          # NOT the twin (vec 2): diversity penalty wins
