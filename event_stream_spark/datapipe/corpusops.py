@@ -508,3 +508,90 @@ LM_SCORE_SQL = """
     FROM w JOIN uni USING (w)
     GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# Interpolation weight for the bigram LM: p = λ·p_bigram + (1−λ)·p_unigram
+LM_BIGRAM_LAMBDA = 0.8
+
+
+def lm_score_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal per document — the order-2 upgrade of
+    ``lm_score`` (closer to the CCNet recipe's 5-gram KenLM):
+
+        p(wᵢ | wᵢ₋₁) = λ · c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1 − λ) · c(wᵢ)/N
+
+    scored as the mean ``−ln p`` over a doc's bigram positions (docs with
+    < 2 tokens have no positions and drop out, as in ``lm_score``).
+    Interpolation with the unigram model is the classic Jelinek-Mercer
+    smoothing, so unseen-bigram positions still get finite surprisal when
+    scoring held-out text against a frozen model; in this self-scoring
+    registry form every bigram is seen by construction.
+
+    Scale shape: bigram assembly is one ``lead()`` over the (doc_id, pos)
+    token rows; the bigram-count fit is a gram-keyed partial-agg shuffle
+    (Zipf-bounded output).  Scoring joins counts back on the gram key —
+    co-partitioned with the fit, AQE broadcasts when the model is small —
+    and reduces per doc_id.  Three linear shuffles end-to-end, no doc×doc
+    or vocab×vocab term at any size.
+
+    Determinism: same integer-scaled rounding as ``lm_score`` — the mean is
+    scaled ×1e6 and rounded to a WHOLE number, so sub-1e-8 cross-engine
+    fp-sum drift cannot flip the output.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import word_rows
+
+    lam = LM_BIGRAM_LAMBDA
+    wr = word_rows(t(spark, sf, "documents"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        wr.select("doc_id", F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = wr.groupBy(F.col("w")).agg(F.count("*").alias("uc"))
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    total = uni.agg(F.sum("uc").cast("double").alias("n"))
+    p = F.lit(lam) * (F.col("pc") / F.col("c1")) + F.lit(1.0 - lam) * (
+        F.col("uc") / F.col("n")
+    )
+    return (
+        big.join(pair, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("uc").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), "uc"), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)) * 1e6).cast("long").alias("surprisal_p6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_SCORE_BIGRAM_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents)),
+    big AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+    uni AS (SELECT w, count(*) AS uc FROM toks GROUP BY w),
+    pair AS (SELECT w1, w2, count(*) AS pc
+             FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n FROM uni)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(round(avg(-ln({LM_BIGRAM_LAMBDA} * (p.pc / u1.uc)
+                           + {1.0 - LM_BIGRAM_LAMBDA} * (u2.uc / (SELECT n FROM tot))))
+                      * 1e6) AS BIGINT) AS surprisal_p6
+    FROM big b
+    JOIN pair p ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    WHERE b.w2 IS NOT NULL
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""

@@ -1029,3 +1029,22 @@ def test_mmr_rerank_diversifies(spark, tmp_path):
     assert [r.mmr_rank for r in rows] == [1, 2]
     assert rows[0].vec_id == 1          # relevance argmax (exact match, smaller id)
     assert rows[1].vec_id == 3          # NOT the twin (vec 2): diversity penalty wins
+
+
+def test_lm_score_bigram_orders_predictability(spark, tmp_path):
+    """A doc whose bigrams are deterministic (x always followed by y) must
+    score lower surprisal than one whose contexts branch (a followed by
+    b/c/d equally) — the core LM-quality-ordering property."""
+    from event_stream_spark.datapipe.corpusops import lm_score_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y", "en", "s", 15),
+            (2, "a b a c a d a e", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.doc_id: r for r in lm_score_bigram(spark, str(tmp_path)).collect()}
+    assert rows[1].n_bigrams == 7 and rows[2].n_bigrams == 7
+    assert rows[1].surprisal_p6 < rows[2].surprisal_p6
