@@ -46,7 +46,7 @@ WITNESS_ORDER: list[str] = [
     "bpe_pairs", "bpe_learn", "bpe_tokenize", "bloom_prune",
     "quality_classify", "corpus_temp_mix", "corpus_report",
     "bm25_topk", "collocations", "graph_pagerank", "mmr_rerank",
-    "lm_score_bigram",
+    "lm_score_bigram", "dedup_containment", "length_trim",
     # -- re-witness: one entry per distinct operator family (30 slots) --
     "fuzzy_match",
     "q25", "q26", "q27", "q28", "q29", "q30", "q31", "q32",

@@ -889,3 +889,97 @@ DEDUP_CLUSTER_BEST_SQL = f"""
            cluster_size
     FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (subset-duplicate) detection
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8  # fraction of A's shingles that must appear in B
+CONTAIN_N = 5  # same shingle order as the jaccard family
+
+
+def containment_pairs(
+    spark: SparkSession, sf: str, *, threshold: float = CONTAIN_T, n: int = CONTAIN_N
+) -> DataFrame:
+    """Directed pairs (a, b) where doc a's shingle set is ≥ ``threshold``
+    CONTAINED in doc b's: C(a→b) = |Sₐ∩S_b| / |Sₐ| — the asymmetric cousin
+    of jaccard that catches subset duplicates (a quote, an excerpt, a doc
+    embedded in a larger page), which symmetric jaccard misses whenever the
+    container is much bigger than the contained doc.
+
+    Exactness via prefix filtering (the containment-join variant of the
+    PPJoin trick in :func:`ngram_jaccard_pairs`): under the md5 global
+    token order, C(a→b) ≥ t forces a to share a token within its first
+    (|Sₐ| − ⌈t·|Sₐ|⌉ + 1) tokens with SOME token of b — so candidates are
+    an equi-join of a-prefix rows against b's full shingle rows (the
+    asymmetry: only the probe side is prefix-pruned), and the exact
+    containment verify touches candidates only.  Every step is a codegen
+    equi-join/agg on the shingle key — no n² compare at any size.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import doc_shingles
+
+    shg = doc_shingles(spark, sf, n)
+    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    win = Window.partitionBy("doc_id").orderBy("k")
+    ranked = (
+        shg.select("doc_id", F.md5("s").alias("k"))
+        .withColumn("rn", F.row_number().over(win))
+        .join(sizes, "doc_id")
+    )
+    plen = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    a_pref = ranked.filter(F.col("rn") <= plen).select(
+        F.col("doc_id").alias("a"), "k"
+    )
+    b_all = shg.select(F.col("doc_id").alias("b"), F.md5("s").alias("k"))
+    cand = (
+        a_pref.join(b_all, "k")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = shg.select(F.col("doc_id").alias("a"), "s")
+    sb = shg.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    containment = F.round(F.col("inter") / F.col("sz_a"), 6)
+    return (
+        inter.join(za, "a")
+        .select("a", "b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    return containment_pairs(spark, sf)
+
+
+# Oracle: naive quadratic containment — same result set by definition.
+DEDUP_CONTAINMENT_SQL = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(ws) - 3, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4])) AS shg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+              FROM documents)
+        WHERE len(ws) >= 5
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.shg, b.shg))::DOUBLE / len(a.shg), 6)
+               AS containment
+    FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
+    WHERE containment >= {CONTAIN_T}
+    ORDER BY a, b
+"""

@@ -211,3 +211,54 @@ CORPUS_REPORT_SQL = """
     GROUP BY CUBE (lang, source)
     ORDER BY lang NULLS FIRST, source NULLS FIRST
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language length-outlier trim
+# ---------------------------------------------------------------------------
+
+TRIM_LO = 0.05
+TRIM_HI = 0.95
+
+
+def length_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length-outlier trim: docs outside their language's
+    [p5, p95] char-length band are flagged for removal — the standard
+    "too short / suspiciously long" cleaning cut, calibrated per stratum
+    instead of with global magic constants (a p95 for zh is very different
+    from one for en).
+
+    Scale shape: one partial-agg shuffle on the (tiny-cardinality) lang key
+    computes both exact percentiles (``F.percentile``, sort-based state
+    inside the aggregate buffer — same engine machinery as q28, where the
+    heavy-group caveat and the `percentile_approx` escape hatch are
+    documented); the cutoff table is a handful of rows and broadcasts back
+    onto the scan, so flagging is a narrow codegen projection.  DuckDB's
+    ``quantile_cont`` shares the linear-interpolation definition, so the
+    oracle matches bit-for-bit after rounding.
+    """
+    d = t(spark, sf, "documents")
+    cuts = d.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(n_chars, {TRIM_LO})"), 4).alias("p_lo"),
+        F.round(F.expr(f"percentile(n_chars, {TRIM_HI})"), 4).alias("p_hi"),
+    )
+    keep = (F.col("n_chars") >= F.col("p_lo")) & (F.col("n_chars") <= F.col("p_hi"))
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "n_chars", "p_lo", "p_hi", keep.alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_TRIM_SQL = f"""
+    WITH cuts AS (
+        SELECT lang,
+               round(quantile_cont(n_chars, {TRIM_LO}), 4) AS p_lo,
+               round(quantile_cont(n_chars, {TRIM_HI}), 4) AS p_hi
+        FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars, p_lo, p_hi,
+           (n_chars >= p_lo AND n_chars <= p_hi) AS keep
+    FROM documents d JOIN cuts USING (lang)
+    ORDER BY doc_id
+"""

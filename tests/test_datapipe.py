@@ -1048,3 +1048,30 @@ def test_lm_score_bigram_orders_predictability(spark, tmp_path):
     rows = {r.doc_id: r for r in lm_score_bigram(spark, str(tmp_path)).collect()}
     assert rows[1].n_bigrams == 7 and rows[2].n_bigrams == 7
     assert rows[1].surprisal_p6 < rows[2].surprisal_p6
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a much larger one: containment flags
+    the (excerpt -> container) direction, while symmetric jaccard at the
+    same threshold misses the pair entirely."""
+    from event_stream_spark.datapipe.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    excerpt = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"pad{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, excerpt, "en", "s", len(excerpt)),
+            (2, f"{filler} {excerpt} {filler}", "en", "s", 200),
+            (3, "totally unrelated words about something else entirely here", "en", "s", 58),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    cont = {(r.a, r.b) for r in containment_pairs(spark, sf, threshold=0.8).collect()}
+    assert (1, 2) in cont  # excerpt contained in container
+    jacc = {(r.a, r.b) for r in ngram_jaccard_pairs(spark, sf, threshold=0.8).collect()}
+    assert (1, 2) not in jacc  # symmetric measure dilutes to ~|A|/|B|

@@ -25,7 +25,7 @@ NEW_IN_R4 = {
     "dedup_cluster_best", "ann_join", "bpe_pairs", "bpe_learn",
     "bloom_prune", "quality_classify", "corpus_temp_mix", "bpe_tokenize",
     "corpus_report", "bm25_topk", "collocations", "graph_pagerank",
-    "mmr_rerank", "lm_score_bigram",
+    "mmr_rerank", "lm_score_bigram", "dedup_containment", "length_trim",
 }
 
 
