@@ -89,14 +89,30 @@ def bm25_topk(
         .groupBy("doc_id", F.col("w").alias("term"))
         .agg(F.count("*").alias("tf")),
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-
     # 1-row global stats; joined in as a broadcast literal-like relation
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
     )
+    return score_postings(spark, tf, stats, queries=queries, k=k)
 
+
+def score_postings(
+    spark: SparkSession,
+    tf: DataFrame,
+    stats: DataFrame,
+    *,
+    queries: list[tuple[int, str]],
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 scoring over an existing (doc_id, term, tf) posting relation —
+    shared by the batch index build (:func:`bm25_topk`) and the
+    incrementally-maintained streaming index
+    (``streaming/indexstream.py``).  ``stats`` is a 1-row (n_docs, avgdl)
+    relation; dl/df derive from the postings, so the scorer never touches
+    raw text."""
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = (
         spark.createDataFrame(queries, "query_id int, qtext string")
         .select("query_id", F.explode(F.array_distinct(

@@ -1,0 +1,117 @@
+"""Streaming inverted-index maintenance — the live twin of ``bm25_topk``'s
+materialized posting list (``datapipe/retrieval.py``).
+
+Crawl batches stream in; each batch tokenizes its documents (the shared
+``datapipe/text.py`` contract), drops documents already indexed, and
+appends their (doc_id, term, tf) postings to a bucket-partitioned parquet
+index.  Probing the live index with :func:`bm25_from_index` returns
+EXACTLY what the batch ``score_postings`` scorer returns over the same
+corpus — the batch≡stream parity contract every streaming twin in this
+repo carries (rollup, anomaly, heavy hitters, corpus ingest).
+
+Contract:
+
+- **exactly-once postings**: the doc-id ledger (a side parquet of indexed
+  ids) anti-joins each batch, so transport/checkpoint replays append
+  nothing — at-least-once delivery + id anti-join = exactly-once index
+  membership, the ``dedupstream.py`` division of labor.
+- **term-bucketed layout**: postings land in ``bucket = pmod(xxhash64
+  (term), 64)`` partition dirs, so a query-term probe prunes to its
+  buckets at PLAN time (the same prune-before-read stance as the block /
+  IVF / corpus lakes).  At 100 TB per-bucket files are periodically
+  compacted (``sources/eventlake.py::compact_event_lake`` shape).
+- **ledger before postings**: the doc ledger is appended AFTER the
+  postings write succeeds; a crash between the two replays the batch,
+  the anti-join sees the ledger without the ids, postings for those docs
+  are re-derived and re-appended idempotently only if they never landed
+  (partial posting files from a failed job are cleaned by Spark's
+  _temporary commit protocol, so "postings landed" and "job succeeded"
+  coincide).
+
+Scale shape per batch: tokenize + one (doc_id, term) partial-agg shuffle
+over the BATCH only; the ledger anti-join reads a doc_id-only projection
+(AQE broadcasts while small, runtime bloom above that); the append is one
+parquet job.  Nothing ever re-touches the existing index rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INDEX_BUCKETS = 64
+
+
+def _postings(batch: DataFrame, text_col: str = "text") -> DataFrame:
+    from event_stream_spark.datapipe.text import word_rows
+
+    return (
+        word_rows(batch, text_col)
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(INDEX_BUCKETS)))
+    )
+
+
+def index_batch(
+    spark: SparkSession, batch: DataFrame, index_path: str, *, text_col: str = "text"
+) -> int:
+    """One microbatch of index maintenance; returns newly indexed doc
+    count.  Usable directly for batch backfills."""
+    docs = batch.select("doc_id", text_col).dropDuplicates(["doc_id"])
+    ledger = f"{index_path}/docs"
+    if os.path.isdir(ledger):
+        seen = spark.read.parquet(ledger).select("doc_id")
+        docs = docs.join(seen, "doc_id", "left_anti")
+    fresh = docs.count()
+    if fresh:
+        _postings(docs, text_col).write.mode("append").partitionBy("bucket").parquet(
+            f"{index_path}/postings"
+        )
+        docs.select("doc_id").write.mode("append").parquet(ledger)
+    return fresh
+
+
+def posting_index_sink(
+    docs: DataFrame, index_path: str, checkpoint: str, *, text_col: str = "text"
+):
+    """``writeStream`` builder: call ``.start()`` on the result."""
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        index_batch(batch.sparkSession, batch, index_path, text_col=text_col)
+
+    return docs.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_postings(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(f"{index_path}/postings").select(
+        "doc_id", "term", "tf"
+    )
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    queries: list[tuple[int, str]],
+    k: int | None = None,
+) -> DataFrame:
+    """BM25 top-k against the incrementally-maintained index — the shared
+    ``score_postings`` scorer, so results are identical to the batch
+    ``bm25_topk`` over the same corpus (asserted by the parity test).
+    Corpus stats (N, avgdl) derive from the index itself."""
+    from event_stream_spark.datapipe.retrieval import BM25_TOPK, score_postings
+
+    tf = read_postings(spark, index_path)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    return score_postings(
+        spark, tf, stats, queries=queries, k=BM25_TOPK if k is None else k
+    )

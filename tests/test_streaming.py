@@ -1733,3 +1733,71 @@ def test_cli_query_mode(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         run(["--query", "nope_not_a_query"])
+
+
+def test_streaming_posting_index_matches_batch_bm25(spark, tmp_path):
+    """Incrementally-maintained inverted index: documents stream in over
+    two microbatch rounds (plus a full checkpoint-loss replay that must be
+    a no-op), and BM25 over the live index returns exactly what the batch
+    scorer returns over the same corpus."""
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+    from event_stream_spark.streaming.indexstream import (
+        posting_index_sink,
+        read_postings,
+        bm25_from_index,
+    )
+
+    src = str(tmp_path / "crawl")
+    index = str(tmp_path / "index")
+    sfdir = str(tmp_path / "sf")
+    os.makedirs(src)
+
+    docs = [
+        (1, "spark stream join fast spark"),
+        (2, "customer query fast table scan"),
+        (3, "hash table scan spark join"),
+        (4, "vector data window stream stream"),
+        (5, "query spark spark table"),
+    ]
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    def start(ckpt):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+        return (
+            posting_index_sink(stream, index, str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    feed("b1", docs[:3])
+    start("ck1").awaitTermination(120)
+    feed("b2", docs[3:])
+    start("ck1").awaitTermination(120)
+
+    n_postings = read_postings(spark, index).count()
+    assert read_postings(spark, index).select("doc_id").distinct().count() == 5
+
+    # checkpoint loss: full re-feed under a fresh checkpoint appends nothing
+    start("ck2_fresh").awaitTermination(120)
+    assert read_postings(spark, index).count() == n_postings
+
+    # batch twin over the identical corpus (as a documents table on disk)
+    qs = [(0, "spark table"), (1, "stream window")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sfdir}/documents.parquet")
+    batch = bm25_topk(spark, sfdir, queries=qs, k=3).collect()
+    live = bm25_from_index(spark, index, queries=qs, k=3).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in batch]
+
+    # the term-bucketed layout prunes probes at plan time
+    import glob
+
+    assert glob.glob(f"{index}/postings/bucket=*")
