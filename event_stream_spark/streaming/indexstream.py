@@ -11,22 +11,21 @@ repo carries (rollup, anomaly, heavy hitters, corpus ingest).
 
 Contract:
 
-- **exactly-once postings**: the doc-id ledger (a side parquet of indexed
-  ids) anti-joins each batch, so transport/checkpoint replays append
+- **exactly-once postings**: each batch anti-joins the distinct doc_ids
+  already IN the postings lake, so transport/checkpoint replays append
   nothing — at-least-once delivery + id anti-join = exactly-once index
-  membership, the ``dedupstream.py`` division of labor.
+  membership, the ``dedupstream.py`` division of labor.  The lake itself
+  is the ledger (single source of truth): there is no separate seen-ids
+  table whose write could land out of step with the postings write and
+  open a duplicate-on-replay window.  Spark's parquet commit protocol
+  cleans partial files from a failed append, so "doc_id visible in the
+  lake" and "its postings landed" coincide.
 - **term-bucketed layout**: postings land in ``bucket = pmod(xxhash64
   (term), 64)`` partition dirs, so a query-term probe prunes to its
   buckets at PLAN time (the same prune-before-read stance as the block /
   IVF / corpus lakes).  At 100 TB per-bucket files are periodically
-  compacted (``sources/eventlake.py::compact_event_lake`` shape).
-- **ledger before postings**: the doc ledger is appended AFTER the
-  postings write succeeds; a crash between the two replays the batch,
-  the anti-join sees the ledger without the ids, postings for those docs
-  are re-derived and re-appended idempotently only if they never landed
-  (partial posting files from a failed job are cleaned by Spark's
-  _temporary commit protocol, so "postings landed" and "job succeeded"
-  coincide).
+  compacted (``sources/eventlake.py::compact_event_lake`` shape), and the
+  seen-ids anti-join probe reads a doc_id-only column projection.
 
 Scale shape per batch: tokenize + one (doc_id, term) partial-agg shuffle
 over the BATCH only; the ledger anti-join reads a doc_id-only projection
@@ -61,16 +60,15 @@ def index_batch(
     """One microbatch of index maintenance; returns newly indexed doc
     count.  Usable directly for batch backfills."""
     docs = batch.select("doc_id", text_col).dropDuplicates(["doc_id"])
-    ledger = f"{index_path}/docs"
-    if os.path.isdir(ledger):
-        seen = spark.read.parquet(ledger).select("doc_id")
+    lake = f"{index_path}/postings"
+    if os.path.isdir(lake):
+        seen = spark.read.parquet(lake).select("doc_id").distinct()
         docs = docs.join(seen, "doc_id", "left_anti")
     fresh = docs.count()
     if fresh:
         _postings(docs, text_col).write.mode("append").partitionBy("bucket").parquet(
-            f"{index_path}/postings"
+            lake
         )
-        docs.select("doc_id").write.mode("append").parquet(ledger)
     return fresh
 
 
