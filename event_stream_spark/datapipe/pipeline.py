@@ -70,3 +70,56 @@ DATAPIPE_CLEAN_SQL = f"""
     WHERE s.doc_id NOT IN (SELECT b FROM near_pairs)
     ORDER BY s.doc_id
 """
+
+
+def datapipe_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-4 curation chain — the composition proof for the newer
+    operators, wired the way a production recipe orders them:
+
+      1. per-language length-outlier trim  (percentile cuts, broadcast back)
+      2. model-based quality filter        (logistic ``quality_classify`` keep)
+      3. containment dedup                 (drop the CONTAINED doc of every
+                                            ≥0.8 pair — the excerpt loses,
+                                            its container carries the text)
+
+    Each stage is an already-oracled operator; the composition is replayed
+    end-to-end by the DuckDB twin (each stage's verified SQL inlined as a
+    subquery).  Scale shape: stages 1–2 are keyed-agg + broadcast-join
+    filters over narrow projections; the containment candidate machinery
+    runs once over the full corpus and its pair list is drop-side tiny.
+    """
+    from event_stream_spark.datapipe.classify import quality_classify
+    from event_stream_spark.datapipe.dedup import containment_pairs
+    from event_stream_spark.datapipe.textstats import length_trim
+
+    lt = length_trim(spark, sf).filter(F.col("keep")).select("doc_id")
+    qc = quality_classify(spark, sf).filter(F.col("keep")).select("doc_id")
+    contained = (
+        containment_pairs(spark, sf).select(F.col("a").alias("doc_id")).distinct()
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .join(lt, "doc_id", "left_semi")
+        .join(qc, "doc_id", "left_semi")
+        .join(contained, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_v2_sql() -> str:
+    from event_stream_spark.datapipe.classify import QUALITY_CLASSIFY_SQL
+    from event_stream_spark.datapipe.dedup import DEDUP_CONTAINMENT_SQL
+    from event_stream_spark.datapipe.textstats import LENGTH_TRIM_SQL
+
+    return f"""
+    SELECT d.doc_id
+    FROM documents d
+    JOIN ({LENGTH_TRIM_SQL}) lt ON lt.doc_id = d.doc_id AND lt.keep
+    JOIN ({QUALITY_CLASSIFY_SQL}) qc ON qc.doc_id = d.doc_id AND qc.keep
+    WHERE d.doc_id NOT IN (SELECT a FROM ({DEDUP_CONTAINMENT_SQL}))
+    ORDER BY d.doc_id
+"""
+
+
+DATAPIPE_CURATE_V2_SQL = _curate_v2_sql()
