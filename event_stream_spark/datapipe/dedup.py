@@ -983,3 +983,63 @@ DEDUP_CONTAINMENT_SQL = f"""
     WHERE containment >= {CONTAIN_T}
     ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(text):
+    """The normalization contract (mirrored verbatim in the oracle):
+    lowercase → collapse all whitespace runs to one space → strip
+    ASCII punctuation → trim.  Catches the re-encoded/re-wrapped copies
+    byte-exact hashing misses (the usual gap between crawl snapshots)."""
+    col = F.col(text) if isinstance(text, str) else text
+    col = F.lower(col)
+    col = F.regexp_replace(col, r"[.!?,;:'\"()\[\]{}-]", "")
+    col = F.regexp_replace(col, r"\s+", " ")
+    return F.trim(col)
+
+
+def dedup_exact_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor per NORMALIZED text: min doc_id + copy count + whether the
+    group only collapses under normalization (raw_distinct > 1 while the
+    normalized hash matches) — the practical dedup_exact upgrade.
+
+    Scale shape: identical to ``dedup_exact`` — the normalization is
+    scan-local codegen string work, then one 32-byte-hash shuffle with
+    map-side combine; the text never rides the exchange.
+    """
+    d = t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.sha2(_norm_text("text"), 256).alias("norm_hash"),
+            F.sha2(F.col("text"), 256).alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            (F.countDistinct("raw_hash") > 1).alias("norm_only"),
+        )
+        .select("doc_id", "norm_hash", "n_copies", "norm_only")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_NORM_SQL = r"""
+    SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS n_copies,
+           (count(DISTINCT raw_hash) > 1) AS norm_only
+    FROM (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(
+                   regexp_replace(lower(text), '[.!?,;:''"()\[\]{}-]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS norm_hash,
+               sha256(text) AS raw_hash
+        FROM documents
+    )
+    GROUP BY norm_hash
+    ORDER BY doc_id
+"""

@@ -192,3 +192,53 @@ CORPUS_TEMP_MIX_SQL = f"""
     FROM cp WHERE copies > 0
     ORDER BY doc_id, copy
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling
+# ---------------------------------------------------------------------------
+
+STRAT_K = 20  # per-language sample size
+
+
+def corpus_sample_stratified(
+    spark: SparkSession, sf: str, k: int = STRAT_K, seed: int = SAMPLE_SEED
+) -> DataFrame:
+    """Exact-k deterministic uniform sample PER LANGUAGE (the eval-set /
+    annotation-batch construction shape: equal representation per stratum
+    regardless of corpus skew), via a hash-ranked window per lang.
+
+    Scale shape: one hash exchange on the lang key; each group ranks by the
+    seeded md5 permutation key and keeps k rows.  Strata are independent —
+    at 100 TB a hot language is one window partition, and AQE's skew
+    handling splits it; no global sort, no cross-strata coordination.
+    Deterministic: same seed → same sample under any partitioning, because
+    the rank key is a pure function of doc_id.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    key = _shuffle_key(F.col("doc_id"), seed)
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "lang", "sample_key", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+CORPUS_SAMPLE_STRAT_SQL = f"""
+    SELECT doc_id, lang, sample_key, rn
+    FROM (
+        SELECT doc_id, lang,
+               md5(doc_id::VARCHAR || ':{SAMPLE_SEED}') AS sample_key,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR || ':{SAMPLE_SEED}'),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {STRAT_K}
+    ORDER BY lang, rn
+"""

@@ -1075,3 +1075,26 @@ def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     assert (1, 2) in cont  # excerpt contained in container
     jacc = {(r.a, r.b) for r in ngram_jaccard_pairs(spark, sf, threshold=0.8).collect()}
     assert (1, 2) not in jacc  # symmetric measure dilutes to ~|A|/|B|
+
+
+def test_dedup_exact_norm_collapses_rewrapped_copies(spark, tmp_path):
+    """Docs identical up to case/whitespace/punctuation collapse into one
+    normalized group flagged norm_only; byte-exact dedup keeps them apart."""
+    from event_stream_spark.datapipe.dedup import dedup_exact, dedup_exact_norm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   world! This is   fine.", "en", "s", 30),
+            (2, "hello world this is fine", "en", "s", 24),
+            (3, "something else entirely", "en", "s", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    raw = dedup_exact(spark, sf).collect()
+    assert len(raw) == 3  # byte-exact sees three distinct texts
+    norm = {r.doc_id: r for r in dedup_exact_norm(spark, sf).collect()}
+    assert set(norm) == {1, 3}
+    assert norm[1].n_copies == 2 and norm[1].norm_only
+    assert norm[3].n_copies == 1 and not norm[3].norm_only
