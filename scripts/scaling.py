@@ -33,14 +33,21 @@ VOCAB = [f"w{i}" for i in range(2000)]
 
 
 def gen_docs(
-    n: int, path: str, seed: int = 7, clique: int = 0, twins: bool = False
+    n: int,
+    path: str,
+    seed: int = 7,
+    clique: int = 0,
+    twins: bool = False,
+    hot_word: str | None = None,
 ) -> None:
     """``clique`` > 0 plants that many EXACT-duplicate docs (one hot
     sha-bucket for exact dedup, one hot band-bucket for minhash).
     ``twins`` makes every ``i % 10 == 1`` doc a one-word-substituted copy of
     doc i-1 — a planted near-dup PAIR per 10 docs, so the near-dup graph's
     edge count grows linearly with the corpus (the realistic regime for
-    graph-op scaling, vs the clique's pathological n² edges)."""
+    graph-op scaling, vs the clique's pathological n² edges).  ``hot_word``
+    is appended to EVERY doc — a stop-word-shaped posting-list hot key for
+    the retrieval skew scenario."""
     rng = random.Random(seed)
     shared = " ".join(rng.choice(VOCAB) for _ in range(10))
     clique_txt = " ".join(rng.choice(VOCAB) for _ in range(40))
@@ -54,6 +61,8 @@ def gen_docs(
         if i % 20 == 5:  # 5% of docs embed the shared paragraph
             words[10:20] = shared.split()
         prev = words
+        if hot_word:
+            words = words + [hot_word]
         txt = clique_txt if clique and i % (n // clique) == 0 else " ".join(words)
         rows.append((i, txt, rng.choice(["en", "de", "fr"]), f"src{i % 10}", len(txt)))
     os.makedirs(path, exist_ok=True)
@@ -139,6 +148,26 @@ def run_skew(work: str) -> None:
     ]:
         tu, tsk = timeit(fn, uni), timeit(fn, skew)
         print(f"{name}: uniform {tu:.2f}s -> skewed {tsk:.2f}s  ({tsk / tu:.1f}x)")
+
+    # retrieval skew: a stop-word-shaped term in EVERY doc; the query that
+    # contains it makes the whole corpus a scoring candidate
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+
+    hot = f"{work}/hotterm"
+    gen_docs(20_000, hot, hot_word="thehot")
+    tu = timeit(lambda sp, a: bm25_topk(sp, a, queries=[(0, "w17 w33")]), uni)
+    tsk = timeit(lambda sp, a: bm25_topk(sp, a, queries=[(1, "thehot w17")]), hot)
+    print(f"bm25 hot-term: cold-term query {tu:.2f}s -> all-docs-term query {tsk:.2f}s  ({tsk / tu:.1f}x)")
+
+    # graph skew: linear-edge twins vs one 400-doc clique (dense component):
+    # iteration cost tracks EDGES, and the clique packs ~80k of them into
+    # one component
+    from event_stream_spark.datapipe.graph import graph_pagerank
+
+    tw = f"{work}/twins"
+    gen_docs(20_000, tw, twins=True)
+    tu, tsk = timeit(graph_pagerank, tw), timeit(graph_pagerank, skew)
+    print(f"graph_pagerank: twin edges {tu:.2f}s -> clique edges {tsk:.2f}s  ({tsk / tu:.1f}x)")
     spark.stop()
 
 
