@@ -2,7 +2,7 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The container has no image/audio/video codec libraries, so decode for
-png/jpeg/gif/mp3/mp4 is STUBBED (NotImplementedError as marked) — but one
+jpeg/gif/mp3/mp4 is STUBBED (NotImplementedError as marked) — but one
 format per modality needs no library, so for each the pipeline is REAL
 end-to-end:
 
@@ -25,6 +25,7 @@ metadata-only queries never touch the binary column thanks to column pruning.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -237,12 +238,190 @@ def resize_nearest(img, out_w: int, out_h: int):
     return img[ys][:, xs]
 
 
+# ---------------------------------------------------------------------------
+# PNG codec — pure stdlib (zlib) + numpy; the public W3C PNG spec only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode: chunk walk (CRC-verified), IHDR, zlib-inflated IDAT,
+    per-scanline unfilter (all five filter types of the W3C spec §9), for
+    8-bit gray / RGB / palette / RGBA, non-interlaced.  Returns an
+    h×w×3 uint8 RGB ndarray (gray replicated, alpha dropped, palette
+    resolved).  Interlaced (Adam7) and 16-bit images raise
+    NotImplementedError — sniffed and skipped upstream like the other
+    codec-absent formats.
+
+    Filters 0 (None) and 2 (Up) reconstruct vectorized; 1 (Sub) is a
+    per-byte-lane prefix sum mod 256 (cumsum); 3 (Average) and 4 (Paeth)
+    are inherently sequential in x and run as per-byte loops — scanlines
+    are short, and the mapInPandas stage parallelizes across rows/batches,
+    not within one image.
+    """
+    import zlib
+
+    import numpy as np
+
+    if not content or not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, b"", None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if comp or filt:
+        raise ValueError("invalid PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # header-only / garbled IDAT
+        raise ValueError(f"PNG IDAT undecodable: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        )
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = row.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + (left + int(prev[i])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    return px[:, :, :3]  # RGBA → drop alpha
+
+
+def encode_png(img, *, color: int = 2, filters=None) -> bytes:
+    """Minimal PNG encoder (the decoder's inverse): 8-bit gray/RGB/RGBA,
+    one IDAT, per-row filter selection via ``filters`` (int or per-row
+    list, default 0) — exists so fixtures can exercise every unfilter path
+    with stdlib-only tooling, and so thumbnail export needs no codec lib."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    px = img.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    if filters is None:
+        filters = 0
+    rowfilters = [filters] * h if isinstance(filters, int) else list(filters)
+    raw = bytearray()
+    for y in range(h):
+        row, prev = px[y], (px[y - 1] if y else np.zeros(w * bpp, dtype=np.int64))
+        f = rowfilters[y]
+        raw.append(f)
+        if f == 0:
+            enc = row % 256
+        elif f == 1:
+            enc = (row - np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            enc = (row - (left + prev) // 2) % 256
+        elif f == 4:
+            enc = np.zeros(w * bpp, dtype=np.int64)
+            for i in range(w * bpp):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (int(row[i]) - _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"filter {f}")
+        raw += bytes(enc.astype(np.uint8))
+    import struct as _s
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data))
+            + ctype
+            + data
+            + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes) -> "object":
-    """Pixel decode dispatch: PPM decodes for real; png/jpeg/gif need a
-    codec library this container doesn't ship — those stay stubbed.  The
-    Spark-side contract (mapInPandas over binary) is identical either way."""
+    """Pixel decode dispatch: PPM and PNG decode for REAL (stdlib zlib +
+    the spec); jpeg/gif need a codec library this container doesn't ship —
+    those stay stubbed.  The Spark-side contract (mapInPandas over binary)
+    is identical either way."""
     if content and content.startswith(b"P6"):
         return decode_ppm(content)
+    if content and content.startswith(_PNG_SIG):
+        return decode_png(content)
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -303,9 +482,14 @@ def image_pixel_stats(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFra
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else None
-                if not b or not b.startswith(b"P6"):
+                if not b or not (b.startswith(b"P6") or b.startswith(_PNG_SIG)):
                     continue
-                img = decode_ppm(b)
+                try:
+                    img = decode_image(b)
+                except (ValueError, NotImplementedError):
+                    # header-only / truncated synthetics and codec-absent
+                    # variants sniff as images but carry no raster
+                    continue
                 t = resize_nearest(img, thumb[0], thumb[1])
                 means = img.reshape(-1, 3).mean(axis=0)
                 rows.append(

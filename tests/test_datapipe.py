@@ -1098,3 +1098,64 @@ def test_dedup_exact_norm_collapses_rewrapped_copies(spark, tmp_path):
     assert set(norm) == {1, 3}
     assert norm[1].n_copies == 2 and norm[1].norm_only
     assert norm[3].n_copies == 1 and not norm[3].norm_only
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) and color type
+    (gray/RGB/RGBA) reconstructs the exact pixel raster, stdlib-only."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png(rgb, filters=f)) == rgb).all(), f
+    # mixed per-row filters
+    mixed = [y % 5 for y in range(13)]
+    assert (decode_png(encode_png(rgb, filters=mixed)) == rgb).all()
+    gray = rng.integers(0, 256, (7, 9, 1), dtype=np.uint8)
+    out = decode_png(encode_png(gray, color=0, filters=4))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, color=6, filters=3))
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_png_codec_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from event_stream_spark.datapipe.multimodal import decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IHDR/IDAT region
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(good[:30])  # truncated
+
+
+def test_image_pixel_stats_decodes_real_png(spark):
+    """mapInPandas image stage processes a REAL PNG row end-to-end (means
+    exact vs numpy) while header-only synthetic PNGs are still skipped."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import encode_png, image_pixel_stats
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    png = encode_png(img, filters=[y % 5 for y in range(16)])
+    header_only = png[:33]  # sig + IHDR chunk, no IDAT
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(header_only))],
+        "media_id long, content binary",
+    )
+    rows = image_pixel_stats(df).collect()
+    assert [r.media_id for r in rows] == [1]
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert abs(rows[0].mean_r - means[0]) < 1e-9
+    assert abs(rows[0].mean_g - means[1]) < 1e-9
+    assert abs(rows[0].mean_b - means[2]) < 1e-9
