@@ -1,0 +1,164 @@
+"""Snapshot log: minimal lakehouse-style transaction layer for the parquet
+lakes (the public Delta/Iceberg design point, reduced to its core).
+
+Plain ``mode("append")`` parquet writes — what the lake writers and the
+streaming ingest sinks use — leave two gaps at 100 TB operation:
+
+- **no atomic multi-file commits**: a reader listing the directory mid-write
+  sees half a batch;
+- **no time travel / snapshot isolation**: concurrent readers see whatever
+  the filesystem happens to contain.
+
+This module closes both with the standard recipe: data files are immutable
+and manifest files are the ONLY source of truth.
+
+- every commit writes its data files under a fresh ``data/c<N>-<token>/``
+  directory, then publishes ``_log/<N>.json`` listing the snapshot's FULL
+  file set (previous files + new ones for ``append``; just the new ones for
+  ``overwrite``);
+- the manifest is created with ``O_CREAT | O_EXCL`` — the filesystem's
+  atomic claim on snapshot id N.  A concurrent committer losing the race
+  re-reads the log and retries with N+1 (optimistic concurrency, no locks);
+- readers resolve a manifest (latest, or a pinned ``snapshot=``) and read
+  exactly its file list — a crash that wrote data files but no manifest is
+  INVISIBLE, and old snapshots stay readable until vacuumed.
+
+Scale notes: a manifest lists file paths, not rows — thousands of entries
+of a few hundred bytes; the read plan is a plain multi-path parquet scan,
+so pruning/pushdown behave exactly as on a raw directory.  Production
+table formats add column stats per file for manifest-level pruning; the
+seam for that is the per-file dict in ``files``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, _LOG)
+
+
+def _manifest_path(table: str, n: int) -> str:
+    return os.path.join(_log_dir(table), f"{n:012d}.json")
+
+
+def snapshots(table: str) -> list[int]:
+    """Committed snapshot ids, ascending (empty for a fresh table)."""
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return []
+    ids = []
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            try:
+                ids.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _read_manifest(table: str, n: int) -> dict:
+    with open(_manifest_path(table, n)) as fh:
+        return json.load(fh)
+
+
+def commit(
+    df: DataFrame, table: str, *, mode: str = "append", max_retries: int = 20
+) -> int:
+    """Write ``df``'s rows as a new snapshot; returns the snapshot id.
+
+    ``mode="append"`` extends the previous snapshot's file set;
+    ``mode="overwrite"`` replaces it (old files stay on disk for time
+    travel until :func:`vacuum`).  The data write happens BEFORE the
+    manifest claim, so a failure at any point leaves the table at the
+    previous snapshot."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    os.makedirs(_log_dir(table), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        nxt = (snapshots(table) or [-1])[-1] + 1
+        part_dir = os.path.join(table, "data", f"c{nxt:012d}-{token}")
+        df.write.mode("error").parquet(part_dir)
+        new_files = sorted(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        prev = (
+            _read_manifest(table, nxt - 1)["files"]
+            if mode == "append" and nxt > 0
+            else []
+        )
+        manifest = {
+            "snapshot": nxt,
+            "op": mode,
+            "files": prev + [{"path": p} for p in new_files],
+        }
+        try:
+            fd = os.open(
+                _manifest_path(table, nxt), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            # lost the race: orphan this attempt's data dir (invisible —
+            # no manifest references it; vacuum sweeps it) and retry
+            import shutil
+
+            shutil.rmtree(part_dir, ignore_errors=True)
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return nxt
+    raise RuntimeError(f"snapshot commit contention: {max_retries} retries exhausted")
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, *, snapshot: int | None = None
+) -> DataFrame:
+    """DataFrame over exactly one snapshot's file set (default: latest).
+    An empty table (no commits) raises ValueError."""
+    ids = snapshots(table)
+    if not ids:
+        raise ValueError(f"no snapshots committed at {table}")
+    n = ids[-1] if snapshot is None else snapshot
+    if n not in ids:
+        raise ValueError(f"snapshot {n} not in {ids}")
+    files = [f["path"] for f in _read_manifest(table, n)["files"]]
+    if not files:
+        return spark.createDataFrame([], schema="__empty string").limit(0)
+    return spark.read.parquet(*files)
+
+
+def vacuum(table: str, *, keep_last: int = 1) -> list[str]:
+    """Delete data files unreachable from the last ``keep_last`` snapshots
+    (and drop the older manifests).  Returns the removed file paths."""
+    ids = snapshots(table)
+    keep_ids = ids[-keep_last:] if keep_last else []
+    live: set[str] = set()
+    for n in keep_ids:
+        live.update(f["path"] for f in _read_manifest(table, n)["files"])
+    removed: list[str] = []
+    data_root = os.path.join(table, "data")
+    if os.path.isdir(data_root):
+        for cdir in os.listdir(data_root):
+            full = os.path.join(data_root, cdir)
+            for f in os.listdir(full):
+                p = os.path.join(full, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed.append(p)
+            if not any(x.endswith(".parquet") for x in os.listdir(full)):
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
+    for n in ids:
+        if n not in keep_ids:
+            os.remove(_manifest_path(table, n))
+    return removed
