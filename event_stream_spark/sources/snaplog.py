@@ -25,9 +25,13 @@ and manifest files are the ONLY source of truth.
 
 Scale notes: a manifest lists file paths, not rows — thousands of entries
 of a few hundred bytes; the read plan is a plain multi-path parquet scan,
-so pruning/pushdown behave exactly as on a raw directory.  Production
-table formats add column stats per file for manifest-level pruning; the
-seam for that is the per-file dict in ``files``.
+so pruning/pushdown behave exactly as on a raw directory.  On top of that,
+``commit(..., stats_cols=[...])`` records per-file min/max from the parquet
+footers into the manifest, and ``read_snapshot(..., prune={col: (lo, hi)})``
+drops non-overlapping files BEFORE the scan is even planned — manifest-level
+file skipping, the Iceberg/Delta data-skipping design point: the driver
+never lists, opens, or schedules the skipped files at all (footer row-group
+pruning only helps after a task already opened the file).
 """
 
 from __future__ import annotations
@@ -69,8 +73,35 @@ def _read_manifest(table: str, n: int) -> dict:
         return json.load(fh)
 
 
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet footer (local read of
+    metadata only — no row data)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                return {}  # stats unavailable → never prune on this file
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[col] = [lo, hi]
+    return out
+
+
 def commit(
-    df: DataFrame, table: str, *, mode: str = "append", max_retries: int = 20
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    max_retries: int = 20,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
 
@@ -78,7 +109,8 @@ def commit(
     ``mode="overwrite"`` replaces it (old files stay on disk for time
     travel until :func:`vacuum`).  The data write happens BEFORE the
     manifest claim, so a failure at any point leaves the table at the
-    previous snapshot."""
+    previous snapshot.  ``stats_cols`` records per-file min/max for those
+    columns in the manifest, enabling :func:`read_snapshot` file skipping."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     os.makedirs(_log_dir(table), exist_ok=True)
@@ -97,10 +129,14 @@ def commit(
             if mode == "append" and nxt > 0
             else []
         )
+        entries = [
+            {"path": p, **({"stats": _file_stats(p, stats_cols)} if stats_cols else {})}
+            for p in new_files
+        ]
         manifest = {
             "snapshot": nxt,
             "op": mode,
-            "files": prev + [{"path": p} for p in new_files],
+            "files": prev + entries,
         }
         try:
             fd = os.open(
@@ -120,17 +156,40 @@ def commit(
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, *, snapshot: int | None = None
+    spark: SparkSession,
+    table: str,
+    *,
+    snapshot: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's file set (default: latest).
-    An empty table (no commits) raises ValueError."""
+
+    ``prune={col: (lo, hi)}`` drops files whose manifest min/max for
+    ``col`` cannot overlap [lo, hi] BEFORE planning the scan (files without
+    recorded stats are always kept — skipping must never lose rows).  The
+    predicate itself is NOT applied to the surviving rows; callers add
+    their own ``filter`` (which then also prunes row groups in the kept
+    files).  An empty table (no commits) raises ValueError."""
     ids = snapshots(table)
     if not ids:
         raise ValueError(f"no snapshots committed at {table}")
     n = ids[-1] if snapshot is None else snapshot
     if n not in ids:
         raise ValueError(f"snapshot {n} not in {ids}")
-    files = [f["path"] for f in _read_manifest(table, n)["files"]]
+    entries = _read_manifest(table, n)["files"]
+    if prune:
+        def overlaps(e: dict) -> bool:
+            st = e.get("stats") or {}
+            for col, (lo, hi) in prune.items():
+                if col not in st:
+                    continue  # no stats → keep
+                fmin, fmax = st[col]
+                if fmax < lo or fmin > hi:
+                    return False
+            return True
+
+        entries = [e for e in entries if overlaps(e)]
+    files = [f["path"] for f in entries]
     if not files:
         return spark.createDataFrame([], schema="__empty string").limit(0)
     return spark.read.parquet(*files)

@@ -1876,3 +1876,34 @@ def test_snapshot_log_contention_retries(spark, tmp_path):
     # snapshot 2 chains from snapshot 1's (empty) file list — the racing
     # committer's view — so it holds exactly this commit's rows
     assert read_snapshot(spark, table, snapshot=2).count() == 3
+
+
+def test_snapshot_log_manifest_file_skipping(spark, tmp_path):
+    """Per-file min/max in the manifest prunes non-overlapping files before
+    the scan is planned: a narrow id predicate reads exactly one of four
+    committed files, and skipping never loses matching rows."""
+    from event_stream_spark.sources.snaplog import commit, read_snapshot
+
+    table = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        commit(
+            spark.range(lo, lo + 100).coalesce(1).selectExpr("id", "id * 2 AS v"),
+            table,
+            stats_cols=["id"],
+        )
+    full = read_snapshot(spark, table)
+    assert full.count() == 400 and len(full.inputFiles()) == 4
+
+    pruned = read_snapshot(spark, table, prune={"id": (150, 160)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("id BETWEEN 150 AND 160").count() == 11
+
+    # disjoint predicate → zero files, empty frame
+    none = read_snapshot(spark, table, prune={"id": (1000, 2000)})
+    assert none.count() == 0
+
+    # a commit WITHOUT stats is never skipped (correctness over pruning)
+    commit(spark.range(150, 151).coalesce(1).selectExpr("id", "id*2 AS v"), table)
+    pruned2 = read_snapshot(spark, table, prune={"id": (150, 160)})
+    assert len(pruned2.inputFiles()) == 2
+    assert pruned2.filter("id = 150").count() == 2
