@@ -72,3 +72,41 @@ def corpus_ingest_sink(
     return docs.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint
     )
+
+
+def snap_ingest_batch(
+    spark: SparkSession, batch: DataFrame, table: str, *, text_col: str = "text"
+) -> int:
+    """One microbatch of the SNAPSHOT-COMMITTING incremental ingest: same
+    dedup contract as :func:`ingest_batch`, but accepted rows land as ONE
+    atomic snapshot (``sources/snaplog.py``) instead of a bare parquet
+    append — so readers get snapshot isolation over the growing corpus,
+    each microbatch is a time-travelable version, and a crash mid-write
+    leaves orphan data files no reader ever sees.  Replays still collapse
+    to no-ops via the hash anti-join against the LATEST snapshot, and a
+    no-op ingest commits nothing (no empty snapshots)."""
+    from event_stream_spark.sources.snaplog import commit, read_snapshot, snapshots
+
+    hashed = _hashed(batch, text_col)
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    fresh = hashed.join(keep, ["h", "doc_id"])
+    if snapshots(table):
+        existing = read_snapshot(spark, table).select("h").distinct()
+        fresh = fresh.join(existing, "h", "left_anti")
+    accepted = fresh.count()
+    if accepted:
+        commit(fresh, table, mode="append")
+    return accepted
+
+
+def corpus_snapshot_ingest_sink(
+    docs: DataFrame, table: str, checkpoint: str, *, text_col: str = "text"
+):
+    """``writeStream`` builder for the snapshot-committing ingest."""
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        snap_ingest_batch(batch.sparkSession, batch, table, text_col=text_col)
+
+    return docs.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", checkpoint
+    )

@@ -1907,3 +1907,45 @@ def test_snapshot_log_manifest_file_skipping(spark, tmp_path):
     pruned2 = read_snapshot(spark, table, prune={"id": (150, 160)})
     assert len(pruned2.inputFiles()) == 2
     assert pruned2.filter("id = 150").count() == 2
+
+
+def test_snapshot_ingest_versions_and_replay(spark, tmp_path):
+    """Snapshot-committing corpus ingest: every microbatch with fresh docs
+    becomes one snapshot (time-travelable corpus versions), replays after
+    checkpoint loss commit nothing, and the latest view deduplicates."""
+    from event_stream_spark.sources.snaplog import read_snapshot, snapshots
+    from event_stream_spark.streaming.dedupstream import corpus_snapshot_ingest_sink
+
+    src = str(tmp_path / "crawl")
+    table = str(tmp_path / "corpus")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    def start(ckpt):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+        return (
+            corpus_snapshot_ingest_sink(stream, table, str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    feed("b1", [(1, "alpha"), (2, "beta"), (3, "  Alpha ")])
+    start("ck1").awaitTermination(120)
+    feed("b2", [(4, "beta"), (5, "gamma")])
+    start("ck1").awaitTermination(120)
+
+    assert snapshots(table) == [0, 1]
+    v0 = {r.doc_id for r in read_snapshot(spark, table, snapshot=0).collect()}
+    v1 = {r.doc_id for r in read_snapshot(spark, table, snapshot=1).collect()}
+    assert v0 == {1, 2} and v1 == {1, 2, 5}
+
+    # checkpoint loss: the same files replay from scratch; anti-join absorbs
+    # everything, so NO new snapshot is committed
+    start("ck2_fresh").awaitTermination(120)
+    assert snapshots(table) == [0, 1]
