@@ -221,3 +221,46 @@ def vacuum(table: str, *, keep_last: int = 1) -> list[str]:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))
     return removed
+
+
+def added_files(table: str, n: int) -> list[str]:
+    """Paths first referenced by snapshot ``n`` (its delta vs n-1).  For an
+    ``overwrite`` snapshot this is its full file set — the delta chain
+    restarts there."""
+    ids = snapshots(table)
+    if n not in ids:
+        raise ValueError(f"snapshot {n} not in {ids}")
+    cur = _read_manifest(table, n)
+    if n == 0 or cur["op"] == "overwrite":
+        return [f["path"] for f in cur["files"]]
+    prev = {f["path"] for f in _read_manifest(table, n - 1)["files"]}
+    return [f["path"] for f in cur["files"] if f["path"] not in prev]
+
+
+def read_increment(
+    spark: SparkSession, table: str, *, since: int, until: int | None = None
+) -> DataFrame:
+    """Rows appended AFTER snapshot ``since`` up to ``until`` (default
+    latest) — the CDC-lite feed an incremental consumer (posting-index
+    maintenance, downstream aggregates) tails instead of re-reading the
+    table.  Because data files are immutable and manifests only ever ADD
+    paths on append, the increment is exactly the union of each covered
+    snapshot's delta.  Crossing an ``overwrite`` snapshot raises: the delta
+    chain restarts there and the consumer must resync from a full read."""
+    ids = snapshots(table)
+    if since not in ids:
+        raise ValueError(f"snapshot {since} not in {ids}")
+    hi = ids[-1] if until is None else until
+    if hi not in ids:
+        raise ValueError(f"snapshot {hi} not in {ids}")
+    files: list[str] = []
+    for n in ids:
+        if since < n <= hi:
+            if _read_manifest(table, n)["op"] == "overwrite":
+                raise ValueError(
+                    f"snapshot {n} is an overwrite: incremental chain broken, resync"
+                )
+            files.extend(added_files(table, n))
+    if not files:
+        return read_snapshot(spark, table, snapshot=hi).limit(0)
+    return spark.read.parquet(*files)

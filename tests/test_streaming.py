@@ -1949,3 +1949,34 @@ def test_snapshot_ingest_versions_and_replay(spark, tmp_path):
     # everything, so NO new snapshot is committed
     start("ck2_fresh").awaitTermination(120)
     assert snapshots(table) == [0, 1]
+
+
+def test_snapshot_log_incremental_reads(spark, tmp_path):
+    """CDC-lite: read_increment returns exactly the rows appended between
+    two snapshots, and refuses to silently cross an overwrite boundary."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import commit, read_increment
+
+    table = str(tmp_path / "tbl")
+
+    def rng(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+    commit(rng(0, 5), table)        # snap 0
+    commit(rng(5, 12), table)       # snap 1
+    commit(rng(12, 20), table)      # snap 2
+
+    inc = read_increment(spark, table, since=0)
+    assert {r.id for r in inc.collect()} == set(range(5, 20))
+    inc01 = read_increment(spark, table, since=0, until=1)
+    assert {r.id for r in inc01.collect()} == set(range(5, 12))
+    assert read_increment(spark, table, since=2).count() == 0
+
+    commit(rng(100, 103), table, mode="overwrite")  # snap 3 breaks the chain
+    with _pytest.raises(ValueError, match="overwrite"):
+        read_increment(spark, table, since=1)
+    # a post-overwrite append chains cleanly from the overwrite snapshot
+    commit(rng(103, 105), table)    # snap 4
+    inc34 = read_increment(spark, table, since=3)
+    assert {r.id for r in inc34.collect()} == {103, 104}
