@@ -1980,3 +1980,41 @@ def test_snapshot_log_incremental_reads(spark, tmp_path):
     commit(rng(103, 105), table)    # snap 4
     inc34 = read_increment(spark, table, since=3)
     assert {r.id for r in inc34.collect()} == {103, 104}
+
+
+def test_incremental_index_from_snapshot_deltas(spark, tmp_path):
+    """Composition: the posting index maintained from snapshot-table DELTAS
+    (read_increment) equals the index built from the full corpus in one
+    shot — the incremental-consumer loop the CDC-lite feed exists for."""
+    from event_stream_spark.sources.snaplog import commit, read_increment, snapshots
+    from event_stream_spark.streaming.indexstream import index_batch, read_postings
+
+    corpus = str(tmp_path / "corpus")
+    inc_index = str(tmp_path / "inc_index")
+    full_index = str(tmp_path / "full_index")
+
+    batches = [
+        [(1, "spark stream join"), (2, "hash table scan")],
+        [(3, "customer query fast"), (4, "vector data window")],
+        [(5, "spark table query")],
+    ]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    last_seen = -1
+    for rows in batches:
+        commit(df_of(rows), corpus)
+        head = snapshots(corpus)[-1]
+        delta = (
+            read_increment(spark, corpus, since=last_seen)
+            if last_seen >= 0
+            else df_of(rows)
+        )
+        index_batch(spark, delta, inc_index)
+        last_seen = head
+
+    index_batch(spark, df_of([r for b in batches for r in b]), full_index)
+    inc = {(r.doc_id, r.term, r.tf) for r in read_postings(spark, inc_index).collect()}
+    full = {(r.doc_id, r.term, r.tf) for r in read_postings(spark, full_index).collect()}
+    assert inc == full and len(inc) > 0
