@@ -57,7 +57,24 @@ def graph_pagerank(
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    pr, deg = pagerank_iterations(edges, iters=iters, damping=damping)
+    return (
+        pr.join(deg, pr["doc_id"] == deg["src"])
+        .select("doc_id", "deg", "pr")
+        .orderBy(F.desc("pr"), "doc_id")
+    )
 
+
+def pagerank_iterations(
+    edges: DataFrame,
+    *,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> tuple[DataFrame, DataFrame]:
+    """The iteration core over a SYMMETRIC (src, dst) edge relation —
+    factored out so the property test drives the exact operator code (not a
+    copy) against an independent python reference.  Returns ((doc_id, pr),
+    (src, deg))."""
     # out-degree (== in-degree: symmetric graph); node set == deg keys
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
@@ -93,11 +110,7 @@ def graph_pagerank(
                 6,
             ).alias("pr"),
         )
-    return (
-        pr.join(deg, pr["doc_id"] == deg["src"])
-        .select("doc_id", "deg", "pr")
-        .orderBy(F.desc("pr"), "doc_id")
-    )
+    return pr, deg
 
 
 def _pagerank_sql() -> str:

@@ -350,6 +350,8 @@ def decode_png(content: bytes):
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
         return plte[px[:, :, 0]]
     return px[:, :, :3]  # RGBA → drop alpha
 
@@ -394,17 +396,16 @@ def encode_png(img, *, color: int = 2, filters=None) -> bytes:
         else:
             raise ValueError(f"filter {f}")
         raw += bytes(enc.astype(np.uint8))
-    import struct as _s
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
-            _s.pack(">I", len(data))
+            struct.pack(">I", len(data))
             + ctype
             + data
-            + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

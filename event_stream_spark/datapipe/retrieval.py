@@ -77,6 +77,11 @@ def bm25_topk(
     aggregate broadcast into the expression.  Per-query top-k is a window
     over query_id — at 100 TB each query's candidate posting subset is
     bounded by its terms' df, not corpus size.
+
+    N is defined as "documents with at least one token" — the corpus a
+    retrieval index can actually see — identically here, in the DuckDB
+    oracle, and in the streaming index's ``bm25_from_index``, so all three
+    agree even when a crawl batch carries empty/whitespace-only docs.
     """
     from event_stream_spark.datapipe.matview import materialized
 
@@ -89,30 +94,31 @@ def bm25_topk(
         .groupBy("doc_id", F.col("w").alias("term"))
         .agg(F.count("*").alias("tf")),
     )
-    # 1-row global stats; joined in as a broadcast literal-like relation
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
-        dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
-    )
-    return score_postings(spark, tf, stats, queries=queries, k=k)
+    return score_postings(spark, tf, queries=queries, k=k)
 
 
 def score_postings(
     spark: SparkSession,
     tf: DataFrame,
-    stats: DataFrame,
     *,
     queries: list[tuple[int, str]],
     k: int = BM25_TOPK,
 ) -> DataFrame:
     """BM25 scoring over an existing (doc_id, term, tf) posting relation —
-    shared by the batch index build (:func:`bm25_topk`) and the
-    incrementally-maintained streaming index
-    (``streaming/indexstream.py``).  ``stats`` is a 1-row (n_docs, avgdl)
-    relation; dl/df derive from the postings, so the scorer never touches
-    raw text."""
+    the ONE scorer shared by the batch index build (:func:`bm25_topk`) and
+    the incrementally-maintained streaming index
+    (``streaming/indexstream.py``).  Every statistic (dl, df, N, avgdl)
+    derives from the postings themselves, computed once here — so N is
+    "documents with at least one token", identically in both paths (a
+    token-less crawl doc is invisible to the index and to the scorer), and
+    no caller duplicates the corpus-wide dl aggregate."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # 1-row global stats; joined in as a broadcast literal-like relation
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
     qterms = (
         spark.createDataFrame(queries, "query_id int, qtext string")
         .select("query_id", F.explode(F.array_distinct(
@@ -173,7 +179,7 @@ def _bm25_sql() -> str:
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     stats AS (
-        SELECT (SELECT count(*) FROM documents) AS n_docs,
+        SELECT (SELECT count(*) FROM dl) AS n_docs,
                (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
     ),
     qraw(query_id, qtext) AS (VALUES {qvals}),

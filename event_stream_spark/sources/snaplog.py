@@ -16,9 +16,13 @@ and manifest files are the ONLY source of truth.
   directory, then publishes ``_log/<N>.json`` listing the snapshot's FULL
   file set (previous files + new ones for ``append``; just the new ones for
   ``overwrite``);
-- the manifest is created with ``O_CREAT | O_EXCL`` — the filesystem's
-  atomic claim on snapshot id N.  A concurrent committer losing the race
-  re-reads the log and retries with N+1 (optimistic concurrency, no locks);
+- the manifest CONTENT is written to a temp file first, then ``os.link``ed
+  onto the final ``_log/<N>.json`` name — the link is the filesystem's
+  atomic claim on snapshot id N, and the manifest is fully readable the
+  instant it is visible (a writer killed mid-commit leaves only a temp
+  file and orphan data, never a partial manifest).  A concurrent committer
+  losing the race re-reads the log and retries with N+1 (optimistic
+  concurrency, no locks);
 - readers resolve a manifest (latest, or a pinned ``snapshot=``) and read
   exactly its file list — a crash that wrote data files but no manifest is
   INVISIBLE, and old snapshots stay readable until vacuumed.
@@ -91,7 +95,11 @@ def _file_stats(path: str, cols: list[str]) -> dict:
                 return {}  # stats unavailable → never prune on this file
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        out[col] = [lo, hi]
+        # manifests are JSON: only record directly-serializable stat types;
+        # timestamp/date/binary min/max are omitted (file is then never
+        # pruned on that column — skipping must never require a codec)
+        if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+            out[col] = [lo, hi]
     return out
 
 
@@ -138,19 +146,25 @@ def commit(
             "op": mode,
             "files": prev + entries,
         }
+        # content first, visibility second: the fsync'd temp file carries
+        # the full manifest before os.link atomically claims the id — a
+        # reader can never observe a partial manifest
+        tmp = os.path.join(_log_dir(table), f".tmp-{token}-{nxt}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(
-                _manifest_path(table, nxt), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, _manifest_path(table, nxt))
         except FileExistsError:
             # lost the race: orphan this attempt's data dir (invisible —
             # no manifest references it; vacuum sweeps it) and retry
             import shutil
 
+            os.remove(tmp)
             shutil.rmtree(part_dir, ignore_errors=True)
             continue
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
+        os.remove(tmp)
         return nxt
     raise RuntimeError(f"snapshot commit contention: {max_retries} retries exhausted")
 
@@ -188,10 +202,16 @@ def read_snapshot(
                     return False
             return True
 
+        all_files = [f["path"] for f in _read_manifest(table, n)["files"]]
         entries = [e for e in entries if overlaps(e)]
+        if not entries and all_files:
+            # everything pruned: keep the TABLE's schema (from one real
+            # file's footer) so callers can still filter/select/join —
+            # limit(0) plans no row reads
+            return spark.read.parquet(all_files[0]).limit(0)
     files = [f["path"] for f in entries]
     if not files:
-        return spark.createDataFrame([], schema="__empty string").limit(0)
+        raise ValueError(f"snapshot {n} at {table} references no files")
     return spark.read.parquet(*files)
 
 

@@ -64,11 +64,13 @@ def index_batch(
     if os.path.isdir(lake):
         seen = spark.read.parquet(lake).select("doc_id").distinct()
         docs = docs.join(seen, "doc_id", "left_anti")
-    fresh = docs.count()
+    # token-less docs produce no postings, so they can never enter the
+    # lake-ledger; count only docs that actually index (they are harmlessly
+    # re-examined on replay, never re-written — there is nothing to write)
+    postings = _postings(docs, text_col)
+    fresh = postings.select("doc_id").distinct().count()
     if fresh:
-        _postings(docs, text_col).write.mode("append").partitionBy("bucket").parquet(
-            lake
-        )
+        postings.write.mode("append").partitionBy("bucket").parquet(lake)
     return fresh
 
 
@@ -99,17 +101,15 @@ def bm25_from_index(
     k: int | None = None,
 ) -> DataFrame:
     """BM25 top-k against the incrementally-maintained index — the shared
-    ``score_postings`` scorer, so results are identical to the batch
-    ``bm25_topk`` over the same corpus (asserted by the parity test).
-    Corpus stats (N, avgdl) derive from the index itself."""
+    ``score_postings`` scorer (which derives ALL corpus stats from the
+    postings), so results are identical to the batch ``bm25_topk`` over the
+    same corpus, including corpora with token-less docs (invisible to both
+    paths by the shared N = docs-with-tokens definition)."""
     from event_stream_spark.datapipe.retrieval import BM25_TOPK, score_postings
 
-    tf = read_postings(spark, index_path)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
     return score_postings(
-        spark, tf, stats, queries=queries, k=BM25_TOPK if k is None else k
+        spark,
+        read_postings(spark, index_path),
+        queries=queries,
+        k=BM25_TOPK if k is None else k,
     )

@@ -1159,3 +1159,48 @@ def test_image_pixel_stats_decodes_real_png(spark):
     assert abs(rows[0].mean_r - means[0]) < 1e-9
     assert abs(rows[0].mean_g - means[1]) < 1e-9
     assert abs(rows[0].mean_b - means[2]) < 1e-9
+
+
+def test_png_palette_decode_and_bad_index_skipped(spark):
+    """Palette PNGs decode through PLTE; out-of-range palette indices are a
+    ValueError (so the mapInPandas stage skips, never crashes)."""
+    import struct as _st
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from event_stream_spark.datapipe.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        image_pixel_stats,
+    )
+
+    def chunk(ctype, data):
+        return (
+            _st.pack(">I", len(data)) + ctype + data
+            + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def palette_png(indices, plte_rgb):
+        h, w = indices.shape
+        ihdr = _st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(indices[y].tolist()) for y in range(h))
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", bytes(plte_rgb))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    plte = [255, 0, 0, 0, 255, 0]  # two entries: red, green
+    good = palette_png(np.array([[0, 1], [1, 0]], dtype=np.uint8), plte)
+    out = decode_png(good)
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 255, 0]
+
+    bad = palette_png(np.array([[0, 5]], dtype=np.uint8), plte)  # index 5 > 1
+    with _pytest.raises(ValueError, match="palette"):
+        decode_png(bad)
+    df = spark.createDataFrame([(1, bytearray(bad))], "media_id long, content binary")
+    assert image_pixel_stats(df).collect() == []  # skipped, stage survives

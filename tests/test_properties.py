@@ -304,48 +304,20 @@ def _py_pagerank(edges: set[tuple[int, int]], iters=5, d=0.85):
 )
 @prop_settings
 def test_pagerank_matches_python_reference(spark, pairs):
-    """graph_pagerank's iteration math vs a dict-and-loop power iteration,
-    on the SAME edge set (injected below the LSH candidate layer)."""
+    """graph_pagerank's iteration core (the SAME code, via
+    pagerank_iterations) vs a dict-and-loop power iteration on the same
+    edge set — only the minhash candidate front-end is bypassed."""
     from pyspark.sql import functions as F
 
-    from event_stream_spark.datapipe import graph as G
+    from event_stream_spark.datapipe.graph import pagerank_iterations
 
     ref = _py_pagerank(pairs)
 
-    # drive the operator's iteration core by monkey-free injection: rebuild
-    # the same pipeline from an explicit pair DataFrame
     pdf = spark.createDataFrame(sorted(pairs), "a long, b long")
     edges = pdf.union(pdf.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n = deg.agg(F.count("*").alias("n_nodes"))
-    esrc = edges.join(deg, "src")
-    pr = deg.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("doc_id"),
-        F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"),
-    )
-    for _ in range(G.PAGERANK_ITERS):
-        contrib = (
-            esrc.join(pr, esrc["src"] == pr["doc_id"])
-            .select("dst", "src", (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["c"],
-                ).alias("acc")
-            )
-        )
-        pr = contrib.crossJoin(F.broadcast(n)).select(
-            F.col("dst").alias("doc_id"),
-            F.round(
-                F.lit(1.0 - G.PAGERANK_DAMPING) / F.col("n_nodes")
-                + F.lit(G.PAGERANK_DAMPING) * F.col("acc"),
-                6,
-            ).alias("pr"),
-        )
+    pr, _deg = pagerank_iterations(edges)
     got = {r.doc_id: r.pr for r in pr.collect()}
     assert set(got) == set(ref)
     for v in ref:
