@@ -240,6 +240,10 @@ def vacuum(table: str, *, keep_last: int = 1) -> list[str]:
     for n in ids:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))
+    # sweep stale manifest temp files from writers killed mid-commit
+    for name in os.listdir(_log_dir(table)):
+        if name.startswith(".tmp-"):
+            os.remove(os.path.join(_log_dir(table), name))
     return removed
 
 
@@ -284,3 +288,73 @@ def read_increment(
     if not files:
         return read_snapshot(spark, table, snapshot=hi).limit(0)
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write DML — the lakehouse write-path operations over snapshots
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    *,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """MERGE INTO by ``key`` (upsert): rows of ``updates`` replace
+    same-keyed rows of the latest snapshot and new keys append — committed
+    as ONE atomic ``overwrite`` snapshot (readers see the old table until
+    the manifest lands; time travel keeps it after).
+
+    This is copy-on-write at table granularity — correct at any size,
+    rewrite-cost bounded by the table.  The production refinement (also
+    copy-on-write) targets only the files whose key ranges overlap the
+    update batch via the manifest stats, rewriting a sliver; the seam is
+    :func:`read_snapshot`'s ``prune`` on the key column."""
+    current = read_snapshot(spark, table)
+    kept = current.join(updates.select(key).distinct(), key, "left_anti")
+    merged = kept.unionByName(updates)
+    return commit(merged, table, mode="overwrite", stats_cols=stats_cols)
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    *,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Row-level DELETE (GDPR/abuse purge shape): commit one atomic
+    ``overwrite`` snapshot holding every row NOT matching ``predicate``.
+    Old snapshots still contain the rows until :func:`vacuum` — the
+    documented retention window a real purge pipeline must run."""
+    current = read_snapshot(spark, table)
+    return commit(
+        current.filter(f"NOT ({predicate})"),
+        table,
+        mode="overwrite",
+        stats_cols=stats_cols,
+    )
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    *,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite the latest snapshot into
+    ``target_files`` files as one atomic ``overwrite`` commit.  Row set is
+    IDENTICAL — only the file layout changes (the per-batch streaming
+    ingests accrete one file set per microbatch; this is their maintenance
+    job, same role as ``compact_event_lake`` for the raw lake)."""
+    current = read_snapshot(spark, table)
+    return commit(
+        current.coalesce(target_files),
+        table,
+        mode="overwrite",
+        stats_cols=stats_cols,
+    )

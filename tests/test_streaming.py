@@ -2018,3 +2018,43 @@ def test_incremental_index_from_snapshot_deltas(spark, tmp_path):
     inc = {(r.doc_id, r.term, r.tf) for r in read_postings(spark, inc_index).collect()}
     full = {(r.doc_id, r.term, r.tf) for r in read_postings(spark, full_index).collect()}
     assert inc == full and len(inc) > 0
+
+
+def test_snapshot_table_dml_roundtrip(spark, tmp_path):
+    """Copy-on-write DML: merge_upsert replaces/adds by key, delete_where
+    purges, compact collapses the file layout — each one atomic overwrite
+    snapshot, with the prior state intact for time travel."""
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        delete_where,
+        merge_upsert,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"), table)
+    commit(spark.createDataFrame([(4, "d")], "id long, v string"), table)
+
+    n = merge_upsert(
+        spark, table,
+        spark.createDataFrame([(2, "B2"), (5, "e")], "id long, v string"),
+        key="id",
+    )
+    assert n == 2
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d", 5: "e"}
+    # pre-merge state is time-travelable
+    old = {r.id: r.v for r in read_snapshot(spark, table, snapshot=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+    delete_where(spark, table, "id >= 4")
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {1, 2, 3}
+
+    before_files = len(read_snapshot(spark, table).inputFiles())
+    compact(spark, table, target_files=1)
+    latest = read_snapshot(spark, table)
+    assert len(latest.inputFiles()) == 1 <= before_files
+    assert {r.id: r.v for r in latest.collect()} == {1: "a", 2: "B2", 3: "c"}
+    assert snapshots(table) == [0, 1, 2, 3, 4]
