@@ -1,0 +1,144 @@
+"""Snapshot tables as a STREAMING source — ``format("snaptable")``.
+
+The snapshot log's commit ids form a total order of immutable deltas, which
+is exactly a stream's offset sequence (the Delta-as-a-source design point):
+``latestOffset`` is the newest committed snapshot id, and a microbatch for
+(start, end] reads the data files first referenced by each covered
+snapshot — the same delta set ``snaplog.read_increment`` returns, but
+planned as one input partition per file so the read parallelizes across
+executors and restarts resume exactly from the checkpointed snapshot id.
+
+Composability this buys: the snapshot-committing ingest
+(``corpus_snapshot_ingest_sink``) writes the table, and any number of
+downstream streaming consumers (posting-index maintenance, rollups,
+replication) tail it independently with their own checkpoints — the table
+IS the bus, no extra queue.
+
+Semantics:
+
+- exactly-once per consumer: offsets are snapshot ids in the consumer's
+  checkpoint; data files are immutable, so a replayed batch rereads the
+  identical rows;
+- an ``overwrite`` snapshot BREAKS the delta chain — ``partitions()``
+  raises, matching ``read_increment``: a consumer must resync from a full
+  read rather than silently miss the rewrite;
+- schema comes from the latest snapshot's parquet footer at source
+  construction (fixed for the query's lifetime, like every source here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _table_ddl(table: str) -> str:
+    """Spark DDL schema from the latest snapshot's first parquet footer."""
+    import pyarrow.parquet as pq
+
+    from event_stream_spark.sources.snaplog import _read_manifest, snapshots
+
+    ids = snapshots(table)
+    if not ids:
+        raise ValueError(f"no snapshots committed at {table}")
+    files = _read_manifest(table, ids[-1])["files"]
+    if not files:
+        raise ValueError(f"latest snapshot at {table} references no files")
+    schema = pq.read_schema(files[0]["path"])
+    cols = []
+    for field in schema:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t in _ARROW_TO_DDL:
+            ddl = _ARROW_TO_DDL[t]
+        else:
+            raise NotImplementedError(f"snaptable: unsupported column type {t}")
+        cols.append(f"`{field.name}` {ddl}")
+    return ", ".join(cols)
+
+
+class SnapFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SnapTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.table = options["table_path"]
+        # deliver history from this snapshot id EXCLUSIVE; default -1 = all
+        self.start_after = int(options.get("starting_snapshot", -1))
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_after}
+
+    def latestOffset(self) -> dict:
+        from event_stream_spark.sources.snaplog import snapshots
+
+        ids = snapshots(self.table)
+        return {"snapshot": ids[-1] if ids else self.start_after}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from event_stream_spark.sources.snaplog import (
+            _read_manifest,
+            added_files,
+            snapshots,
+        )
+
+        lo, hi = start["snapshot"], end["snapshot"]
+        files: list[str] = []
+        for n in snapshots(self.table):
+            if lo < n <= hi:
+                if n > 0 and _read_manifest(self.table, n)["op"] == "overwrite":
+                    raise ValueError(
+                        f"snapshot {n} is an overwrite: stream cannot continue, "
+                        "restart the consumer from a full read"
+                    )
+                files.extend(added_files(self.table, n))
+        return [SnapFile(p) for p in files]
+
+    def read(self, partition: SnapFile) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        yield from zip(*cols) if cols else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the consumer's checkpoint
+
+
+class SnapTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snaptable"
+
+    def schema(self) -> str:
+        return _table_ddl(self.options["table_path"])
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SnapTableStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SnapTableDataSource)

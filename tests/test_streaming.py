@@ -2058,3 +2058,59 @@ def test_snapshot_table_dml_roundtrip(spark, tmp_path):
     assert len(latest.inputFiles()) == 1 <= before_files
     assert {r.id: r.v for r in latest.collect()} == {1: "a", 2: "B2", 3: "c"}
     assert snapshots(table) == [0, 1, 2, 3, 4]
+
+
+def test_snaptable_stream_tails_commits(spark, tmp_path):
+    """format("snaptable"): a consumer tails a snapshot table — history in
+    the first batch, later commits as deltas after a checkpointed restart,
+    and an overwrite stops the stream instead of silently skipping it."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import commit
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def rng(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+    commit(rng(0, 5), table)
+    commit(rng(5, 9), table)
+
+    def run_once():
+        stream = spark.readStream.format("snaptable").option(
+            "table_path", table
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r.id for r in spark.read.parquet(out).collect()} == set(range(9))
+
+    commit(rng(9, 12), table)
+    run_once()  # same checkpoint: only the delta arrives
+    got = [r.id for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == list(range(12)) and len(got) == 12  # no re-delivery
+
+    # an overwrite breaks the chain: the restarted stream fails loudly
+    commit(rng(100, 101), table, mode="overwrite")
+    stream = spark.readStream.format("snaptable").option("table_path", table).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="overwrite"):
+        q.awaitTermination(120)
