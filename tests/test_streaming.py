@@ -2114,3 +2114,74 @@ def test_snaptable_stream_tails_commits(spark, tmp_path):
 
     with _pytest.raises(StreamingQueryException, match="overwrite"):
         q.awaitTermination(120)
+
+
+def test_table_is_the_bus_ingest_to_index(spark, tmp_path):
+    """The full loop with no bespoke plumbing: crawl files stream into a
+    snapshot table (atomic per-batch commits), a SECOND independent stream
+    tails that table via format("snaptable"), feeds the posting index, and
+    BM25 over the live index equals the batch operator over the corpus."""
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.streaming.dedupstream import corpus_snapshot_ingest_sink
+    from event_stream_spark.streaming.indexstream import (
+        bm25_from_index,
+        posting_index_sink,
+    )
+
+    snapstream.register(spark)
+    src = str(tmp_path / "crawl")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    docs = [
+        (1, "spark stream join fast spark"),
+        (2, "customer query fast table scan"),
+        (3, "hash table scan spark join"),
+        (4, "vector data window stream stream"),
+    ]
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.replace(tmp, os.path.join(src, name + ".json"))
+
+    def ingest_round():
+        stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+        q = (
+            corpus_snapshot_ingest_sink(stream, table, str(tmp_path / "ck_ingest"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def index_round():
+        stream = spark.readStream.format("snaptable").option(
+            "table_path", table
+        ).load()
+        q = (
+            posting_index_sink(stream, index, str(tmp_path / "ck_index"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed("b1", docs[:2])
+    ingest_round()
+    index_round()
+    feed("b2", docs[2:])
+    ingest_round()
+    index_round()
+
+    qs = [(0, "spark table"), (1, "stream fast")]
+    sfdir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sfdir}/documents.parquet")
+    batch = bm25_topk(spark, sfdir, queries=qs, k=3).collect()
+    live = bm25_from_index(spark, index, queries=qs, k=3).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in batch] and live
