@@ -32,6 +32,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -128,6 +129,36 @@ class SnapTableStreamReader(DataSourceStreamReader):
         pass  # offsets live in the consumer's checkpoint
 
 
+class SnapTableBatchReader(DataSourceReader):
+    """Batch leg of the same source: ``spark.read.format("snaptable")``
+    reads one snapshot (latest, or ``.option("snapshot", n)`` for time
+    travel) — one partition per data file."""
+
+    def __init__(self, options: dict):
+        self.table = options["table_path"]
+        self.snapshot = (
+            int(options["snapshot"]) if "snapshot" in options else None
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from event_stream_spark.sources.snaplog import _read_manifest, snapshots
+
+        ids = snapshots(self.table)
+        if not ids:
+            raise ValueError(f"no snapshots committed at {self.table}")
+        n = ids[-1] if self.snapshot is None else self.snapshot
+        if n not in ids:
+            raise ValueError(f"snapshot {n} not in {ids}")
+        return [SnapFile(f["path"]) for f in _read_manifest(self.table, n)["files"]]
+
+    def read(self, partition: SnapFile) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        yield from zip(*cols) if cols else iter(())
+
+
 class SnapTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -135,6 +166,9 @@ class SnapTableDataSource(DataSource):
 
     def schema(self) -> str:
         return _table_ddl(self.options["table_path"])
+
+    def reader(self, schema) -> DataSourceReader:
+        return SnapTableBatchReader(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return SnapTableStreamReader(self.options)

@@ -2185,3 +2185,25 @@ def test_table_is_the_bus_ingest_to_index(spark, tmp_path):
     batch = bm25_topk(spark, sfdir, queries=qs, k=3).collect()
     live = bm25_from_index(spark, index, queries=qs, k=3).collect()
     assert [tuple(r) for r in live] == [tuple(r) for r in batch] and live
+
+
+def test_snaptable_batch_read_time_travel(spark, tmp_path):
+    """spark.read.format("snaptable") reads the latest snapshot by default
+    and any pinned one via .option("snapshot", n)."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import commit
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    commit(spark.range(4).selectExpr("id", "id*3 AS v"), table)
+    commit(spark.range(4, 10).selectExpr("id", "id*3 AS v"), table)
+
+    latest = spark.read.format("snaptable").option("table_path", table).load()
+    assert latest.count() == 10 and set(latest.columns) == {"id", "v"}
+    pinned = (
+        spark.read.format("snaptable")
+        .option("table_path", table)
+        .option("snapshot", 0)
+        .load()
+    )
+    assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
