@@ -2,12 +2,14 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The container has no image/audio/video codec libraries, so decode for
-jpeg/gif/mp3/mp4 is STUBBED (NotImplementedError as marked) — but one
-format per modality needs no library, so for each the pipeline is REAL
-end-to-end:
+jpeg/mp3/mp4 is STUBBED (NotImplementedError as marked) — but every format
+whose spec needs only the stdlib decodes for REAL end-to-end:
 
-- image: binary NetPBM (P6) — header parse, pixel decode, nearest-neighbor
-  resize, per-channel stats (``decode_ppm``/``image_pixel_stats``);
+- image: binary NetPBM (P6) header parse + pixel decode, a full PNG codec
+  (zlib inflate, CRC-checked chunks, all five filters), and a full GIF
+  codec (variable-width LZW, interlace de-weave) — all three feed
+  nearest-neighbor resize + per-channel stats
+  (``decode_ppm``/``decode_png``/``decode_gif``/``image_pixel_stats``);
 - audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
   (``parse_wav``/``audio_pcm_stats``);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
@@ -180,6 +182,16 @@ def y4m_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
         elif tok[:1] == b"H" and tok[1:].isdigit():
             h = int(tok[1:])
     return (w, h)
+
+
+def gif_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    """GIF logical-screen width/height — metadata fast path, no decode."""
+    if content is None or len(content) < 10 or content[:4] != b"GIF8":
+        return (None, None)
+    return (
+        int.from_bytes(content[6:8], "little"),
+        int.from_bytes(content[8:10], "little"),
+    )
 
 
 def png_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
@@ -415,14 +427,16 @@ def encode_png(img, *, color: int = 2, filters=None) -> bytes:
 
 
 def decode_image(content: bytes) -> "object":
-    """Pixel decode dispatch: PPM and PNG decode for REAL (stdlib zlib +
-    the spec); jpeg/gif need a codec library this container doesn't ship —
-    those stay stubbed.  The Spark-side contract (mapInPandas over binary)
+    """Pixel decode dispatch: PPM, PNG, and GIF decode for REAL (stdlib +
+    the specs); jpeg needs a codec library this container doesn't ship —
+    it stays stubbed.  The Spark-side contract (mapInPandas over binary)
     is identical either way."""
     if content and content.startswith(b"P6"):
         return decode_ppm(content)
     if content and content.startswith(_PNG_SIG):
         return decode_png(content)
+    if content and content.startswith(b"GIF8"):
+        return decode_gif(content)
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -454,6 +468,8 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                     w, h = ppm_dimensions(b)
                 if w is None:
                     w, h = y4m_dimensions(b)
+                if w is None:
+                    w, h = gif_dimensions(b)
                 widths.append(w)
                 heights.append(h)
             pdf = pdf.assign(format=fmts, width=widths, height=heights)
@@ -483,7 +499,11 @@ def image_pixel_stats(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFra
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else None
-                if not b or not (b.startswith(b"P6") or b.startswith(_PNG_SIG)):
+                if not b or not (
+                    b.startswith(b"P6")
+                    or b.startswith(_PNG_SIG)
+                    or b.startswith(b"GIF8")
+                ):
                     continue
                 try:
                     img = decode_image(b)
@@ -780,3 +800,217 @@ def multimodal_meta(spark, sf: str) -> DataFrame:
         .join(video, "media_id", "left")
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF codec — pure stdlib + numpy; the public GIF87a/89a spec (LZW §appendix)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes, CLEAR resets the dictionary,
+    dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    bitpos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(width):
+            byte = bitpos >> 3
+            if byte >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            v |= ((data[byte] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table, width, prev = fresh(), min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("GIF LZW: first code not in table")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[len(table) + 2] = prev + (entry[0],)
+        elif code == len(table) + 2:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[code] = entry
+        else:
+            raise ValueError("GIF LZW: code out of sequence")
+        out.extend(entry)
+        prev = entry
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW: pixel data short")
+    return out[:n_pixels]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes):
+    """REAL GIF decode: header + logical screen descriptor, global/local
+    color table, LZW-decompressed first image, optional interlace
+    de-weave.  Returns an h×w×3 uint8 RGB ndarray (first frame; animation
+    frames beyond it and transparency composition are out of scope — the
+    raster math is identical per frame)."""
+    import numpy as np
+
+    if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("GIF truncated")
+    flags = content[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError("GIF image descriptor truncated")
+            w = int.from_bytes(content[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(content[pos + 7 : pos + 9], "little")
+            iflags = content[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    content[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without color table")
+            if pos >= len(content):
+                raise ValueError("GIF pixel data missing")
+            min_code = content[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                lzw += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            px = np.array(idx, dtype=np.int64).reshape(h, w)
+            if int(px.max(initial=0)) >= len(table):
+                raise ValueError("GIF color index out of range")
+            if iflags & 0x40:  # interlaced: de-weave the 4 passes
+                order = []
+                for first, step in _GIF_INTERLACE_PASSES:
+                    order.extend(range(first, h, step))
+                dew = np.empty_like(px)
+                dew[order] = px
+                px = dew
+            return table[px].astype(np.uint8)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def encode_gif(img, *, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder (the decoder's inverse): palettizes the RGB
+    raster (≤256 distinct colors), real LZW compression with dictionary
+    growth and CLEAR resets — exists so fixtures exercise the decoder
+    stdlib-only."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: >256 distinct colors")
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    tbl_n = 1 << bits
+    pad = np.zeros((tbl_n - len(palette), 3), dtype=np.uint8)
+    table = np.concatenate([palette, pad])
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = []
+        for first, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(first, h, step))
+        idx = idx[order]
+    seq = idx.reshape(-1).tolist()
+
+    # LZW encode (GIF variant)
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, width: int):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    width = min_code + 1
+    table_d = {(i,): i for i in range(clear)}
+    emit(clear, width)
+    prev: tuple[int, ...] = ()
+    for s in seq:
+        cand = prev + (s,)
+        if cand in table_d:
+            prev = cand
+            continue
+        emit(table_d[prev], width)
+        table_d[cand] = len(table_d) + 2
+        if len(table_d) + 2 > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table_d = {(i,): i for i in range(clear)}
+                width = min_code + 1
+        prev = (s,)
+    if prev:
+        emit(table_d[prev], width)
+    emit(end, width)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))  # GCT present, size 2^bits
+    out += b"\x00\x00"
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk_b = data[i : i + 255]
+        out.append(len(chunk_b))
+        out += chunk_b
+    out += b"\x00\x3b"
+    return bytes(out)
