@@ -257,6 +257,59 @@ def resize_nearest(img, out_w: int, out_h: int):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+#: Adam7 pass grid: (row_start, row_step, col_start, col_step) per pass
+#: (W3C PNG spec §8.2 — the passes partition the pixel grid exactly)
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (0, 8, 4, 8),
+    (4, 8, 0, 4),
+    (0, 4, 2, 4),
+    (2, 4, 0, 2),
+    (0, 2, 1, 2),
+    (1, 2, 0, 1),
+)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
+    """Reconstruct one (sub-)image from its filtered scanlines (spec §9):
+    returns an (h, w*channels) uint8 array.  Filters 0/2 vectorized, 1 is a
+    per-lane prefix sum, 3/4 run sequential in x."""
+    import numpy as np
+
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        )
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = row.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + (left + int(prev[i])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+    return out
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -268,11 +321,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(content: bytes):
     """REAL PNG decode: chunk walk (CRC-verified), IHDR, zlib-inflated IDAT,
     per-scanline unfilter (all five filter types of the W3C spec §9), for
-    8-bit gray / RGB / palette / RGBA, non-interlaced.  Returns an
-    h×w×3 uint8 RGB ndarray (gray replicated, alpha dropped, palette
-    resolved).  Interlaced (Adam7) and 16-bit images raise
-    NotImplementedError — sniffed and skipped upstream like the other
-    codec-absent formats.
+    8-bit gray / RGB / palette / RGBA, progressive (Adam7, seven
+    independently-filtered sub-images scattered back onto the grid) or
+    not.  Returns an h×w×3 uint8 RGB ndarray (gray replicated, alpha
+    dropped, palette resolved).  16-bit images raise NotImplementedError —
+    sniffed and skipped upstream like the codec-absent formats.
 
     Filters 0 (None) and 2 (Up) reconstruct vectorized; 1 (Sub) is a
     per-byte-lane prefix sum mod 256 (cumsum); 3 (Average) and 4 (Paeth)
@@ -312,8 +365,8 @@ def decode_png(content: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp or filt:
         raise ValueError("invalid PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
@@ -323,38 +376,25 @@ def decode_png(content: bytes):
         raw = zlib.decompress(idat)
     except zlib.error as e:  # header-only / garbled IDAT
         raise ValueError(f"PNG IDAT undecodable: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        row = np.frombuffer(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
-        )
-        ftype = raw[y * (stride + 1)]
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:
-            out[y] = row
-        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
-            lanes = row.reshape(-1, bpp).astype(np.int64)
-            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
-        elif ftype == 2:  # Up
-            out[y] = row + prev  # uint8 wraps mod 256
-        elif ftype == 3:  # Average
-            cur = out[y]
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + (left + int(prev[i])) // 2) % 256
-        elif ftype == 4:  # Paeth
-            cur = out[y]
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) % 256
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-    px = out.reshape(h, w, channels)
+    if interlace == 0:
+        sub = _png_unfilter(raw, w, h, channels)
+        px = sub.reshape(h, w, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the (row, col) grid each pass covers
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for (r0, rs, c0, cs) in _ADAM7:
+            pw = (w - c0 + cs - 1) // cs
+            ph = (h - r0 + rs - 1) // rs
+            if pw == 0 or ph == 0:
+                continue
+            span = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[pos : pos + span], pw, ph, channels)
+            px[r0::rs, c0::cs] = sub.reshape(ph, pw, channels)
+            pos += span
+        if pos != len(raw):
+            raise ValueError("PNG pixel payload size mismatch")
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 2:
@@ -368,27 +408,17 @@ def decode_png(content: bytes):
     return px[:, :, :3]  # RGBA → drop alpha
 
 
-def encode_png(img, *, color: int = 2, filters=None) -> bytes:
-    """Minimal PNG encoder (the decoder's inverse): 8-bit gray/RGB/RGBA,
-    one IDAT, per-row filter selection via ``filters`` (int or per-row
-    list, default 0) — exists so fixtures can exercise every unfilter path
-    with stdlib-only tooling, and so thumbnail export needs no codec lib."""
-    import zlib
-
+def _png_filter_rows(px, bpp: int, filters) -> bytearray:
+    """Filter one (sub-)image's rows (the unfilter inverse); ``px`` is an
+    (h, w*bpp) int64 array, ``filters`` an int or per-row list."""
     import numpy as np
 
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape[0], img.shape[1]
-    channels = {0: 1, 2: 3, 6: 4}[color]
-    px = img.reshape(h, w * channels).astype(np.int64)
-    bpp = channels
-    if filters is None:
-        filters = 0
+    h, stride = px.shape
     rowfilters = [filters] * h if isinstance(filters, int) else list(filters)
     raw = bytearray()
     for y in range(h):
-        row, prev = px[y], (px[y - 1] if y else np.zeros(w * bpp, dtype=np.int64))
-        f = rowfilters[y]
+        row, prev = px[y], (px[y - 1] if y else np.zeros(stride, dtype=np.int64))
+        f = rowfilters[y % len(rowfilters)]
         raw.append(f)
         if f == 0:
             enc = row % 256
@@ -400,14 +430,47 @@ def encode_png(img, *, color: int = 2, filters=None) -> bytes:
             left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
             enc = (row - (left + prev) // 2) % 256
         elif f == 4:
-            enc = np.zeros(w * bpp, dtype=np.int64)
-            for i in range(w * bpp):
+            enc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
                 a = int(row[i - bpp]) if i >= bpp else 0
                 c = int(prev[i - bpp]) if i >= bpp else 0
                 enc[i] = (int(row[i]) - _paeth(a, int(prev[i]), c)) % 256
         else:
             raise ValueError(f"filter {f}")
         raw += bytes(enc.astype(np.uint8))
+    return raw
+
+
+def encode_png(img, *, color: int = 2, filters=None, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (the decoder's inverse): 8-bit gray/RGB/RGBA,
+    one IDAT, per-row filter selection via ``filters`` (int or cycled
+    list, default 0), optional Adam7 interlacing — exists so fixtures can
+    exercise every unfilter path with stdlib-only tooling, and so
+    thumbnail export needs no codec lib."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    bpp = channels
+    if filters is None:
+        filters = 0
+    if interlace:
+        raw = bytearray()
+        for (r0, rs, c0, cs) in _ADAM7:
+            sub = img[r0::rs, c0::cs]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _png_filter_rows(
+                sub.reshape(ph, pw * channels).astype(np.int64), bpp, filters
+            )
+    else:
+        raw = _png_filter_rows(
+            img.reshape(h, w * channels).astype(np.int64), bpp, filters
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -417,7 +480,7 @@ def encode_png(img, *, color: int = 2, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
