@@ -71,6 +71,8 @@ _MAGIC = {
     b"RIFF": "riff",  # wav/avi container
     b"YUV4MPEG2": "y4m",  # uncompressed video — decodable with no codec
     b"\x00\x00\x00": "mp4",  # ftyp boxes start with size; loose sniff
+    b"ID3": "mp3",  # ID3v2-tagged MPEG audio
+    b"\xff\xfb": "mp3",  # bare MPEG1 Layer III sync
 }
 
 
@@ -522,10 +524,13 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, widths, heights = [], [], []
-            for content in pdf["content"]:
+            fmts, widths, heights, durs = [], [], [], []
+            have_dur = "duration_ms" in pdf.columns
+            olddur = pdf["duration_ms"] if have_dur else [None] * len(pdf)
+            for content, d0 in zip(pdf["content"], olddur):
                 b = bytes(content) if content is not None else None
-                fmts.append(sniff_format(b))
+                fmt = sniff_format(b)
+                fmts.append(fmt)
                 w, h = png_dimensions(b)
                 if w is None:
                     w, h = ppm_dimensions(b)
@@ -535,7 +540,15 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                     w, h = gif_dimensions(b)
                 widths.append(w)
                 heights.append(h)
+                d = d0 if (d0 is not None and not pd.isna(d0)) else None
+                if d is None and fmt == "mp4":
+                    d = mp4_duration_ms(b)
+                if d is None and fmt == "mp3":
+                    d = mp3_duration_ms(b)
+                durs.append(d)
             pdf = pdf.assign(format=fmts, width=widths, height=heights)
+            if have_dur:
+                pdf = pdf.assign(duration_ms=pd.array(durs, dtype="Int64"))
             yield pdf
 
     return df.mapInPandas(sniff, schema=df.schema)
@@ -1077,3 +1090,91 @@ def encode_gif(img, *, interlace: bool = False) -> bytes:
         out += chunk_b
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Metadata fast paths for the codec-stubbed containers (no decode needed)
+# ---------------------------------------------------------------------------
+
+
+def mp4_duration_ms(content: bytes | None) -> int | None:
+    """ISO BMFF box walk → ``moov``/``mvhd`` timescale+duration (version 0
+    and 1 layouts).  Pure container metadata — sample DECODE stays stubbed
+    (needs a real codec), but duration/timescale is spec'd structure."""
+    if not content or len(content) < 16:
+        return None
+
+    def walk(buf: bytes, want: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > len(buf):
+                    return None
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = buf[pos + 16 : pos + size]
+            else:
+                body = buf[pos + 8 : pos + size]
+            if size < 8 or pos + size > len(buf):
+                return None
+            if btype == want:
+                return body
+            pos += size
+        return None
+
+    moov = walk(content, b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov, b"mvhd")
+    if mvhd is None or len(mvhd) < 4:
+        return None
+    version = mvhd[0]
+    try:
+        if version == 0 and len(mvhd) >= 20:
+            timescale = int.from_bytes(mvhd[12:16], "big")
+            duration = int.from_bytes(mvhd[16:20], "big")
+        elif version == 1 and len(mvhd) >= 32:
+            timescale = int.from_bytes(mvhd[20:24], "big")
+            duration = int.from_bytes(mvhd[24:32], "big")
+        else:
+            return None
+    except Exception:
+        return None
+    if not timescale:
+        return None
+    return duration * 1000 // timescale
+
+
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables (public ISO 11172-3)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_duration_ms(content: bytes | None) -> int | None:
+    """CBR duration estimate from the first MPEG1 Layer III frame header
+    (optionally behind an ID3v2 tag): duration ≈ audio_bytes·8/bitrate.
+    VBR files need a Xing/VBRI walk — out of scope, returns the CBR
+    estimate which is what lightweight media pipelines record."""
+    if not content or len(content) < 4:
+        return None
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit tag size
+        sz = 0
+        for b in content[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    if pos + 4 > len(content):
+        return None
+    h = content[pos : pos + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    if (h[1] >> 3) & 0x03 != 0x03 or (h[1] >> 1) & 0x03 != 0x01:
+        return None  # only MPEG1 Layer III
+    bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F]
+    rate_idx = (h[2] >> 2) & 0x03
+    if not bitrate or rate_idx > 2:
+        return None
+    audio_bytes = len(content) - pos
+    return audio_bytes * 8 * 1000 // (bitrate * 1000)

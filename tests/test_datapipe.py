@@ -1274,3 +1274,45 @@ def test_png_adam7_interlace_roundtrip():
     rgba = rng.integers(0, 256, (6, 11, 4), dtype=np.uint8)
     out = decode_png(encode_png(rgba, color=6, filters=[0, 2, 4], interlace=True))
     assert (out == rgba[:, :, :3]).all()
+
+
+def test_container_duration_metadata_fast_paths(spark):
+    """mp4 (moov/mvhd box walk, v0 + v1 + 64-bit largesize) and mp3 (frame
+    header behind an ID3v2 tag) report duration without any codec, and the
+    sniff stage fills duration_ms for such rows."""
+    from event_stream_spark.datapipe.multimodal import (
+        mp3_duration_ms,
+        mp4_duration_ms,
+        sniff_format,
+        with_sniffed_metadata,
+    )
+
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + (1000).to_bytes(4, "big") \
+        + (90_500).to_bytes(4, "big") + b"\x00" * 76
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 12) + box(b"moov", box(b"mvhd", mvhd))
+    assert mp4_duration_ms(mp4) == 90_500
+    mvhd1 = bytes([1, 0, 0, 0]) + b"\x00" * 16 + (600).to_bytes(4, "big") \
+        + (3600 * 600).to_bytes(8, "big") + b"\x00" * 76
+    assert mp4_duration_ms(box(b"moov", box(b"mvhd", mvhd1))) == 3_600_000
+    assert mp4_duration_ms(box(b"free", b"")) is None
+
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (16000 - 4)  # 128kbps
+    id3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    assert mp3_duration_ms(frame) == 1000
+    assert mp3_duration_ms(id3 + frame) == 1000
+    assert sniff_format(id3 + frame) == "mp3"
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4), None, None, None, None),
+            (2, "audio", bytearray(id3 + frame), None, None, None, None),
+        ],
+        "media_id long, kind string, content binary, format string, "
+        "width int, height int, duration_ms long",
+    )
+    rows = {r.media_id: r for r in with_sniffed_metadata(df).collect()}
+    assert rows[1].format == "mp4" and rows[1].duration_ms == 90_500
+    assert rows[2].format == "mp3" and rows[2].duration_ms == 1000
