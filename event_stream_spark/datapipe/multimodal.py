@@ -72,7 +72,8 @@ _MAGIC = {
     b"YUV4MPEG2": "y4m",  # uncompressed video — decodable with no codec
     b"\x00\x00\x00": "mp4",  # ftyp boxes start with size; loose sniff
     b"ID3": "mp3",  # ID3v2-tagged MPEG audio
-    b"\xff\xfb": "mp3",  # bare MPEG1 Layer III sync
+    b"\xff\xfb": "mp3",  # bare MPEG1 Layer III sync (CRC bit set)
+    b"\xff\xfa": "mp3",  # bare MPEG1 Layer III sync (CRC-protected)
 }
 
 
@@ -952,7 +953,10 @@ def decode_gif(content: bytes):
         raise ValueError("not a GIF")
     if len(content) < 13:
         raise ValueError("GIF truncated")
+    ls_w = int.from_bytes(content[6:8], "little")
+    ls_h = int.from_bytes(content[8:10], "little")
     flags = content[10]
+    bg_idx = content[11]
     pos = 13
     gct = None
     if flags & 0x80:
@@ -971,6 +975,8 @@ def decode_gif(content: bytes):
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(content):
                 raise ValueError("GIF image descriptor truncated")
+            left = int.from_bytes(content[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(content[pos + 3 : pos + 5], "little")
             w = int.from_bytes(content[pos + 5 : pos + 7], "little")
             h = int.from_bytes(content[pos + 7 : pos + 9], "little")
             iflags = content[pos + 9]
@@ -1004,7 +1010,20 @@ def decode_gif(content: bytes):
                 dew = np.empty_like(px)
                 dew[order] = px
                 px = dew
-            return table[px].astype(np.uint8)
+            rgb = table[px].astype(np.uint8)
+            if (left, top) != (0, 0) or (w, h) != (ls_w, ls_h):
+                # frame is a sub-rectangle (common in optimized GIFs):
+                # composite onto the logical screen at its offset so the
+                # raster matches the sniffed width/height metadata
+                if left + w > ls_w or top + h > ls_h:
+                    raise ValueError("GIF frame exceeds logical screen")
+                bg = table[bg_idx] if bg_idx < len(table) else table[0]
+                canvas = np.tile(
+                    bg.astype(np.uint8), (ls_h, ls_w, 1)
+                )
+                canvas[top : top + h, left : left + w] = rgb
+                rgb = canvas
+            return rgb
         elif block == 0x3B:  # trailer
             break
         else:
@@ -1174,7 +1193,7 @@ def mp3_duration_ms(content: bytes | None) -> int | None:
         return None  # only MPEG1 Layer III
     bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F]
     rate_idx = (h[2] >> 2) & 0x03
-    if not bitrate or rate_idx > 2:
+    if not bitrate or rate_idx >= len(_MP3_RATES):
         return None
     audio_bytes = len(content) - pos
     return audio_bytes * 8 * 1000 // (bitrate * 1000)

@@ -103,12 +103,19 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+class CommitConflict(RuntimeError):
+    """A transaction based on ``expected_snapshot`` lost the race: another
+    commit landed first.  Re-read the table and retry the transformation —
+    the Delta/Iceberg optimistic-concurrency contract."""
+
+
 def commit(
     df: DataFrame,
     table: str,
     *,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    expected_snapshot: int | None = None,
     max_retries: int = 20,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
@@ -118,13 +125,25 @@ def commit(
     travel until :func:`vacuum`).  The data write happens BEFORE the
     manifest claim, so a failure at any point leaves the table at the
     previous snapshot.  ``stats_cols`` records per-file min/max for those
-    columns in the manifest, enabling :func:`read_snapshot` file skipping."""
+    columns in the manifest, enabling :func:`read_snapshot` file skipping.
+
+    ``expected_snapshot`` makes the commit TRANSACTIONAL: it asserts the
+    table is still at that snapshot when the claim lands.  If another
+    commit won the race, :class:`CommitConflict` is raised instead of
+    silently publishing a result computed from stale state — required for
+    every read-modify-write (the DML helpers pass it); plain appends omit
+    it and simply retry onto the next id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     os.makedirs(_log_dir(table), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
+        if expected_snapshot is not None and nxt != expected_snapshot + 1:
+            raise CommitConflict(
+                f"table moved to snapshot {nxt - 1}, transaction based on "
+                f"{expected_snapshot}: re-read and retry"
+            )
         part_dir = os.path.join(table, "data", f"c{nxt:012d}-{token}")
         df.write.mode("error").parquet(part_dir)
         new_files = sorted(
@@ -158,11 +177,17 @@ def commit(
             os.link(tmp, _manifest_path(table, nxt))
         except FileExistsError:
             # lost the race: orphan this attempt's data dir (invisible —
-            # no manifest references it; vacuum sweeps it) and retry
+            # no manifest references it; vacuum sweeps it), then abort the
+            # transaction or retry the plain append
             import shutil
 
             os.remove(tmp)
             shutil.rmtree(part_dir, ignore_errors=True)
+            if expected_snapshot is not None:
+                raise CommitConflict(
+                    f"snapshot {nxt} claimed concurrently, transaction based "
+                    f"on {expected_snapshot}: re-read and retry"
+                ) from None
             continue
         os.remove(tmp)
         return nxt
@@ -215,7 +240,7 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
-def vacuum(table: str, *, keep_last: int = 1) -> list[str]:
+def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list[str]:
     """Delete data files unreachable from the last ``keep_last`` snapshots
     (and drop the older manifests).  Returns the removed file paths."""
     ids = snapshots(table)
@@ -240,10 +265,16 @@ def vacuum(table: str, *, keep_last: int = 1) -> list[str]:
     for n in ids:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))
-    # sweep stale manifest temp files from writers killed mid-commit
+    # sweep manifest temp files from writers killed mid-commit — but only
+    # STALE ones: a live committer is inside its open→link→remove window
+    # for milliseconds, so an age threshold cleanly separates the two
+    import time
+
     for name in os.listdir(_log_dir(table)):
         if name.startswith(".tmp-"):
-            os.remove(os.path.join(_log_dir(table), name))
+            full = os.path.join(_log_dir(table), name)
+            if time.time() - os.path.getmtime(full) > tmp_ttl_s:
+                os.remove(full)
     return removed
 
 
@@ -313,10 +344,14 @@ def merge_upsert(
     copy-on-write) targets only the files whose key ranges overlap the
     update batch via the manifest stats, rewriting a sliver; the seam is
     :func:`read_snapshot`'s ``prune`` on the key column."""
-    current = read_snapshot(spark, table)
+    base = snapshots(table)[-1]
+    current = read_snapshot(spark, table, snapshot=base)
     kept = current.join(updates.select(key).distinct(), key, "left_anti")
     merged = kept.unionByName(updates)
-    return commit(merged, table, mode="overwrite", stats_cols=stats_cols)
+    return commit(
+        merged, table, mode="overwrite", stats_cols=stats_cols,
+        expected_snapshot=base,
+    )
 
 
 def delete_where(
@@ -330,12 +365,17 @@ def delete_where(
     ``overwrite`` snapshot holding every row NOT matching ``predicate``.
     Old snapshots still contain the rows until :func:`vacuum` — the
     documented retention window a real purge pipeline must run."""
-    current = read_snapshot(spark, table)
+    base = snapshots(table)[-1]
+    current = read_snapshot(spark, table, snapshot=base)
+    # SQL DELETE semantics: remove rows where the predicate is TRUE and
+    # KEEP rows where it is false OR NULL (a bare NOT(pred) would silently
+    # purge every row with a NULL in a predicate column)
     return commit(
-        current.filter(f"NOT ({predicate})"),
+        current.filter(f"({predicate}) IS NOT TRUE"),
         table,
         mode="overwrite",
         stats_cols=stats_cols,
+        expected_snapshot=base,
     )
 
 
@@ -351,10 +391,12 @@ def compact(
     IDENTICAL — only the file layout changes (the per-batch streaming
     ingests accrete one file set per microbatch; this is their maintenance
     job, same role as ``compact_event_lake`` for the raw lake)."""
-    current = read_snapshot(spark, table)
+    base = snapshots(table)[-1]
+    current = read_snapshot(spark, table, snapshot=base)
     return commit(
         current.coalesce(target_files),
         table,
         mode="overwrite",
         stats_cols=stats_cols,
+        expected_snapshot=base,
     )

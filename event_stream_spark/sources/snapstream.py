@@ -80,13 +80,26 @@ def _table_ddl(table: str) -> str:
 
 
 class SnapFile(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, columns: list[str]):
         self.path = path
+        self.columns = columns
+
+
+def _read_snap_file(partition: "SnapFile"):
+    """Shared executor-side file read for both legs: columns are selected
+    BY NAME in the source-schema order, so a commit whose parquet happened
+    to lay columns out differently can never silently swap values."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.path, columns=partition.columns)
+    cols = [tbl.column(name).to_pylist() for name in partition.columns]
+    yield from zip(*cols) if cols else iter(())
 
 
 class SnapTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, columns: list[str]):
         self.table = options["table_path"]
+        self.columns = columns
         # deliver history from this snapshot id EXCLUSIVE; default -1 = all
         self.start_after = int(options.get("starting_snapshot", -1))
 
@@ -107,8 +120,19 @@ class SnapTableStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = start["snapshot"], end["snapshot"]
+        ids = set(snapshots(self.table))
+        # the delta of snapshot n needs manifests n AND n-1; a vacuum that
+        # truncated history past this consumer's checkpoint must fail the
+        # stream loudly (resync from a full read), never skip deltas
+        need = range(max(lo, 0), hi + 1)
+        missing = [n for n in need if n not in ids]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} vacuumed past this consumer's "
+                f"checkpoint ({lo}): resync from a full read"
+            )
         files: list[str] = []
-        for n in snapshots(self.table):
+        for n in sorted(ids):
             if lo < n <= hi:
                 if n > 0 and _read_manifest(self.table, n)["op"] == "overwrite":
                     raise ValueError(
@@ -116,14 +140,10 @@ class SnapTableStreamReader(DataSourceStreamReader):
                         "restart the consumer from a full read"
                     )
                 files.extend(added_files(self.table, n))
-        return [SnapFile(p) for p in files]
+        return [SnapFile(p, self.columns) for p in files]
 
     def read(self, partition: SnapFile) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(partition.path)
-        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-        yield from zip(*cols) if cols else iter(())
+        return _read_snap_file(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the consumer's checkpoint
@@ -134,8 +154,9 @@ class SnapTableBatchReader(DataSourceReader):
     reads one snapshot (latest, or ``.option("snapshot", n)`` for time
     travel) — one partition per data file."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, columns: list[str]):
         self.table = options["table_path"]
+        self.columns = columns
         self.snapshot = (
             int(options["snapshot"]) if "snapshot" in options else None
         )
@@ -149,14 +170,13 @@ class SnapTableBatchReader(DataSourceReader):
         n = ids[-1] if self.snapshot is None else self.snapshot
         if n not in ids:
             raise ValueError(f"snapshot {n} not in {ids}")
-        return [SnapFile(f["path"]) for f in _read_manifest(self.table, n)["files"]]
+        return [
+            SnapFile(f["path"], self.columns)
+            for f in _read_manifest(self.table, n)["files"]
+        ]
 
     def read(self, partition: SnapFile) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(partition.path)
-        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-        yield from zip(*cols) if cols else iter(())
+        return _read_snap_file(partition)
 
 
 class SnapTableDataSource(DataSource):
@@ -168,10 +188,10 @@ class SnapTableDataSource(DataSource):
         return _table_ddl(self.options["table_path"])
 
     def reader(self, schema) -> DataSourceReader:
-        return SnapTableBatchReader(self.options)
+        return SnapTableBatchReader(self.options, schema.fieldNames())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return SnapTableStreamReader(self.options)
+        return SnapTableStreamReader(self.options, schema.fieldNames())
 
 
 def register(spark) -> None:

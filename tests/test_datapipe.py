@@ -1316,3 +1316,29 @@ def test_container_duration_metadata_fast_paths(spark):
     rows = {r.media_id: r for r in with_sniffed_metadata(df).collect()}
     assert rows[1].format == "mp4" and rows[1].duration_ms == 90_500
     assert rows[2].format == "mp3" and rows[2].duration_ms == 1000
+
+
+def test_gif_subframe_composites_onto_logical_screen():
+    """A first frame smaller than the logical screen lands at its offset on
+    a background-color canvas, so the raster agrees with the sniffed
+    width/height."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import decode_gif, encode_gif
+
+    inner = np.full((2, 3, 3), 200, dtype=np.uint8)
+    blob = bytearray(encode_gif(inner))
+    # grow the logical screen to 6x5 and move the frame to (2, 1):
+    blob[6:8] = (6).to_bytes(2, "little")   # screen width
+    blob[8:10] = (5).to_bytes(2, "little")  # screen height
+    # image descriptor starts after header+GCT; find 0x2C
+    i = bytes(blob).index(b"\x2c")
+    blob[i + 1 : i + 3] = (2).to_bytes(2, "little")  # left
+    blob[i + 3 : i + 5] = (1).to_bytes(2, "little")  # top
+    out = decode_gif(bytes(blob))
+    assert out.shape == (5, 6, 3)
+    assert (out[1:3, 2:5] == 200).all()
+    # everything else is the (single) background color
+    mask = np.ones((5, 6), dtype=bool)
+    mask[1:3, 2:5] = False
+    assert len({tuple(px) for px in out[mask]}) == 1

@@ -2207,3 +2207,58 @@ def test_snaptable_batch_read_time_travel(spark, tmp_path):
         .load()
     )
     assert {r.id for r in pinned.collect()} == {0, 1, 2, 3}
+
+
+def test_snapshot_dml_aborts_on_concurrent_commit(spark, tmp_path):
+    """A read-modify-write transaction must ABORT (CommitConflict) when a
+    concurrent append lands between its read and its commit — never publish
+    a result computed from stale state."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources.snaplog import (
+        CommitConflict,
+        commit,
+        delete_where,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(spark.createDataFrame([(1, "a")], "id long, v string"), table)
+
+    # interleave: make read_snapshot race a concurrent append by committing
+    # from inside the same transaction window
+    real_read = snaplog.read_snapshot
+
+    def racing_read(spark_, tbl_, **kw):
+        df = real_read(spark_, tbl_, **kw)
+        commit(
+            spark.createDataFrame([(99, "concurrent")], "id long, v string"), table
+        )
+        return df
+
+    snaplog.read_snapshot = racing_read
+    try:
+        with _pytest.raises(CommitConflict):
+            delete_where(spark, table, "id = 1")
+    finally:
+        snaplog.read_snapshot = real_read
+    # the concurrent append survived; nothing was deleted
+    got = {r.id for r in read_snapshot(spark, table).collect()}
+    assert got == {1, 99}
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are KEPT."""
+    from event_stream_spark.sources.snaplog import commit, delete_where, read_snapshot
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(1, "spam"), (2, "ok"), (3, None)], "id long, v string"
+        ),
+        table,
+    )
+    delete_where(spark, table, "v = 'spam'")
+    got = {r.id for r in read_snapshot(spark, table).collect()}
+    assert got == {2, 3}  # the NULL-v row must survive
