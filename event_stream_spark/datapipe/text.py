@@ -79,3 +79,38 @@ def lsh_bands(sig: Column, bands: int = 4, rows: int = 4, sep: str = "|") -> Col
     return F.array(
         *[F.concat_ws(sep, F.slice(sig, b * rows + 1, rows)) for b in range(bands)]
     )
+
+
+def lsh_plan(
+    threshold: float, n_hashes: int = 16, *, exact: bool = True, grid: int = 200
+):
+    """Pick (bands, rows) for banded MinHash-LSH at a similarity
+    ``threshold``: minimizes the S-curve error ∫|P(cand|s) − step_t(s)| ds
+    with P = 1 − (1 − s^rows)^bands — the standard Mining-of-Massive-
+    Datasets construction, computed by deterministic numeric quadrature so
+    the choice is reproducible.  ``exact=True`` (default) considers only
+    splits with bands·rows == ``n_hashes`` — the signature is already paid
+    for, use all of it; ``exact=False`` also allows shorter signatures.
+    Returns (bands, rows, fp_area, fn_area): fp = expected candidate mass
+    below the threshold (wasted verify work), fn = missed mass above it
+    (lost recall).  ``dedup_minhash``'s (4, 4) at t=0.5 is this function's
+    answer for its 16-hash signature."""
+    best = None
+    for rows in range(1, n_hashes + 1):
+        for bands in range(1, n_hashes // rows + 1):
+            if exact and bands * rows != n_hashes:
+                continue
+            fp = fn = 0.0
+            for i in range(grid):
+                s = (i + 0.5) / grid
+                p = 1.0 - (1.0 - s**rows) ** bands
+                if s < threshold:
+                    fp += p / grid
+                else:
+                    fn += (1.0 - p) / grid
+            err = fp + fn
+            cand = (err, bands, rows, fp, fn)
+            if best is None or cand < best:
+                best = cand
+    _, bands, rows, fp, fn = best
+    return bands, rows, fp, fn

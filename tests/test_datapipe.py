@@ -1342,3 +1342,19 @@ def test_gif_subframe_composites_onto_logical_screen():
     mask = np.ones((5, 6), dtype=bool)
     mask[1:3, 2:5] = False
     assert len({tuple(px) for px in out[mask]}) == 1
+
+
+def test_lsh_plan_justifies_minhash_parameters():
+    """The S-curve optimizer reproduces dedup_minhash's published (4, 4)
+    banding at t=0.5/16 hashes, shifts toward longer bands for stricter
+    thresholds, and its error terms behave like probabilities."""
+    from event_stream_spark.datapipe.text import lsh_plan
+
+    b, r, fp, fn = lsh_plan(0.5, 16)
+    assert (b, r) == (4, 4)
+    assert 0 <= fp <= 1 and 0 <= fn <= 1
+
+    b_hi, r_hi, _, _ = lsh_plan(0.9, 16)
+    assert r_hi >= r  # stricter threshold → longer bands (fewer FPs)
+    b_lo, r_lo, _, _ = lsh_plan(0.2, 16)
+    assert r_lo <= r  # looser threshold → shorter bands (fewer FNs)
