@@ -116,6 +116,7 @@ def commit(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     expected_snapshot: int | None = None,
+    allow_added_columns: bool = False,
     max_retries: int = 20,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
@@ -132,13 +133,32 @@ def commit(
     commit won the race, :class:`CommitConflict` is raised instead of
     silently publishing a result computed from stale state — required for
     every read-modify-write (the DML helpers pass it); plain appends omit
-    it and simply retry onto the next id."""
+    it and simply retry onto the next id.
+
+    Schema is PART of the table contract: every manifest records its
+    column list, an append whose columns differ is rejected, and the only
+    legal change is ADDITIVE (new trailing columns) with an explicit
+    ``allow_added_columns=True`` — silent drift (renames, type changes,
+    reorders) can never enter the log.  Readers merge schemas, so rows
+    from pre-evolution files surface NULL for the added columns."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     os.makedirs(_log_dir(table), exist_ok=True)
     token = uuid.uuid4().hex[:12]
+    new_cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
+        if nxt > 0 and mode == "append":
+            prev_cols = _read_manifest(table, nxt - 1).get("columns")
+            if prev_cols is not None and prev_cols != new_cols:
+                if new_cols[: len(prev_cols)] == prev_cols and allow_added_columns:
+                    pass  # additive evolution, explicitly allowed
+                else:
+                    raise ValueError(
+                        f"schema mismatch: table has {prev_cols}, commit has "
+                        f"{new_cols} (additive trailing columns require "
+                        "allow_added_columns=True; anything else is drift)"
+                    )
         if expected_snapshot is not None and nxt != expected_snapshot + 1:
             raise CommitConflict(
                 f"table moved to snapshot {nxt - 1}, transaction based on "
@@ -163,6 +183,7 @@ def commit(
         manifest = {
             "snapshot": nxt,
             "op": mode,
+            "columns": new_cols,
             "files": prev + entries,
         }
         # content first, visibility second: the fsync'd temp file carries
@@ -237,7 +258,8 @@ def read_snapshot(
     files = [f["path"] for f in entries]
     if not files:
         raise ValueError(f"snapshot {n} at {table} references no files")
-    return spark.read.parquet(*files)
+    # mergeSchema: pre-evolution files surface NULL for added columns
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list[str]:

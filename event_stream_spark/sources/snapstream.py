@@ -65,7 +65,9 @@ def _table_ddl(table: str) -> str:
     files = _read_manifest(table, ids[-1])["files"]
     if not files:
         raise ValueError(f"latest snapshot at {table} references no files")
-    schema = pq.read_schema(files[0]["path"])
+    # the NEWEST file carries the full schema (evolution is additive-only,
+    # enforced by snaplog.commit); older files may lack trailing columns
+    schema = pq.read_schema(files[-1]["path"])
     cols = []
     for field in schema:
         t = str(field.type)
@@ -88,11 +90,19 @@ class SnapFile(InputPartition):
 def _read_snap_file(partition: "SnapFile"):
     """Shared executor-side file read for both legs: columns are selected
     BY NAME in the source-schema order, so a commit whose parquet happened
-    to lay columns out differently can never silently swap values."""
+    to lay columns out differently can never silently swap values; columns
+    a pre-evolution file lacks surface as NULLs (additive evolution)."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(partition.path, columns=partition.columns)
-    cols = [tbl.column(name).to_pylist() for name in partition.columns]
+    tbl = pq.read_table(
+        partition.path,
+        columns=[c for c in partition.columns if c in pq.read_schema(partition.path).names],
+    )
+    n = tbl.num_rows
+    cols = [
+        tbl.column(name).to_pylist() if name in tbl.column_names else [None] * n
+        for name in partition.columns
+    ]
     yield from zip(*cols) if cols else iter(())
 
 

@@ -2262,3 +2262,37 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     delete_where(spark, table, "v = 'spam'")
     got = {r.id for r in read_snapshot(spark, table).collect()}
     assert got == {2, 3}  # the NULL-v row must survive
+
+
+def test_snapshot_schema_evolution_additive_only(spark, tmp_path):
+    """Schema is part of the table contract: drift is rejected, additive
+    evolution needs the explicit flag, merged reads NULL-fill old rows,
+    and the snaptable source serves the evolved schema."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import commit, read_snapshot
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    commit(spark.createDataFrame([(1, "a")], "id long, v string"), table)
+
+    with _pytest.raises(ValueError, match="schema mismatch"):  # drift: rename
+        commit(spark.createDataFrame([(2, "b")], "id long, w string"), table)
+    with _pytest.raises(ValueError, match="schema mismatch"):  # no flag
+        commit(
+            spark.createDataFrame([(2, "b", 1.5)], "id long, v string, q double"),
+            table,
+        )
+    commit(
+        spark.createDataFrame([(2, "b", 1.5)], "id long, v string, q double"),
+        table,
+        allow_added_columns=True,
+    )
+    rows = {r.id: r for r in read_snapshot(spark, table).collect()}
+    assert rows[1].q is None and rows[2].q == 1.5
+
+    df = spark.read.format("snaptable").option("table_path", table).load()
+    assert set(df.columns) == {"id", "v", "q"}
+    got = {r.id: r.q for r in df.collect()}
+    assert got == {1: None, 2: 1.5}
