@@ -975,6 +975,57 @@ def json_extract(spark, sf):
     )
 
 
+ATTR_LOOKBACK_DAYS = 7
+
+
+def attribution(spark, sf):
+    """Last-touch marketing attribution: every purchase is attributed to
+    the SAME user's most recent click within a 7-day (ATTR_LOOKBACK_DAYS)
+    lookback — the standard conversion-attribution join.  The click's
+    channel comes out of the ``props`` JSON (fixed-schema ``from_json``,
+    the ``json_extract`` contract); purchases whose latest click is older
+    than the lookback (or who never clicked) attribute to NULL.
+
+    Scale shape: the keyed as-of operator (one user_id shuffle over
+    clicks+purchases, linear window pass — ``operators/asof.py``); the
+    lookback is a post-join null-out, NOT a second join.  The DuckDB twin
+    is the engine's native ASOF LEFT JOIN with the same expiry CASE — an
+    independent algorithm for the same semantics.
+    """
+    from event_stream_spark.operators.asof import as_of_join
+
+    e = t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    k = F.from_json("props", "k INT")["k"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", k.alias("channel")
+    )
+    j = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["event_id", "ts", "channel"],
+        tiebreak=["event_id"],
+    )
+    lb_us = ATTR_LOOKBACK_DAYS * 86400 * 1_000_000
+    p_us = F.unix_micros(F.col("ts"))
+    c_us = F.unix_micros(F.col("ts_r"))
+    live = c_us >= p_us - F.lit(lb_us)
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            p_us.alias("ts_us"),
+            F.when(live, F.col("event_id_r")).alias("click_id"),
+            F.when(live, F.col("channel_r")).alias("channel"),
+            F.when(live, p_us - c_us).alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 JSON_EXTRACT_SQL = """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            event_type, count(*) AS n, round(avg(value), 6) AS avg_value
@@ -1028,6 +1079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_gapfill": time_gapfill_q,
     "ts_anomaly": ts_anomaly,
     "json_extract": json_extract,
+    "attribution": attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1321,4 +1373,21 @@ ORACLE_SQL: dict[str, str] = {
     "time_gapfill": TIME_GAPFILL_SQL,
     "ts_anomaly": TS_ANOMALY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
+    "attribution": f"""
+        WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT user_id, ts, event_id,
+                          CAST(json_extract_string(props, '$.k') AS INTEGER)
+                              AS channel
+                   FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+               CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {7 * 86400 * 1_000_000}
+                    THEN r.event_id END AS click_id,
+               CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {7 * 86400 * 1_000_000}
+                    THEN r.channel END AS channel,
+               CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - {7 * 86400 * 1_000_000}
+                    THEN epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """,
 }
