@@ -48,7 +48,7 @@ WITNESS_ORDER: list[str] = [
     "bm25_topk", "collocations", "graph_pagerank", "mmr_rerank",
     "lm_score_bigram", "dedup_containment", "length_trim",
     "datapipe_curate_v2", "corpus_sample_stratified", "dedup_exact_norm",
-    "attribution",
+    "attribution", "funnel_latency",
     # -- re-witness: one entry per distinct operator family (30 slots) --
     "fuzzy_match",
     "q25", "q26", "q27", "q28", "q29", "q30", "q31", "q32",

@@ -640,6 +640,49 @@ def q29(spark, sf):
     )
 
 
+def funnel_latency(spark, sf):
+    """Step-latency percentiles for the q29 funnel: among converting users,
+    exact p50/p90 of view→click and click→purchase lag plus the full
+    view→purchase time-to-convert — the "where does the funnel stall"
+    readout every product-analytics stack pairs with the step counts.
+
+    Scale shape: the same single user_id partitioning as q29 computes the
+    per-user step times (conditional mins, map-side filtered); the
+    percentile aggregate then reduces the per-USER relation (funnel-
+    completer cardinality, ≪ events) with q28's exact sort-based state.
+    """
+    e = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1b"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2b"), F.min("t1b").alias("t1c"))
+    )
+    lags = t3.select(
+        (F.col("t2b") - F.col("t1c")).alias("view_to_click_us"),
+        (F.col("t3") - F.col("t2b")).alias("click_to_purchase_us"),
+        (F.col("t3") - F.col("t1c")).alias("view_to_purchase_us"),
+    )
+    aggs = []
+    for c in ("view_to_click_us", "click_to_purchase_us", "view_to_purchase_us"):
+        for q, nm in ((0.5, "p50"), (0.9, "p90")):
+            aggs.append(F.round(F.expr(f"percentile({c}, {q})"), 4).alias(f"{nm}_{c}"))
+    return lags.agg(F.count("*").alias("n_converters"), *aggs)
+
+
 def q30(spark, sf):
     """Weekly cohort retention: users grouped by the week of their first
     event; per (cohort week, week offset) the distinct users active.
@@ -1080,6 +1123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_anomaly": ts_anomaly,
     "json_extract": json_extract,
     "attribution": attribution,
+    "funnel_latency": funnel_latency,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1373,6 +1417,31 @@ ORACLE_SQL: dict[str, str] = {
     "time_gapfill": TIME_GAPFILL_SQL,
     "ts_anomaly": TS_ANOMALY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
+    "funnel_latency": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(us) AS t2, min(t1) AS t1b
+               FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(us) AS t3, min(t2) AS t2b, min(t1b) AS t1c
+               FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 3600000000
+               GROUP BY e.user_id),
+        lags AS (SELECT t2b - t1c AS view_to_click_us,
+                        t3 - t2b AS click_to_purchase_us,
+                        t3 - t1c AS view_to_purchase_us
+                 FROM s3)
+        SELECT count(*) AS n_converters,
+               round(quantile_cont(view_to_click_us, 0.5), 4) AS p50_view_to_click_us,
+               round(quantile_cont(view_to_click_us, 0.9), 4) AS p90_view_to_click_us,
+               round(quantile_cont(click_to_purchase_us, 0.5), 4) AS p50_click_to_purchase_us,
+               round(quantile_cont(click_to_purchase_us, 0.9), 4) AS p90_click_to_purchase_us,
+               round(quantile_cont(view_to_purchase_us, 0.5), 4) AS p50_view_to_purchase_us,
+               round(quantile_cont(view_to_purchase_us, 0.9), 4) AS p90_view_to_purchase_us
+        FROM lags
+    """,
     "attribution": f"""
         WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
              r AS (SELECT user_id, ts, event_id,

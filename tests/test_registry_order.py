@@ -27,7 +27,7 @@ NEW_IN_R4 = {
     "corpus_report", "bm25_topk", "collocations", "graph_pagerank",
     "mmr_rerank", "lm_score_bigram", "dedup_containment", "length_trim",
     "datapipe_curate_v2", "corpus_sample_stratified", "dedup_exact_norm",
-    "attribution",
+    "attribution", "funnel_latency",
 }
 
 
