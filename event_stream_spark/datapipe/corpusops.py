@@ -257,7 +257,16 @@ def dup_spans(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
         )
     )
-    frac = F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+    # Cross-engine hash-exact contract (same as lm_score_bigram): the 6-dp
+    # rounding is done in EXACT integer arithmetic — round-half-up of
+    # a/b·1e6 is floor((2a·1e6 + b) / 2b), pure BIGINT DIV on both engines —
+    # then one int/1e6 IEEE division (correctly rounded, bit-identical)
+    # produces the double.  Spark's F.round (BigDecimal HALF_UP on the
+    # double) and DuckDB's round() disagree in the last ulp on some
+    # fractions, which failed the driver's raw-value hash in r4.
+    scaled = F.expr(
+        "(n_dup_spans * 2000000 + n_spans) DIV (n_spans * 2)"
+    )
     return (
         t(spark, sf, "documents")
         .select("doc_id")
@@ -266,8 +275,10 @@ def dup_spans(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce(frac, F.lit(0.0)).alias("dup_span_frac"),
-            (F.coalesce(frac, F.lit(0.0)) > DUP_SPAN_FRAC_MAX).alias("span_flagged"),
+            F.coalesce(scaled / F.lit(1000000.0), F.lit(0.0)).alias("dup_span_frac"),
+            (
+                F.coalesce(scaled, F.lit(0)) > int(DUP_SPAN_FRAC_MAX * 1_000_000)
+            ).alias("span_flagged"),
         )
         .orderBy("doc_id")
     )
@@ -292,9 +303,10 @@ DUP_SPANS_SQL = f"""
     SELECT d.doc_id,
            coalesce(p.n_spans, 0) AS n_spans,
            coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-           coalesce(round(p.n_dup_spans::DOUBLE / p.n_spans, 6), 0.0) AS dup_span_frac,
-           coalesce(round(p.n_dup_spans::DOUBLE / p.n_spans, 6), 0.0)
-               > {DUP_SPAN_FRAC_MAX} AS span_flagged
+           coalesce(((p.n_dup_spans * 2000000 + p.n_spans) // (p.n_spans * 2))
+               / 1000000.0, 0.0) AS dup_span_frac,
+           coalesce((p.n_dup_spans * 2000000 + p.n_spans) // (p.n_spans * 2), 0)
+               > {int(DUP_SPAN_FRAC_MAX * 1_000_000)} AS span_flagged
     FROM documents d LEFT JOIN per p USING (doc_id)
     ORDER BY d.doc_id
 """

@@ -29,7 +29,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # Driver-grade strictness: compare the EXACT double (no rounding
+        # blur).  A 9-dp round here masked dup_spans's last-ulp divergence
+        # for four rounds; any query emitting doubles must make both twins
+        # bit-identical (integer-scaled rounding / DECIMAL), not rely on
+        # the harness to forgive drift.
+        return v.hex()
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
