@@ -22,47 +22,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver correctness-gate ordering.  The driver hash-checks the FIRST 50
 # registry entries per round, so ordering is part of the verification
-# contract: entries that have not yet received a driver CORRECTNESS row lead,
-# followed by one representative per operator family; Q-set entries whose
-# operators are already triple-witnessed (r1+r2+r3 green) sit past the
-# window, along with sketch_profile whose sketch columns are rows-only by
-# design (its exact twins are hash-checked via sketch_exact inside the
-# window).  Registry membership is still the union of QUERIES +
-# DATAPIPE_QUERIES — this list only fixes iteration order, and a safety net
-# below appends anything not named here.
+# contract.  Round-5 policy (VERDICT r4 ask #3): rotate by witness age —
+# least-recently-driver-witnessed first, so no entry's driver row goes
+# stale while the substrate underneath it is rewritten.  Window = the one
+# r4 red (dup_spans, now hash-exact), the one entry rewritten this round
+# (graph_pagerank, fixed-point iteration), then every entry whose last
+# CORRECTNESS row is r3 (the q1–q32 set and the minhash/ann/kmeans/text
+# families, all rewritten since via the shared shingle mat-view).  The 48
+# r4-green entries sit past the boundary with sketch_profile (rows-only by
+# design; its exact twins are hash-checked via sketch_exact).  Registry
+# membership is still the union of QUERIES + DATAPIPE_QUERIES — this list
+# only fixes iteration order, and a safety net below appends anything not
+# named here.
 WITNESS_ORDER: list[str] = [
-    # -- never driver-witnessed before round 4 (r1–r3 window overflow) --
-    "pii_scrub", "text_repetition", "dup_spans", "seq_pack", "chunk_docs",
+    # -- red in r4 (hash mismatch, now fixed) — must re-witness green --
+    "dup_spans",
+    # -- rewritten this round (plain-sum fixed-point iterations) --
+    "graph_pagerank",
+    # -- last witnessed r3; substrate (shingle mat-view, row-based
+    #    shingles) rewritten in r3/r4 after their rows were recorded --
+    "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_embedding_exact",
+    "ann_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
+    "embed_kmeans", "semdedup", "text_tokens", "text_quality",
+    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8_intersect", "q8_except",
+    "q9", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+    "q19", "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
+    "q29", "q30", "q31", "q32",
+    # ---- driver window boundary (50) ----
+    # last witnessed r4 (green 2026-08) — freshest rows, rotate out
+    "pii_scrub", "text_repetition", "seq_pack", "chunk_docs",
     "url_dedup", "dedup_paragraph", "dedup_paragraph_clean",
     "dedup_incremental", "embed_quantize", "lm_score",
-    # -- green in r2 only, fell out of the r3 window --
     "text_langid", "text_fingerprint", "multimodal_meta",
     "datapipe_clean_corpus", "decontaminate", "corpus_mix", "vocab_topk",
     "tfidf_topterms",
-    # -- new in round 4 --
     "sketch_exact", "corpus_split", "heavy_hitters",
     "time_gapfill", "corpus_shuffle", "corpus_sample", "ts_anomaly",
     "json_extract", "embed_project", "dedup_cluster_best", "ann_join",
     "bpe_pairs", "bpe_learn", "bpe_tokenize", "bloom_prune",
     "quality_classify", "corpus_temp_mix", "corpus_report",
-    "bm25_topk", "collocations", "graph_pagerank", "mmr_rerank",
+    "bm25_topk", "collocations", "mmr_rerank",
     "lm_score_bigram", "dedup_containment", "length_trim",
     "datapipe_curate_v2", "corpus_sample_stratified", "dedup_exact_norm",
-    "attribution", "funnel_latency",
-    # -- re-witness: one entry per distinct operator family (30 slots) --
-    "fuzzy_match",
-    "q25", "q26", "q27", "q28", "q29", "q30", "q31", "q32",
-    "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_embedding_exact",
-    "ann_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
-    "embed_kmeans", "semdedup", "text_tokens",
-    # ---- driver window boundary (50) ----
-    # multi-witnessed redundant-capability tail (green in earlier rounds)
-    "text_quality", "q2", "q19", "q1", "q4", "q5", "q14",
-    "q3", "q6", "q7", "q8_intersect", "q8_except", "q9", "q10", "q11",
-    "q12", "q13", "q15", "q16", "q17", "q18", "q20", "q21", "q22", "q23",
-    "q24",
+    "attribution", "funnel_latency", "fuzzy_match",
     "sketch_profile",
 ]
 

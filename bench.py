@@ -29,6 +29,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # optional subset run (comma-separated names) — used to bisect whether
+    # per-query drift tracks the number of co-resident entries in one
+    # session (plan registry / matview / GC pressure) vs the queries
+    # themselves
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
 
     # warm the JVM + parquet footers + Arrow/pandas-UDF machinery once so
     # steady-state throughput is measured, not first-call classloading
@@ -90,17 +98,41 @@ def main() -> None:
     except ValueError:
         pass
 
-    total = round(sum(timings.values()), 6)
+    total = round(sum(timings.values()), 4)
     out = {
         "metric": "qset_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 6) for k, v in timings.items()},
+        "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    # Full record first; then a SHORT summary line that survives a
+    # 2,000-char tail capture (the r4 driver log truncated the ~2.3 kB
+    # 89-entry map and lost the total).  A consumer that keeps only the
+    # last line still gets metric/value/sf; one that parses the first JSON
+    # line still gets the per-query map.
     print(json.dumps(out))
+    # durable full record beside the script (the stdout capture is lossy)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "qset_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "slowest": {k: round(v, 4) for k, v in slowest.items()},
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 
