@@ -17,29 +17,40 @@ Catalyst/AQE handle the physical plan.
 
 Scale shape per iteration: ``edges ⋈ pr`` co-partitions on the src key and
 the contribution aggregate shuffles on the dst key — two hash exchanges
-over an edge-count-sized relation of (long, long, double) rows, never the
+over an edge-count-sized relation of (long, long, long) rows, never the
 documents themselves.  The rank vector is node-sized.  Degrees are computed
 once and ride along with the edges (joined before the loop), so iterations
-touch exactly two relations.  At 100 TB-corpus scale the edge set is the
-output of the (already bucketed) LSH candidate machinery, and each
-iteration is a pair of narrow-row exchanges — the standard distributed
-PageRank cost model.
+touch exactly two relations.
 
-Determinism: per-node contribution sums fold LEFT over neighbors ordered by
-source id (``aggregate(array_sort(collect_list(...)))`` ↔ DuckDB
-``list_sum(list(x ORDER BY src))``) and each round's rank is rounded to 6
-digits, so the two engines stay bit-identical through every iteration
-(plain ``sum`` is the production path; the ordered fold buys bit-stable
-reproducibility, same contract as ``datapipe/retrieval.py``).
+Determinism — fixed-point integer arithmetic, NOT ordered float folds: rank
+is carried as a BIGINT in units of 1e-12 (``FP_SCALE``); per-edge
+contributions are integer divisions (``pr_fp DIV deg``) and the per-node
+fold is a plain integer ``SUM`` — commutative and exact, so partial-
+aggregation order cannot change the result and both engines are
+bit-identical by construction.  The damping factor is applied as an exact
+rational (17/20 for 0.85).  This replaces the r4 design that folded DOUBLE
+contributions LEFT over a ``collect_list``/``array_sort`` array per
+destination — deterministic, but a dense hub materialized a degree-sized
+array in a single aggregation row, a skew hazard at 10¹⁰-doc scale
+(VERDICT r4 ask #5).  The production aggregation now holds constant state
+per group regardless of degree (gated by ``test_pagerank_no_degree_sized_
+array`` with a 10⁵-edge hub).
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
+# rank fixed-point scale: 1e-12 units in BIGINT.  Max intermediate is
+# d_num·Σacc ≈ 17·1e12 ≈ 2e13 ≪ 2^63.
+FP_SCALE = 10**12
+# emitted precision: 6 dp, same contract as the rest of the registry
+OUT_SCALE = 10**6
 
 
 def graph_pagerank(
@@ -65,6 +76,11 @@ def graph_pagerank(
     )
 
 
+def _damping_ratio(damping: float) -> tuple[int, int]:
+    frac = Fraction(damping).limit_denominator(10**6)
+    return frac.numerator, frac.denominator
+
+
 def pagerank_iterations(
     edges: DataFrame,
     *,
@@ -75,6 +91,8 @@ def pagerank_iterations(
     factored out so the property test drives the exact operator code (not a
     copy) against an independent python reference.  Returns ((doc_id, pr),
     (src, deg))."""
+    d_num, d_den = _damping_ratio(damping)
+
     # out-degree (== in-degree: symmetric graph); node set == deg keys
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
@@ -84,51 +102,54 @@ def pagerank_iterations(
 
     pr = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("doc_id"),
-        F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"),
+        F.expr(f"{FP_SCALE}L DIV n_nodes").alias("pr_fp"),
     )
     for _ in range(iters):
         contrib = (
             esrc.join(pr, esrc["src"] == pr["doc_id"])
-            .select(
-                "dst",
-                F.col("src"),
-                (F.col("pr") / F.col("deg")).alias("c"),
-            )
+            # integer contribution: constant-size state per dst group,
+            # order-independent exact SUM — the production path at any skew
+            .select("dst", F.expr("pr_fp DIV deg").alias("c_fp"))
             .groupBy("dst")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c")))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["c"],
-                ).alias("acc")
-            )
+            .agg(F.sum("c_fp").alias("acc_fp"))
         )
         pr = contrib.crossJoin(F.broadcast(n)).select(
             F.col("dst").alias("doc_id"),
-            F.round(
-                F.lit(1.0 - damping) / F.col("n_nodes") + F.lit(damping) * F.col("acc"),
-                6,
-            ).alias("pr"),
+            F.expr(
+                f"({(d_den - d_num)} * {FP_SCALE}L) DIV ({d_den} * n_nodes)"
+                f" + ({d_num} * acc_fp) DIV {d_den}"
+            ).alias("pr_fp"),
         )
-    return pr, deg
+    out = pr.select(
+        "doc_id",
+        # round-half-up to 6 dp in integer space, then ONE IEEE division
+        # (correctly rounded → bit-identical across engines)
+        (
+            F.expr(f"(pr_fp + {FP_SCALE // OUT_SCALE // 2}) DIV {FP_SCALE // OUT_SCALE}")
+            / F.lit(float(OUT_SCALE))
+        ).alias("pr"),
+    )
+    return out, deg
 
 
 def _pagerank_sql() -> str:
     from event_stream_spark.datapipe.dedup import _MINHASH_PAIRS_CTES
 
-    d = PAGERANK_DAMPING
+    d_num, d_den = _damping_ratio(PAGERANK_DAMPING)
+    half = FP_SCALE // OUT_SCALE // 2
+    unit = FP_SCALE // OUT_SCALE
     rounds = []
     for k in range(1, PAGERANK_ITERS + 1):
         rounds.append(f"""
     s{k} AS (
-        SELECT e.dst AS doc_id,
-               list_sum(list(p.pr / e.deg ORDER BY e.src)) AS acc
+        SELECT e.dst AS doc_id, sum(p.pr_fp // e.deg) AS acc_fp
         FROM esrc e JOIN pr{k - 1} p ON p.doc_id = e.src
         GROUP BY e.dst
     ),
     pr{k} AS (
         SELECT doc_id,
-               round({1.0 - d} / (SELECT n_nodes FROM n) + {d} * acc, 6) AS pr
+               ({d_den - d_num} * {FP_SCALE}) // ({d_den} * (SELECT n_nodes FROM n))
+                 + ({d_num} * acc_fp) // {d_den} AS pr_fp
         FROM s{k}
     )""")
     return f"""
@@ -142,12 +163,13 @@ def _pagerank_sql() -> str:
     n AS (SELECT count(*) AS n_nodes FROM deg),
     esrc AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
     pr0 AS (
-        SELECT src AS doc_id, round(1.0 / (SELECT n_nodes FROM n), 6) AS pr
+        SELECT src AS doc_id, {FP_SCALE} // (SELECT n_nodes FROM n) AS pr_fp
         FROM deg
     ),{",".join(rounds)}
-    SELECT p.doc_id, d.deg, p.pr
+    SELECT p.doc_id, d.deg,
+           ((p.pr_fp + {half}) // {unit}) / {float(OUT_SCALE)} AS pr
     FROM pr{PAGERANK_ITERS} p JOIN deg d ON d.src = p.doc_id
-    ORDER BY p.pr DESC, p.doc_id
+    ORDER BY pr DESC, p.doc_id
 """
 
 

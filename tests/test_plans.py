@@ -801,7 +801,7 @@ def test_bm25_broadcasts_query_side(spark):
 
 
 def test_pagerank_iterations_stay_narrow(spark):
-    """graph_pagerank: the iteration loop exchanges only (src/dst, double)
+    """graph_pagerank: the iteration loop exchanges only (src/dst, long)
     rows — the documents relation (text#) never appears in any exchange,
     and there is no cartesian pair expansion."""
     from event_stream_spark.datapipe.graph import graph_pagerank
@@ -811,3 +811,41 @@ def test_pagerank_iterations_stay_narrow(spark):
     for l in p.splitlines():
         if "Exchange" in l:
             assert "text#" not in l
+
+
+def test_pagerank_no_degree_sized_array(spark):
+    """Skew gate (VERDICT r4 ask #5): the per-node contribution fold is a
+    plain integer SUM with constant state per group — no collect_list /
+    ObjectHashAggregate materializing a degree-sized array for a dense hub.
+    Proved two ways: the plan contains no object aggregate, and a 10^5-edge
+    star graph executes with the hub's rank exact."""
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe.graph import pagerank_iterations
+
+    hub_deg = 100_000
+    spokes = spark.range(1, hub_deg + 1).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    edges = spokes.union(
+        spokes.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+    pr, deg = pagerank_iterations(edges, iters=2)
+    p = plan(pr)
+    assert "collect_list" not in p and "ObjectHashAggregate" not in p, (
+        "degree-sized array state in the production aggregation"
+    )
+    rows = {r.doc_id: r.pr for r in pr.collect()}
+    assert len(rows) == hub_deg + 1
+    # exact fixed-point reference for a star: hub absorbs all spoke mass
+    FP = 10**12
+    n = hub_deg + 1
+    hub, spoke = FP // n, FP // n
+    for _ in range(2):
+        acc_hub = hub_deg * (spoke // 1)  # each spoke deg=1
+        acc_spoke = hub // hub_deg
+        hub = (3 * FP) // (20 * n) + (17 * acc_hub) // 20
+        spoke = (3 * FP) // (20 * n) + (17 * acc_spoke) // 20
+    assert rows[0] == ((hub + 500_000) // 1_000_000) / 1e6
+    assert rows[1] == ((spoke + 500_000) // 1_000_000) / 1e6

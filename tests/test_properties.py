@@ -277,22 +277,23 @@ def test_bm25_matches_python_reference(spark, corpus, tmp_path_factory):
     assert got == _py_bm25(docs, ["aa", "bb"])
 
 
-def _py_pagerank(edges: set[tuple[int, int]], iters=5, d=0.85):
+def _py_pagerank(edges: set[tuple[int, int]], iters=5, d_num=17, d_den=20):
+    """Fixed-point reference mirroring the operator's integer contract:
+    rank in 1e-12 BIGINT units, integer-division contributions, exact
+    integer sums, damping as the exact rational d_num/d_den."""
+    FP = 10**12
     sym = edges | {(b, a) for a, b in edges}
     nodes = sorted({u for u, _ in sym})
     deg = {u: sum(1 for x, _ in sym if x == u) for u in nodes}
     n = len(nodes)
-    pr = {u: round(1.0 / n, 6) for u in nodes}
+    pr = {u: FP // n for u in nodes}
     for _ in range(iters):
         nxt = {}
         for v in nodes:
-            acc = 0.0
-            for (u, w) in sorted(sym):
-                if w == v:
-                    acc += pr[u] / deg[u]
-            nxt[v] = round((1 - d) / n + d * acc, 6)
+            acc = sum(pr[u] // deg[u] for (u, w) in sym if w == v)
+            nxt[v] = ((d_den - d_num) * FP) // (d_den * n) + (d_num * acc) // d_den
         pr = nxt
-    return pr
+    return {u: ((fp + 500_000) // 1_000_000) / 1e6 for u, fp in pr.items()}
 
 
 @given(
@@ -320,8 +321,9 @@ def test_pagerank_matches_python_reference(spark, pairs):
     pr, _deg = pagerank_iterations(edges)
     got = {r.doc_id: r.pr for r in pr.collect()}
     assert set(got) == set(ref)
+    # fixed-point integer arithmetic: EXACT equality, no tolerance
     for v in ref:
-        assert abs(got[v] - ref[v]) <= 2e-6, (v, got[v], ref[v])
+        assert got[v] == ref[v], (v, got[v], ref[v])
 
 
 @given(corpus=docs_strategy)
