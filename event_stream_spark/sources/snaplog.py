@@ -77,6 +77,12 @@ def _read_manifest(table: str, n: int) -> dict:
         return json.load(fh)
 
 
+def _row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-file min/max for ``cols`` from the parquet footer (local read of
     metadata only — no row data)."""
@@ -95,10 +101,19 @@ def _file_stats(path: str, cols: list[str]) -> dict:
                 return {}  # stats unavailable → never prune on this file
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        # manifests are JSON: only record directly-serializable stat types;
-        # timestamp/date/binary min/max are omitted (file is then never
-        # pruned on that column — skipping must never require a codec)
-        if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+        # manifests are JSON and pruning must be ORDER-FAITHFUL to the
+        # footer stats: record numeric min/max only.  String stats are
+        # deliberately omitted — parquet writers may TRUNCATE long string
+        # max values (the truncated max understates the true max) and
+        # footer ordering is unsigned-byte-wise, so pruning on them could
+        # skip a file that actually overlaps, losing rows.  An unrecorded
+        # column simply never prunes that file — always safe.
+        if (
+            isinstance(lo, (int, float))
+            and isinstance(hi, (int, float))
+            and not isinstance(lo, bool)
+            and not isinstance(hi, bool)
+        ):
             out[col] = [lo, hi]
     return out
 
@@ -171,6 +186,12 @@ def commit(
             for f in os.listdir(part_dir)
             if f.endswith(".parquet")
         )
+        # zero-row part files (empty input partitions) carry no data and no
+        # footer stats; referencing them bloats manifests and schedules
+        # empty scan tasks — keep one only when the whole commit is empty,
+        # so the snapshot still carries the schema
+        nonempty = [p for p in new_files if _row_count(p) > 0]
+        new_files = nonempty or new_files[:1]
         prev = (
             _read_manifest(table, nxt - 1)["files"]
             if mode == "append" and nxt > 0
@@ -251,10 +272,13 @@ def read_snapshot(
         all_files = [f["path"] for f in _read_manifest(table, n)["files"]]
         entries = [e for e in entries if overlaps(e)]
         if not entries and all_files:
-            # everything pruned: keep the TABLE's schema (from one real
-            # file's footer) so callers can still filter/select/join —
-            # limit(0) plans no row reads
-            return spark.read.parquet(all_files[0]).limit(0)
+            # everything pruned: keep the TABLE's schema so callers can
+            # still filter/select/join — limit(0) plans no row reads.  The
+            # NEWEST file carries the full column set under additive-only
+            # evolution (the oldest would drop added trailing columns and
+            # break callers selecting them — same reason
+            # snapstream._table_ddl reads files[-1])
+            return spark.read.parquet(all_files[-1]).limit(0)
     files = [f["path"] for f in entries]
     if not files:
         raise ValueError(f"snapshot {n} at {table} references no files")
@@ -264,20 +288,34 @@ def read_snapshot(
 
 def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list[str]:
     """Delete data files unreachable from the last ``keep_last`` snapshots
-    (and drop the older manifests).  Returns the removed file paths."""
+    (and drop the older manifests).  Returns the removed file paths.
+
+    Safe under concurrent writers: ``commit`` writes data files BEFORE
+    publishing the manifest, so an in-flight commit's fresh files look
+    unreferenced for a window.  Unreferenced files younger than
+    ``tmp_ttl_s`` are therefore SKIPPED (same mtime threshold that guards
+    the manifest temp files) — only files both unreachable and older than
+    the TTL can belong to a dead writer rather than a live one."""
+    import time
+
     ids = snapshots(table)
     keep_ids = ids[-keep_last:] if keep_last else []
     live: set[str] = set()
     for n in keep_ids:
         live.update(f["path"] for f in _read_manifest(table, n)["files"])
     removed: list[str] = []
+    now = time.time()
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):
         for cdir in os.listdir(data_root):
             full = os.path.join(data_root, cdir)
             for f in os.listdir(full):
                 p = os.path.join(full, f)
-                if f.endswith(".parquet") and p not in live:
+                if (
+                    f.endswith(".parquet")
+                    and p not in live
+                    and now - os.path.getmtime(p) > tmp_ttl_s
+                ):
                     os.remove(p)
                     removed.append(p)
             if not any(x.endswith(".parquet") for x in os.listdir(full)):
@@ -290,12 +328,10 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
     # sweep manifest temp files from writers killed mid-commit — but only
     # STALE ones: a live committer is inside its open→link→remove window
     # for milliseconds, so an age threshold cleanly separates the two
-    import time
-
     for name in os.listdir(_log_dir(table)):
         if name.startswith(".tmp-"):
             full = os.path.join(_log_dir(table), name)
-            if time.time() - os.path.getmtime(full) > tmp_ttl_s:
+            if now - os.path.getmtime(full) > tmp_ttl_s:
                 os.remove(full)
     return removed
 
@@ -348,6 +384,16 @@ def read_increment(
 # ---------------------------------------------------------------------------
 
 
+def _latest_snapshot(table: str) -> int:
+    """Latest committed id, with the same ValueError contract as
+    read_snapshot — DML on a never-committed table is a caller error, not
+    an IndexError."""
+    ids = snapshots(table)
+    if not ids:
+        raise ValueError(f"no snapshots committed at {table}")
+    return ids[-1]
+
+
 def merge_upsert(
     spark: SparkSession,
     table: str,
@@ -366,7 +412,7 @@ def merge_upsert(
     copy-on-write) targets only the files whose key ranges overlap the
     update batch via the manifest stats, rewriting a sliver; the seam is
     :func:`read_snapshot`'s ``prune`` on the key column."""
-    base = snapshots(table)[-1]
+    base = _latest_snapshot(table)
     current = read_snapshot(spark, table, snapshot=base)
     kept = current.join(updates.select(key).distinct(), key, "left_anti")
     merged = kept.unionByName(updates)
@@ -387,7 +433,7 @@ def delete_where(
     ``overwrite`` snapshot holding every row NOT matching ``predicate``.
     Old snapshots still contain the rows until :func:`vacuum` — the
     documented retention window a real purge pipeline must run."""
-    base = snapshots(table)[-1]
+    base = _latest_snapshot(table)
     current = read_snapshot(spark, table, snapshot=base)
     # SQL DELETE semantics: remove rows where the predicate is TRUE and
     # KEEP rows where it is false OR NULL (a bare NOT(pred) would silently
@@ -413,7 +459,7 @@ def compact(
     IDENTICAL — only the file layout changes (the per-batch streaming
     ingests accrete one file set per microbatch; this is their maintenance
     job, same role as ``compact_event_lake`` for the raw lake)."""
-    base = snapshots(table)[-1]
+    base = _latest_snapshot(table)
     current = read_snapshot(spark, table, snapshot=base)
     return commit(
         current.coalesce(target_files),
