@@ -14,13 +14,17 @@ Spark Kafka connector jar exists:
   v1 (api_key, api_version, correlation_id, nullable client_id) —
   responses matched to requests by correlation id.
 - **APIs** (public protocol, versions pinned and advertised honestly):
-  ApiVersions v0 (key 18), Metadata v0 (key 3), Produce v2 (key 0),
-  Fetch v2 (key 1), ListOffsets v1 (key 2, -1 latest / -2 earliest).
-- **Record format**: message-set v1 — per record ``offset • size • crc32
-  (over magic..value) • magic=1 • attributes • timestamp(ms) • key •
-  value`` with nullable (-1) key/value.  CRCs are verified on read.
-  (RecordBatch v2/varint framing is out of scope; v1 is the wire format
-  Fetch/Produce v2 officially carry.)
+  ApiVersions v0 (key 18), Metadata v0 (key 3), Produce v0-3 (key 0),
+  Fetch v0-4 (key 1), ListOffsets v1 (key 2, -1 latest / -2 earliest).
+- **Record formats**, BOTH real and CRC-verified on read:
+  - message-set v1 (Produce/Fetch ≤2): per record ``offset • size •
+    crc32 (IEEE, over magic..value) • magic=1 • attributes •
+    timestamp(ms) • key • value`` with nullable (-1) key/value;
+  - RecordBatch v2 (Produce 3 / Fetch 4 — what every current broker
+    speaks): zigzag-varint record framing, per-batch CRC32C over
+    attributes..end, base+delta offsets/timestamps, headers.  The magic
+    byte sits at offset 16 in both framings, so decode sniffs it — a
+    mixed-format log reads correctly through either API version.
 - **Spark source** (``format("kafkawire")``): offsets are per-partition
   next-positions ``{partition: n}`` — exactly Kafka's model, so the
   checkpointed offset log gives the same at-least-once ack contract as
@@ -191,6 +195,170 @@ def decode_message_set(
 
 
 # ---------------------------------------------------------------------------
+# RecordBatch v2 (magic=2) — the format every current broker speaks
+# ---------------------------------------------------------------------------
+#
+# Layout (public Kafka protocol, message format v2):
+#   baseOffset i64 · batchLength i32 · partitionLeaderEpoch i32 · magic i8(=2)
+#   · crc u32 (CRC32C over attributes..end) · attributes i16 ·
+#   lastOffsetDelta i32 · baseTimestamp i64 · maxTimestamp i64 ·
+#   producerId i64 · producerEpoch i16 · baseSequence i32 · recordCount i32 ·
+#   records (each: length varint · attributes i8 · timestampDelta varlong ·
+#   offsetDelta varint · keyLen varint · key · valueLen varint · value ·
+#   headerCount varint · headers) — all varints ZIGZAG.
+#
+# The crc is CRC32C (Castagnoli, reflected poly 0x82F63B78), NOT the IEEE
+# crc32 message-set v1 uses.  Table-driven pure-python below; a production
+# client would bind a C implementation, but batches here are test-sized.
+
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+del _i, _c
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    """Zigzag varint (Kafka record fields)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while z >= 0x80:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+    return bytes(out)
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    z = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def encode_record_batch(
+    records: list[tuple[int, int, bytes | None, bytes | None]]
+) -> bytes:
+    """``(offset, timestamp_ms, key, value)`` entries → ONE RecordBatch v2
+    (no compression, no producer/transactional state, no headers)."""
+    if not records:
+        return b""
+    base_off = records[0][0]
+    base_ts = min(ts for _, ts, _, _ in records)
+    max_ts = max(ts for _, ts, _, _ in records)
+    recs = bytearray()
+    for off, ts, key, value in records:
+        body = bytearray(b"\x00")  # record attributes
+        body += _varint(ts - base_ts)
+        body += _varint(off - base_off)
+        for blob in (key, value):
+            if blob is None:
+                body += _varint(-1)
+            else:
+                body += _varint(len(blob)) + blob
+        body += _varint(0)  # headers
+        recs += _varint(len(body)) + body
+    post_crc = (
+        _i16(0)  # batch attributes: no compression, CREATE_TIME
+        + _i32(records[-1][0] - base_off)  # lastOffsetDelta
+        + _i64(base_ts) + _i64(max_ts)
+        + _i64(-1) + _i16(-1) + _i32(-1)  # producerId/Epoch/baseSequence
+        + _i32(len(records)) + recs
+    )
+    # batchLength counts everything after itself: leaderEpoch(4) + magic(1)
+    # + crc(4) + post_crc
+    return (
+        _i64(base_off) + _i32(9 + len(post_crc)) + _i32(-1) + _i8(2)
+        + struct.pack(">I", crc32c(post_crc)) + post_crc
+    )
+
+
+def decode_record_batches(
+    data: bytes,
+) -> list[tuple[int, int, bytes | None, bytes | None]]:
+    """Concatenated RecordBatch v2 set → ``(offset, ts, key, value)``
+    entries.  CRC32C verified per batch; a partial trailing batch (legal in
+    Kafka fetch responses) is dropped."""
+    out = []
+    pos = 0
+    while pos + 12 <= len(data):
+        base = struct.unpack_from(">q", data, pos)[0]
+        blen = struct.unpack_from(">i", data, pos + 8)[0]
+        if pos + 12 + blen > len(data):
+            break  # partial trailing batch
+        batch = data[pos + 12:pos + 12 + blen]
+        pos += 12 + blen
+        magic = batch[4]
+        if magic != 2:
+            raise KafkaWireError(f"expected magic 2, got {magic}")
+        crc = struct.unpack_from(">I", batch, 5)[0]
+        rest = batch[9:]
+        if crc != crc32c(rest):
+            raise KafkaWireError(f"crc32c mismatch in batch at {base}")
+        c = _Cursor(rest)
+        attrs = c.i16()
+        if attrs & 0x07:
+            raise KafkaWireError("compressed batches not supported")
+        c.i32()  # lastOffsetDelta
+        base_ts = c.i64()
+        c.i64()  # maxTimestamp
+        c.i64()  # producerId
+        c.i16()  # producerEpoch
+        c.i32()  # baseSequence
+        count = c.i32()
+        raw, p = rest, c.pos
+        for _ in range(count):
+            rlen, p = _read_varint(raw, p)
+            end = p + rlen
+            p += 1  # record attributes
+            ts_delta, p = _read_varint(raw, p)
+            off_delta, p = _read_varint(raw, p)
+            blobs = []
+            for _f in range(2):
+                n, p = _read_varint(raw, p)
+                if n < 0:
+                    blobs.append(None)
+                else:
+                    blobs.append(raw[p:p + n])
+                    p += n
+            n_headers, p = _read_varint(raw, p)
+            for _h in range(n_headers):
+                n, p = _read_varint(raw, p)  # header key (non-nullable)
+                p += max(n, 0)
+                n, p = _read_varint(raw, p)  # header value (nullable)
+                p += max(n, 0)
+            if p != end:
+                raise KafkaWireError("record length mismatch")
+            out.append((base + off_delta, base_ts + ts_delta, blobs[0], blobs[1]))
+    return out
+
+
+def decode_any_record_set(
+    data: bytes,
+) -> list[tuple[int, int, bytes | None, bytes | None]]:
+    """Sniff the record format by the magic byte — at offset 16 in BOTH
+    framings (messageset: offset8+size4+crc4 · batch: offset8+len4+epoch4),
+    which is exactly why Kafka pinned it there."""
+    if len(data) > 16 and data[16] == 2:
+        return decode_record_batches(data)
+    return decode_message_set(data)
+
+
+# ---------------------------------------------------------------------------
 # broker
 # ---------------------------------------------------------------------------
 
@@ -275,7 +443,7 @@ class KafkaWireBroker:
             body = _i16(ERR_NONE) + _i32(5) + b"".join(
                 _i16(k) + _i16(lo) + _i16(hi)
                 for k, lo, hi in [
-                    (API_PRODUCE, 0, 2), (API_FETCH, 0, 2),
+                    (API_PRODUCE, 0, 3), (API_FETCH, 0, 4),
                     (API_LIST_OFFSETS, 0, 1), (API_METADATA, 0, 0),
                     (API_VERSIONS, 0, 0),
                 ]
@@ -317,6 +485,8 @@ class KafkaWireBroker:
         return brokers + bytes(topics)
 
     def _produce(self, c: _Cursor, version: int) -> bytes:
+        if version >= 3:
+            c.string()  # transactional_id (nullable)
         c.i16()  # acks
         c.i32()  # timeout
         n_topics = c.i32()
@@ -329,7 +499,10 @@ class KafkaWireBroker:
                 pid = c.i32()
                 mset = c.bytes() or b""
                 base = self.high_watermark(name, pid)
-                for _off, ts, key, value in decode_message_set(mset):
+                # v3+ officially carries RecordBatch v2, v0-2 message sets;
+                # sniff the magic byte so either decodes (brokers do the same
+                # for down-converted producers)
+                for _off, ts, key, value in decode_any_record_set(mset):
                     self.append(name, pid, ts, key, value)
                 parts += _i32(pid) + _i16(ERR_NONE) + _i64(base)
                 if version >= 2:
@@ -344,6 +517,10 @@ class KafkaWireBroker:
         c.i32()  # replica_id
         c.i32()  # max_wait
         c.i32()  # min_bytes
+        if version >= 3:
+            c.i32()  # max_bytes (response-level cap)
+        if version >= 4:
+            c.i8()  # isolation_level
         n_topics = c.i32()
         topics = bytearray(_i32(n_topics))
         for _ in range(n_topics):
@@ -363,10 +540,18 @@ class KafkaWireBroker:
                     size += 26 + len(key or b"") + len(value or b"")
                     if size >= max_bytes:
                         break
-                mset = encode_message_set(records)
-                parts += (
-                    _i32(pid) + _i16(ERR_NONE) + _i64(hw) + _bytes(mset)
+                # v4+ responses carry RecordBatch v2 (varints + CRC32C),
+                # older versions the v1 message set
+                mset = (
+                    encode_record_batch(records)
+                    if version >= 4
+                    else encode_message_set(records)
                 )
+                parts += _i32(pid) + _i16(ERR_NONE) + _i64(hw)
+                if version >= 4:
+                    # last_stable_offset + empty aborted_transactions
+                    parts += _i64(hw) + _i32(0)
+                parts += _bytes(mset)
             topics += _string(name) + bytes(parts)
         head = _i32(0) if version >= 1 else b""  # throttle_time_ms
         return head + bytes(topics)
@@ -494,17 +679,24 @@ class KafkaWireClient:
         return {"brokers": brokers, "topics": topics}
 
     def produce(self, topic: str, partition: int,
-                records: list[tuple[bytes | None, bytes | None, int]]) -> int:
-        """``(key, value, timestamp_ms)`` records → base offset assigned."""
-        mset = encode_message_set(
-            [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
+                records: list[tuple[bytes | None, bytes | None, int]],
+                *, version: int = 3) -> int:
+        """``(key, value, timestamp_ms)`` records → base offset assigned.
+        ``version>=3`` (default — what current brokers speak) sends
+        RecordBatch v2; lower versions the v1 message set."""
+        entries = [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
+        mset = (
+            encode_record_batch(entries)
+            if version >= 3
+            else encode_message_set(entries)
         )
         body = (
-            _i16(1) + _i32(10000)  # acks=1, timeout
+            (_string(None) if version >= 3 else b"")  # transactional_id
+            + _i16(1) + _i32(10000)  # acks=1, timeout
             + _i32(1) + _string(topic)
             + _i32(1) + _i32(partition) + _bytes(mset)
         )
-        c = self._request(API_PRODUCE, 2, body)
+        c = self._request(API_PRODUCE, version, body)
         c.i32()  # topic count (1)
         c.string()
         c.i32()  # partition count (1)
@@ -515,15 +707,20 @@ class KafkaWireClient:
         return c.i64()
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 20
+              max_bytes: int = 1 << 20, *, version: int = 4
               ) -> tuple[int, list[tuple[int, int, bytes | None, bytes | None]]]:
-        """→ (high_watermark, [(offset, timestamp, key, value), …])."""
+        """→ (high_watermark, [(offset, timestamp, key, value), …]).
+        ``version>=4`` (default) reads RecordBatch v2 responses; lower
+        versions the v1 message set.  Decode sniffs the magic byte, so a
+        mixed-format log reads correctly either way."""
         body = (
             _i32(-1) + _i32(0) + _i32(0)
+            + (_i32(max_bytes) if version >= 3 else b"")
+            + (_i8(0) if version >= 4 else b"")  # isolation: READ_UNCOMMITTED
             + _i32(1) + _string(topic)
             + _i32(1) + _i32(partition) + _i64(offset) + _i32(max_bytes)
         )
-        c = self._request(API_FETCH, 2, body)
+        c = self._request(API_FETCH, version, body)
         c.i32()  # throttle_time
         c.i32()  # topic count
         c.string()
@@ -533,8 +730,12 @@ class KafkaWireClient:
         if err:
             raise KafkaWireError(f"fetch error {err}")
         hw = c.i64()
+        if version >= 4:
+            c.i64()  # last_stable_offset
+            for _ in range(c.i32()):  # aborted_transactions
+                c.i64(), c.i64()
         mset = c.bytes() or b""
-        return hw, decode_message_set(mset)
+        return hw, decode_any_record_set(mset)
 
     def list_offsets(self, topic: str, partition: int, ts: int = TS_LATEST) -> int:
         body = (
@@ -570,10 +771,11 @@ SCHEMA = (
 
 class _FetchRange(InputPartition):
     def __init__(self, host: str, port: int, topic: str, partition: int,
-                 start: int, end: int):
+                 start: int, end: int, fetch_version: int = 4):
         self.host, self.port = host, port
         self.topic, self.partition = topic, partition
         self.start, self.end = start, end
+        self.fetch_version = fetch_version
 
 
 class KafkaWireStreamReader(DataSourceStreamReader):
@@ -594,6 +796,8 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             raise ValueError("kafkawire needs topic")
         self.starting = options.get("starting_offsets", "earliest")
         self.max_per_trigger = int(options.get("max_offsets_per_trigger", 0)) or None
+        # 4 = RecordBatch v2 (the modern default); 2 = message-set v1
+        self.fetch_version = int(options.get("fetch_version", 4))
         self._client: KafkaWireClient | None = None
         self._n_parts: int | None = None
         self._last: dict[str, int] = {}  # last offsets reported to the planner
@@ -635,7 +839,8 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             hi = end.get(p_str, lo)
             if hi > lo:
                 out.append(_FetchRange(
-                    self.host, self.port, self.topic, int(p_str), lo, hi
+                    self.host, self.port, self.topic, int(p_str), lo, hi,
+                    self.fetch_version,
                 ))
         return out
 
@@ -645,7 +850,8 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             offset = partition.start
             while offset < partition.end:
                 _hw, records = client.fetch(
-                    partition.topic, partition.partition, offset
+                    partition.topic, partition.partition, offset,
+                    version=getattr(partition, "fetch_version", 4),
                 )
                 if not records:
                     return  # log truncated below the requested span

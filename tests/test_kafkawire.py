@@ -19,8 +19,13 @@ from event_stream_spark.sources.kafkawire import (
     KafkaWireBroker,
     KafkaWireClient,
     KafkaWireError,
+    _read_varint,
+    _varint,
+    crc32c,
     decode_message_set,
+    decode_record_batches,
     encode_message_set,
+    encode_record_batch,
     kafka_wire_block_source,
 )
 
@@ -44,12 +49,105 @@ def test_message_set_roundtrip_and_crc():
     assert decode_message_set(blob[:len(blob) - 3]) == records[:2]
 
 
+def test_crc32c_spec_vectors():
+    """RFC 3720 §B.4 / Castagnoli check values."""
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # iSCSI all-zeros vector
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43  # iSCSI all-ones vector
+
+
+def test_zigzag_varint_vectors():
+    """Protobuf/Kafka zigzag varint encoding vectors + round-trip."""
+    vectors = {
+        0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+        2: b"\x04", 63: b"\x7e", -64: b"\x7f", 64: b"\x80\x01",
+        -65: b"\x81\x01", 300: b"\xd8\x04",
+    }
+    for n, blob in vectors.items():
+        assert _varint(n) == blob, n
+        got, pos = _read_varint(blob, 0)
+        assert (got, pos) == (n, len(blob))
+    for n in (-(1 << 62), -12345, 0, 12345, (1 << 62)):
+        got, _pos = _read_varint(_varint(n), 0)
+        assert got == n
+
+
+def test_record_batch_v2_layout_and_roundtrip():
+    records = [
+        (100, 1650000000000, b"k0", b"v0"),
+        (101, 1650000000005, None, b"null-key"),
+        (102, 1650000000001, b"k2", None),
+    ]
+    blob = encode_record_batch(records)
+    # fixed-header layout: baseOffset i64 · batchLength i32 ·
+    # partitionLeaderEpoch i32 · magic i8(=2)
+    import struct as _struct
+
+    assert _struct.unpack_from(">q", blob, 0)[0] == 100  # baseOffset
+    blen = _struct.unpack_from(">i", blob, 8)[0]
+    assert 12 + blen == len(blob)  # batchLength covers the rest exactly
+    assert blob[16] == 2  # magic — same offset as message-set v1's magic
+    # recordCount at fixed offset 57 (after crc4+attrs2+delta4+ts8+ts8+
+    # pid8+epoch2+seq4 from byte 21)
+    assert _struct.unpack_from(">i", blob, 57)[0] == 3
+
+    assert decode_record_batches(blob) == records
+
+    # CRC32C integrity: any payload flip is caught
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(KafkaWireError, match="crc32c"):
+        decode_record_batches(bytes(bad))
+
+    # concatenated batches decode in sequence; a partial trailing batch
+    # (mid-batch fetch cut) is dropped, not an error
+    two = encode_record_batch(records) + encode_record_batch(
+        [(103, 1650000000009, b"k3", b"v3")]
+    )
+    assert decode_record_batches(two) == records + [
+        (103, 1650000000009, b"k3", b"v3")
+    ]
+    assert decode_record_batches(two[:-5]) == records
+
+
+def test_produce_v3_fetch_v4_and_mixed_format_log():
+    """RecordBatch v2 end-to-end through the broker: Produce v3 appends,
+    Fetch v4 serves v2 batches; a log fed through BOTH producer formats
+    reads whole through either fetch version (magic-byte sniffing)."""
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        assert client.produce(
+            "blocks", 0, [(b"k1", b"v1", 1000), (None, b"v2", 2000)],
+            version=3,
+        ) == 0
+        # old producer on the same log
+        assert client.produce(
+            "blocks", 0, [(b"k3", None, 3000)], version=2
+        ) == 2
+
+        hw, recs = client.fetch("blocks", 0, 0, version=4)
+        assert hw == 3
+        assert recs == [
+            (0, 1000, b"k1", b"v1"),
+            (1, 2000, None, b"v2"),
+            (2, 3000, b"k3", None),
+        ]
+        # legacy consumer still reads the same log via message sets
+        hw2, recs2 = client.fetch("blocks", 0, 0, version=2)
+        assert (hw2, recs2) == (hw, recs)
+    finally:
+        client.close()
+        broker.close()
+
+
 def test_broker_client_protocol_exchange():
     broker = KafkaWireBroker(num_partitions=2)
     client = KafkaWireClient(broker.host, broker.port)
     try:
         versions = client.api_versions()
-        assert versions[0] == (0, 2) and versions[1] == (0, 2)
+        assert versions[0] == (0, 3) and versions[1] == (0, 4)
 
         md = client.metadata("blocks")
         assert md["brokers"] == [(0, broker.host, broker.port)]
