@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio/video codec libraries, so decode for
-jpeg/mp3/mp4 is STUBBED (NotImplementedError as marked) — but every format
-whose spec needs only the stdlib decodes for REAL end-to-end:
+The container has no image/audio/video codec libraries, so mp3/mp4 SAMPLE
+decode is STUBBED (NotImplementedError as marked, real container metadata
+around it) — but every format whose spec is implementable with
+stdlib+numpy decodes for REAL end-to-end:
 
 - image: binary NetPBM (P6) header parse + pixel decode, a full PNG codec
-  (zlib inflate, CRC-checked chunks, all five filters), and a full GIF
-  codec (variable-width LZW, interlace de-weave) — all three feed
-  nearest-neighbor resize + per-channel stats
-  (``decode_ppm``/``decode_png``/``decode_gif``/``image_pixel_stats``);
+  (zlib inflate, CRC-checked chunks, all five filters), a full GIF codec
+  (variable-width LZW, interlace de-weave), and a baseline JPEG codec
+  (SOF0 huffman decode, float IDCT, 4:4:4/4:2:2/4:2:0, restart markers;
+  progressive declared-unsupported) — all four feed nearest-neighbor
+  resize + per-channel stats (``decode_ppm``/``decode_png``/
+  ``decode_gif``/``decode_jpeg``/``image_pixel_stats``);
 - audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
   (``parse_wav``/``audio_pcm_stats``);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
@@ -493,16 +496,18 @@ def encode_png(img, *, color: int = 2, filters=None, interlace: bool = False) ->
 
 
 def decode_image(content: bytes) -> "object":
-    """Pixel decode dispatch: PPM, PNG, and GIF decode for REAL (stdlib +
-    the specs); jpeg needs a codec library this container doesn't ship —
-    it stays stubbed.  The Spark-side contract (mapInPandas over binary)
-    is identical either way."""
+    """Pixel decode dispatch: PPM, PNG, GIF, and baseline JPEG all decode
+    for REAL (stdlib+numpy, from the public specs).  Progressive JPEG and
+    the other SOFn variants stay declared-unsupported.  The Spark-side
+    contract (mapInPandas over binary) is identical either way."""
     if content and content.startswith(b"P6"):
         return decode_ppm(content)
     if content and content.startswith(_PNG_SIG):
         return decode_png(content)
     if content and content.startswith(b"GIF8"):
         return decode_gif(content)
+    if content and content.startswith(b"\xff\xd8"):
+        return decode_jpeg(content)
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -539,6 +544,8 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                     w, h = y4m_dimensions(b)
                 if w is None:
                     w, h = gif_dimensions(b)
+                if w is None:
+                    w, h = jpeg_dimensions(b)
                 widths.append(w)
                 heights.append(h)
                 d = d0 if (d0 is not None and not pd.isna(d0)) else None
@@ -580,6 +587,7 @@ def image_pixel_stats(df: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFra
                     b.startswith(b"P6")
                     or b.startswith(_PNG_SIG)
                     or b.startswith(b"GIF8")
+                    or b.startswith(b"\xff\xd8")
                 ):
                     continue
                 try:
@@ -1197,3 +1205,572 @@ def mp3_duration_ms(content: bytes | None) -> int | None:
         return None
     audio_bytes = len(content) - pos
     return audio_bytes * 8 * 1000 // (bitrate * 1000)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (SOF0) codec — stdlib + numpy, from the public ITU-T T.81
+# spec (closes the r4 "jpeg stubbed" gap; reference parity target:
+# es-core has no media handling — this is §2.12 extension surface).
+#
+# Scope: baseline DCT, 8-bit, huffman entropy coding, 1 or 3 components,
+# integer chroma subsampling ratios (4:4:4 / 4:2:2 / 4:2:0), restart
+# markers.  Progressive (SOF2), arithmetic coding, and 12-bit raise
+# NotImplementedError (declared, like PNG's 16-bit path).
+# ---------------------------------------------------------------------------
+
+# zigzag position → linear index in the 8×8 block (T.81 Figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 example quantization tables (row-major)
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+# Annex K.3 typical huffman tables: (bits[1..16], values)
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) → symbol for the canonical huffman assignment
+    (T.81 Annex C): codes of each length count up from the previous
+    length's last code, shifted left."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            C[k, n] = np.cos((2 * n + 1) * k * np.pi / 16)
+    C *= np.sqrt(2.0 / 8.0)
+    C[0, :] *= np.sqrt(0.5)
+    return C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    RST markers are consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # hit a marker mid-read (EOI after padding bits)
+                    self.pos -= 1
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("jpeg: expected restart marker")
+
+
+def _jpeg_decode_huffman(r: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """receive/extend (T.81 F.2.2.1): an n-bit magnitude to a signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def jpeg_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    """Width/height from the SOFn header — metadata without decoding."""
+    if not content or not content.startswith(b"\xff\xd8"):
+        return (None, None)
+    pos = 2
+    try:
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return (None, None)
+            marker = content[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                return (None, None)
+            seglen = struct.unpack_from(">H", content, pos)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", content, pos + 3)
+                return (w, h)
+            pos += seglen
+    except (struct.error, IndexError):
+        pass
+    return (None, None)
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG → H×W×3 uint8 RGB array (grayscale replicated).
+
+    Float IDCT (orthonormal DCT-III via one numpy matmul pair per block),
+    nearest-neighbor chroma upsampling, ITU BT.601 YCbCr→RGB."""
+    import numpy as np
+
+    if not content or not content.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    data = content
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: bad marker byte at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment header")
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                qt[tq] = list(seg[p:p + 64])
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p:p + 16])
+                p += 16
+                nvals = sum(bits)
+                vals = list(seg[p:p + nvals])
+                p += nvals
+                huff[(tc, th)] = _jpeg_canonical_codes(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("jpeg: progressive (SOF2) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"jpeg: SOF{marker - 0xC0} unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            stabs = {}
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                stabs[cid] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+            scan = (stabs, pos + seglen)
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    stabs, entropy_pos = scan
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if not w or not h:
+        raise ValueError("jpeg: zero dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("jpeg: zero sampling factor")
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError("jpeg: non-integer sampling ratio")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    C = _jpeg_dct_matrix()
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        if c["tq"] not in qt:
+            raise ValueError(f"jpeg: missing quant table {c['tq']}")
+
+    r = _JpegBitReader(data, entropy_pos)
+    pred = {c["id"]: 0 for c in comps}
+    zz = _JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.restart()
+                pred = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            for c in comps:
+                if c["id"] not in stabs:
+                    raise ValueError(f"jpeg: component {c['id']} not in scan")
+                dc_tab = huff.get((0, stabs[c["id"]][0]))
+                ac_tab = huff.get((1, stabs[c["id"]][1]))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("jpeg: missing huffman table")
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = _jpeg_decode_huffman(r, dc_tab)
+                        diff = _jpeg_extend(r.bits(s), s)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huffman(r, ac_tab)
+                            rrrr, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            coef[zz[k]] = _jpeg_extend(r.bits(ssss), ssss) * q[k]
+                            k += 1
+                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+
+    full_h, full_w = mcuy * vmax * 8, mcux * hmax * 8
+    ups = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        ups.append(p[:full_h, :full_w])
+    if len(comps) == 1:
+        ych = np.clip(np.round(ups[0]), 0, 255)[:h, :w]
+        return np.stack([ych, ych, ych], axis=-1).astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError(f"jpeg: {len(comps)}-component images")
+    Y, Cb, Cr = ups[0], ups[1] - 128.0, ups[2] - 128.0
+    rgb = np.stack(
+        [Y + 1.402 * Cr, Y - 0.344136 * Cb - 0.714136 * Cr, Y + 1.772 * Cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255)[:h, :w].astype(np.uint8)
+
+
+def _jpeg_scaled_qt(base: list[int], quality: int) -> list[int]:
+    """libjpeg quality scaling (public IJG recipe)."""
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(max((q * scale + 50) // 100, 1), 255) for q in base]
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _jpeg_encode_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length), inverse of the canonical decode table."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """signed value → (category, appended bits) per T.81 F.1.2.1."""
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    img, *, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """H×W×3 uint8 RGB → baseline JFIF bytes with the Annex K tables.
+    ``subsample=True`` writes 4:2:0 (2×2 luma MCUs, averaged chroma),
+    else 4:4:4.  ``restart_interval=N`` emits a DRI segment and RSTn
+    markers every N MCUs (the resync points a parallel decoder splits
+    on)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    R, G, B = img[..., 0], img[..., 1], img[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+
+    qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+    C = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    dc_l = _jpeg_encode_codes(*_JPEG_HUFF_DC_LUMA)
+    ac_l = _jpeg_encode_codes(*_JPEG_HUFF_AC_LUMA)
+    dc_c = _jpeg_encode_codes(*_JPEG_HUFF_DC_CHROMA)
+    ac_c = _jpeg_encode_codes(*_JPEG_HUFF_AC_CHROMA)
+
+    hs, vs = (2, 2) if subsample else (1, 1)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
+        return out
+
+    Yp = pad(Y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        # 2×2 box-filter chroma to half resolution
+        che, cwe = mcuy * 8, mcux * 8
+        Cbp = pad(Cb, mcuy * 16, mcux * 16)
+        Crp = pad(Cr, mcuy * 16, mcux * 16)
+        Cbp = Cbp.reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+        Crp = Crp.reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+    else:
+        Cbp = pad(Cb, mcuy * 8, mcux * 8)
+        Crp = pad(Cr, mcuy * 8, mcux * 8)
+
+    wtr = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def block(plane, y0, x0, qnat, dct, act, ci):
+        f = C @ (plane[y0:y0 + 8, x0:x0 + 8] - 128.0) @ C.T
+        # quantize in natural order with the natural-order table
+        coefs = np.round(f.reshape(64) / np.asarray(qnat, dtype=np.float64))
+        coefs = coefs.astype(int)
+        diff = int(coefs[0]) - pred[ci]
+        pred[ci] = int(coefs[0])
+        s, mag = _jpeg_magnitude(diff)
+        code, length = dct[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(mag, s)
+        run = 0
+        last = 0
+        for k in range(63, 0, -1):
+            if coefs[zz[k]]:
+                last = k
+                break
+        for k in range(1, last + 1):
+            v = int(coefs[zz[k]])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = act[0xF0]
+                wtr.write(code, length)
+                run -= 16
+            s, mag = _jpeg_magnitude(v)
+            code, length = act[(run << 4) | s]
+            wtr.write(code, length)
+            wtr.write(mag, s)
+            run = 0
+        if last < 63:
+            code, length = act[0x00]
+            wtr.write(code, length)
+
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()  # byte-align (1-padded) before the marker
+                wtr.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred[0] = pred[1] = pred[2] = 0
+            mcu_count += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    block(
+                        Yp, (my * vs + by) * 8, (mx * hs + bx) * 8,
+                        qly, dc_l, ac_l, 0,
+                    )
+            block(Cbp, my * 8, mx * 8, qlc, dc_c, ac_c, 1)
+            block(Crp, my * 8, mx * 8, qlc, dc_c, ac_c, 2)
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, q: list[int]) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(q))
+
+    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    # DQT payloads are stored in ZIGZAG order (T.81 B.2.4.1); the decoder's
+    # q[k] then lines up with the k-th zigzag coefficient
+    qz_l = [qly[zz[i]] for i in range(64)]
+    qz_c = [qlc[zz[i]] for i in range(64)]
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, qz_l) + dqt(1, qz_c)
+        + sof
+        + dht(0, 0, _JPEG_HUFF_DC_LUMA) + dht(1, 0, _JPEG_HUFF_AC_LUMA)
+        + dht(0, 1, _JPEG_HUFF_DC_CHROMA) + dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+        + (
+            seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        + sos
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )

@@ -230,7 +230,7 @@ def test_multimodal_ppm_decode_real(spark):
     assert (sniffed[1]["width"], sniffed[1]["height"]) == (6, 4)
 
     stats = {r["media_id"]: r for r in mm.image_pixel_stats(df, thumb=(3, 2)).collect()}
-    assert list(stats) == [1]  # jpeg row skipped (codec path is stubbed)
+    assert list(stats) == [1]  # malformed-jpeg row skipped, not crashed on
     means = img.reshape(-1, 3).mean(axis=0)
     assert abs(stats[1]["mean_r"] - means[0]) < 1e-9
     assert abs(stats[1]["mean_g"] - means[1]) < 1e-9
@@ -242,12 +242,17 @@ def test_multimodal_ppm_decode_real(spark):
 
     # round-trip identity at native size: resize to (w, h) is the identity
     assert np.array_equal(mm.resize_nearest(img, 6, 4), img)
-    # decode_image dispatch: ppm real, jpeg still the documented stub
+    # decode_image dispatch: ppm real; jpeg is real too now, so magic-only
+    # fakes are rejected as INVALID (ValueError), not "codec missing"
     assert np.array_equal(mm.decode_image(ppm), img)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xffrest")
+    assert np.array_equal(
+        mm.decode_image(mm.encode_jpeg(np.full((8, 8, 3), 90, np.uint8))),
+        np.full((8, 8, 3), 90, np.uint8),
+    )
 
 
 def test_multimodal_meta_query(spark):
@@ -1358,3 +1363,128 @@ def test_lsh_plan_justifies_minhash_parameters():
     assert r_hi >= r  # stricter threshold → longer bands (fewer FPs)
     b_lo, r_lo, _, _ = lsh_plan(0.2, 16)
     assert r_lo <= r  # looser threshold → shorter bands (fewer FNs)
+
+
+def test_jpeg_codec_analytic_and_roundtrip():
+    """Baseline JPEG (SOF0): a flat raster decodes EXACTLY (DC-only blocks
+    are analytic through quantize→dequantize→IDCT), and smooth gradients
+    round-trip within the quantization error bound at 4:4:4 and 4:2:0."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+    )
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    blob = encode_jpeg(flat, quality=90)
+    assert (decode_jpeg(blob) == 128).all()
+    assert jpeg_dimensions(blob) == (8, 8)
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 4 + 10) % 256, ((xx + yy) * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    out420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert np.abs(out420.astype(int) - img.astype(int)).max() <= 8
+
+    # odd (non-multiple-of-MCU) dimensions pad on encode, crop on decode
+    odd = np.random.default_rng(7).integers(0, 256, (13, 11, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, quality=90)).shape == (13, 11, 3)
+    assert decode_jpeg(
+        encode_jpeg(odd, quality=90, subsample=True)
+    ).shape == (13, 11, 3)
+
+
+def test_jpeg_codec_restart_markers_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from event_stream_spark.datapipe.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    # RSTn markers (DRI) reset DC prediction — decode must be IDENTICAL to
+    # the unrestarted encoding of the same raster
+    a = decode_jpeg(encode_jpeg(img, quality=85))
+    b = decode_jpeg(encode_jpeg(img, quality=85, restart_interval=2))
+    assert (a == b).all()
+    c = decode_jpeg(encode_jpeg(img, quality=85, subsample=True, restart_interval=1))
+    d = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    assert (c == d).all()
+
+    # jpeg-magic + text (the synthetic corpus's fake jpegs) is rejected,
+    # not mis-decoded
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(b"\xff\xd8\xff" + b"the rest is plain text")
+    # progressive is declared-unsupported: flip SOF0 to SOF2
+    blob = bytearray(encode_jpeg(img, quality=85))
+    blob[blob.index(b"\xff\xc0")] = 0xFF
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_fixture_pixel_hash_pinned():
+    """Decode determinism pin: the canonical fixture (seed-42 raster,
+    q85 4:2:0) must encode and decode to byte-identical artifacts in this
+    container — the regression pin for both codec directions."""
+    import hashlib
+
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    blob = encode_jpeg(img, quality=85, subsample=True)
+    assert hashlib.sha256(blob).hexdigest() == (
+        "21cf4f9f042fd4de6ff5f069dabc49cc76e873322cb9b35266417ce689995366"
+    )
+    out = decode_jpeg(blob)
+    assert hashlib.sha256(out.tobytes()).hexdigest() == (
+        "5107c2517a8ed017a41a73f1e55b5a4c829ea8087868db9ea276e16b91bac8d6"
+    )
+    blob444 = encode_jpeg(img, quality=85)
+    assert hashlib.sha256(blob444).hexdigest() == (
+        "e96fbf6f03c4ae4cf55fb9e7e84749de11364d9f10d0f45a8de28f3406b00c9e"
+    )
+    assert hashlib.sha256(decode_jpeg(blob444).tobytes()).hexdigest() == (
+        "6c193b9366f5c33e288079adbe0bdcc8a237a05e58eb5a71f869f8bfbbe27206"
+    )
+
+
+def test_jpeg_through_image_pixel_stats(spark):
+    """image_pixel_stats handles a real baseline JPEG bit-exactly: the
+    Spark mapInPandas output equals the locally pre-computed decode means
+    and thumbnail digest (VERDICT r4 ask #7)."""
+    import hashlib
+
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    blob = mm.encode_jpeg(img, quality=85, subsample=True)
+    # expected values straight from the local decoder
+    raster = mm.decode_jpeg(blob)
+    exp_means = raster.reshape(-1, 3).mean(axis=0)
+    exp_digest = hashlib.sha256(
+        mm.resize_nearest(raster, 8, 8).tobytes()
+    ).hexdigest()[:16]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"\xff\xd8\xffnot a real jpeg"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert set(rows) == {1}  # the fake is skipped, not crashed on
+    assert rows[1]["mean_r"] == float(exp_means[0])
+    assert rows[1]["mean_g"] == float(exp_means[1])
+    assert rows[1]["mean_b"] == float(exp_means[2])
+    assert rows[1]["thumb_digest"] == exp_digest
