@@ -1626,15 +1626,115 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
+def _jpeg_encode_block(wtr, C, plane, y0, x0, qnat, dct, act, pred, ci):
+    """FDCT → natural-order quantize → DC-diff + run-length AC huffman."""
+    import numpy as np
+
+    zz = _JPEG_ZIGZAG
+    f = C @ (plane[y0:y0 + 8, x0:x0 + 8] - 128.0) @ C.T
+    coefs = np.round(f.reshape(64) / np.asarray(qnat, dtype=np.float64))
+    coefs = coefs.astype(int)
+    diff = int(coefs[0]) - pred[ci]
+    pred[ci] = int(coefs[0])
+    s, mag = _jpeg_magnitude(diff)
+    code, length = dct[s]
+    wtr.write(code, length)
+    if s:
+        wtr.write(mag, s)
+    run = 0
+    last = 0
+    for k in range(63, 0, -1):
+        if coefs[zz[k]]:
+            last = k
+            break
+    for k in range(1, last + 1):
+        v = int(coefs[zz[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act[0xF0]
+            wtr.write(code, length)
+            run -= 16
+        s, mag = _jpeg_magnitude(v)
+        code, length = act[(run << 4) | s]
+        wtr.write(code, length)
+        wtr.write(mag, s)
+        run = 0
+    if last < 63:
+        code, length = act[0x00]
+        wtr.write(code, length)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _encode_jpeg_gray(Y, h: int, w: int, quality: int, restart_interval: int) -> bytes:
+    """Single-component (luma-only) baseline frame."""
+    import numpy as np
+
+    qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    C = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    dc_l = _jpeg_encode_codes(*_JPEG_HUFF_DC_LUMA)
+    ac_l = _jpeg_encode_codes(*_JPEG_HUFF_AC_LUMA)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    Yp = np.empty((mcuy * 8, mcux * 8))
+    Yp[:h, :w] = Y
+    Yp[h:, :w] = Y[-1:, :]
+    Yp[:, w:] = Yp[:, w - 1:w]
+    wtr = _JpegBitWriter()
+    pred = [0]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred[0] = 0
+            mcu_count += 1
+            _jpeg_encode_block(wtr, C, Yp, my * 8, mx * 8, qly, dc_l, ac_l, pred, 0)
+    wtr.flush()
+    qz_l = [qly[zz[i]] for i in range(64)]
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_seg(0xDB, bytes([0]) + bytes(qz_l))
+        + _jpeg_seg(
+            0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        )
+        + _jpeg_seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_HUFF_DC_LUMA[0]) + bytes(_JPEG_HUFF_DC_LUMA[1]),
+        )
+        + _jpeg_seg(
+            0xC4,
+            bytes([0x10]) + bytes(_JPEG_HUFF_AC_LUMA[0]) + bytes(_JPEG_HUFF_AC_LUMA[1]),
+        )
+        + (
+            _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg(
     img, *, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, grayscale: bool = False,
 ) -> bytes:
     """H×W×3 uint8 RGB → baseline JFIF bytes with the Annex K tables.
     ``subsample=True`` writes 4:2:0 (2×2 luma MCUs, averaged chroma),
     else 4:4:4.  ``restart_interval=N`` emits a DRI segment and RSTn
     markers every N MCUs (the resync points a parallel decoder splits
-    on)."""
+    on).  ``grayscale=True`` writes a single-component (luma-only) frame —
+    the decoder replicates it back to RGB."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.float64)
@@ -1645,6 +1745,8 @@ def encode_jpeg(
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
     Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    if grayscale:
+        return _encode_jpeg_gray(Y, h, w, quality, restart_interval)
 
     qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
     qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
@@ -1681,40 +1783,7 @@ def encode_jpeg(
     pred = [0, 0, 0]
 
     def block(plane, y0, x0, qnat, dct, act, ci):
-        f = C @ (plane[y0:y0 + 8, x0:x0 + 8] - 128.0) @ C.T
-        # quantize in natural order with the natural-order table
-        coefs = np.round(f.reshape(64) / np.asarray(qnat, dtype=np.float64))
-        coefs = coefs.astype(int)
-        diff = int(coefs[0]) - pred[ci]
-        pred[ci] = int(coefs[0])
-        s, mag = _jpeg_magnitude(diff)
-        code, length = dct[s]
-        wtr.write(code, length)
-        if s:
-            wtr.write(mag, s)
-        run = 0
-        last = 0
-        for k in range(63, 0, -1):
-            if coefs[zz[k]]:
-                last = k
-                break
-        for k in range(1, last + 1):
-            v = int(coefs[zz[k]])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = act[0xF0]
-                wtr.write(code, length)
-                run -= 16
-            s, mag = _jpeg_magnitude(v)
-            code, length = act[(run << 4) | s]
-            wtr.write(code, length)
-            wtr.write(mag, s)
-            run = 0
-        if last < 63:
-            code, length = act[0x00]
-            wtr.write(code, length)
+        _jpeg_encode_block(wtr, C, plane, y0, x0, qnat, dct, act, pred, ci)
 
     mcu_count = 0
     for my in range(mcuy):

@@ -251,10 +251,17 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_record_batch(
-    records: list[tuple[int, int, bytes | None, bytes | None]]
+    records: list[tuple[int, int, bytes | None, bytes | None]],
+    *,
+    codec: str = "none",
 ) -> bytes:
     """``(offset, timestamp_ms, key, value)`` entries → ONE RecordBatch v2
-    (no compression, no producer/transactional state, no headers)."""
+    (no producer/transactional state, no headers).  ``codec="gzip"``
+    compresses the records section (compression type 1; deterministic
+    mtime=0 stream).  snappy/lz4/zstd need libraries this container
+    doesn't ship — declared unsupported."""
+    if codec not in ("none", "gzip"):
+        raise NotImplementedError(f"codec {codec!r} (only none/gzip)")
     if not records:
         return b""
     base_off = records[0][0]
@@ -272,8 +279,12 @@ def encode_record_batch(
                 body += _varint(len(blob)) + blob
         body += _varint(0)  # headers
         recs += _varint(len(body)) + body
+    if codec == "gzip":
+        import gzip as _gzip
+
+        recs = _gzip.compress(bytes(recs), mtime=0)
     post_crc = (
-        _i16(0)  # batch attributes: no compression, CREATE_TIME
+        _i16(1 if codec == "gzip" else 0)  # attrs: compression, CREATE_TIME
         + _i32(records[-1][0] - base_off)  # lastOffsetDelta
         + _i64(base_ts) + _i64(max_ts)
         + _i64(-1) + _i16(-1) + _i32(-1)  # producerId/Epoch/baseSequence
@@ -311,8 +322,12 @@ def decode_record_batches(
             raise KafkaWireError(f"crc32c mismatch in batch at {base}")
         c = _Cursor(rest)
         attrs = c.i16()
-        if attrs & 0x07:
-            raise KafkaWireError("compressed batches not supported")
+        compression = attrs & 0x07
+        if compression not in (0, 1):
+            raise KafkaWireError(
+                f"compression type {compression} needs a codec library "
+                "(only none/gzip supported)"
+            )
         c.i32()  # lastOffsetDelta
         base_ts = c.i64()
         c.i64()  # maxTimestamp
@@ -320,7 +335,12 @@ def decode_record_batches(
         c.i16()  # producerEpoch
         c.i32()  # baseSequence
         count = c.i32()
-        raw, p = rest, c.pos
+        if compression == 1:
+            import gzip as _gzip
+
+            raw, p = _gzip.decompress(rest[c.pos:]), 0
+        else:
+            raw, p = rest, c.pos
         for _ in range(count):
             rlen, p = _read_varint(raw, p)
             end = p + rlen
@@ -680,16 +700,18 @@ class KafkaWireClient:
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None, int]],
-                *, version: int = 3) -> int:
+                *, version: int = 3, codec: str = "none") -> int:
         """``(key, value, timestamp_ms)`` records → base offset assigned.
         ``version>=3`` (default — what current brokers speak) sends
-        RecordBatch v2; lower versions the v1 message set."""
+        RecordBatch v2 (optionally ``codec="gzip"``); lower versions the
+        v1 message set (uncompressed only)."""
         entries = [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
-        mset = (
-            encode_record_batch(entries)
-            if version >= 3
-            else encode_message_set(entries)
-        )
+        if version >= 3:
+            mset = encode_record_batch(entries, codec=codec)
+        else:
+            if codec != "none":
+                raise NotImplementedError("compressed v1 message sets")
+            mset = encode_message_set(entries)
         body = (
             (_string(None) if version >= 3 else b"")  # transactional_id
             + _i16(1) + _i32(10000)  # acks=1, timeout

@@ -1488,3 +1488,27 @@ def test_jpeg_through_image_pixel_stats(spark):
     assert rows[1]["mean_g"] == float(exp_means[1])
     assert rows[1]["mean_b"] == float(exp_means[2])
     assert rows[1]["thumb_digest"] == exp_digest
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component (luma-only) frames exercise the decoder's grayscale
+    path: channels replicate, precision within 1, restart markers behave."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+    )
+
+    yy, xx = np.mgrid[0:20, 0:28]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    blob = encode_jpeg(img, quality=95, grayscale=True)
+    assert jpeg_dimensions(blob) == (28, 20)
+    out = decode_jpeg(blob)
+    assert out.shape == (20, 28, 3)
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 1
+    out2 = decode_jpeg(encode_jpeg(img, quality=95, grayscale=True, restart_interval=2))
+    assert (out == out2).all()
