@@ -68,6 +68,9 @@ WITNESS_ORDER: list[str] = [
     "datapipe_curate_v2", "corpus_sample_stratified", "dedup_exact_norm",
     "attribution", "funnel_latency", "fuzzy_match",
     "sketch_profile",
+    # -- new in round 5 (locally strict-parity-proven; driver-witnessed
+    #    next round when the window rotates) --
+    "dup_spans_clean", "dsir_weights",
 ]
 
 

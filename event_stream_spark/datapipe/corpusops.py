@@ -607,3 +607,263 @@ LM_SCORE_BIGRAM_SQL = f"""
     WHERE b.w2 IS NOT NULL
     GROUP BY b.doc_id ORDER BY b.doc_id
 """
+
+
+def dup_spans_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span REMOVAL — the transformation ``dup_spans`` is the
+    analysis for (Lee et al. 2022 "Deduplicating Training Data" §4.1,
+    re-expressed relationally): every word position covered by a
+    {DUP_SPAN_N}-gram span that also occurs in another document is cut,
+    and the doc is reassembled from the surviving words.  Emits the md5
+    digest of the cleaned text plus kept/removed counts (narrow rows, the
+    ``dedup_paragraph_clean`` contract — the full rebuild is the same
+    expression without the digest).
+
+    Scale shape: positioned spans come from one ``lead()`` window over the
+    shared word rows (one doc_id exchange); the duplicated-span set reuses
+    the ``doc_shingles`` mat-view aggregated on the span key (one linear
+    shuffle, never doc×doc); coverage expansion is a codegen
+    ``explode(sequence(...))`` of constant width {DUP_SPAN_N}; the cut is
+    a (doc_id, pos) anti-join co-partitioned with the word rows.  Linear
+    end-to-end at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import doc_shingles, word_rows
+
+    d = t(spark, sf, "documents")
+    w = word_rows(d)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    span = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, DUP_SPAN_N)]
+    )
+    starts = (
+        w.select(
+            "doc_id", "pos", span.alias("s"),
+            F.lead("w", DUP_SPAN_N - 1).over(win).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # only full-width spans
+        .drop("_tail")
+    )
+    dup = (
+        doc_shingles(spark, sf, DUP_SPAN_N)
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    # word positions covered by ANY cross-doc-duplicated span
+    covered = (
+        starts.join(dup, "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + DUP_SPAN_N - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = w.join(covered, ["doc_id", "pos"], "left_anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            )
+        ).alias("clean_digest"),
+    )
+    tot = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            (
+                F.coalesce("n_words", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPANS_CLEAN_SQL = f"""
+    WITH w0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    w AS (
+        SELECT doc_id,
+               unnest(range(1, len(ws) + 1)) AS pos,
+               unnest(ws) AS w
+        FROM w0),
+    starts AS (
+        SELECT doc_id, u['pos'] AS pos, u['s'] AS s
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) - {DUP_SPAN_N - 2}),
+                     i -> {{'pos': i,
+                           's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4]}})) AS u
+            FROM w0 WHERE len(ws) >= {DUP_SPAN_N})),
+    sh AS (SELECT DISTINCT doc_id, s FROM starts),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+    covered AS (
+        SELECT DISTINCT st.doc_id, st.pos + o.o AS pos
+        FROM starts st JOIN dup USING (s), range(0, {DUP_SPAN_N}) AS o(o)),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.w
+        FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.pos = w.pos
+        WHERE c.pos IS NULL),
+    per AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS clean_digest
+        FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_words, 0) AS n_words,
+           coalesce(t.n_words, 0) - coalesce(p.n_kept, 0) AS n_removed,
+           coalesce(p.clean_digest, md5('')) AS clean_digest
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+# DSIR hashed-feature importance resampling (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score each raw
+# doc by how much more likely its hashed-unigram features are under a
+# TARGET distribution than under the raw distribution.  The registry form
+# self-targets the corpus's high-quality slice (text_quality ≥ 0.5) — the
+# production form swaps in any target corpus's bucket counts.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_QUALITY = 0.5
+
+
+def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_words, dsir_p6, keep): per-doc hashed-unigram importance
+    log-weight Σ ln(p_target(b)/p_raw(b)), add-1 smoothed over
+    {DSIR_BUCKETS} md5 buckets, and the resample-toward-target flag.
+
+    Determinism: the per-bucket log-ratio is rounded to integer micro-units
+    ON THE {DSIR_BUCKETS}-ROW MODEL RELATION (one rounding per bucket,
+    identical in both engines), so the corpus-scale per-doc reduction is a
+    plain commutative BIGINT sum — exact at any parallelism, the
+    ``graph_pagerank`` fixed-point contract.
+
+    Scale shape: two corpus-scale shuffles (bucket counts — map-side
+    combined to ≤{DSIR_BUCKETS} groups — and the per-doc sum); the model
+    relation is constant-size and broadcasts back; the target slice is a
+    left-semi join on doc_id.  No vocabulary-sized state anywhere — that
+    is the point of DSIR's hashing."""
+    from event_stream_spark.datapipe.text import word_rows
+    from event_stream_spark.datapipe.textstats import text_quality
+
+    d = t(spark, sf, "documents")
+    wb = word_rows(d).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    target_ids = (
+        text_quality(spark, sf)
+        .filter(F.col("quality") >= DSIR_TARGET_QUALITY)
+        .select("doc_id")
+    )
+    raw = wb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        wb.join(target_ids, "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    dom = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    model = (
+        dom.join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tots = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ratio = F.log(
+        (F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS)
+    ) - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
+    modelw = model.crossJoin(F.broadcast(tots)).select(
+        "b", F.round(ratio * 1e6).cast("long").alias("lr_p6")
+    )
+    scored = (
+        wb.join(modelw, "b")  # ≤1024-row side: AQE broadcasts it
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("lr_p6").alias("dsir_p6"))
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("dsir_p6", F.lit(0)).alias("dsir_p6"),
+            (F.coalesce("dsir_p6", F.lit(0)) > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql() -> str:
+    from event_stream_spark.datapipe.textstats import TEXT_QUALITY_SQL
+
+    nb = DSIR_BUCKETS
+    return f"""
+    WITH wr AS (
+        SELECT doc_id, x.w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents) d,
+             unnest(d.ws) AS x(w)),
+    wb AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(w), 1, 8))::BIGINT % {nb} AS b
+        FROM wr),
+    tids AS (
+        SELECT doc_id FROM ({TEXT_QUALITY_SQL})
+        WHERE quality >= {DSIR_TARGET_QUALITY}),
+    raw AS (SELECT b, count(*) AS cr FROM wb GROUP BY b),
+    tgt AS (
+        SELECT b, count(*) AS ct FROM wb
+        WHERE doc_id IN (SELECT doc_id FROM tids) GROUP BY b),
+    dom AS (SELECT range AS b FROM range(0, {nb})),
+    model AS (
+        SELECT dom.b, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        FROM dom LEFT JOIN raw USING (b) LEFT JOIN tgt USING (b)),
+    tots AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+    mw AS (
+        SELECT b,
+               CAST(round((ln((ct + 1)::DOUBLE / ((SELECT nt FROM tots) + {nb}))
+                         - ln((cr + 1)::DOUBLE / ((SELECT nr FROM tots) + {nb})))
+                    * 1e6) AS BIGINT) AS lr_p6
+        FROM model),
+    scored AS (
+        SELECT doc_id, count(*) AS n_words, sum(lr_p6) AS dsir_p6
+        FROM wb JOIN mw USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_words, 0) AS n_words,
+           coalesce(s.dsir_p6, 0) AS dsir_p6,
+           coalesce(s.dsir_p6, 0) > 0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+DSIR_WEIGHTS_SQL = _dsir_sql()

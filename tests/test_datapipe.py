@@ -1512,3 +1512,46 @@ def test_jpeg_grayscale_single_component():
     assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 1
     out2 = decode_jpeg(encode_jpeg(img, quality=95, grayscale=True, restart_interval=2))
     assert (out == out2).all()
+
+
+def test_dup_spans_clean_removes_planted_spans(spark, span_corpus):
+    """Span removal on the planted corpus: doc 1 (wholly shared) empties,
+    doc 2 loses exactly its shared 6-word prefix, doc 3 is untouched."""
+    import hashlib
+
+    from event_stream_spark.datapipe import dup_spans_clean
+
+    rows = {r["doc_id"]: r for r in dup_spans_clean(spark, span_corpus).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rows[1]["n_words"] == 6 and rows[1]["n_removed"] == 6
+    assert rows[1]["clean_digest"] == md5("")
+    assert rows[2]["n_words"] == 11 and rows[2]["n_removed"] == 6
+    assert rows[2]["clean_digest"] == md5("eta theta iota kappa lambda")
+    assert rows[3]["n_removed"] == 0
+    assert rows[3]["clean_digest"] == md5(
+        "one two three four five six seven eight nine ten"
+    )
+
+
+def test_dsir_weights_separate_target_vocabulary(spark, tmp_path_factory):
+    """DSIR importance weights: docs drawn from the high-quality slice's
+    vocabulary score positive (keep), docs from a disjoint low-quality
+    vocabulary score negative (drop)."""
+    from event_stream_spark.datapipe import dsir_weights
+
+    base = tmp_path_factory.mktemp("dsirdata")
+    good = " ".join(["alpha beta gamma delta epsilon"] * 10)  # 50 words, q=1.0
+    bad = "zxq1 zxq2 zxq3 zxq4 zxq5"  # 5 words → quality 0.1 < 0.5
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s", len(good)), (2, good, "en", "s", len(good)),
+         (3, bad, "en", "s", len(bad)), (4, bad, "en", "s", len(bad))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in dsir_weights(spark, str(base)).collect()}
+    assert rows[1]["keep"] and rows[2]["keep"]
+    assert rows[1]["dsir_p6"] > 0
+    assert not rows[3]["keep"] and not rows[4]["keep"]
+    assert rows[3]["dsir_p6"] < 0
+    assert rows[3]["n_words"] == 5 and rows[1]["n_words"] == 50

@@ -849,3 +849,37 @@ def test_pagerank_no_degree_sized_array(spark):
         spoke = (3 * FP) // (20 * n) + (17 * acc_spoke) // 20
     assert rows[0] == ((hub + 500_000) // 1_000_000) / 1e6
     assert rows[1] == ((spoke + 500_000) // 1_000_000) / 1e6
+
+
+def test_dup_spans_clean_stays_linear(spark):
+    """dup_spans_clean: no pairwise doc×doc expansion, and document text
+    never rides an exchange (all shuffles move narrow word/span rows)."""
+    from event_stream_spark.datapipe import dup_spans_clean
+
+    p = plan(dup_spans_clean(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for l in p.splitlines():
+        if "Exchange" in l:
+            assert "text#" not in l
+
+
+def test_dsir_weights_model_is_constant_size(spark):
+    """dsir_weights: the corpus never shuffles on anything wider than the
+    (doc_id, bucket) rows; the model relation joins back as a BROADCAST
+    hash join (never a sort-merge shuffling the corpus on the bucket key),
+    and the only nested-loop is the 1-row totals cross (the lm_score /
+    pagerank scalar-broadcast shape)."""
+    from event_stream_spark.datapipe import dsir_weights
+
+    p = plan(dsir_weights(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    # scoring join-back: bucket-keyed BroadcastHashJoin, corpus side probes
+    assert any(
+        "BroadcastHashJoin" in l and re.search(r"\[b#\d+L\]", l)
+        for l in p.splitlines()
+    )
+    for l in p.splitlines():
+        if "Exchange" in l:
+            assert "text#" not in l
+        if "BroadcastNestedLoopJoin" in l:
+            assert "Cross" in l  # only the 1-row totals broadcast
