@@ -184,7 +184,11 @@ def main() -> None:
 
     from event_stream_spark.datapipe.bloom import bloom_prune
     from event_stream_spark.datapipe.bpe import bpe_pairs
-    from event_stream_spark.datapipe.corpusops import lm_score
+    from event_stream_spark.datapipe.corpusops import (
+        dsir_weights,
+        dup_spans_clean,
+        lm_score,
+    )
     from event_stream_spark.datapipe.graph import graph_pagerank
     from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
     from event_stream_spark.datapipe.similarity import ann_join, embed_quantize
@@ -219,6 +223,8 @@ def main() -> None:
         ("bloom_prune", bloom_prune),
         ("bm25_topk", bm25_topk),
         ("collocations", collocations),
+        ("dup_spans_clean", dup_spans_clean),
+        ("dsir_weights", dsir_weights),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")
