@@ -8,11 +8,13 @@ stdlib+numpy decodes for REAL end-to-end:
 
 - image: binary NetPBM (P6) header parse + pixel decode, a full PNG codec
   (zlib inflate, CRC-checked chunks, all five filters), a full GIF codec
-  (variable-width LZW, interlace de-weave), and a baseline JPEG codec
-  (SOF0 huffman decode, float IDCT, 4:4:4/4:2:2/4:2:0, restart markers;
-  progressive declared-unsupported) — all four feed nearest-neighbor
-  resize + per-channel stats (``decode_ppm``/``decode_png``/
-  ``decode_gif``/``decode_jpeg``/``image_pixel_stats``);
+  (variable-width LZW, interlace de-weave), and a full JPEG codec —
+  baseline SOF0/1 AND progressive SOF2 (spectral selection, successive
+  approximation, EOB runs, AC refinement), huffman decode + float IDCT,
+  4:4:4/4:2:2/4:2:0, restart markers; lossless/arithmetic SOFn variants
+  declared-unsupported — all four feed nearest-neighbor resize +
+  per-channel stats (``decode_ppm``/``decode_png``/``decode_gif``/
+  ``decode_jpeg``/``image_pixel_stats``);
 - audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
   (``parse_wav``/``audio_pcm_stats``);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
@@ -1413,11 +1415,218 @@ def jpeg_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
     return (None, None)
 
 
-def decode_jpeg(content: bytes):
-    """Baseline JPEG → H×W×3 uint8 RGB array (grayscale replicated).
+class _JpegScanState:
+    """Per-scan entropy state: EOB run counter (progressive AC scans)."""
 
-    Float IDCT (orthonormal DCT-III via one numpy matmul pair per block),
-    nearest-neighbor chroma upsampling, ITU BT.601 YCbCr→RGB."""
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _jpeg_block_baseline(r, dc_tab, ac_tab, pred, cid, coef) -> None:
+    """Sequential (SOF0/1) block: DC diff + run-length AC, full precision.
+    ``coef`` is the block's 64-entry ZIGZAG-order quantized buffer."""
+    s = _jpeg_decode_huffman(r, dc_tab)
+    pred[cid] += _jpeg_extend(r.bits(s), s)
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_huffman(r, ac_tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        coef[k] = _jpeg_extend(r.bits(s), s)
+        k += 1
+
+
+def _jpeg_block_dc_first(r, dc_tab, pred, cid, coef, al) -> None:
+    """Progressive DC first scan (T.81 G.2): diff of the point-transformed
+    DC (arithmetic >> al on encode), stored << al."""
+    s = _jpeg_decode_huffman(r, dc_tab)
+    pred[cid] += _jpeg_extend(r.bits(s), s)
+    coef[0] = pred[cid] << al
+
+
+def _jpeg_block_dc_refine(r, coef, al) -> None:
+    """Progressive DC refinement: one bit ORs 1<<al into the (two's
+    complement) DC value — Python's | on negatives matches C int."""
+    if r.bit():
+        coef[0] |= 1 << al
+
+
+def _jpeg_block_ac_first(r, ac_tab, coef, ss, se, al, st) -> None:
+    """Progressive AC first scan with EOB-run symbols (T.81 G.2.2)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huffman(r, ac_tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            st.eobrun = (1 << rr) - 1
+            if rr:
+                st.eobrun += r.bits(rr)
+            return
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[k] = _jpeg_extend(r.bits(s), s) << al
+        k += 1
+
+
+def _jpeg_block_ac_refine(r, ac_tab, coef, ss, se, al, st) -> None:
+    """Progressive AC refinement (T.81 G.2.3 / libjpeg shape): correction
+    bits for already-significant coefficients interleave with new ±1<<al
+    placements and EOB runs."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k0: int) -> None:
+        if r.bit() and (coef[k0] & p1) == 0:
+            coef[k0] += p1 if coef[k0] >= 0 else m1
+
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_huffman(r, ac_tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr != 15:
+                    st.eobrun = 1 << rr
+                    if rr:
+                        st.eobrun += r.bits(rr)
+                    break
+                sval = 0  # ZRL: skip 16 zero-history slots
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC-refinement magnitude")
+                sval = p1 if r.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if k <= se and sval:
+                coef[k] = sval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
+def _jpeg_true_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved (single-component-scan) data-unit grid: blocks over
+    the component's TRUE sample dimensions, not the MCU-padded grid."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    sw = -(-frame["w"] * c["h"] // hmax)
+    sh = -(-frame["h"] * c["v"] // vmax)
+    return -(-sh // 8), -(-sw // 8)
+
+
+def _jpeg_decode_scan(
+    data, pos, frame, scan_comps, stabs, ss, se, ah, al,
+    huff, bufs, restart_interval,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient buffers; returns
+    the byte position of the next marker."""
+    progressive = frame["progressive"]
+    r = _JpegBitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan_comps}
+    st = _JpegScanState()
+    dc_only = ss == 0
+    refining = ah != 0
+
+    def tables(cid):
+        dc = huff.get((0, stabs[cid][0]))
+        ac = huff.get((1, stabs[cid][1]))
+        return dc, ac
+
+    def unit(c, by, bx):
+        coef = bufs[c["id"]][by][bx]
+        dc_tab, ac_tab = tables(c["id"])
+        if not progressive:
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("jpeg: missing huffman table")
+            _jpeg_block_baseline(r, dc_tab, ac_tab, pred, c["id"], coef)
+        elif dc_only and not refining:
+            if dc_tab is None:
+                raise ValueError("jpeg: missing DC huffman table")
+            _jpeg_block_dc_first(r, dc_tab, pred, c["id"], coef, al)
+        elif dc_only:
+            _jpeg_block_dc_refine(r, coef, al)
+        elif not refining:
+            if ac_tab is None:
+                raise ValueError("jpeg: missing AC huffman table")
+            _jpeg_block_ac_first(r, ac_tab, coef, ss, se, al, st)
+        else:
+            if ac_tab is None:
+                raise ValueError("jpeg: missing AC huffman table")
+            _jpeg_block_ac_refine(r, ac_tab, coef, ss, se, al, st)
+
+    def maybe_restart(count):
+        if restart_interval and count and count % restart_interval == 0:
+            r.restart()
+            for cid in pred:
+                pred[cid] = 0
+            st.eobrun = 0
+
+    if len(scan_comps) > 1:  # interleaved: MCU order over the padded grid
+        if progressive and not dc_only:
+            raise ValueError("jpeg: interleaved AC scan is illegal")
+        n = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart(n)
+                n += 1
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit(c, my * c["v"] + by, mx * c["h"] + bx)
+    else:  # non-interleaved: raster order over the TRUE block grid
+        c = scan_comps[0]
+        tby, tbx = _jpeg_true_blocks(frame, c)
+        n = 0
+        for by in range(tby):
+            for bx in range(tbx):
+                maybe_restart(n)
+                n += 1
+                unit(c, by, bx)
+
+    # byte-align and locate the next marker (skip pad bits / stray RSTs)
+    pos = r.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def decode_jpeg(content: bytes):
+    """Baseline (SOF0/1) and progressive (SOF2) JPEG → H×W×3 uint8 RGB
+    (grayscale replicated).  Every scan accumulates into per-component
+    quantized-coefficient buffers (zigzag order); dequantization + the
+    float IDCT (orthonormal DCT-III, one numpy matmul pair per block) run
+    once at the end, so a progressive file decodes bit-identically to the
+    sequential coding of the same coefficients.  Nearest-neighbor chroma
+    upsampling, ITU BT.601 YCbCr→RGB."""
     import numpy as np
 
     if not content or not content.startswith(b"\xff\xd8"):
@@ -1428,7 +1637,8 @@ def decode_jpeg(content: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None
     restart_interval = 0
-    scan = None
+    bufs: dict[int, list] = {}
+    saw_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: bad marker byte at {pos}")
@@ -1462,11 +1672,13 @@ def decode_jpeg(content: bytes):
                 vals = list(seg[p:p + nvals])
                 p += nvals
                 huff[(tc, th)] = _jpeg_canonical_codes(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             h, w = struct.unpack_from(">HH", seg, 1)
+            if not w or not h:
+                raise ValueError("jpeg: zero dimensions")
             ncomp = seg[5]
             comps = []
             for i in range(ncomp):
@@ -1474,90 +1686,78 @@ def decode_jpeg(content: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("jpeg: progressive (SOF2) unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax == 0 or vmax == 0:
+                raise ValueError("jpeg: zero sampling factor")
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError("jpeg: non-integer sampling ratio")
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
+                "progressive": marker == 0xC2,
+            }
+            for c in comps:
+                by, bx = frame["mcuy"] * c["v"], frame["mcux"] * c["h"]
+                bufs[c["id"]] = [
+                    [[0] * 64 for _ in range(bx)] for _ in range(by)
+                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg: SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             stabs = {}
+            order = []
             for i in range(ns):
                 cid = seg[1 + 2 * i]
                 stabs[cid] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
-            scan = (stabs, pos + seglen)
-            break
+                order.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            by_id = {c["id"]: c for c in frame["comps"]}
+            try:
+                scan_comps = [by_id[cid] for cid in order]
+            except KeyError as exc:
+                raise ValueError(f"jpeg: unknown scan component {exc}") from None
+            pos = _jpeg_decode_scan(
+                data, pos + seglen, frame, scan_comps, stabs, ss, se, ah, al,
+                huff, bufs, restart_interval,
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("jpeg: missing SOF/SOS")
-    stabs, entropy_pos = scan
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    if not w or not h:
-        raise ValueError("jpeg: zero dimensions")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax == 0 or vmax == 0:
-        raise ValueError("jpeg: zero sampling factor")
-    for c in comps:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError("jpeg: non-integer sampling ratio")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
 
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     C = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
     planes = {}
     for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
         if c["tq"] not in qt:
             raise ValueError(f"jpeg: missing quant table {c['tq']}")
-
-    r = _JpegBitReader(data, entropy_pos)
-    pred = {c["id"]: 0 for c in comps}
-    zz = _JPEG_ZIGZAG
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.restart()
-                pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for c in comps:
-                if c["id"] not in stabs:
-                    raise ValueError(f"jpeg: component {c['id']} not in scan")
-                dc_tab = huff.get((0, stabs[c["id"]][0]))
-                ac_tab = huff.get((1, stabs[c["id"]][1]))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("jpeg: missing huffman table")
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64)
-                        s = _jpeg_decode_huffman(r, dc_tab)
-                        diff = _jpeg_extend(r.bits(s), s)
-                        pred[c["id"]] += diff
-                        coef[0] = pred[c["id"]] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_decode_huffman(r, ac_tab)
-                            rrrr, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if rrrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coef[zz[k]] = _jpeg_extend(r.bits(ssss), ssss) * q[k]
-                            k += 1
-                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+        q = qt[c["tq"]]
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for by in range(mcuy * c["v"]):
+            for bx in range(mcux * c["h"]):
+                zcoef = bufs[c["id"]][by][bx]
+                nat = np.zeros(64)
+                for k in range(64):
+                    if zcoef[k]:
+                        nat[zz[k]] = zcoef[k] * q[k]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    C.T @ nat.reshape(8, 8) @ C + 128.0
+                )
+        planes[c["id"]] = plane
 
     full_h, full_w = mcuy * vmax * 8, mcux * hmax * 8
     ups = []
@@ -1728,15 +1928,21 @@ def _encode_jpeg_gray(Y, h: int, w: int, quality: int, restart_interval: int) ->
 def encode_jpeg(
     img, *, quality: int = 90, subsample: bool = False,
     restart_interval: int = 0, grayscale: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """H×W×3 uint8 RGB → baseline JFIF bytes with the Annex K tables.
+    """H×W×3 uint8 RGB → JFIF bytes.  Baseline (SOF0, Annex K tables) by
+    default; ``progressive=True`` writes SOF2 with spectral-selection +
+    successive-approximation scans carrying the SAME quantized
+    coefficients, so both codings decode bit-identically.
     ``subsample=True`` writes 4:2:0 (2×2 luma MCUs, averaged chroma),
     else 4:4:4.  ``restart_interval=N`` emits a DRI segment and RSTn
-    markers every N MCUs (the resync points a parallel decoder splits
-    on).  ``grayscale=True`` writes a single-component (luma-only) frame —
-    the decoder replicates it back to RGB."""
+    markers every N MCUs (baseline only — the resync points a parallel
+    decoder splits on).  ``grayscale=True`` writes a single-component
+    (luma-only) frame — the decoder replicates it back to RGB."""
     import numpy as np
 
+    if progressive:
+        return _encode_jpeg_progressive(img, quality, subsample, grayscale)
     img = np.asarray(img, dtype=np.float64)
     h, w = img.shape[:2]
     if not h or not w:
@@ -1843,3 +2049,311 @@ def encode_jpeg(
         + bytes(wtr.out)
         + b"\xff\xd9"
     )
+
+
+# --- progressive (SOF2) encoder -------------------------------------------
+#
+# Emits spectral-selection + successive-approximation scans: DC first
+# (Al=1, interleaved) → DC refine → per component AC first for bands 1-5
+# and 6-63 (Al=1) → per component AC refine of the same bands (Ah=1).
+# Scan symbols use FLAT 9-bit canonical huffman tables (written to DHT, so
+# any decoder reads them) because the Annex K sequential tables lack the
+# EOBn run symbols progressive scans need; compression ratio is not the
+# point of this encoder — exercising every decode path losslessly is.
+# Restart markers are not emitted in progressive mode (the baseline
+# encoder covers the restart path).
+
+def _jpeg_flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """All symbols at code length 9 — canonical, prefix-free (incomplete),
+    capacity 512 ≥ any symbol set we use."""
+    bits = [0] * 16
+    bits[8] = len(symbols)
+    return bits, list(symbols)
+
+
+_JPEG_PROG_DC_SYMS = list(range(12))
+_JPEG_PROG_AC_SYMS = sorted(
+    {nb << 4 for nb in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+class _JpegEncAcState:
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _jpeg_emit_sym(wtr, enc, sym: int) -> None:
+    code, length = enc[sym]
+    wtr.write(code, length)
+
+
+def _jpeg_flush_eobrun(wtr, enc, st) -> None:
+    if st.eobrun:
+        nb = st.eobrun.bit_length() - 1
+        _jpeg_emit_sym(wtr, enc, nb << 4)
+        if nb:
+            wtr.write(st.eobrun - (1 << nb), nb)
+        st.eobrun = 0
+        for b in st.pending:
+            wtr.write(b, 1)
+        st.pending = []
+
+
+def _jpeg_enc_ac_first_block(wtr, enc, coef, ss, se, al, st) -> None:
+    vals = {}
+    last = ss - 1
+    for k in range(ss, se + 1):
+        av = abs(coef[k]) >> al
+        vals[k] = av if coef[k] >= 0 else -av
+        if av:
+            last = k
+    if last < ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _jpeg_flush_eobrun(wtr, enc, st)
+        return
+    _jpeg_flush_eobrun(wtr, enc, st)
+    r = 0
+    for k in range(ss, last + 1):
+        v = vals[k]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            _jpeg_emit_sym(wtr, enc, 0xF0)
+            r -= 16
+        s, mag = _jpeg_magnitude(v)
+        _jpeg_emit_sym(wtr, enc, (r << 4) | s)
+        wtr.write(mag, s)
+        r = 0
+    if last < se:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _jpeg_flush_eobrun(wtr, enc, st)
+
+
+def _jpeg_enc_ac_refine_block(wtr, enc, coef, ss, se, al, st) -> None:
+    absv = {}
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(coef[k]) >> al
+        absv[k] = t
+        if t == 1:
+            eob_k = k  # last NEWLY-significant position
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            _jpeg_flush_eobrun(wtr, enc, st)
+            _jpeg_emit_sym(wtr, enc, 0xF0)
+            r -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # correction bit, rides the next symbol
+            continue
+        _jpeg_flush_eobrun(wtr, enc, st)
+        _jpeg_emit_sym(wtr, enc, (r << 4) | 1)
+        wtr.write(0 if coef[k] < 0 else 1, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            _jpeg_flush_eobrun(wtr, enc, st)
+
+
+def _jpeg_coef_grid(plane, qnat, C):
+    """Padded plane → per-block ZIGZAG-order quantized coefficient grid."""
+    import numpy as np
+
+    zz = _JPEG_ZIGZAG
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    q = np.asarray(qnat, dtype=np.float64)
+    grid = []
+    for y in range(by):
+        row = []
+        for x in range(bx):
+            f = C @ (plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] - 128.0) @ C.T
+            coefs = np.round(f.reshape(64) / q).astype(int)
+            row.append([int(coefs[zz[k]]) for k in range(64)])
+        grid.append(row)
+    return grid
+
+
+def _jpeg_sos(comp_specs, ss, se, ah, al) -> bytes:
+    payload = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        payload += bytes([cid, (td << 4) | ta])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return _jpeg_seg(0xDA, payload)
+
+
+def _encode_jpeg_progressive(img, quality, subsample, grayscale) -> bytes:
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    R, G, B = img[..., 0], img[..., 1], img[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+
+    qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+    C = _jpeg_dct_matrix()
+    hs, vs = (1, 1) if grayscale else ((2, 2) if subsample else (1, 1))
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
+        return out
+
+    Yp = pad(Y, mcuy * vs * 8, mcux * hs * 8)
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0,
+         "grid": _jpeg_coef_grid(Yp, qly, C)},
+    ]
+    if not grayscale:
+        if subsample:
+            che, cwe = mcuy * 8, mcux * 8
+            Cbp = pad(Cb, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+            Crp = pad(Cr, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+        else:
+            Cbp = pad(Cb, mcuy * 8, mcux * 8)
+            Crp = pad(Cr, mcuy * 8, mcux * 8)
+        comps.append({"id": 2, "h": 1, "v": 1, "tq": 1,
+                      "grid": _jpeg_coef_grid(Cbp, qlc, C)})
+        comps.append({"id": 3, "h": 1, "v": 1, "tq": 1,
+                      "grid": _jpeg_coef_grid(Crp, qlc, C)})
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame_geom = {"w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax}
+
+    dc_bits, dc_vals = _jpeg_flat_table(_JPEG_PROG_DC_SYMS)
+    ac_bits, ac_vals = _jpeg_flat_table(_JPEG_PROG_AC_SYMS)
+    dc_enc = _jpeg_encode_codes(dc_bits, dc_vals)
+    ac_enc = _jpeg_encode_codes(ac_bits, ac_vals)
+
+    scans: list[bytes] = []
+
+    # -- DC first (Al=1): interleaved when multi-component ------------------
+    wtr = _JpegBitWriter()
+    pred = {c["id"]: 0 for c in comps}
+    if len(comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = c["grid"][my * c["v"] + by][mx * c["h"] + bx][0]
+                            v = dc >> 1  # arithmetic point transform
+                            s, mag = _jpeg_magnitude(v - pred[c["id"]])
+                            pred[c["id"]] = v
+                            _jpeg_emit_sym(wtr, dc_enc, s)
+                            if s:
+                                wtr.write(mag, s)
+    else:
+        c = comps[0]
+        tby, tbx = _jpeg_true_blocks(frame_geom, c)
+        for by in range(tby):
+            for bx in range(tbx):
+                v = c["grid"][by][bx][0] >> 1
+                s, mag = _jpeg_magnitude(v - pred[c["id"]])
+                pred[c["id"]] = v
+                _jpeg_emit_sym(wtr, dc_enc, s)
+                if s:
+                    wtr.write(mag, s)
+    wtr.flush()
+    specs = [(c["id"], 0, 0) for c in comps]
+    scans.append(_jpeg_sos(specs, 0, 0, 0, 1) + bytes(wtr.out))
+
+    # -- DC refine (Ah=1, Al=0): one bit per block --------------------------
+    wtr = _JpegBitWriter()
+    if len(comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = c["grid"][my * c["v"] + by][mx * c["h"] + bx][0]
+                            wtr.write(dc & 1, 1)
+    else:
+        c = comps[0]
+        tby, tbx = _jpeg_true_blocks(frame_geom, c)
+        for by in range(tby):
+            for bx in range(tbx):
+                wtr.write(c["grid"][by][bx][0] & 1, 1)
+    wtr.flush()
+    scans.append(_jpeg_sos(specs, 0, 0, 1, 0) + bytes(wtr.out))
+
+    # -- AC scans: first (Al=1) then refine (Ah=1), bands 1-5 and 6-63 ------
+    for ss, se in ((1, 5), (6, 63)):
+        for c in comps:
+            tby, tbx = _jpeg_true_blocks(frame_geom, c)
+            wtr = _JpegBitWriter()
+            st = _JpegEncAcState()
+            for by in range(tby):
+                for bx in range(tbx):
+                    _jpeg_enc_ac_first_block(
+                        wtr, ac_enc, c["grid"][by][bx], ss, se, 1, st
+                    )
+            _jpeg_flush_eobrun(wtr, ac_enc, st)
+            wtr.flush()
+            scans.append(
+                _jpeg_sos([(c["id"], 0, 1)], ss, se, 0, 1) + bytes(wtr.out)
+            )
+    for ss, se in ((1, 5), (6, 63)):
+        for c in comps:
+            tby, tbx = _jpeg_true_blocks(frame_geom, c)
+            wtr = _JpegBitWriter()
+            st = _JpegEncAcState()
+            for by in range(tby):
+                for bx in range(tbx):
+                    _jpeg_enc_ac_refine_block(
+                        wtr, ac_enc, c["grid"][by][bx], ss, se, 0, st
+                    )
+            _jpeg_flush_eobrun(wtr, ac_enc, st)
+            wtr.flush()
+            scans.append(
+                _jpeg_sos([(c["id"], 0, 1)], ss, se, 1, 0) + bytes(wtr.out)
+            )
+
+    zzo = _JPEG_ZIGZAG
+    qz_l = [qly[zzo[i]] for i in range(64)]
+    sof_comps = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    out = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_seg(0xDB, bytes([0]) + bytes(qz_l))
+    )
+    if not grayscale:
+        qz_c = [qlc[zzo[i]] for i in range(64)]
+        out += _jpeg_seg(0xDB, bytes([1]) + bytes(qz_c))
+    out += _jpeg_seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)]) + sof_comps,
+    )
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += _jpeg_seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+    out += b"".join(scans)
+    return out + b"\xff\xd9"

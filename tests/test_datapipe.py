@@ -1421,11 +1421,10 @@ def test_jpeg_codec_restart_markers_and_errors():
     # not mis-decoded
     with _pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(b"\xff\xd8\xff" + b"the rest is plain text")
-    # progressive is declared-unsupported: flip SOF0 to SOF2
+    # lossless (SOF3) stays declared-unsupported: flip SOF0 to SOF3
     blob = bytearray(encode_jpeg(img, quality=85))
-    blob[blob.index(b"\xff\xc0")] = 0xFF
-    blob[blob.index(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC3
+    with _pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(blob))
 
 
@@ -1555,3 +1554,60 @@ def test_dsir_weights_separate_target_vocabulary(spark, tmp_path_factory):
     assert not rows[3]["keep"] and not rows[4]["keep"]
     assert rows[3]["dsir_p6"] < 0
     assert rows[3]["n_words"] == 5 and rows[1]["n_words"] == 50
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) coding is LOSSLESS over the quantized
+    coefficients, so a progressive file must decode bit-identically to the
+    baseline coding of the same raster — across 4:4:4, 4:2:0, grayscale,
+    odd (padded) dimensions, and smooth images (long EOB runs through the
+    AC first/refine scans)."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    for kwargs in (dict(), dict(subsample=True), dict(grayscale=True)):
+        base = decode_jpeg(encode_jpeg(img, quality=85, **kwargs))
+        blob = encode_jpeg(img, quality=85, progressive=True, **kwargs)
+        assert jpeg_dimensions(blob) == (40, 24)
+        assert (decode_jpeg(blob) == base).all(), kwargs
+
+    odd = rng.integers(0, 256, (13, 11, 3)).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(odd, quality=90, subsample=True))
+    b = decode_jpeg(encode_jpeg(odd, quality=90, subsample=True, progressive=True))
+    assert (a == b).all() and a.shape == (13, 11, 3)
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(yy // 4 * 8) % 256, (xx // 4 * 8) % 256, np.full_like(yy, 100)], -1
+    ).astype(np.uint8)
+    c = decode_jpeg(encode_jpeg(smooth, quality=60))
+    d = decode_jpeg(encode_jpeg(smooth, quality=60, progressive=True))
+    assert (c == d).all()
+
+
+def test_jpeg_progressive_through_image_pixel_stats(spark):
+    """A progressive JPEG flows through the Spark decode stage and yields
+    EXACTLY the stats of its baseline twin (same quantized coefficients)."""
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    b_blob = mm.encode_jpeg(img, quality=85)
+    p_blob = mm.encode_jpeg(img, quality=85, progressive=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(b_blob)), (2, bytearray(p_blob))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert set(rows) == {1, 2}
+    for col in ("mean_r", "mean_g", "mean_b", "thumb_digest"):
+        assert rows[1][col] == rows[2][col], col
