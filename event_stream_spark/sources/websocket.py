@@ -45,6 +45,7 @@ import os
 import socket
 import threading
 import time
+import zlib
 
 from event_stream_spark.sources.wsfeed import (
     SUBSCRIPTION_NEW_BLOCK,
@@ -66,6 +67,32 @@ OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = (
 CLOSE_NORMAL = 1000
 CLOSE_PROTOCOL_ERROR = 1002
 CLOSE_POLICY_VIOLATION = 1008
+
+#: RFC 7692 permessage-deflate, negotiated in the no-context-takeover mode
+#: both ways (every message an independent raw-DEFLATE stream — no shared
+#: compressor state across messages, so reconnects/replays can't desync)
+PMD_OFFER = (
+    "permessage-deflate; client_no_context_takeover; server_no_context_takeover"
+)
+
+
+def pmd_deflate(payload: bytes) -> bytes:
+    """RFC 7692 §7.2.1 message compression: raw DEFLATE (windowBits −15),
+    sync-flushed, with the trailing ``00 00 ff ff`` removed."""
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    out = c.compress(payload) + c.flush(zlib.Z_SYNC_FLUSH)
+    if not out.endswith(b"\x00\x00\xff\xff"):
+        raise ProtocolError("deflate sync flush missing the empty block")
+    return out[:-4]
+
+
+def pmd_inflate(data: bytes) -> bytes:
+    """Inverse: re-append the flush block and inflate one message."""
+    d = zlib.decompressobj(-15)
+    try:
+        return d.decompress(data + b"\x00\x00\xff\xff") + d.flush()
+    except zlib.error as exc:
+        raise ProtocolError(f"bad permessage-deflate payload: {exc}") from None
 
 
 def accept_key(key: str) -> str:
@@ -89,10 +116,12 @@ def _apply_mask(mask: bytes, data: bytes) -> bytes:
 
 
 def encode_frame(
-    opcode: int, payload: bytes, *, mask: bool, fin: bool = True
+    opcode: int, payload: bytes, *, mask: bool, fin: bool = True,
+    rsv1: bool = False,
 ) -> bytes:
-    """Serialize one frame (§5.2).  Client-originated frames set ``mask``."""
-    b0 = (0x80 if fin else 0x00) | (opcode & 0x0F)
+    """Serialize one frame (§5.2).  Client-originated frames set ``mask``;
+    ``rsv1`` marks the first frame of a permessage-deflate message."""
+    b0 = (0x80 if fin else 0x00) | (0x40 if rsv1 else 0x00) | (opcode & 0x0F)
     n = len(payload)
     head = bytearray([b0])
     mask_bit = 0x80 if mask else 0x00
@@ -117,28 +146,32 @@ class ProtocolError(ValueError):
 
 class FrameDecoder:
     """Incremental frame parser: ``feed(bytes)`` returns complete frames as
-    ``(fin, opcode, payload, masked)`` tuples; partial input is buffered so
-    byte-at-a-time delivery parses identically to one big chunk."""
+    ``(fin, opcode, payload, masked)`` tuples — or 5-tuples with a trailing
+    ``rsv1`` flag when ``extensions_rsv1`` is negotiated (permessage-
+    deflate).  Partial input is buffered so byte-at-a-time delivery parses
+    identically to one big chunk."""
 
-    def __init__(self) -> None:
+    def __init__(self, *, extensions_rsv1: bool = False) -> None:
         self._buf = bytearray()
+        self._rsv1_ok = extensions_rsv1
 
-    def feed(self, data: bytes) -> list[tuple[bool, int, bytes, bool]]:
+    def feed(self, data: bytes) -> list[tuple]:
         self._buf += data
-        frames: list[tuple[bool, int, bytes, bool]] = []
+        frames: list[tuple] = []
         while True:
             parsed = self._try_parse()
             if parsed is None:
                 return frames
             frames.append(parsed)
 
-    def _try_parse(self) -> tuple[bool, int, bytes, bool] | None:
+    def _try_parse(self) -> tuple | None:
         buf = self._buf
         if len(buf) < 2:
             return None
         b0, b1 = buf[0], buf[1]
-        if b0 & 0x70:
+        if b0 & 0x30 or (b0 & 0x40 and not self._rsv1_ok):
             raise ProtocolError("nonzero RSV bits without an extension")
+        rsv1 = bool(b0 & 0x40)
         fin, opcode = bool(b0 & 0x80), b0 & 0x0F
         masked, len7 = bool(b1 & 0x80), b1 & 0x7F
         pos = 2
@@ -170,6 +203,8 @@ class FrameDecoder:
         del buf[:pos + n]
         if masked:
             payload = _apply_mask(key, payload)
+        if self._rsv1_ok:
+            return fin, opcode, payload, masked, rsv1
         return fin, opcode, payload, masked
 
 
@@ -178,18 +213,28 @@ class _WsIO:
     yields complete (possibly defragmented) *data* messages and answers
     pings transparently; close frames surface as ``(OP_CLOSE, payload)``."""
 
-    def __init__(self, sock: socket.socket, *, mask_out: bool, require_masked_in: bool):
+    def __init__(self, sock: socket.socket, *, mask_out: bool,
+                 require_masked_in: bool, deflate: bool = False):
         self.sock = sock
         self.mask_out = mask_out
         self.require_masked_in = require_masked_in
-        self.decoder = FrameDecoder()
+        self.deflate = deflate
+        self.decoder = FrameDecoder(extensions_rsv1=deflate)
         self._frag_op: int | None = None
         self._frag_parts: list[bytes] = []
+        self._frag_compressed = False
         self._send_lock = threading.Lock()
         self.pongs = 0  # pongs received (liveness evidence for tests)
+        self.compressed_in = 0  # messages that arrived RSV1-compressed
 
     def send(self, opcode: int, payload: bytes, *, fin: bool = True) -> None:
-        frame = encode_frame(opcode, payload, mask=self.mask_out, fin=fin)
+        rsv1 = False
+        if self.deflate and fin and opcode in (OP_TEXT, OP_BINARY):
+            payload = pmd_deflate(payload)
+            rsv1 = True
+        frame = encode_frame(
+            opcode, payload, mask=self.mask_out, fin=fin, rsv1=rsv1
+        )
         with self._send_lock:
             self.sock.sendall(frame)
 
@@ -204,11 +249,15 @@ class _WsIO:
         payload)`` for data, ``(OP_CLOSE, payload)`` for close.  Pings are
         answered inline; pongs are swallowed."""
         out: list[tuple[int, bytes]] = []
-        for fin, opcode, payload, masked in self.decoder.feed(data):
+        for frame in self.decoder.feed(data):
+            fin, opcode, payload, masked = frame[:4]
+            rsv1 = frame[4] if len(frame) > 4 else False
             if masked != self.require_masked_in:
                 raise ProtocolError(
                     "client frames must be masked, server frames must not"
                 )
+            if rsv1 and opcode >= 0x8:
+                raise ProtocolError("RSV1 on a control frame")
             if opcode == OP_PING:
                 self.send(OP_PONG, payload)
             elif opcode == OP_PONG:
@@ -219,16 +268,27 @@ class _WsIO:
                 if self._frag_op is not None:
                     raise ProtocolError("new data frame inside a fragmented message")
                 if fin:
+                    if rsv1:
+                        payload = pmd_inflate(payload)
+                        self.compressed_in += 1
                     out.append((opcode, payload))
                 else:
                     self._frag_op, self._frag_parts = opcode, [payload]
+                    self._frag_compressed = rsv1
             elif opcode == OP_CONT:
                 if self._frag_op is None:
                     raise ProtocolError("continuation frame with nothing to continue")
+                if rsv1:
+                    raise ProtocolError("RSV1 on a continuation frame")
                 self._frag_parts.append(payload)
                 if fin:
-                    out.append((self._frag_op, b"".join(self._frag_parts)))
+                    whole = b"".join(self._frag_parts)
+                    if self._frag_compressed:
+                        whole = pmd_inflate(whole)
+                        self.compressed_in += 1
+                    out.append((self._frag_op, whole))
                     self._frag_op, self._frag_parts = None, []
+                    self._frag_compressed = False
             else:
                 raise ProtocolError(f"reserved opcode {opcode:#x}")
         return out
@@ -277,6 +337,7 @@ class WebSocketServer:
         self.refused = 0  # JSON-RPC subscription refusals
         self.handshake_rejections = 0  # HTTP-level 400s
         self.protocol_errors = 0  # frames that violated RFC 6455
+        self.deflate_sessions = 0  # permessage-deflate negotiations
         threading.Thread(target=self._accept_loop, daemon=True).start()
 
     def _accept_loop(self) -> None:
@@ -307,15 +368,30 @@ class WebSocketServer:
                 )
                 sock.close()
                 return
+            # RFC 7692 negotiation: accept a permessage-deflate offer in
+            # the no-context-takeover mode; decline (omit the header — the
+            # always-legal fallback) when the client constrains the server
+            # window (we only speak windowBits 15)
+            offer = headers.get("sec-websocket-extensions", "")
+            deflate = (
+                "permessage-deflate" in offer
+                and "server_max_window_bits" not in offer
+            )
+            ext = f"Sec-WebSocket-Extensions: {PMD_OFFER}\r\n" if deflate else ""
             sock.sendall(
                 (
                     "HTTP/1.1 101 Switching Protocols\r\n"
                     "Upgrade: websocket\r\n"
                     "Connection: Upgrade\r\n"
-                    f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
+                    f"Sec-WebSocket-Accept: {accept_key(key)}\r\n"
+                    f"{ext}\r\n"
                 ).encode("ascii")
             )
-            io = _WsIO(sock, mask_out=False, require_masked_in=True)
+            if deflate:
+                self.deflate_sessions += 1
+            io = _WsIO(
+                sock, mask_out=False, require_masked_in=True, deflate=deflate
+            )
             # --- first data message must be the JSON-RPC subscribe ---
             sub_req = self._next_data_message(io, overrun)
             if sub_req is None:
@@ -462,6 +538,7 @@ class WebSocketRelay:
         base_backoff_millis: float = 50.0,
         max_backoff_millis: float = 1000.0,
         connect_timeout_s: float = 5.0,
+        offer_deflate: bool = True,
     ):
         self.host, self.port = host, port
         self.feed_path = feed_path
@@ -469,6 +546,8 @@ class WebSocketRelay:
         self.base_backoff_millis = base_backoff_millis
         self.max_backoff_millis = max_backoff_millis
         self.connect_timeout_s = connect_timeout_s
+        self.offer_deflate = offer_deflate
+        self.deflate_active = False  # negotiated on the CURRENT connection
         self.connections = 0
         self.error: Exception | None = None
         self._stop = threading.Event()
@@ -487,6 +566,11 @@ class WebSocketRelay:
         Raises ``ValueError`` (terminal) on refusal, ``OSError``/
         ``ProtocolError`` (retryable) on transport faults."""
         key = base64.b64encode(os.urandom(16)).decode("ascii")
+        ext = (
+            f"Sec-WebSocket-Extensions: {PMD_OFFER}\r\n"
+            if self.offer_deflate
+            else ""
+        )
         sock.sendall(
             (
                 f"GET /websocket HTTP/1.1\r\n"
@@ -494,6 +578,7 @@ class WebSocketRelay:
                 "Upgrade: websocket\r\n"
                 "Connection: Upgrade\r\n"
                 f"Sec-WebSocket-Key: {key}\r\n"
+                f"{ext}"
                 "Sec-WebSocket-Version: 13\r\n\r\n"
             ).encode("ascii")
         )
@@ -504,6 +589,14 @@ class WebSocketRelay:
             raise ValueError(f"websocket upgrade refused: {status_line!r}")
         if headers.get("sec-websocket-accept") != accept_key(key):
             raise ValueError("Sec-WebSocket-Accept mismatch")
+        accepted = headers.get("sec-websocket-extensions", "")
+        self.deflate_active = (
+            self.offer_deflate and "permessage-deflate" in accepted
+        )
+        if self.deflate_active and "max_window_bits" in accepted:
+            # the server demands a window we did not offer — RFC 7692 §7:
+            # a client MUST fail the connection on unacceptable params
+            raise ValueError("unacceptable permessage-deflate response params")
         return overrun
 
     def _run(self) -> None:
@@ -515,7 +608,10 @@ class WebSocketRelay:
                     (self.host, self.port), timeout=self.connect_timeout_s
                 )
                 overrun = self._handshake(sock)
-                io = _WsIO(sock, mask_out=True, require_masked_in=False)
+                io = _WsIO(
+                    sock, mask_out=True, require_masked_in=False,
+                    deflate=self.deflate_active,
+                )
                 io.send(OP_TEXT, json.dumps({
                     "jsonrpc": "2.0", "method": "subscribe", "id": "0",
                     "params": {"query": self.subscription},

@@ -306,3 +306,121 @@ def test_websocket_transport_combined_with_drop(spark, templates_dir, tmp_path):
     assert live_seen == list(range(MIN_LIVE_HEIGHT, MAX_LIVE_HEIGHT + 1))
     assert relay.reconnects >= 1  # the drop really tore the TCP session
     assert server.subscriptions >= 2  # and the client really resubscribed
+
+
+def test_permessage_deflate_codec_roundtrip():
+    """RFC 7692 §7.2: raw-DEFLATE message transform — sync-flush tail
+    stripped on the wire, restored on read; empty and large payloads."""
+    from event_stream_spark.sources.websocket import pmd_deflate, pmd_inflate
+
+    for payload in (b"", b"x", b'{"jsonrpc":"2.0"}' * 200, bytes(range(256)) * 64):
+        wire = pmd_deflate(payload)
+        assert not wire.endswith(b"\x00\x00\xff\xff")
+        assert pmd_inflate(wire) == payload
+    big = b'{"height": 123, "block_events": []}' * 500
+    assert len(pmd_deflate(big)) < len(big) // 10  # it actually compresses
+
+    with pytest.raises(ProtocolError):
+        pmd_inflate(b"\xff\xff\xff\xff not deflate")
+
+
+def test_permessage_deflate_negotiation_on_the_wire():
+    """A client offering permessage-deflate gets RSV1-compressed pushes; a
+    client not offering it gets identical plain frames from the same
+    server — negotiation is per-connection."""
+    import base64 as _b64
+    import json as _json
+    import os as _os
+
+    from event_stream_spark.sources.websocket import (
+        PMD_OFFER,
+        pmd_inflate,
+    )
+
+    server = WebSocketServer()
+    try:
+        socks = {}
+        for name, offer in (("plain", False), ("deflate", True)):
+            sock = socket.create_connection((server.host, server.port), timeout=5)
+            key = _b64.b64encode(_os.urandom(16)).decode()
+            ext = f"Sec-WebSocket-Extensions: {PMD_OFFER}\r\n" if offer else ""
+            sock.sendall((
+                "GET /websocket HTTP/1.1\r\n"
+                f"Host: {server.host}:{server.port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n{ext}"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode())
+            head = b""
+            while b"\r\n\r\n" not in head:
+                head += sock.recv(65536)
+            assert b" 101 " in head.split(b"\r\n")[0]
+            assert (b"permessage-deflate" in head.lower()) == offer
+            sub = _json.dumps({
+                "jsonrpc": "2.0", "method": "subscribe", "id": "0",
+                "params": {"query": "tm.event='NewBlock'"},
+            }).encode()
+            sock.sendall(encode_frame(OP_TEXT, sub, mask=True))
+            socks[name] = sock
+        deadline = time.time() + 5
+        while server.subscriptions < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert server.subscriptions == 2
+        assert server.deflate_sessions == 1
+
+        msg = {"height": 7, "block_events": [], "note": "z" * 100}
+        server.push([msg])
+        want = _json.dumps(msg, separators=(",", ":")).encode()
+
+        # plain connection: ack + push decode with the default (RSV1-
+        # rejecting) decoder — proof the frames are uncompressed — and the
+        # payload arrives verbatim
+        frames = _recv_frames(socks["plain"], 2)
+        assert frames[1][1] == OP_TEXT and frames[1][2] == want
+
+        # deflate connection: raw decoder sees RSV1 + compressed payload
+        dec, raw = FrameDecoder(extensions_rsv1=True), []
+        socks["deflate"].settimeout(5)
+        while len(raw) < 2:
+            raw += dec.feed(socks["deflate"].recv(65536))
+        fin, op, payload, _m, rsv1 = raw[1]
+        assert fin and op == OP_TEXT and rsv1
+        assert payload != want and pmd_inflate(payload) == want
+        for s in socks.values():
+            s.close()
+    finally:
+        server.close()
+
+
+def test_permessage_deflate_fragmented_message():
+    """A compressed message split across frames: RSV1 on the FIRST frame
+    only, inflate after reassembly; RSV1 on a continuation is an error."""
+    from event_stream_spark.sources.websocket import _WsIO, pmd_deflate
+
+    class _Sock:
+        def __init__(self):
+            self.sent = b""
+
+        def sendall(self, b):
+            self.sent += b
+
+    io = _WsIO(_Sock(), mask_out=False, require_masked_in=True, deflate=True)
+    payload = b'{"height": 42, "tx_events": []}' * 50
+    wire = pmd_deflate(payload)
+    cut = len(wire) // 2
+    stream = (
+        encode_frame(OP_TEXT, wire[:cut], mask=True, fin=False, rsv1=True)
+        + encode_frame(OP_CONT, wire[cut:], mask=True, fin=True)
+    )
+    assert io.events(stream) == [(OP_TEXT, payload)]
+    assert io.compressed_in == 1
+
+    bad = encode_frame(OP_TEXT, wire[:cut], mask=True, fin=False, rsv1=True) \
+        + encode_frame(OP_CONT, wire[cut:], mask=True, fin=True, rsv1=True)
+    io2 = _WsIO(_Sock(), mask_out=False, require_masked_in=True, deflate=True)
+    with pytest.raises(ProtocolError, match="continuation"):
+        io2.events(bad)
+
+    # without negotiation the default decoder refuses RSV1 outright
+    with pytest.raises(ProtocolError, match="RSV"):
+        FrameDecoder().feed(encode_frame(OP_TEXT, b"x", mask=True, rsv1=True))
