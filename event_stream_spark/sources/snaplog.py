@@ -133,6 +133,7 @@ def commit(
     expected_snapshot: int | None = None,
     allow_added_columns: bool = False,
     max_retries: int = 20,
+    carry_entries: list[dict] | None = None,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
 
@@ -155,9 +156,18 @@ def commit(
     legal change is ADDITIVE (new trailing columns) with an explicit
     ``allow_added_columns=True`` — silent drift (renames, type changes,
     reorders) can never enter the log.  Readers merge schemas, so rows
-    from pre-evolution files surface NULL for the added columns."""
+    from pre-evolution files surface NULL for the added columns.
+
+    ``carry_entries`` (overwrite mode only) carries existing manifest
+    entries — immutable data files from the previous snapshot — into the
+    new manifest verbatim alongside the freshly written files.  This is
+    the file-targeted copy-on-write seam: a DML that only rewrites the
+    files its keys touch carries every untouched file forward without
+    moving a byte of it."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
+    if carry_entries and mode != "overwrite":
+        raise ValueError("carry_entries requires mode='overwrite'")
     os.makedirs(_log_dir(table), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     new_cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
@@ -195,7 +205,7 @@ def commit(
         prev = (
             _read_manifest(table, nxt - 1)["files"]
             if mode == "append" and nxt > 0
-            else []
+            else list(carry_entries or [])
         )
         entries = [
             {"path": p, **({"stats": _file_stats(p, stats_cols)} if stats_cols else {})}
@@ -407,18 +417,46 @@ def merge_upsert(
     as ONE atomic ``overwrite`` snapshot (readers see the old table until
     the manifest lands; time travel keeps it after).
 
-    This is copy-on-write at table granularity — correct at any size,
-    rewrite-cost bounded by the table.  The production refinement (also
-    copy-on-write) targets only the files whose key ranges overlap the
-    update batch via the manifest stats, rewriting a sliver; the seam is
-    :func:`read_snapshot`'s ``prune`` on the key column."""
+    FILE-TARGETED copy-on-write: when the manifest carries ``key`` stats,
+    only the files whose [min, max] key range overlaps the update batch's
+    key span are read and rewritten — every other file is carried into the
+    new manifest verbatim (its entry, including stats, is copied; the
+    bytes never move).  An untouched file cannot contain an updated key
+    (its range misses the whole update span), so correctness is
+    unconditional.  Files without recorded ``key`` stats are conservatively
+    rewritten; a table with no stats at all degrades to the whole-table
+    rewrite.  At 100 TB this is the difference between a merge costing
+    O(touched files) and O(table)."""
+    from pyspark.sql import functions as F
+
     base = _latest_snapshot(table)
-    current = read_snapshot(spark, table, snapshot=base)
-    kept = current.join(updates.select(key).distinct(), key, "left_anti")
-    merged = kept.unionByName(updates)
+    entries = _read_manifest(table, base)["files"]
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched, untouched = [], []
+    for e in entries:
+        st = (e.get("stats") or {}).get(key)
+        if lo is None:  # empty update batch: nothing can be touched
+            untouched.append(e)
+        elif st is None:
+            touched.append(e)  # no stats → must assume overlap
+        elif st[1] < lo or st[0] > hi:
+            untouched.append(e)
+        else:
+            touched.append(e)
+    if touched:
+        current = spark.read.option("mergeSchema", "true").parquet(
+            *[e["path"] for e in touched]
+        )
+        kept = current.join(updates.select(key).distinct(), key, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
     return commit(
         merged, table, mode="overwrite", stats_cols=stats_cols,
-        expected_snapshot=base,
+        expected_snapshot=base, carry_entries=untouched,
     )
 
 

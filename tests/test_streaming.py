@@ -2483,3 +2483,94 @@ def test_snapshot_multiprocess_commit_contention(spark, tmp_path):
         for x in range(lo + k * 100, lo + k * 100 + 100)
     )
     assert ids == expect  # nothing lost, nothing duplicated
+
+
+def test_merge_upsert_is_file_targeted(spark, tmp_path):
+    """With key stats in the manifest, merge_upsert rewrites ONLY the
+    files whose key range overlaps the update batch: untouched files are
+    carried into the new manifest byte-identically (same paths, same
+    stats), and the merged row set is exactly right."""
+    import json as _json
+
+    from event_stream_spark.sources.snaplog import (
+        _manifest_path,
+        commit,
+        merge_upsert,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    # three appends with DISJOINT key ranges → distinct stats per file set
+    for lo in (0, 1000, 2000):
+        commit(
+            spark.range(lo, lo + 100).selectExpr("id", "id*2 AS v").coalesce(1),
+            table, stats_cols=["id"],
+        )
+    base = snapshots(table)[-1]
+    before = _json.load(open(_manifest_path(table, base)))["files"]
+    assert len(before) == 3
+
+    # update keys 1000-1009: only the middle file overlaps
+    upd = spark.range(1000, 1010).selectExpr("id", "id*100 AS v")
+    new_id = merge_upsert(spark, table, upd, key="id", stats_cols=["id"])
+    after = _json.load(open(_manifest_path(table, new_id)))["files"]
+    before_paths = {e["path"] for e in before}
+    after_paths = {e["path"] for e in after}
+
+    # the 0-range and 2000-range files survive VERBATIM; the middle file
+    # does not; at least one fresh file appears
+    lo_file = next(e for e in before if e["stats"]["id"][0] == 0)
+    hi_file = next(e for e in before if e["stats"]["id"][0] == 2000)
+    mid_file = next(e for e in before if e["stats"]["id"][0] == 1000)
+    assert lo_file["path"] in after_paths and hi_file["path"] in after_paths
+    assert mid_file["path"] not in after_paths
+    assert after_paths - before_paths  # fresh rewritten file(s)
+    # carried entries keep their stats for future pruning
+    carried = next(e for e in after if e["path"] == lo_file["path"])
+    assert carried.get("stats") == lo_file.get("stats")
+
+    df = read_snapshot(spark, table)
+    assert df.count() == 300
+    assert df.filter("id = 1005").first().v == 100500  # updated
+    assert df.filter("id = 5").first().v == 10  # untouched rows intact
+    assert df.filter("id = 1050").first().v == 2100  # same-file non-key rows
+
+    # time travel still shows the pre-merge values
+    old = read_snapshot(spark, table, snapshot=base)
+    assert old.filter("id = 1005").first().v == 2010
+
+
+def test_merge_upsert_without_stats_falls_back_to_full_rewrite(spark, tmp_path):
+    """No key stats recorded → every file is conservatively rewritten,
+    preserving the original whole-table CoW semantics."""
+    import json as _json
+
+    from event_stream_spark.sources.snaplog import (
+        _manifest_path,
+        commit,
+        merge_upsert,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    for lo in (0, 1000):
+        commit(
+            spark.range(lo, lo + 50).selectExpr("id", "id*2 AS v").coalesce(1),
+            table,
+        )
+    before_paths = {
+        e["path"]
+        for e in _json.load(
+            open(_manifest_path(table, snapshots(table)[-1]))
+        )["files"]
+    }
+    upd = spark.createDataFrame([(5, -1)], "id long, v long")
+    new_id = merge_upsert(spark, table, upd, key="id")
+    after_paths = {
+        e["path"] for e in _json.load(open(_manifest_path(table, new_id)))["files"]
+    }
+    assert not (before_paths & after_paths)  # full rewrite, nothing carried
+    df = read_snapshot(spark, table)
+    assert df.count() == 100 and df.filter("id = 5").first().v == -1
