@@ -466,13 +466,42 @@ def delete_where(
     predicate: str,
     *,
     stats_cols: list[str] | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> int:
     """Row-level DELETE (GDPR/abuse purge shape): commit one atomic
     ``overwrite`` snapshot holding every row NOT matching ``predicate``.
     Old snapshots still contain the rows until :func:`vacuum` — the
-    documented retention window a real purge pipeline must run."""
+    documented retention window a real purge pipeline must run.
+
+    ``prune={col: (lo, hi)}`` makes the delete FILE-TARGETED: the caller
+    asserts every row the predicate matches has ``col`` within [lo, hi]
+    (e.g. ``delete_where(t, "user_id = 7", prune={"user_id": (7, 7)})``),
+    so files whose manifest stats cannot overlap are carried into the new
+    manifest verbatim and only overlapping files are filtered and
+    rewritten.  The predicate is STILL applied to every rewritten row —
+    the hint only skips files it provably cannot touch; statless files
+    are conservatively rewritten."""
     base = _latest_snapshot(table)
-    current = read_snapshot(spark, table, snapshot=base)
+    touched_entries = _read_manifest(table, base)["files"]
+    untouched: list[dict] = []
+    if prune:
+        def overlaps(e: dict) -> bool:
+            st = e.get("stats") or {}
+            for col, (lo, hi) in prune.items():
+                if col not in st:
+                    continue  # no stats → conservatively rewrite
+                if st[col][1] < lo or st[col][0] > hi:
+                    return False
+            return True
+
+        untouched = [e for e in touched_entries if not overlaps(e)]
+        touched_entries = [e for e in touched_entries if overlaps(e)]
+    if touched_entries:
+        current = spark.read.option("mergeSchema", "true").parquet(
+            *[e["path"] for e in touched_entries]
+        )
+    else:
+        current = read_snapshot(spark, table, snapshot=base).limit(0)
     # SQL DELETE semantics: remove rows where the predicate is TRUE and
     # KEEP rows where it is false OR NULL (a bare NOT(pred) would silently
     # purge every row with a NULL in a predicate column)
@@ -482,6 +511,7 @@ def delete_where(
         mode="overwrite",
         stats_cols=stats_cols,
         expected_snapshot=base,
+        carry_entries=untouched,
     )
 
 

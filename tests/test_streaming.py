@@ -2227,23 +2227,30 @@ def test_snapshot_dml_aborts_on_concurrent_commit(spark, tmp_path):
     table = str(tmp_path / "tbl")
     commit(spark.createDataFrame([(1, "a")], "id long, v string"), table)
 
-    # interleave: make read_snapshot race a concurrent append by committing
-    # from inside the same transaction window
-    real_read = snaplog.read_snapshot
+    # interleave: fire a concurrent append from inside the transaction
+    # window — after the DML's manifest read (the base every targeted or
+    # full path starts from), before its commit
+    real_rm = snaplog._read_manifest
+    fired = []
 
-    def racing_read(spark_, tbl_, **kw):
-        df = real_read(spark_, tbl_, **kw)
-        commit(
-            spark.createDataFrame([(99, "concurrent")], "id long, v string"), table
-        )
-        return df
+    def racing_rm(tbl_, n_):
+        out = real_rm(tbl_, n_)
+        if not fired:
+            fired.append(1)
+            commit(
+                spark.createDataFrame(
+                    [(99, "concurrent")], "id long, v string"
+                ),
+                table,
+            )
+        return out
 
-    snaplog.read_snapshot = racing_read
+    snaplog._read_manifest = racing_rm
     try:
         with _pytest.raises(CommitConflict):
             delete_where(spark, table, "id = 1")
     finally:
-        snaplog.read_snapshot = real_read
+        snaplog._read_manifest = real_rm
     # the concurrent append survived; nothing was deleted
     got = {r.id for r in read_snapshot(spark, table).collect()}
     assert got == {1, 99}
@@ -2574,3 +2581,44 @@ def test_merge_upsert_without_stats_falls_back_to_full_rewrite(spark, tmp_path):
     assert not (before_paths & after_paths)  # full rewrite, nothing carried
     df = read_snapshot(spark, table)
     assert df.count() == 100 and df.filter("id = 5").first().v == -1
+
+
+def test_delete_where_prune_hint_targets_files(spark, tmp_path):
+    """delete_where with a prune hint rewrites only files whose stats can
+    overlap the asserted range — others are carried verbatim; the
+    predicate still filters every rewritten row."""
+    import json as _json
+
+    from event_stream_spark.sources.snaplog import (
+        _manifest_path,
+        commit,
+        delete_where,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    for lo in (0, 1000, 2000):
+        commit(
+            spark.range(lo, lo + 100).selectExpr("id", "id*2 AS v").coalesce(1),
+            table, stats_cols=["id"],
+        )
+    before = _json.load(
+        open(_manifest_path(table, snapshots(table)[-1]))
+    )["files"]
+    new_id = delete_where(
+        spark, table, "id >= 1000 AND id < 1010",
+        stats_cols=["id"], prune={"id": (1000, 1009)},
+    )
+    after = _json.load(open(_manifest_path(table, new_id)))["files"]
+    after_paths = {e["path"] for e in after}
+    lo_file = next(e for e in before if e["stats"]["id"][0] == 0)
+    hi_file = next(e for e in before if e["stats"]["id"][0] == 2000)
+    mid_file = next(e for e in before if e["stats"]["id"][0] == 1000)
+    assert lo_file["path"] in after_paths and hi_file["path"] in after_paths
+    assert mid_file["path"] not in after_paths
+
+    df = read_snapshot(spark, table)
+    assert df.count() == 290
+    assert df.filter("id >= 1000 AND id < 1010").count() == 0
+    assert df.filter("id = 1050").first().v == 2100
