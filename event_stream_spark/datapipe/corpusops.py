@@ -763,17 +763,29 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     relation is constant-size and broadcasts back; the target slice is a
     left-semi join on doc_id.  No vocabulary-sized state anywhere — that
     is the point of DSIR's hashing."""
+    d = t(spark, sf, "documents")
+    model = dsir_model(spark, sf)
+    return dsir_score(d, model).orderBy("doc_id")
+
+
+def _dsir_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def dsir_model(spark: SparkSession, sf: str) -> DataFrame:
+    """The frozen (b, lr_p6) bucket model: add-1-smoothed log-ratio of the
+    target (high-quality slice) vs raw hashed-unigram distributions,
+    rounded to integer micro-units per bucket.  Constant-size
+    ({DSIR_BUCKETS} rows) — materialize/broadcast it once and score any
+    number of corpora or stream batches against it."""
     from event_stream_spark.datapipe.text import word_rows
     from event_stream_spark.datapipe.textstats import text_quality
 
     d = t(spark, sf, "documents")
-    wb = word_rows(d).select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
-            % DSIR_BUCKETS
-        ).alias("b"),
-    )
+    wb = word_rows(d).select("doc_id", _dsir_bucket(F.col("w")).alias("b"))
     target_ids = (
         text_quality(spark, sf)
         .filter(F.col("quality") >= DSIR_TARGET_QUALITY)
@@ -799,16 +811,26 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     ratio = F.log(
         (F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS)
     ) - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
-    modelw = model.crossJoin(F.broadcast(tots)).select(
+    return model.crossJoin(F.broadcast(tots)).select(
         "b", F.round(ratio * 1e6).cast("long").alias("lr_p6")
     )
+
+
+def dsir_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score (doc_id, text, …) rows against a frozen (b, lr_p6) model:
+    (doc_id, n_words, dsir_p6, keep).  Pure map-side apart from the
+    per-doc integer sum — the shape that serves batch corpora and
+    streaming microbatches identically."""
+    from event_stream_spark.datapipe.text import word_rows
+
+    wb = word_rows(docs).select("doc_id", _dsir_bucket(F.col("w")).alias("b"))
     scored = (
-        wb.join(modelw, "b")  # ≤1024-row side: AQE broadcasts it
+        wb.join(model, "b")  # ≤1024-row side: AQE broadcasts it
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_words"), F.sum("lr_p6").alias("dsir_p6"))
     )
     return (
-        d.select("doc_id")
+        docs.select("doc_id")
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
@@ -816,7 +838,6 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("dsir_p6", F.lit(0)).alias("dsir_p6"),
             (F.coalesce("dsir_p6", F.lit(0)) > 0).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

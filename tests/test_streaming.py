@@ -2622,3 +2622,50 @@ def test_delete_where_prune_hint_targets_files(spark, tmp_path):
     assert df.count() == 290
     assert df.filter("id >= 1000 AND id < 1010").count() == 0
     assert df.filter("id = 1050").first().v == 2100
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """Stream twin of dsir_weights: documents streamed in microbatches and
+    scored against the frozen model produce EXACTLY the batch operator's
+    rows, and a full at-least-once replay (fresh checkpoint, same files)
+    appends nothing — exactly-once per doc_id."""
+    from event_stream_spark.datapipe.corpusops import dsir_model, dsir_weights
+    from event_stream_spark.streaming.dsirstream import dsir_scoring_sink
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "src")
+    # three files → three microbatches under maxFilesPerTrigger=1
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    model = dsir_model(spark, sf)
+    out = str(tmp_path / "scored")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = dsir_scoring_sink(stream, model, out, checkpoint).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: r for r in dsir_weights(spark, sf).collect()}
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert (g.n_words, g.dsir_p6, g.keep) == (
+            w.n_words, w.dsir_p6, w.keep
+        ), doc_id
+
+    # full replay with a FRESH checkpoint: every batch re-delivered, all
+    # absorbed by the doc_id ledger — no duplicates
+    run(str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == len(want)
