@@ -888,3 +888,150 @@ def _dsir_sql() -> str:
 
 
 DSIR_WEIGHTS_SQL = _dsir_sql()
+
+
+# Character-level exact-substring dedup signal: the granularity Lee et al.
+# 2022 actually operate at (byte-level suffix arrays finding repeated
+# substrings).  Re-expressed relationally: fixed-width char-gram anchors +
+# interval-union coverage — no suffix array, same signal, linear shuffles.
+CHAR_SPAN_N = 20
+CHAR_SPAN_FRAC_MAX = 0.5
+
+
+def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per doc: how many characters are covered by some {CHAR_SPAN_N}-char
+    substring that also occurs in another document, as merged maximal
+    islands — (doc_id, n_chars, dup_chars, n_islands, char_frac, flagged).
+
+    Scale shape: anchor grams ride as md5 HASHES (the raw substrings never
+    shuffle); cross-doc counts are one linear gram-key aggregation;
+    interval union is a per-doc window (lag-free running-max trick: an
+    island starts where pos exceeds every previous end) — one doc_id
+    exchange, constant state per row.  char_frac uses the exact
+    integer-scaled round-half-up contract (``dup_spans``)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    grams = (
+        d.select("doc_id", F.length("text").alias("n_chars"), "text")
+        .select(
+            "doc_id", "n_chars", "text",
+            # sequence(1, 0) counts DOWN in Spark — emit an empty array for
+            # docs shorter than the gram width instead
+            F.explode(
+                F.when(
+                    F.col("n_chars") >= CHAR_SPAN_N,
+                    F.sequence(
+                        F.lit(1), F.col("n_chars") - CHAR_SPAN_N + 1
+                    ),
+                ).otherwise(F.array())
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id", "n_chars", "pos",
+            F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")).alias("g"),
+        )
+    )
+    per_doc = grams.select("doc_id", "g").distinct()
+    dup = (
+        per_doc.groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(
+        "doc_id", "n_chars", "pos",
+        (F.col("pos") + CHAR_SPAN_N - 1).alias("endp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("endp").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.select(
+        "doc_id", "n_chars", "pos", "endp",
+        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(0)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    ).select(
+        "doc_id", "n_chars", "pos", "endp",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            (F.max("endp") - F.min("pos") + 1).alias("covered"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.sum("covered").alias("dup_chars"),
+            F.count("*").alias("n_islands"),
+        )
+    )
+    scaled = F.expr("(dup_chars * 2000000 + n_chars) DIV (n_chars * 2)")
+    return (
+        d.select("doc_id", F.length("text").alias("n_chars"))
+        .join(per.drop("n_chars"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
+            F.coalesce(scaled / F.lit(1000000.0), F.lit(0.0)).alias("char_frac"),
+            (
+                F.coalesce(scaled, F.lit(0))
+                > int(CHAR_SPAN_FRAC_MAX * 1_000_000)
+            ).alias("char_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_DUP_SPANS_SQL = f"""
+    WITH grams AS (
+        SELECT doc_id, length(text) AS n_chars, i AS pos,
+               md5(substring(text, i, {CHAR_SPAN_N})) AS g
+        FROM (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
+            FROM documents) s),
+    per_doc AS (SELECT DISTINCT doc_id, g FROM grams),
+    dup AS (SELECT g FROM per_doc GROUP BY g HAVING count(*) >= 2),
+    hits AS (
+        SELECT doc_id, n_chars, pos, pos + {CHAR_SPAN_N - 1} AS endp
+        FROM grams JOIN dup USING (g)),
+    marks AS (
+        SELECT doc_id, n_chars, pos, endp,
+               CASE WHEN pos > coalesce(
+                     max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   THEN 1 ELSE 0 END AS new_island
+        FROM hits),
+    isl AS (
+        SELECT doc_id, n_chars, pos, endp,
+               sum(new_island)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM marks),
+    per AS (
+        SELECT doc_id,
+               sum(covered) AS dup_chars, count(*) AS n_islands
+        FROM (
+            SELECT doc_id, island, max(endp) - min(pos) + 1 AS covered
+            FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id)
+    SELECT d.doc_id, length(d.text) AS n_chars,
+           coalesce(p.dup_chars, 0) AS dup_chars,
+           coalesce(p.n_islands, 0) AS n_islands,
+           coalesce(((p.dup_chars * 2000000 + length(d.text))
+                     // (length(d.text) * 2)) / 1000000.0, 0.0) AS char_frac,
+           coalesce((p.dup_chars * 2000000 + length(d.text))
+                    // (length(d.text) * 2), 0)
+               > {int(CHAR_SPAN_FRAC_MAX * 1_000_000)} AS char_flagged
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""

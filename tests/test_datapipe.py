@@ -1611,3 +1611,37 @@ def test_jpeg_progressive_through_image_pixel_stats(spark):
     assert set(rows) == {1, 2}
     for col in ("mean_r", "mean_g", "mean_b", "thumb_digest"):
         assert rows[1][col] == rows[2][col], col
+
+
+def test_char_dup_spans_interval_union(spark, tmp_path_factory):
+    """Character-level duplicated-span coverage merges overlapping hit
+    intervals into maximal islands: an exact copy covers its whole length,
+    a doc sharing one embedded substring covers exactly that window, and
+    within-doc-only repeats do NOT count (cross-doc signal)."""
+    from event_stream_spark.datapipe import char_dup_spans
+    from event_stream_spark.datapipe.corpusops import CHAR_SPAN_N
+
+    base = tmp_path_factory.mktemp("chardata")
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 chars
+    texts = {
+        1: shared,                       # wholly duplicated (in doc 2)
+        2: "XX" + shared + "YY",         # contains doc 1 + unique ends
+        3: "q" * 60,                     # self-repetitive but UNIQUE to doc 3
+        4: "totally different content here with no overlap at all!!",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in char_dup_spans(spark, str(base)).collect()}
+    # doc 1: every position is in a shared 20-gram → full coverage, 1 island
+    assert rows[1]["dup_chars"] == 40 and rows[1]["n_islands"] == 1
+    assert rows[1]["char_frac"] == 1.0 and rows[1]["char_flagged"]
+    # doc 2: exactly the embedded 40-char window is covered (positions 3..42)
+    assert rows[2]["dup_chars"] == 40 and rows[2]["n_islands"] == 1
+    assert rows[2]["char_flagged"]  # 40/44 > 0.5
+    # doc 3: repeats only within itself → no cross-doc duplication
+    assert rows[3]["dup_chars"] == 0 and rows[3]["n_islands"] == 0
+    assert rows[4]["dup_chars"] == 0

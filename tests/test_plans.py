@@ -883,3 +883,15 @@ def test_dsir_weights_model_is_constant_size(spark):
             assert "text#" not in l
         if "BroadcastNestedLoopJoin" in l:
             assert "Cross" in l  # only the 1-row totals broadcast
+
+
+def test_char_dup_spans_hashes_not_text(spark):
+    """char_dup_spans: gram anchors shuffle as md5 HASHES — the raw text /
+    substrings never ride an exchange; no doc×doc expansion."""
+    from event_stream_spark.datapipe import char_dup_spans
+
+    p = plan(char_dup_spans(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for l in p.splitlines():
+        if "Exchange" in l:
+            assert "text#" not in l
