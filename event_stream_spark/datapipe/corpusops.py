@@ -929,7 +929,15 @@ def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "doc_id", "n_chars", "pos",
-            F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")).alias("g"),
+            # 60-bit integer anchor (15 hex chars of the md5): the gram key
+            # rides every shuffle/distinct as one BIGINT, not a 32-byte
+            # string — same cross-engine identity, 4× narrower exchanges
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")), 1, 15
+                ),
+                16, 10,
+            ).cast("long").alias("g"),
         )
     )
     per_doc = grams.select("doc_id", "g").distinct()
@@ -993,7 +1001,7 @@ def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 CHAR_DUP_SPANS_SQL = f"""
     WITH grams AS (
         SELECT doc_id, length(text) AS n_chars, i AS pos,
-               md5(substring(text, i, {CHAR_SPAN_N})) AS g
+               ('0x' || substring(md5(substring(text, i, {CHAR_SPAN_N})), 1, 15))::BIGINT AS g
         FROM (
             SELECT doc_id, text, length(text) AS n_chars,
                    unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
