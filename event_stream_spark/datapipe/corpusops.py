@@ -1043,3 +1043,78 @@ CHAR_DUP_SPANS_SQL = f"""
     FROM documents d LEFT JOIN per p USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix for the data card: for every pair
+    of corpus sources, how many distinct word {DECON_N}-gram shingles they
+    share and the overlap coefficient |A∩B| / min(|A|,|B|) — the signal
+    that tells a corpus curator two feeds crawl the same sites before
+    dedup does (Dolma/RedPajama-style source accounting).
+
+    Scale shape: the shared ``doc_shingles`` mat-view reduces to a DISTINCT
+    (source, gram) relation (one shuffle); co-occurrence is a gram-keyed
+    self-equi-join of that relation with ``a < b`` — output-sensitive like
+    the PPJoin family: cost tracks Σ_g |sources(g)|², bounded by the source
+    count per gram, never documents × documents.  The coefficient uses the
+    exact integer-scaled round-half-up contract (``dup_spans``)."""
+    sh = doc_shingles(spark, sf, DECON_N)
+    src = t(spark, sf, "documents").select("doc_id", "source")
+    sg = sh.join(src, "doc_id").select("source", "s").distinct()
+    per_source = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        sg.alias("x")
+        .join(sg.alias("y"), "s")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("na")
+    )
+    nb = per_source.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("nb")
+    )
+    scaled = F.expr(
+        "(n_shared * 2000000 + least(na, nb)) DIV (least(na, nb) * 2)"
+    )
+    return (
+        pairs.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a", "src_b", "n_shared",
+            (scaled / F.lit(1000000.0)).alias("overlap"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+                 list_distinct(list_transform(range(1, len(ws) - {DECON_N - 2}),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4]))) AS s
+        FROM w WHERE len(ws) >= {DECON_N}),
+    sg AS (
+        SELECT DISTINCT d.source, sh.s
+        FROM sh JOIN documents d USING (doc_id)),
+    per_source AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+    pairs AS (
+        SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+        FROM sg x JOIN sg y ON x.s = y.s AND x.source < y.source
+        GROUP BY x.source, y.source)
+    SELECT p.src_a, p.src_b, p.n_shared,
+           ((p.n_shared * 2000000 + least(a.n_grams, b.n_grams))
+            // (least(a.n_grams, b.n_grams) * 2)) / 1000000.0 AS overlap
+    FROM pairs p
+    JOIN per_source a ON a.source = p.src_a
+    JOIN per_source b ON b.source = p.src_b
+    ORDER BY p.src_a, p.src_b
+"""

@@ -1645,3 +1645,28 @@ def test_char_dup_spans_interval_union(spark, tmp_path_factory):
     # doc 3: repeats only within itself → no cross-doc duplication
     assert rows[3]["dup_chars"] == 0 and rows[3]["n_islands"] == 0
     assert rows[4]["dup_chars"] == 0
+
+
+def test_source_overlap_matrix(spark, tmp_path_factory):
+    """Cross-source overlap: two feeds sharing a crawled page overlap by
+    exactly its shingles; disjoint feeds produce NO pair row."""
+    from event_stream_spark.datapipe import source_overlap
+
+    base = tmp_path_factory.mktemp("srcdata")
+    page = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-grams
+    texts = [
+        (1, page, "feedA"),
+        (2, page + " eta theta iota kappa lambda", "feedB"),  # 7 grams, 2 shared
+        (3, "one two three four five six", "feedC"),  # disjoint
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {(r.src_a, r.src_b): r for r in source_overlap(spark, str(base)).collect()}
+    assert set(rows) == {("feedA", "feedB")}  # only the overlapping pair
+    r = rows[("feedA", "feedB")]
+    assert r.n_shared == 2
+    assert r.overlap == 1.0  # |A∩B| / min(|A|,|B|) = 2/2
