@@ -97,8 +97,12 @@ def sniff_format(content: bytes | None) -> str | None:
 def parse_wav(content: bytes | None):
     """RIFF/WAVE chunk walk — codec-free like the P6 path: PCM is raw
     samples behind a fixed container, so ``struct`` + numpy decode it
-    fully.  Returns (sample_rate, channels, bits, frames, pcm int16 array)
-    or None for non-PCM / malformed input."""
+    fully.  Handles integer PCM at 8 (unsigned, re-centered), 16, 24
+    (packed LE), and 32 bits, plus IEEE-float PCM (format 3, 32/64-bit).
+    Returns (sample_rate, channels, bits, frames, samples) — int16 for the
+    16-bit fast path (byte-identical to the original contract), int32 for
+    24/32-bit, float64 for float — or None for compressed/malformed
+    input."""
     import struct
 
     import numpy as np
@@ -112,16 +116,40 @@ def parse_wav(content: bytes | None):
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1:  # non-PCM needs a real codec
+            if audio_fmt not in (1, 3):  # integer or IEEE-float PCM only
                 return None
-            fmt_info = (rate, ch, bits)
+            fmt_info = (audio_fmt, rate, ch, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt_info is None or data is None or fmt_info[2] != 16:
+    if fmt_info is None or data is None:
         return None
-    rate, ch, bits = fmt_info
-    pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    audio_fmt, rate, ch, bits = fmt_info
+    if audio_fmt == 3:
+        if bits == 32:
+            pcm = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(
+                np.float64
+            )
+        elif bits == 64:
+            pcm = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        else:
+            return None
+    elif bits == 16:
+        pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif bits == 8:
+        # 8-bit WAV is UNSIGNED; center to signed
+        pcm = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        ).astype(np.int32)
+    elif bits == 24:
+        raw = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        raw = raw.reshape(-1, 3).astype(np.int32)
+        pcm = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        pcm = np.where(pcm >= 1 << 23, pcm - (1 << 24), pcm).astype(np.int32)
+    elif bits == 32:
+        pcm = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+    else:
+        return None
     frames = len(pcm) // max(ch, 1)
     return rate, ch, bits, frames, pcm
 
@@ -548,6 +576,8 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                     w, h = gif_dimensions(b)
                 if w is None:
                     w, h = jpeg_dimensions(b)
+                if w is None and fmt == "mp4":
+                    w, h = mp4_dimensions(b)
                 widths.append(w)
                 heights.append(h)
                 d = d0 if (d0 is not None and not pd.isna(d0)) else None
@@ -1126,6 +1156,52 @@ def encode_gif(img, *, interlace: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _bmff_walk_all(buf: bytes, want: bytes) -> list[bytes]:
+    """All direct children of ``buf`` with box type ``want`` (ISO BMFF,
+    32-bit and 64-bit largesize layouts)."""
+    out: list[bytes] = []
+    pos = 0
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > len(buf):
+                return out
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            body = buf[pos + 16:pos + size]
+        else:
+            body = buf[pos + 8:pos + size]
+        if size < 8 or pos + size > len(buf):
+            return out
+        if btype == want:
+            out.append(body)
+        pos += size
+    return out
+
+
+def mp4_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    """Video width/height from the first trak whose ``tkhd`` carries a
+    nonzero presentation size (16.16 fixed point; audio tracks are 0×0).
+    Pure container metadata, like :func:`mp4_duration_ms`."""
+    if not content or len(content) < 16:
+        return (None, None)
+    moovs = _bmff_walk_all(content, b"moov")
+    if not moovs:
+        return (None, None)
+    for trak in _bmff_walk_all(moovs[0], b"trak"):
+        for tkhd in _bmff_walk_all(trak, b"tkhd"):
+            if len(tkhd) < 4:
+                continue
+            off = 84 if tkhd[0] == 0 else 96  # end of height: v0 vs v1
+            if len(tkhd) < off:
+                continue
+            w = int.from_bytes(tkhd[off - 8:off - 4], "big") >> 16
+            h = int.from_bytes(tkhd[off - 4:off], "big") >> 16
+            if w and h:
+                return (w, h)
+    return (None, None)
+
+
 def mp4_duration_ms(content: bytes | None) -> int | None:
     """ISO BMFF box walk → ``moov``/``mvhd`` timescale+duration (version 0
     and 1 layouts).  Pure container metadata — sample DECODE stays stubbed
@@ -1134,23 +1210,8 @@ def mp4_duration_ms(content: bytes | None) -> int | None:
         return None
 
     def walk(buf: bytes, want: bytes):
-        pos = 0
-        while pos + 8 <= len(buf):
-            size = int.from_bytes(buf[pos : pos + 4], "big")
-            btype = buf[pos + 4 : pos + 8]
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > len(buf):
-                    return None
-                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
-                body = buf[pos + 16 : pos + size]
-            else:
-                body = buf[pos + 8 : pos + size]
-            if size < 8 or pos + size > len(buf):
-                return None
-            if btype == want:
-                return body
-            pos += size
-        return None
+        boxes = _bmff_walk_all(buf, want)
+        return boxes[0] if boxes else None
 
     moov = walk(content, b"moov")
     if moov is None:

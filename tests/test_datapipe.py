@@ -1670,3 +1670,104 @@ def test_source_overlap_matrix(spark, tmp_path_factory):
     r = rows[("feedA", "feedB")]
     assert r.n_shared == 2
     assert r.overlap == 1.0  # |A∩B| / min(|A|,|B|) = 2/2
+
+
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    import struct as _struct
+
+    return _struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def test_mp4_track_dimensions_and_duration():
+    """ISO BMFF walk: video width/height from the first nonzero tkhd
+    (v0 and v1 layouts, 16.16 fixed point), audio-only files yield none,
+    and the mvhd duration path still reads through the shared walker."""
+    import struct as _struct
+
+    from event_stream_spark.datapipe.multimodal import (
+        mp4_dimensions,
+        mp4_duration_ms,
+    )
+
+    def tkhd_v0(w, h):
+        body = bytes(4) + bytes(4 * 5) + bytes(8) + bytes(8) + bytes(36)
+        body += _struct.pack(">II", w << 16, h << 16)
+        return _bmff_box(b"tkhd", body)
+
+    def tkhd_v1(w, h):
+        body = bytes([1, 0, 0, 0]) + bytes(8 + 8 + 4 + 4 + 8) + bytes(8) \
+            + bytes(8) + bytes(36) + _struct.pack(">II", w << 16, h << 16)
+        return _bmff_box(b"tkhd", body)
+
+    mvhd = _bmff_box(
+        b"mvhd", bytes(4) + bytes(8) + _struct.pack(">II", 1000, 2500) + bytes(80)
+    )
+    audio_trak = _bmff_box(b"trak", tkhd_v0(0, 0))
+    video_trak = _bmff_box(b"trak", tkhd_v0(640, 360))
+    moov = _bmff_box(b"moov", mvhd + audio_trak + video_trak)
+    ftyp = _bmff_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mp4 = ftyp + moov
+    assert mp4_dimensions(mp4) == (640, 360)
+    assert mp4_duration_ms(mp4) == 2500
+
+    v1 = ftyp + _bmff_box(b"moov", mvhd + _bmff_box(b"trak", tkhd_v1(1920, 1080)))
+    assert mp4_dimensions(v1) == (1920, 1080)
+
+    audio_only = ftyp + _bmff_box(b"moov", mvhd + audio_trak)
+    assert mp4_dimensions(audio_only) == (None, None)
+    assert mp4_dimensions(b"\x00\x00\x00\x08free") == (None, None)
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    assert mm.sniff_format(mp4) == "mp4"
+
+
+def test_wav_sample_format_matrix():
+    """parse_wav decodes 8 (unsigned, re-centered), 16, 24 (packed), and
+    32-bit integer PCM plus IEEE float32/64; compressed formats refuse."""
+    import struct as _struct
+
+    import numpy as np
+
+    from event_stream_spark.datapipe.multimodal import parse_wav
+
+    def wav(fmt, bits, data, ch=1, rate=8000):
+        block = ch * max(bits // 8, 1)
+        hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, fmt, ch, rate, rate * block, block, bits
+        )
+        hdr += b"data" + _struct.pack("<I", len(data)) + data
+        return hdr
+
+    # 16-bit fast path: byte-identical contract
+    s16 = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    rate, ch, bits, frames, pcm = parse_wav(wav(1, 16, s16.tobytes()))
+    assert (rate, ch, bits, frames) == (8000, 1, 16, 5)
+    assert pcm.dtype == np.int16 and (pcm == s16).all()
+
+    # 8-bit unsigned → centered signed
+    rate, ch, bits, frames, pcm = parse_wav(wav(1, 8, bytes([0, 128, 255])))
+    assert list(pcm) == [-128, 0, 127] and bits == 8
+
+    # 24-bit packed little-endian signed
+    vals = [0, 1, -1, (1 << 23) - 1, -(1 << 23)]
+    raw = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    rate, ch, bits, frames, pcm = parse_wav(wav(1, 24, raw))
+    assert list(pcm) == vals and pcm.dtype == np.int32
+
+    # 32-bit int
+    s32 = np.array([0, 2**31 - 1, -(2**31)], dtype="<i4")
+    _r, _c, bits, frames, pcm = parse_wav(wav(1, 32, s32.tobytes()))
+    assert (pcm == s32).all() and frames == 3
+
+    # IEEE float32 / float64 (format 3)
+    f32 = np.array([0.0, 0.5, -1.0], dtype="<f4")
+    _r, _c, bits, _f, pcm = parse_wav(wav(3, 32, f32.tobytes()))
+    assert pcm.dtype == np.float64 and np.allclose(pcm, f32)
+    f64 = np.array([0.25, -0.75], dtype="<f8")
+    _r, _c, bits, _f, pcm = parse_wav(wav(3, 64, f64.tobytes()))
+    assert (pcm == f64).all()
+
+    # compressed (e.g. mu-law fmt 7) refuses rather than mis-decodes
+    assert parse_wav(wav(7, 8, bytes(8))) is None
