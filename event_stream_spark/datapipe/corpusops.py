@@ -911,40 +911,52 @@ def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     integer-scaled round-half-up contract (``dup_spans``)."""
     from pyspark.sql import Window
 
+    from event_stream_spark.datapipe.matview import materialized
+
     d = t(spark, sf, "documents")
-    grams = (
-        d.select("doc_id", F.length("text").alias("n_chars"), "text")
-        .select(
-            "doc_id", "n_chars", "text",
-            # sequence(1, 0) counts DOWN in Spark — emit an empty array for
-            # docs shorter than the gram width instead
-            F.explode(
-                F.when(
-                    F.col("n_chars") >= CHAR_SPAN_N,
-                    F.sequence(
-                        F.lit(1), F.col("n_chars") - CHAR_SPAN_N + 1
+
+    def build_grams() -> DataFrame:
+        return (
+            d.select("doc_id", F.length("text").alias("n_chars"), "text")
+            .select(
+                "doc_id", "n_chars", "text",
+                # sequence(1, 0) counts DOWN in Spark — emit an empty array
+                # for docs shorter than the gram width instead
+                F.explode(
+                    F.when(
+                        F.col("n_chars") >= CHAR_SPAN_N,
+                        F.sequence(
+                            F.lit(1), F.col("n_chars") - CHAR_SPAN_N + 1
+                        ),
+                    ).otherwise(F.array())
+                ).alias("pos"),
+            )
+            .select(
+                "doc_id", "n_chars", "pos",
+                # 60-bit integer anchor (15 hex chars of the md5): the gram
+                # key rides every shuffle/distinct as one BIGINT, not a
+                # 32-byte string — same cross-engine identity, 4× narrower
+                # exchanges
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")),
+                        1, 15,
                     ),
-                ).otherwise(F.array())
-            ).alias("pos"),
+                    16, 10,
+                ).cast("long").alias("g"),
+            )
         )
-        .select(
-            "doc_id", "n_chars", "pos",
-            # 60-bit integer anchor (15 hex chars of the md5): the gram key
-            # rides every shuffle/distinct as one BIGINT, not a 32-byte
-            # string — same cross-engine identity, 4× narrower exchanges
-            F.conv(
-                F.substring(
-                    F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")), 1, 15
-                ),
-                16, 10,
-            ).cast("long").alias("g"),
-        )
-    )
-    per_doc = grams.select("doc_id", "g").distinct()
+
+    # materialize ONCE: the gram relation feeds the distinct, the dup-count
+    # aggregate, AND the hits join — without the mat-view the md5-per-
+    # position projection recomputes for every consumer (measured 4×)
+    grams = materialized(spark, f"chargrams|{sf}|{CHAR_SPAN_N}", build_grams)
+    # cross-doc test without a distinct pass: a gram occurs in ≥2 docs iff
+    # its min and max doc_id differ — two map-side-combinable aggregates
     dup = (
-        per_doc.groupBy("g")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("g")
     )
     hits = grams.join(dup, "g").select(
@@ -1006,8 +1018,7 @@ CHAR_DUP_SPANS_SQL = f"""
             SELECT doc_id, text, length(text) AS n_chars,
                    unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
             FROM documents) s),
-    per_doc AS (SELECT DISTINCT doc_id, g FROM grams),
-    dup AS (SELECT g FROM per_doc GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
     hits AS (
         SELECT doc_id, n_chars, pos, pos + {CHAR_SPAN_N - 1} AS endp
         FROM grams JOIN dup USING (g)),
