@@ -673,7 +673,15 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
                 parsed = parse_wav(b)
                 if parsed is None:
                     continue
-                rate, ch, _bits, frames, pcm = parsed
+                rate, ch, bits, frames, pcm = parsed
+                # report levels in int16-equivalent FULL-SCALE units for
+                # every sample format, so rms/peak compare across files:
+                # 16-bit is identity (contract unchanged); 8/24/32-bit
+                # rescale by their depth; float ([-1,1]) maps to ±32767
+                if pcm.dtype.kind == "f":
+                    x = pcm * 32767.0
+                else:
+                    x = pcm.astype("f8") * (2.0 ** (16 - bits))
                 rows.append(
                     (
                         int(mid),
@@ -681,8 +689,8 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
                         int(ch),
                         int(frames),
                         float(frames / rate * 1000.0),
-                        float(np.sqrt(np.mean(pcm.astype("f8") ** 2))),
-                        int(np.max(np.abs(pcm.astype("i4")))) if len(pcm) else 0,
+                        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                        int(round(np.max(np.abs(x)))) if len(x) else 0,
                     )
                 )
             yield pd.DataFrame(

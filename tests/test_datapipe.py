@@ -1771,3 +1771,49 @@ def test_wav_sample_format_matrix():
 
     # compressed (e.g. mu-law fmt 7) refuses rather than mis-decodes
     assert parse_wav(wav(7, 8, bytes(8))) is None
+
+
+def test_audio_stats_full_scale_across_formats(spark):
+    """audio_pcm_stats reports rms/peak in int16-equivalent full scale for
+    EVERY sample format: the same half-amplitude square wave measures the
+    same level whether stored as 8/16/24/32-bit int or float32."""
+    import struct as _struct
+
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    def wav(fmt, bits, data, ch=1, rate=8000):
+        block = ch * max(bits // 8, 1)
+        hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, fmt, ch, rate, rate * block, block, bits
+        )
+        hdr += b"data" + _struct.pack("<I", len(data)) + data
+        return hdr
+
+    n = 64
+    sq = np.tile([1, -1], n // 2)  # full-period square wave, |x| = 1
+    blobs = {
+        1: wav(1, 16, (sq * 16384).astype("<i2").tobytes()),
+        2: wav(1, 8, ((sq * 64) + 128).astype(np.uint8).tobytes()),
+        3: wav(
+            1, 24,
+            b"".join(int(v).to_bytes(3, "little", signed=True)
+                     for v in sq * (16384 * 256)),
+        ),
+        4: wav(1, 32, (sq * (16384 * 65536)).astype("<i4").tobytes()),
+        5: wav(3, 32, (sq * 0.5).astype("<f4").tobytes()),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in mm.audio_pcm_stats(df).collect()}
+    assert set(rows) == set(blobs)
+    peaks = {k: rows[k].peak for k in blobs}
+    # all formats land on ~half full scale in the SAME units
+    assert peaks[1] == 16384
+    assert all(abs(p - 16384) <= 16384 * 0.01 for p in peaks.values()), peaks
+    rmss = {k: rows[k].rms for k in blobs}
+    assert all(abs(r - rmss[1]) <= rmss[1] * 0.01 for r in rmss.values()), rmss
