@@ -753,10 +753,13 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     {DSIR_BUCKETS} md5 buckets, and the resample-toward-target flag.
 
     Determinism: the per-bucket log-ratio is rounded to integer micro-units
-    ON THE {DSIR_BUCKETS}-ROW MODEL RELATION (one rounding per bucket,
-    identical in both engines), so the corpus-scale per-doc reduction is a
-    plain commutative BIGINT sum — exact at any parallelism, the
-    ``graph_pagerank`` fixed-point contract.
+    ON THE {DSIR_BUCKETS}-ROW MODEL RELATION, so the corpus-scale per-doc
+    reduction is a plain commutative BIGINT sum — exact at any parallelism,
+    the ``graph_pagerank`` fixed-point contract.  The residual cross-engine
+    risk is the JVM-vs-libm last ulp of ``ln`` landing a bucket's
+    ratio·1e6 exactly on a .5 rounding boundary — confined to the constant-
+    size model relation, the same accepted class as ``lm_score`` (driver-
+    green since r1); the corpus-scale arithmetic cannot drift.
 
     Scale shape: two corpus-scale shuffles (bucket counts — map-side
     combined to ≤{DSIR_BUCKETS} groups — and the per-doc sum); the model
@@ -969,7 +972,9 @@ def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
     isl = hits.select(
         "doc_id", "n_chars", "pos", "endp",
-        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(0)), 1)
+        # a new island starts only when a GAP exists: pos beyond prev_max+1
+        # (pos == prev_max + 1 is touching → same maximal covered run)
+        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-1)) + 1, 1)
         .otherwise(0)
         .alias("new_island"),
     ).select(
@@ -1026,7 +1031,8 @@ CHAR_DUP_SPANS_SQL = f"""
         SELECT doc_id, n_chars, pos, endp,
                CASE WHEN pos > coalesce(
                      max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   + 1
                    THEN 1 ELSE 0 END AS new_island
         FROM hits),
     isl AS (

@@ -1695,7 +1695,20 @@ def decode_jpeg(content: bytes):
     float IDCT (orthonormal DCT-III, one numpy matmul pair per block) run
     once at the end, so a progressive file decodes bit-identically to the
     sequential coding of the same coefficients.  Nearest-neighbor chroma
-    upsampling, ITU BT.601 YCbCr→RGB."""
+    upsampling, ITU BT.601 YCbCr→RGB.
+
+    Error contract: malformed/truncated input raises ValueError (or the
+    declared NotImplementedError), NEVER struct.error/IndexError — the
+    mapInPandas stages rely on that to SKIP corrupt rows instead of
+    failing the whole job."""
+    try:
+        return _decode_jpeg_inner(content)
+    except (struct.error, IndexError) as exc:
+        # a truncated segment read mid-parse is invalid input, not a crash
+        raise ValueError(f"jpeg: truncated or corrupt stream ({exc})") from None
+
+
+def _decode_jpeg_inner(content: bytes):
     import numpy as np
 
     if not content or not content.startswith(b"\xff\xd8"):
@@ -1939,6 +1952,30 @@ def _jpeg_seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _jpeg_padded_planes(Y, Cb, Cr, mcux, mcuy, hs, vs, subsample):
+    """Replicate-pad the YCbCr planes to the MCU grid; 4:2:0 chroma is
+    2×2 box-filtered to half resolution.  Shared by the baseline and
+    progressive encoders so the edge-padding rule cannot diverge."""
+    import numpy as np
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
+        return out
+
+    Yp = pad(Y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        che, cwe = mcuy * 8, mcux * 8
+        Cbp = pad(Cb, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+        Crp = pad(Cr, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
+    else:
+        Cbp = pad(Cb, mcuy * 8, mcux * 8)
+        Crp = pad(Cr, mcuy * 8, mcux * 8)
+    return Yp, Cbp, Crp
+
+
 def _encode_jpeg_gray(Y, h: int, w: int, quality: int, restart_interval: int) -> bytes:
     """Single-component (luma-only) baseline frame."""
     import numpy as np
@@ -2035,24 +2072,7 @@ def encode_jpeg(
     hs, vs = (2, 2) if subsample else (1, 1)
     mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
 
-    def pad(plane, ph, pw):
-        out = np.empty((ph, pw))
-        out[: plane.shape[0], : plane.shape[1]] = plane
-        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
-        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
-        return out
-
-    Yp = pad(Y, mcuy * vs * 8, mcux * hs * 8)
-    if subsample:
-        # 2×2 box-filter chroma to half resolution
-        che, cwe = mcuy * 8, mcux * 8
-        Cbp = pad(Cb, mcuy * 16, mcux * 16)
-        Crp = pad(Cr, mcuy * 16, mcux * 16)
-        Cbp = Cbp.reshape(che, 2, cwe, 2).mean(axis=(1, 3))
-        Crp = Crp.reshape(che, 2, cwe, 2).mean(axis=(1, 3))
-    else:
-        Cbp = pad(Cb, mcuy * 8, mcux * 8)
-        Crp = pad(Cr, mcuy * 8, mcux * 8)
+    Yp, Cbp, Crp = _jpeg_padded_planes(Y, Cb, Cr, mcux, mcuy, hs, vs, subsample)
 
     wtr = _JpegBitWriter()
     pred = [0, 0, 0]
@@ -2080,8 +2100,7 @@ def encode_jpeg(
             block(Crp, my * 8, mx * 8, qlc, dc_c, ac_c, 2)
     wtr.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+    seg = _jpeg_seg
 
     def dqt(tid: int, q: list[int]) -> bytes:
         return seg(0xDB, bytes([tid]) + bytes(q))
@@ -2287,26 +2306,12 @@ def _encode_jpeg_progressive(img, quality, subsample, grayscale) -> bytes:
     hs, vs = (1, 1) if grayscale else ((2, 2) if subsample else (1, 1))
     mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
 
-    def pad(plane, ph, pw):
-        out = np.empty((ph, pw))
-        out[: plane.shape[0], : plane.shape[1]] = plane
-        out[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
-        out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
-        return out
-
-    Yp = pad(Y, mcuy * vs * 8, mcux * hs * 8)
+    Yp, Cbp, Crp = _jpeg_padded_planes(Y, Cb, Cr, mcux, mcuy, hs, vs, subsample and not grayscale)
     comps = [
         {"id": 1, "h": hs, "v": vs, "tq": 0,
          "grid": _jpeg_coef_grid(Yp, qly, C)},
     ]
     if not grayscale:
-        if subsample:
-            che, cwe = mcuy * 8, mcux * 8
-            Cbp = pad(Cb, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
-            Crp = pad(Cr, mcuy * 16, mcux * 16).reshape(che, 2, cwe, 2).mean(axis=(1, 3))
-        else:
-            Cbp = pad(Cb, mcuy * 8, mcux * 8)
-            Crp = pad(Cr, mcuy * 8, mcux * 8)
         comps.append({"id": 2, "h": 1, "v": 1, "tq": 1,
                       "grid": _jpeg_coef_grid(Cbp, qlc, C)})
         comps.append({"id": 3, "h": 1, "v": 1, "tq": 1,

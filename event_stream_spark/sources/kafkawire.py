@@ -241,6 +241,8 @@ def _varint(n: int) -> bytes:
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     z = shift = 0
     while True:
+        if pos >= len(data):
+            raise KafkaWireError("varint truncated")
         b = data[pos]
         pos += 1
         z |= (b & 0x7F) << shift
@@ -309,6 +311,8 @@ def decode_record_batches(
     while pos + 12 <= len(data):
         base = struct.unpack_from(">q", data, pos)[0]
         blen = struct.unpack_from(">i", data, pos + 8)[0]
+        if blen < 9:  # must at least hold leaderEpoch+magic+crc
+            raise KafkaWireError(f"corrupt batch length {blen} at {pos}")
         if pos + 12 + blen > len(data):
             break  # partial trailing batch
         batch = data[pos + 12:pos + 12 + blen]

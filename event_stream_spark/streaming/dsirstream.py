@@ -39,11 +39,19 @@ def dsir_scoring_sink(
     from event_stream_spark.datapipe.corpusops import dsir_score
 
     def write_batch(batch_df, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fresh = batch_df
         if os.path.isdir(out_path):
-            seen = spark.read.parquet(out_path).select("doc_id")
-            fresh = batch_df.join(seen, "doc_id", "left_anti")
+            try:
+                seen = spark.read.parquet(out_path).select("doc_id")
+                fresh = batch_df.join(seen, "doc_id", "left_anti")
+            except AnalysisException:
+                # the directory exists but holds no committed parquet
+                # footers (crash before the first file landed, or a
+                # pre-created dir): nothing scored yet — score everything
+                pass
         if fresh.isEmpty():
             return
         dsir_score(fresh, model).write.mode("append").parquet(out_path)

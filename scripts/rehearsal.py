@@ -48,8 +48,8 @@ REPLICAS = 10
 UI_PORT = 4049
 
 
-def stage_totals(app_id: str) -> tuple[int, int]:
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages"
+def stage_totals(ui_base: str, app_id: str) -> tuple[int, int]:
+    url = f"{ui_base}/api/v1/applications/{app_id}/stages"
     data = json.load(urllib.request.urlopen(url))
     return (
         sum(s.get("shuffleWriteBytes", 0) for s in data),
@@ -82,6 +82,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app = spark.sparkContext.applicationId
+    # Spark binds 4050+ if the requested port is taken — read the ACTUAL
+    # URL so a concurrent session cannot misroute (or corrupt) the metrics
+    ui_base = spark.sparkContext.uiWebUrl
 
     src = spark.read.parquet(f"{SRC_SF}/documents.parquet")
     n_src = src.count()  # warm the scan before the clock starts
@@ -89,11 +92,11 @@ def main() -> None:
     results = []
 
     def run_stage(name, fn):
-        w0, r0 = stage_totals(app)
+        w0, r0 = stage_totals(ui_base, app)
         t0 = time.perf_counter()
         out = fn()
         wall = round(time.perf_counter() - t0, 3)
-        w1, r1 = stage_totals(app)
+        w1, r1 = stage_totals(ui_base, app)
         rec = {
             "stage": name, "wall_s": wall,
             "shuffle_write": w1 - w0, "shuffle_read": r1 - r0,

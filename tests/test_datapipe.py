@@ -1647,6 +1647,30 @@ def test_char_dup_spans_interval_union(spark, tmp_path_factory):
     assert rows[4]["dup_chars"] == 0
 
 
+def test_char_dup_spans_touching_intervals_merge(spark, tmp_path_factory):
+    """Adjacent (touching, non-overlapping) covered windows form ONE
+    maximal island — pos == prev_end + 1 must not start a new island."""
+    from event_stream_spark.datapipe import char_dup_spans
+
+    base = tmp_path_factory.mktemp("touchdata")
+    seg1 = "AAAABBBBCCCCDDDDEEEE"  # 20 chars
+    seg2 = "FFFFGGGGHHHHIIIIJJJJ"  # 20 chars
+    texts = {
+        1: seg1 + seg2,              # the two shared windows TOUCH
+        2: seg1 + " 1 one unique tail here",
+        3: seg2 + " 2 another unique tail",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in char_dup_spans(spark, str(base)).collect()}
+    assert rows[1]["dup_chars"] == 40
+    assert rows[1]["n_islands"] == 1  # touching windows merged
+
+
 def test_source_overlap_matrix(spark, tmp_path_factory):
     """Cross-source overlap: two feeds sharing a crawled page overlap by
     exactly its shingles; disjoint feeds produce NO pair row."""
@@ -1817,3 +1841,34 @@ def test_audio_stats_full_scale_across_formats(spark):
     assert all(abs(p - 16384) <= 16384 * 0.01 for p in peaks.values()), peaks
     rmss = {k: rows[k].rms for k in blobs}
     assert all(abs(r - rmss[1]) <= rmss[1] * 0.01 for r in rmss.values()), rmss
+
+
+def test_jpeg_error_contract_on_truncation(spark):
+    """decode_jpeg's error contract: a truncation at ANY byte either
+    decodes (a cut that only drops trailing markers is legal) or raises
+    ValueError / the declared NotImplementedError — NEVER struct.error or
+    IndexError, which would crash the Spark decode stages instead of
+    letting them skip the row."""
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    for blob in (
+        mm.encode_jpeg(img, quality=85),
+        mm.encode_jpeg(img, quality=85, progressive=True),
+    ):
+        for cut in range(3, len(blob), 5):
+            try:
+                mm.decode_jpeg(blob[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+        # a mid-file corrupt row flows THROUGH the Spark stage as a skip
+        df = mm.image_pixel_stats(
+            spark.createDataFrame(
+                [(1, bytearray(blob[: len(blob) // 3]))],
+                "media_id long, content binary",
+            )
+        )
+        assert df.count() == 0
