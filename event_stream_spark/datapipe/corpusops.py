@@ -901,6 +901,48 @@ CHAR_SPAN_N = 20
 CHAR_SPAN_FRAC_MAX = 0.5
 
 
+def _char_gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, pos, g): one row per character position with the
+    60-bit integer anchor of the {CHAR_SPAN_N}-char substring starting
+    there (15 hex chars of the md5 — the key rides every shuffle/distinct
+    as one BIGINT, not a 32-byte string)."""
+    return (
+        docs.select("doc_id", F.length("text").alias("n_chars"), "text")
+        .select(
+            "doc_id", "n_chars", "text",
+            # sequence(1, 0) counts DOWN in Spark — emit an empty array
+            # for docs shorter than the gram width instead
+            F.explode(
+                F.when(
+                    F.col("n_chars") >= CHAR_SPAN_N,
+                    F.sequence(F.lit(1), F.col("n_chars") - CHAR_SPAN_N + 1),
+                ).otherwise(F.array())
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id", "n_chars", "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("g"),
+        )
+    )
+
+
+def _char_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """The materialized char-gram relation, shared by ``char_dup_spans``
+    and ``winnow_fingerprints`` (one parquet per session × sf)."""
+    from event_stream_spark.datapipe.matview import materialized
+
+    d = t(spark, sf, "documents")
+    return materialized(
+        spark, f"chargrams|{sf}|{CHAR_SPAN_N}", lambda: _char_gram_rows(d)
+    )
+
+
 def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Per doc: how many characters are covered by some {CHAR_SPAN_N}-char
     substring that also occurs in another document, as merged maximal
@@ -914,46 +956,11 @@ def char_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     integer-scaled round-half-up contract (``dup_spans``)."""
     from pyspark.sql import Window
 
-    from event_stream_spark.datapipe.matview import materialized
-
     d = t(spark, sf, "documents")
-
-    def build_grams() -> DataFrame:
-        return (
-            d.select("doc_id", F.length("text").alias("n_chars"), "text")
-            .select(
-                "doc_id", "n_chars", "text",
-                # sequence(1, 0) counts DOWN in Spark — emit an empty array
-                # for docs shorter than the gram width instead
-                F.explode(
-                    F.when(
-                        F.col("n_chars") >= CHAR_SPAN_N,
-                        F.sequence(
-                            F.lit(1), F.col("n_chars") - CHAR_SPAN_N + 1
-                        ),
-                    ).otherwise(F.array())
-                ).alias("pos"),
-            )
-            .select(
-                "doc_id", "n_chars", "pos",
-                # 60-bit integer anchor (15 hex chars of the md5): the gram
-                # key rides every shuffle/distinct as one BIGINT, not a
-                # 32-byte string — same cross-engine identity, 4× narrower
-                # exchanges
-                F.conv(
-                    F.substring(
-                        F.md5(F.expr(f"substring(text, pos, {CHAR_SPAN_N})")),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("long").alias("g"),
-            )
-        )
-
-    # materialize ONCE: the gram relation feeds the distinct, the dup-count
-    # aggregate, AND the hits join — without the mat-view the md5-per-
-    # position projection recomputes for every consumer (measured 4×)
-    grams = materialized(spark, f"chargrams|{sf}|{CHAR_SPAN_N}", build_grams)
+    # materialize ONCE: the gram relation feeds the dup-count aggregate AND
+    # the hits join — without the mat-view the md5-per-position projection
+    # recomputes for every consumer (measured 4×)
+    grams = _char_grams(spark, sf)
     # cross-doc test without a distinct pass: a gram occurs in ≥2 docs iff
     # its min and max doc_id differ — two map-side-combinable aggregates
     dup = (
@@ -1135,3 +1142,141 @@ SOURCE_OVERLAP_SQL = f"""
     JOIN per_source b ON b.source = p.src_b
     ORDER BY p.src_a, p.src_b
 """
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken — the MOSS fingerprinting
+# algorithm): from every sliding window of WINNOW_W consecutive char-gram
+# hashes, keep the RIGHTMOST minimum; the selected (position, hash) set is
+# the document's fingerprint, with the guarantee that any shared substring
+# of length ≥ CHAR_SPAN_N + WINNOW_W - 1 shares a fingerprint.
+WINNOW_W = 8
+_WINNOW_POS_BITS = 24  # supports documents up to 16M chars
+_WINNOW_HASH_MOD = 1 << 39  # packed alongside pos without BIGINT overflow
+
+
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_grams, n_fingerprints, fp_digest): the winnowed
+    fingerprint count and an md5 digest of the ordered fingerprint list —
+    narrow rows, the ``dedup_paragraph_clean`` digest contract.
+
+    The rightmost-minimum selection is ONE window aggregate over packed
+    integers: pack = hash·2^{_WINNOW_POS_BITS} + (2^{_WINNOW_POS_BITS}−1−pos),
+    so ``min(pack)`` over the trailing {WINNOW_W}-row frame picks the
+    smallest hash and, on ties, the largest position — the winnowing rule —
+    in exact integer arithmetic identical across engines.  Scale shape:
+    reuses the materialized char-gram relation; one doc-keyed window pass +
+    one distinct + one per-doc fold, all linear."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    # the same mat-view char_dup_spans builds (doc_id, n_chars, pos, g)
+    grams = _char_grams(spark, sf)
+    pos_cap = (1 << _WINNOW_POS_BITS) - 1
+    packed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            (F.pmod(F.col("g"), F.lit(_WINNOW_HASH_MOD)))
+            * (1 << _WINNOW_POS_BITS)
+            + (F.lit(pos_cap) - F.col("pos"))
+        ).alias("pk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(WINNOW_W - 1), 0
+    )
+    sel = (
+        packed.select(
+            "doc_id", "pos",
+            F.min("pk").over(w).alias("winner"),
+            F.max("pos").over(Window.partitionBy("doc_id")).alias("_last"),
+        )
+        # windows narrower than WINNOW_W (the first W-1 positions) are not
+        # full windows — winnowing only emits from complete windows, except
+        # docs too short to have any, which emit their global min
+        .filter((F.col("pos") >= WINNOW_W) | (F.col("pos") == F.col("_last")))
+        .select("doc_id", "winner")
+        .distinct()
+    )
+    fps = sel.select(
+        "doc_id",
+        F.expr(f"winner DIV {1 << _WINNOW_POS_BITS}").alias("fp_hash"),
+        (
+            F.lit(pos_cap) - F.expr(f"winner % {1 << _WINNOW_POS_BITS}")
+        ).alias("fp_pos"),
+    )
+    per = fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fp_pos", "fp_hash"))),
+                    lambda x: F.concat_ws(
+                        ":", x["fp_pos"].cast("string"),
+                        x["fp_hash"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+    tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("fp_digest", F.md5(F.lit(""))).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_sql() -> str:
+    pos_cap = (1 << _WINNOW_POS_BITS) - 1
+    shift = 1 << _WINNOW_POS_BITS
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, length(text) AS n_chars, i AS pos,
+               ('0x' || substring(md5(substring(text, i, {CHAR_SPAN_N})), 1, 15))::BIGINT AS g
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
+            FROM documents) s),
+    packed AS (
+        SELECT doc_id, pos,
+               (g % {_WINNOW_HASH_MOD}) * {shift} + ({pos_cap} - pos) AS pk
+        FROM grams),
+    sel AS (
+        SELECT DISTINCT doc_id, winner FROM (
+            SELECT doc_id, pos,
+                   min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                     AS winner,
+                   max(pos) OVER (PARTITION BY doc_id) AS last_pos
+            FROM packed)
+        WHERE pos >= {WINNOW_W} OR pos = last_pos),
+    fps AS (
+        SELECT doc_id, winner // {shift} AS fp_hash,
+               {pos_cap} - (winner % {shift}) AS fp_pos
+        FROM sel),
+    per AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               md5(string_agg(fp_pos::VARCHAR || ':' || fp_hash::VARCHAR, ','
+                              ORDER BY fp_pos, fp_hash)) AS fp_digest
+        FROM fps GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(p.n_fingerprints, 0) AS n_fingerprints,
+           coalesce(p.fp_digest, md5('')) AS fp_digest
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+WINNOW_FINGERPRINTS_SQL = _winnow_sql()

@@ -1872,3 +1872,62 @@ def test_jpeg_error_contract_on_truncation(spark):
             )
         )
         assert df.count() == 0
+
+
+def _py_winnow(text: str):
+    """Independent winnowing reference mirroring the operator's packed-int
+    contract: 20-char gram md5 anchors, window 8, rightmost-min ties."""
+    import hashlib
+
+    N, W, PB, HM = 20, 8, 24, 1 << 39
+    pos_cap = (1 << PB) - 1
+    grams = [
+        (i + 1, int(hashlib.md5(text[i:i + N].encode()).hexdigest()[:15], 16))
+        for i in range(max(len(text) - N + 1, 0))
+    ]
+    pks = [(p, (g % HM) * (1 << PB) + (pos_cap - p)) for p, g in grams]
+    winners = set()
+    for idx, (p, _pk) in enumerate(pks):
+        if p >= W or p == pks[-1][0]:
+            window = pks[max(0, idx - W + 1):idx + 1]
+            winners.add(min(pk for _p, pk in window))
+    fps = sorted(
+        (pos_cap - (wn % (1 << PB)), wn >> PB) for wn in winners
+    )
+    joined = ",".join(f"{p}:{h}" for p, h in fps)
+    import hashlib as _h
+
+    return fps, _h.md5(joined.encode()).hexdigest()
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark, tmp_path_factory):
+    """The operator matches an independent python winnowing implementation
+    digest-for-digest, and the MOSS guarantee holds: two docs sharing a
+    substring of length ≥ N+W-1 (= 27... here 39+) share a fingerprint."""
+    from event_stream_spark.datapipe import winnow_fingerprints
+
+    base = tmp_path_factory.mktemp("winnowdata")
+    shared = "The quick brown fox jumps over the lazy dog again and again!"  # 60 chars
+    texts = {
+        1: "PREFIX-A " + shared + " SUFFIX-ALPHA",
+        2: "a different beginning here " + shared + " and another ending",
+        3: "completely unrelated text with nothing in common whatsoever.",
+        4: "tiny",  # shorter than one gram → zero fingerprints
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(spark, str(base)).collect()}
+    sets = {}
+    for i, txt in texts.items():
+        fps, digest = _py_winnow(txt)
+        assert rows[i]["fp_digest"] == digest, i  # exact reference parity
+        assert rows[i]["n_fingerprints"] == len(fps), i
+        sets[i] = {h for _p, h in fps}
+    assert rows[4]["n_fingerprints"] == 0
+    # guarantee: the 60-char shared substring forces a shared fingerprint
+    assert sets[1] & sets[2]
+    assert not (sets[3] & sets[1])
