@@ -1244,6 +1244,267 @@ def mp4_duration_ms(content: bytes | None) -> int | None:
     return duration * 1000 // timescale
 
 
+# ---------------------------------------------------------------------------
+# ISO BMFF sample tables (ISO/IEC 14496-12 §8.6–8.7) — the REAL per-frame
+# index of an mp4: decode timestamps (stts), composition offsets (ctts),
+# sample sizes (stsz), sync samples (stss), sample→chunk mapping (stsc) and
+# chunk offsets (stco/co64).  This is pure container structure — no codec —
+# and it is exactly what a frame-sampling pipeline needs: where every frame
+# lives in the file, its PTS/DTS, and which frames are seekable keyframes.
+# Pixel DECODE of the h264/h265 payload stays stubbed (declared; needs a
+# real codec), but the sampling PLAN below is real and keyframe-aware.
+# ---------------------------------------------------------------------------
+
+
+def _bmff_first(buf: bytes, *path: bytes) -> bytes | None:
+    """First box at a nested path (each step a direct child type)."""
+    cur = buf
+    for want in path:
+        boxes = _bmff_walk_all(cur, want)
+        if not boxes:
+            return None
+        cur = boxes[0]
+    return cur
+
+
+def _u32s(body: bytes, off: int, n: int) -> list[int]:
+    return list(struct.unpack(f">{n}I", body[off : off + 4 * n]))
+
+
+def mp4_sample_table(content: bytes | None) -> dict | None:
+    """Per-sample index of the first VIDEO track (fallback: first track
+    with a sample table): ``{"timescale", "dts", "pts", "size", "offset",
+    "keyframe"}`` — parallel lists, one entry per sample, plus the media
+    timescale.  Returns None when the file carries no usable ``stbl``.
+
+    Layout handled: stts delta runs, optional ctts (v0 unsigned / v1
+    signed composition offsets — B-frame reordering), stsz uniform or
+    per-sample sizes, stss sync table (absent ⇒ every sample is a sync
+    sample, per §8.6.2), stsc chunk runs, stco 32-bit or co64 64-bit
+    chunk offsets.  Malformed tables return None rather than raising —
+    the mapInPandas caller treats that as "not indexable", same contract
+    as the other parsers here.
+    """
+    if not content or len(content) < 16:
+        return None
+    moov = _bmff_first(content, b"moov")
+    if moov is None:
+        return None
+    traks = _bmff_walk_all(moov, b"trak")
+    chosen: tuple[bytes, bytes] | None = None  # (mdia, stbl)
+    for trak in traks:
+        mdia = _bmff_first(trak, b"mdia")
+        if mdia is None:
+            continue
+        stbl = _bmff_first(mdia, b"minf", b"stbl")
+        if stbl is None:
+            continue
+        hdlr = _bmff_first(mdia, b"hdlr")
+        is_video = hdlr is not None and len(hdlr) >= 12 and hdlr[8:12] == b"vide"
+        if is_video:
+            chosen = (mdia, stbl)
+            break
+        if chosen is None:
+            chosen = (mdia, stbl)
+    if chosen is None:
+        return None
+    mdia, stbl = chosen
+    try:
+        mdhd = _bmff_first(mdia, b"mdhd")
+        if mdhd is None or len(mdhd) < 4:
+            return None
+        timescale = (
+            int.from_bytes(mdhd[12:16], "big")
+            if mdhd[0] == 0
+            else int.from_bytes(mdhd[20:24], "big")
+        )
+        if not timescale:
+            return None
+
+        stts = _bmff_first(stbl, b"stts")
+        stsz = _bmff_first(stbl, b"stsz")
+        stsc = _bmff_first(stbl, b"stsc")
+        if stts is None or stsz is None or stsc is None:
+            return None
+        stco = _bmff_first(stbl, b"stco")
+        co64 = _bmff_first(stbl, b"co64")
+        if stco is None and co64 is None:
+            return None
+
+        # stts → per-sample DTS (cumulative delta runs)
+        (n_runs,) = struct.unpack(">I", stts[4:8])
+        dts: list[int] = []
+        t = 0
+        for i in range(n_runs):
+            cnt, delta = struct.unpack(">II", stts[8 + 8 * i : 16 + 8 * i])
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        n = len(dts)
+        if n == 0:
+            return None
+
+        # stsz → sizes (uniform or per-sample)
+        uniform, count = struct.unpack(">II", stsz[4:12])
+        if count != n:
+            return None
+        sizes = [uniform] * n if uniform else _u32s(stsz, 12, n)
+
+        # ctts → PTS = DTS + composition offset (signed in v1)
+        pts = list(dts)
+        ctts = _bmff_first(stbl, b"ctts")
+        if ctts is not None:
+            signed = ctts[0] == 1
+            (c_runs,) = struct.unpack(">I", ctts[4:8])
+            idx = 0
+            for i in range(c_runs):
+                cnt = struct.unpack(">I", ctts[8 + 8 * i : 12 + 8 * i])[0]
+                off = struct.unpack(
+                    ">i" if signed else ">I", ctts[12 + 8 * i : 16 + 8 * i]
+                )[0]
+                for _ in range(cnt):
+                    if idx >= n:
+                        break
+                    pts[idx] = dts[idx] + off
+                    idx += 1
+
+        # stss → sync samples (1-based); absent ⇒ all samples sync
+        stss = _bmff_first(stbl, b"stss")
+        if stss is None:
+            keyframe = [True] * n
+        else:
+            (k,) = struct.unpack(">I", stss[4:8])
+            sync = set(_u32s(stss, 8, k))
+            keyframe = [(i + 1) in sync for i in range(n)]
+
+        # stsc runs + stco/co64 → per-sample file offset
+        if co64 is not None:
+            (n_ch,) = struct.unpack(">I", co64[4:8])
+            chunk_off = list(struct.unpack(f">{n_ch}Q", co64[8 : 8 + 8 * n_ch]))
+        else:
+            (n_ch,) = struct.unpack(">I", stco[4:8])
+            chunk_off = _u32s(stco, 8, n_ch)
+        (s_runs,) = struct.unpack(">I", stsc[4:8])
+        runs = [
+            struct.unpack(">III", stsc[8 + 12 * i : 20 + 12 * i])
+            for i in range(s_runs)
+        ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+        offsets: list[int] = []
+        sample = 0
+        for ri, (first, per_chunk, _sd) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_ch
+            for ch in range(first, last + 1):
+                if sample >= n:
+                    break
+                base = chunk_off[ch - 1]
+                within = 0
+                for _ in range(per_chunk):
+                    if sample >= n:
+                        break
+                    offsets.append(base + within)
+                    within += sizes[sample]
+                    sample += 1
+        if len(offsets) != n:
+            return None
+    except (struct.error, IndexError):
+        return None
+    return {
+        "timescale": timescale,
+        "dts": dts,
+        "pts": pts,
+        "size": sizes,
+        "offset": offsets,
+        "keyframe": keyframe,
+    }
+
+
+FRAME_INDEX_SCHEMA = (
+    "media_id long, frame_idx int, dts_ms long, pts_ms long, "
+    "size_bytes long, file_offset long, keyframe boolean"
+)
+
+
+def video_frame_index(df: DataFrame) -> DataFrame:
+    """mapInPandas per-frame INDEX for mp4 videos: one row per sample with
+    its decode/presentation timestamp (ms), byte size, absolute file
+    offset, and keyframe flag — straight from the container's sample
+    tables, no codec.  This is the metadata layer a 100 TB video pipeline
+    runs frame selection on; only the chosen frames' byte ranges are ever
+    fetched (cheap ranged reads), and only they would hit a decoder.
+
+    Scale shape: streaming Arrow batches, O(samples) per clip, no shuffle
+    — identical plumbing to ``image_pixel_stats``; the binary column is
+    pruned away for downstream metadata-only consumers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                st = mp4_sample_table(b)
+                if st is None:
+                    continue
+                ts = st["timescale"]
+                for i in range(len(st["dts"])):
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            st["dts"][i] * 1000 // ts,
+                            st["pts"][i] * 1000 // ts,
+                            st["size"][i],
+                            st["offset"][i],
+                            st["keyframe"][i],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "dts_ms",
+                    "pts_ms",
+                    "size_bytes",
+                    "file_offset",
+                    "keyframe",
+                ],
+            )
+
+    return df.mapInPandas(run, FRAME_INDEX_SCHEMA)
+
+
+def keyframe_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Keyframe-aware frame sampling over the mp4 index: for each grid
+    point (0, every_ms, 2·every_ms, … within the clip) pick the LATEST
+    keyframe at-or-before it — seek-to-sync semantics, the frame a real
+    player/sampler can actually decode without reading the whole GOP.
+    Emits one row per distinct chosen frame with the byte range to fetch.
+
+    Spark shape: the index (narrow metadata rows) joins the exploded grid
+    on media_id with a pts≤grid range predicate, then ``max_by`` picks the
+    frame per grid point — per-clip keys, so the join never skews beyond
+    one clip's frame count × grid size; the payload column never rides
+    the shuffle."""
+    idx = video_frame_index(df).filter(F.col("keyframe"))
+    grid = frame_sample_plan(df, every_ms=every_ms)
+    chosen = (
+        grid.join(idx, "media_id")
+        .filter(F.col("pts_ms") <= F.col("frame_ts_ms"))
+        .groupBy("media_id", "frame_ts_ms")
+        .agg(
+            F.max_by("frame_idx", "pts_ms").alias("frame_idx"),
+            F.max("pts_ms").alias("pts_ms"),
+            F.max_by("file_offset", "pts_ms").alias("file_offset"),
+            F.max_by("size_bytes", "pts_ms").alias("size_bytes"),
+        )
+    )
+    return (
+        chosen.groupBy("media_id", "frame_idx", "pts_ms", "file_offset", "size_bytes")
+        .agg(F.min("frame_ts_ms").alias("first_grid_ms"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 # MPEG1 Layer III bitrate (kbps) and sample-rate tables (public ISO 11172-3)
 _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 _MP3_RATES = (44100, 48000, 32000)

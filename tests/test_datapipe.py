@@ -1931,3 +1931,157 @@ def test_winnow_fingerprints_reference_and_guarantee(spark, tmp_path_factory):
     # guarantee: the 60-char shared substring forces a shared fingerprint
     assert sets[1] & sets[2]
     assert not (sets[3] & sets[1])
+
+
+def _mp4_with_stbl(
+    *,
+    timescale=1000,
+    stts_runs=((4, 100), (4, 200)),
+    ctts_runs=((4, 0), (4, 100)),
+    ctts_signed=False,
+    sizes=(10, 20, 30, 40, 50, 60, 70, 80),
+    sync=(1, 5),
+    stsc_runs=((1, 3, 1), (3, 1, 1)),
+    chunk_offsets=(1000, 2000, 3000, 4000),
+    co64=False,
+    handler=b"vide",
+    uniform_size=0,
+):
+    """Build a minimal mp4 whose stbl carries the full sample-table set
+    (ISO 14496-12 §8.6–8.7 layouts, hand-packed)."""
+    import struct as _struct
+
+    full = lambda t, body, ver=0: _bmff_box(t, bytes([ver, 0, 0, 0]) + body)
+    n = len(sizes)
+    stts = full(
+        b"stts",
+        _struct.pack(">I", len(stts_runs))
+        + b"".join(_struct.pack(">II", c, d) for c, d in stts_runs),
+    )
+    ctts = b""
+    if ctts_runs is not None:
+        fmt = ">Ii" if ctts_signed else ">II"
+        ctts = full(
+            b"ctts",
+            _struct.pack(">I", len(ctts_runs))
+            + b"".join(_struct.pack(fmt, c, o) for c, o in ctts_runs),
+            ver=1 if ctts_signed else 0,
+        )
+    if uniform_size:
+        stsz = full(b"stsz", _struct.pack(">II", uniform_size, n))
+    else:
+        stsz = full(
+            b"stsz",
+            _struct.pack(">II", 0, n) + _struct.pack(f">{n}I", *sizes),
+        )
+    stss = b""
+    if sync is not None:
+        stss = full(
+            b"stss",
+            _struct.pack(">I", len(sync)) + _struct.pack(f">{len(sync)}I", *sync),
+        )
+    stsc = full(
+        b"stsc",
+        _struct.pack(">I", len(stsc_runs))
+        + b"".join(_struct.pack(">III", *r) for r in stsc_runs),
+    )
+    if co64:
+        stco = full(
+            b"co64",
+            _struct.pack(">I", len(chunk_offsets))
+            + _struct.pack(f">{len(chunk_offsets)}Q", *chunk_offsets),
+        )
+    else:
+        stco = full(
+            b"stco",
+            _struct.pack(">I", len(chunk_offsets))
+            + _struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+        )
+    stbl = _bmff_box(b"stbl", stts + ctts + stsz + stss + stsc + stco)
+    minf = _bmff_box(b"minf", stbl)
+    mdhd = full(
+        b"mdhd",
+        bytes(8) + _struct.pack(">II", timescale, 1600) + bytes(4),
+    )
+    hdlr = full(b"hdlr", bytes(4) + handler + bytes(12))
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    trak = _bmff_box(b"trak", mdia)
+    mvhd = full(b"mvhd", bytes(8) + _struct.pack(">II", 1000, 1600) + bytes(80))
+    moov = _bmff_box(b"moov", mvhd + trak)
+    return _bmff_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_sample_table_full_layout():
+    """stts delta runs, ctts composition offsets, per-sample stsz, stss
+    sync set, stsc chunk runs and stco offsets all land in the per-sample
+    index, offsets accumulating within each chunk."""
+    from event_stream_spark.datapipe.multimodal import mp4_sample_table
+
+    st = mp4_sample_table(_mp4_with_stbl())
+    assert st is not None and st["timescale"] == 1000
+    assert st["dts"] == [0, 100, 200, 300, 400, 600, 800, 1000]
+    assert st["pts"] == [0, 100, 200, 300, 500, 700, 900, 1100]
+    assert st["size"] == [10, 20, 30, 40, 50, 60, 70, 80]
+    # chunk1 @1000: s0..2, chunk2 @2000: s3..5, chunk3 @3000: s6, chunk4 @4000: s7
+    assert st["offset"] == [1000, 1010, 1030, 2000, 2040, 2090, 3000, 4000]
+    assert st["keyframe"] == [True, False, False, False, True, False, False, False]
+
+
+def test_mp4_sample_table_variants():
+    """co64 64-bit offsets, uniform stsz, absent stss ⇒ all sync, signed
+    v1 ctts (negative composition offsets), and audio-only fallback."""
+    from event_stream_spark.datapipe.multimodal import mp4_sample_table
+
+    st = mp4_sample_table(
+        _mp4_with_stbl(co64=True, chunk_offsets=(2**33, 2**33 + 500, 2**34, 2**35))
+    )
+    assert st["offset"][0] == 2**33 and st["offset"][7] == 2**35
+
+    st = mp4_sample_table(_mp4_with_stbl(uniform_size=25))
+    assert st["size"] == [25] * 8
+    assert st["offset"][:3] == [1000, 1025, 1050]
+
+    st = mp4_sample_table(_mp4_with_stbl(sync=None))
+    assert all(st["keyframe"])
+
+    st = mp4_sample_table(
+        _mp4_with_stbl(ctts_runs=((8, -100),), ctts_signed=True)
+    )
+    assert st["pts"][0] == -100 and st["pts"][4] == 300
+
+    # audio handler still indexes (fallback track) — a voice pipeline
+    # wants the same byte-range plan
+    st = mp4_sample_table(_mp4_with_stbl(handler=b"soun"))
+    assert st is not None and len(st["dts"]) == 8
+
+    assert mp4_sample_table(b"\x00\x00\x00\x08free") is None
+    assert mp4_sample_table(None) is None
+
+
+def test_video_frame_index_and_keyframe_plan(spark):
+    """Spark-side: the mapInPandas index emits one row per sample with
+    ms-scaled timestamps, and keyframe_sample_plan picks the latest sync
+    frame at-or-before each grid point (seek-to-keyframe semantics)."""
+    from event_stream_spark.datapipe.multimodal import (
+        MEDIA,
+        keyframe_sample_plan,
+        video_frame_index,
+    )
+
+    clip = _mp4_with_stbl()
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(clip), "mp4", 640, 360, 1500),
+         (2, "image", bytearray(b"\x89PNG----"), "png", 8, 8, None)],
+        MEDIA,
+    )
+    idx = {r.frame_idx: r for r in video_frame_index(df).collect()}
+    assert len(idx) == 8
+    assert idx[4].pts_ms == 500 and idx[4].keyframe
+    assert idx[7].file_offset == 4000 and idx[7].size_bytes == 80
+
+    plan = keyframe_sample_plan(df, every_ms=500).collect()
+    # grid 0,500,1000,1500: frame0 covers 0; frame4 (pts 500) covers the rest
+    assert [(r.frame_idx, r.pts_ms, r.first_grid_ms) for r in plan] == [
+        (0, 0, 0),
+        (4, 500, 500),
+    ]
