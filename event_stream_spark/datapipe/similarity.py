@@ -955,3 +955,253 @@ ANN_JOIN_SQL = f"""
     WHERE rank <= {ANN_JOIN_K}
     ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-domain scale path
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011): split each vector into M subvectors, vector-quantize each
+# subspace independently (codebook of K centroids), and answer queries with
+# Asymmetric Distance Computation — a per-query lookup table of exact
+# query-to-centroid distances, so scoring a database vector is M table
+# lookups instead of a DIM-wide float scan.  At 10¹⁰ × 64-d float32
+# embeddings (~2.5 TB) the PQ codes are M bytes/vector (~40 GB): the scan
+# side shrinks 64×, which is the difference between an in-memory index and
+# a disk-bound one.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces
+PQ_SUB = DIM // PQ_M   # dims per subspace
+PQ_K = 16      # codewords per subspace (codes pack into 4 bits each)
+
+#: trained codebooks per (session, sf) — a PQ index is TRAINED once and
+#: encoded/probed many times (same lifecycle as _IVF_SEED_CACHE)
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def _pq_d2_kernel(codebooks):
+    """Arrow kernel: flattened [PQ_M × PQ_K] squared-L2 distances from each
+    row's subvectors to every codeword.  np.cumsum keeps the strict
+    left-fold dim order both oracles replay (see ``ivf_assignments``);
+    rounding stays OUTSIDE, JVM-side."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype="float64")  # [M, K, SUB]
+
+    @F.pandas_udf("array<double>")
+    def _d2(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        V = np.array(emb.tolist(), dtype="float64")  # [B, DIM]
+        parts = []
+        for m in range(PQ_M):
+            sub = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # [B, SUB]
+            sq = (sub[:, None, :] - C[m][None, :, :]) ** 2  # [B, K, SUB]
+            parts.append(np.cumsum(sq, axis=2)[:, :, -1])
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    return _d2
+
+
+def _pq_codes(df: DataFrame, codebooks) -> DataFrame:
+    """Append ``code_0 .. code_{M-1}`` columns: per-subspace argmin against
+    the codebook, first occurrence on ties (smaller code wins — the
+    ``array_position``/``list_position`` convention every quantizer here
+    shares).  Distances round to 9dp JVM-side before the argmin so
+    near-ties resolve identically across engines."""
+    d2 = _pq_d2_kernel(codebooks)
+    out = df.withColumn("_pqds", d2(F.col("embedding")))
+    for m in range(PQ_M):
+        dsm = F.transform(
+            F.slice("_pqds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
+        )
+        out = out.withColumn(
+            f"code_{m}",
+            (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
+        )
+    return out.drop("_pqds")
+
+
+def pq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
+    """Train the PQ codebooks: deterministic seed-decimation init (codeword
+    k of every subspace comes from the vector at ``vec_id = k·stride`` —
+    the shared quantizer-init convention, no RNG) plus ONE distributed
+    Lloyd round per subspace.  The round runs as a single pass: the encode
+    kernel assigns all M codes at once, the M subspaces are stacked with
+    one ``explode``, and one (m, code) groupBy computes every per-dim mean
+    (rounded 9dp — the cross-engine centroid contract ``embed_kmeans``
+    established).  Empty codes keep their seed centroid, both engines.
+
+    Scale shape: one narrow kernel pass + ONE shuffle of n·M rows of
+    SUB doubles + a ≤ M·K-row collect.  Production training would run on a
+    decimated sample (FAISS-style); the oracle replays the full pass here
+    because the local tables are small.
+    """
+    from event_stream_spark.queries import _session_key
+
+    ck = (_session_key(spark), sf)
+    cached = _PQ_CODEBOOK_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    e = t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // PQ_K)
+    seed_ids = [j * stride for j in range(PQ_K)]
+    rows = (
+        e.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    cb0 = [
+        [v[m * PQ_SUB : (m + 1) * PQ_SUB] for v in seeds] for m in range(PQ_M)
+    ]  # [M][K][SUB]
+
+    vd = as_double(F.col("embedding"))
+    coded = _pq_codes(e.select("vec_id", "embedding"), cb0)
+    stacked = coded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(f"code_{m}").alias("code"),
+                        F.slice(vd, m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s")
+    ).select("s.m", "s.code", "s.sub")
+    upd = (
+        stacked.groupBy("m", "code")
+        .agg(
+            *[
+                F.round(F.avg(F.col("sub")[j]), 9).alias(f"x{j}")
+                for j in range(PQ_SUB)
+            ]
+        )
+        .collect()
+    )
+    got = {
+        (r["m"], r["code"]): [float(r[f"x{j}"]) for j in range(PQ_SUB)]
+        for r in upd
+    }
+    cb1 = [
+        [got.get((m, k), cb0[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
+    ]
+    _PQ_CODEBOOK_CACHE[ck] = cb1
+    return cb1
+
+
+def ann_pq_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
+    """PQ/ADC top-k: encode the table against the trained codebooks, build
+    the query's M×K lookup table of EXACT query-subvector-to-codeword
+    distances driver-side (the codebooks are constants after training),
+    and score every vector as the sum of M literal-array lookups — pure
+    codegen, no float vector ever touched at probe time.
+
+    Plan shape at scale: the encode runs once and is WRITTEN (codes are
+    M log2(K)-bit ints — here 4×4 bits/vector); a probe over the stored
+    codes is scan → M ``element_at`` lookups against broadcast-literal
+    LUTs → TakeOrdered.  No join, no shuffle beyond the top-k merge; the
+    64-d float column never rides the probe.  Here the encode happens
+    inline against the cached codebooks so the whole chain is replayed by
+    the DuckDB oracle (same seeds, same Lloyd round, same argmin, same
+    left-fold LUT arithmetic, same ``adc_p6`` integer scaling)."""
+    cb = pq_codebooks(spark, sf)
+    q = _query_vector(spark, sf)
+    lut: list[list[float]] = []
+    for m in range(PQ_M):
+        qs = q[m * PQ_SUB : (m + 1) * PQ_SUB]
+        row = []
+        for c in cb[m]:
+            acc = 0.0
+            for a, b in zip(qs, c):  # strict left fold — both oracles replay
+                acc += (a - b) * (a - b)
+            row.append(round(acc, 9))
+        lut.append(row)
+
+    e = t(spark, sf, "embeddings")
+    coded = _pq_codes(e.select("vec_id", "embedding"), cb)
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code_{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        coded.select(
+            "vec_id",
+            F.concat_ws(",", *[F.col(f"code_{m}") for m in range(PQ_M)]).alias(
+                "codes"
+            ),
+            F.round(adc * 1e6).cast("long").alias("adc_p6"),
+        )
+        .orderBy("adc_p6", "vec_id")
+        .limit(k)
+    )
+
+
+def _pq_sub_sql(m: int) -> str:
+    """Per-subspace CTE chain: seed codebook, one Lloyd round (assign →
+    per-dim rounded mean → empty-code carry), final encode — the exact SQL
+    replay of ``pq_codebooks`` + ``_pq_codes`` for subspace ``m``."""
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    d2 = (
+        f"list_transform(cs, c -> round(list_sum(list_transform(range({PQ_SUB}),"
+        f" j -> (sub[j+1] - c[j+1]) * (sub[j+1] - c[j+1]))), 9))"
+    )
+    return f"""
+    sub{m} AS (SELECT vec_id, v[{lo}:{hi}] AS sub FROM e),
+    cb0_{m} AS (SELECT cid, v[{lo}:{hi}] AS c FROM seeds),
+    c0_{m} AS (SELECT list(c ORDER BY cid) AS cs FROM cb0_{m}),
+    a_{m} AS (
+        SELECT vec_id, sub, list_position(ds, list_min(ds)) - 1 AS code
+        FROM (SELECT vec_id, sub, {d2} AS ds FROM sub{m}, c0_{m})
+    ),
+    m_{m} AS (
+        SELECT code AS cid, d.j, round(avg(sub[d.j+1]), 9) AS x
+        FROM a_{m}, (SELECT unnest(range({PQ_SUB})) AS j) d
+        GROUP BY code, d.j
+    ),
+    u_{m} AS (SELECT cid, list(x ORDER BY j) AS c FROM m_{m} GROUP BY cid),
+    cb1_{m} AS (
+        SELECT s.cid, coalesce(u.c, s.c) AS c
+        FROM cb0_{m} s LEFT JOIN u_{m} u USING (cid)
+    ),
+    c1_{m} AS (SELECT list(c ORDER BY cid) AS cs FROM cb1_{m}),
+    enc_{m} AS (
+        SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS code
+        FROM (SELECT vec_id, sub, {d2} AS ds FROM sub{m}, c1_{m})
+    ),
+    lut_{m} AS (
+        SELECT cid, round(list_sum(list_transform(range({PQ_SUB}),
+                 j -> (q.sub[j+1] - c[j+1]) * (q.sub[j+1] - c[j+1]))), 9) AS d
+        FROM cb1_{m}, (SELECT sub FROM sub{m} WHERE vec_id = 0) q
+    )"""
+
+
+ANN_PQ_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT greatest((SELECT count(*) FROM e) // {PQ_K}, 1) AS stride),
+    seeds AS (
+        SELECT (vec_id // stride)::INT AS cid, v
+        FROM e, p
+        WHERE vec_id % stride = 0 AND vec_id // stride < {PQ_K}
+    ),
+    {",".join(_pq_sub_sql(m) for m in range(PQ_M))}
+    SELECT e.vec_id,
+           {" || ',' || ".join(f"enc_{m}.code::VARCHAR" for m in range(PQ_M))}
+               AS codes,
+           CAST(round(({" + ".join(f"l{m}.d" for m in range(PQ_M))}) * 1e6)
+               AS BIGINT) AS adc_p6
+    FROM e
+    {" ".join(f"JOIN enc_{m} ON enc_{m}.vec_id = e.vec_id" for m in range(PQ_M))}
+    {" ".join(f"JOIN lut_{m} l{m} ON l{m}.cid = enc_{m}.code" for m in range(PQ_M))}
+    ORDER BY adc_p6, e.vec_id
+    LIMIT 10
+"""

@@ -192,7 +192,11 @@ def main() -> None:
     )
     from event_stream_spark.datapipe.graph import graph_pagerank
     from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
-    from event_stream_spark.datapipe.similarity import ann_join, embed_quantize
+    from event_stream_spark.datapipe.similarity import (
+        ann_join,
+        ann_pq_topk,
+        embed_quantize,
+    )
     from event_stream_spark.datapipe.webops import (
         dedup_incremental,
         dedup_paragraph,
@@ -220,6 +224,7 @@ def main() -> None:
         ("embed_quantize", embed_quantize),
         ("lm_score", lm_score),
         ("ann_join", ann_join),
+        ("ann_pq_topk", ann_pq_topk),
         ("bpe_pairs", bpe_pairs),
         ("bloom_prune", bloom_prune),
         ("bm25_topk", bm25_topk),

@@ -2085,3 +2085,22 @@ def test_video_frame_index_and_keyframe_plan(spark):
         (0, 0, 0),
         (4, 500, 500),
     ]
+
+
+def test_pq_adc_quality_and_codes(spark):
+    """PQ sanity: the query vector's own row lands in the ADC top-10 (its
+    quantization error is the floor of its own LUT distance sum), codes
+    stay in [0, PQ_K), and the ADC distance of vec 0 is no larger than any
+    other returned row's (it is the query)."""
+    from event_stream_spark.datapipe.similarity import PQ_K, PQ_M, ann_pq_topk
+
+    rows = ann_pq_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    ids = [r.vec_id for r in rows]
+    assert 0 in ids, "query vector must retrieve itself"
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[0].adc_p6 == min(r.adc_p6 for r in rows)
+    for r in rows:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)

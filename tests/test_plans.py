@@ -895,3 +895,31 @@ def test_char_dup_spans_hashes_not_text(spark):
     for l in p.splitlines():
         if "Exchange" in l:
             assert "text#" not in l
+
+
+def test_pq_probe_is_lut_scan_topk(spark):
+    """ann_pq_topk probe plan: after the (cached) codebook training, the
+    probe is scan → encode kernel → literal-LUT element_at sum →
+    TakeOrdered.  No join of any kind and exactly ONE Arrow stage (the
+    subspace-distance kernel) — the ADC scoring itself is pure codegen
+    against broadcast-literal lookup tables."""
+    from event_stream_spark.datapipe.similarity import ann_pq_topk
+
+    p = plan(ann_pq_topk(spark, SF_CORRECT))
+    assert "TakeOrdered" in p
+    for bad in ("Join", "Cartesian", "Exchange hashpartitioning"):
+        assert bad not in p, bad
+    assert p.count("ArrowEvalPython") == 1
+
+
+def test_pq_codebook_build_is_cached(spark):
+    """Repeated ann_pq_topk plan builds must not re-run the training jobs
+    (count + seed collect + Lloyd-round aggregate) — same contract as the
+    IVF seed cache."""
+    from event_stream_spark.datapipe.similarity import ann_pq_topk
+
+    ann_pq_topk(spark, SF_CORRECT)  # warm codebook + table caches
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().numTotalJobs()
+    ann_pq_topk(spark, SF_CORRECT)
+    assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
