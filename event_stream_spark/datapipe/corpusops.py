@@ -609,6 +609,107 @@ LM_SCORE_BIGRAM_SQL = f"""
 """
 
 
+# Absolute discount for the Kneser-Ney model (the standard 0.75; exact in
+# binary64, so c − D is bit-identical across engines)
+LM_KN_DISCOUNT = 0.75
+
+
+def lm_score_kn(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per document — the smoothing
+    actually used by production n-gram LMs (KenLM's default; Kneser & Ney
+    1995, Chen & Goodman 1999 §2.7):
+
+        p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                   + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    The backoff mass a context releases is proportional to how many
+    DISTINCT continuations it was discounted on (N₁₊(w₁·)), and the
+    lower-order model is the CONTINUATION probability — how many distinct
+    left contexts w₂ appears after, over the total bigram-type count —
+    not the raw unigram frequency.  That is the property that separates
+    KN from the Jelinek-Mercer interpolation in ``lm_score_bigram``:
+    a word that is frequent only inside one collocation ("francisco")
+    gets a small continuation weight.  Scored as mean ``−ln p`` over each
+    doc's bigram positions.
+
+    Scale shape: everything derives from the bigram-type relation — pair
+    counts are one gram-keyed partial-agg shuffle (Zipf-bounded); the
+    left-context stats (c(w₁·), N₁₊(w₁·)) are a second aggregation OF THE
+    PAIR RELATION grouped by w₁ (type-bounded, far smaller than the token
+    stream), the continuation counts group the same relation by w₂, and
+    the type total is a single broadcast row.  Scoring joins back on the
+    gram key and reduces per doc — linear end-to-end, no vocab×vocab term.
+
+    Determinism: the integer-scaled ``surprisal_p6`` contract of the other
+    LM twins — mean ×1e6 rounded to a whole number absorbs last-ulp ``ln``
+    disagreement between engines.
+    """
+    from pyspark.sql import Window
+
+    from event_stream_spark.datapipe.text import word_rows
+
+    d = LM_KN_DISCOUNT
+    wr = word_rows(t(spark, sf, "documents"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        wr.select("doc_id", F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    left = pair.groupBy("w1").agg(
+        F.sum("pc").alias("c1"), F.count("*").alias("fanout")
+    )
+    cont = pair.groupBy("w2").agg(F.count("*").alias("nleft"))
+    types = pair.agg(F.count("*").cast("double").alias("tt"))
+    p = (
+        F.greatest(F.col("pc") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + F.lit(d) * F.col("fanout") / F.col("c1") * (F.col("nleft") / F.col("tt"))
+    )
+    return (
+        big.join(pair, ["w1", "w2"])
+        .join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)) * 1e6).cast("long").alias("surprisal_p6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_SCORE_KN_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents)),
+    big AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+    pair AS (SELECT w1, w2, count(*) AS pc
+             FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    lft AS (SELECT w1, sum(pc) AS c1, count(*) AS fanout FROM pair GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS nleft FROM pair GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM pair)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(round(avg(-ln(
+               greatest(p.pc - {LM_KN_DISCOUNT}, 0.0) / l.c1
+               + {LM_KN_DISCOUNT} * l.fanout / l.c1
+                 * (c.nleft / (SELECT tt FROM tot))))
+               * 1e6) AS BIGINT) AS surprisal_p6
+    FROM big b
+    JOIN pair p ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN lft l ON l.w1 = b.w1
+    JOIN cont c ON c.w2 = b.w2
+    WHERE b.w2 IS NOT NULL
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
 def dup_spans_clean(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicated-span REMOVAL — the transformation ``dup_spans`` is the
     analysis for (Lee et al. 2022 "Deduplicating Training Data" §4.1,

@@ -2104,3 +2104,30 @@ def test_pq_adc_quality_and_codes(spark):
         codes = [int(c) for c in r.codes.split(",")]
         assert len(codes) == PQ_M
         assert all(0 <= c < PQ_K for c in codes)
+
+
+def test_lm_score_kn_continuation_property(spark, tmp_path):
+    """The Kneser-Ney signature: a word frequent ONLY inside one
+    collocation ("francisco", always after "san") gets a small
+    continuation weight, so after a shared context it scores as LESS
+    probable than an equally-discounted word seen after many distinct
+    contexts ("the") — raw-frequency interpolation cannot make that
+    distinction."""
+    from event_stream_spark.datapipe.corpusops import lm_score_kn
+
+    base = tmp_path / "kn"
+    texts = {
+        0: "san francisco san francisco san francisco san francisco",
+        1: "aa the bb the cc the dd the",
+        2: "of francisco",   # pc=1, backoff weighs continuation(francisco)
+        3: "of the",         # pc=1, same left stats, continuation(the) >>
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r for r in lm_score_kn(spark, str(base)).collect()}
+    assert rows[2].n_bigrams == 1 and rows[3].n_bigrams == 1
+    # "of francisco" must be MORE surprising than "of the"
+    assert rows[2].surprisal_p6 > rows[3].surprisal_p6
