@@ -118,6 +118,77 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+# Per-file bloom filters (the Delta bloom-index / Iceberg puffin design
+# point): m bits / k probes sized for ~1% false positives around 500
+# distinct keys per file; the bitmap is 512 bytes hex-encoded per (file,
+# col) in the JSON manifest.  min/max stats prune RANGE predicates; blooms
+# prune POINT lookups, which range stats can't help with once a key column
+# is unsorted across files (every file's [min, max] spans the whole domain).
+SNAP_BLOOM_M = 4096
+SNAP_BLOOM_K = 3
+
+
+def _bloom_hashes(value, m: int = SNAP_BLOOM_M, k: int = SNAP_BLOOM_K) -> list[int]:
+    """The k bit positions for a value — same function at build and probe
+    (pure Python + md5: engine-independent, stable across runs).  Values
+    are type-tagged so int 7 and str '7' don't alias."""
+    import hashlib
+
+    tag = "i" if isinstance(value, int) and not isinstance(value, bool) else "s"
+    canon = f"{tag}|{value}".encode()
+    return [
+        int.from_bytes(
+            hashlib.md5(b"%d|" % j + canon).digest()[:8], "big"
+        ) % m
+        for j in range(k)
+    ]
+
+
+def _file_bloom(path: str, cols: list[str]) -> dict:
+    """Per-file bloom bitmaps for ``cols`` (int/string columns only — the
+    types with a canonical encoding; others are skipped and simply never
+    prune).  Reads just the requested columns of one file.  This runs
+    manifest-side like ``_file_stats``; a petabyte writer would fold the
+    same bitmap inside the write task and attach it to the commit — the
+    manifest format is identical either way."""
+    import pyarrow.parquet as pq
+
+    available = set(pq.ParquetFile(path).schema_arrow.names)
+    want = [c for c in cols if c in available]
+    if not want:
+        return {}
+    tbl = pq.read_table(path, columns=want)
+    out: dict[str, dict] = {}
+    for col in want:
+        bits = bytearray(SNAP_BLOOM_M // 8)
+        ok = True
+        for v in tbl.column(col).to_pylist():
+            if v is None:
+                continue
+            if not isinstance(v, (int, str)) or isinstance(v, bool):
+                ok = False  # no canonical encoding → record nothing
+                break
+            for pos in _bloom_hashes(v):
+                bits[pos // 8] |= 1 << (pos % 8)
+        if ok:
+            out[col] = {
+                "m": SNAP_BLOOM_M,
+                "k": SNAP_BLOOM_K,
+                "bits": bytes(bits).hex(),
+            }
+    return out
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Probe one manifest bloom entry; True = the file MAY hold the value
+    (false positives possible, false negatives impossible)."""
+    bits = bytes.fromhex(bloom["bits"])
+    for pos in _bloom_hashes(value, m=bloom["m"], k=bloom["k"]):
+        if not bits[pos // 8] & (1 << (pos % 8)):
+            return False
+    return True
+
+
 class CommitConflict(RuntimeError):
     """A transaction based on ``expected_snapshot`` lost the race: another
     commit landed first.  Re-read the table and retry the transformation —
@@ -130,6 +201,7 @@ def commit(
     *,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     expected_snapshot: int | None = None,
     allow_added_columns: bool = False,
     max_retries: int = 20,
@@ -142,7 +214,11 @@ def commit(
     travel until :func:`vacuum`).  The data write happens BEFORE the
     manifest claim, so a failure at any point leaves the table at the
     previous snapshot.  ``stats_cols`` records per-file min/max for those
-    columns in the manifest, enabling :func:`read_snapshot` file skipping.
+    columns in the manifest, enabling :func:`read_snapshot` range file
+    skipping; ``bloom_cols`` additionally records a per-file bloom bitmap
+    for those (int/string) columns, enabling ``prune_eq`` POINT-lookup
+    skipping that min/max ranges cannot express once a key column is
+    unsorted across files.
 
     ``expected_snapshot`` makes the commit TRANSACTIONAL: it asserts the
     table is still at that snapshot when the claim lands.  If another
@@ -208,7 +284,11 @@ def commit(
             else list(carry_entries or [])
         )
         entries = [
-            {"path": p, **({"stats": _file_stats(p, stats_cols)} if stats_cols else {})}
+            {
+                "path": p,
+                **({"stats": _file_stats(p, stats_cols)} if stats_cols else {}),
+                **({"bloom": _file_bloom(p, bloom_cols)} if bloom_cols else {}),
+            }
             for p in new_files
         ]
         manifest = {
@@ -252,15 +332,21 @@ def read_snapshot(
     *,
     snapshot: int | None = None,
     prune: dict[str, tuple] | None = None,
+    prune_eq: dict | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's file set (default: latest).
 
     ``prune={col: (lo, hi)}`` drops files whose manifest min/max for
     ``col`` cannot overlap [lo, hi] BEFORE planning the scan (files without
-    recorded stats are always kept — skipping must never lose rows).  The
-    predicate itself is NOT applied to the surviving rows; callers add
-    their own ``filter`` (which then also prunes row groups in the kept
-    files).  An empty table (no commits) raises ValueError."""
+    recorded stats are always kept — skipping must never lose rows).
+    ``prune_eq={col: value}`` drops files whose manifest BLOOM for ``col``
+    proves the value absent (recorded via ``commit(bloom_cols=...)``) —
+    the point-lookup complement: with an unsorted key column every file's
+    [min, max] spans the whole domain and range stats prune nothing, while
+    the bloom keeps ~fp_rate of the files.  Both predicates are NOT
+    applied to the surviving rows; callers add their own ``filter`` (which
+    then also prunes row groups in the kept files).  An empty table (no
+    commits) raises ValueError."""
     ids = snapshots(table)
     if not ids:
         raise ValueError(f"no snapshots committed at {table}")
@@ -268,14 +354,20 @@ def read_snapshot(
     if n not in ids:
         raise ValueError(f"snapshot {n} not in {ids}")
     entries = _read_manifest(table, n)["files"]
-    if prune:
+    if prune or prune_eq:
         def overlaps(e: dict) -> bool:
             st = e.get("stats") or {}
-            for col, (lo, hi) in prune.items():
+            for col, (lo, hi) in (prune or {}).items():
                 if col not in st:
                     continue  # no stats → keep
                 fmin, fmax = st[col]
                 if fmax < lo or fmin > hi:
+                    return False
+            bl = e.get("bloom") or {}
+            for col, val in (prune_eq or {}).items():
+                if col not in bl:
+                    continue  # no bloom → keep
+                if not _bloom_may_contain(bl[col], val):
                     return False
             return True
 
@@ -411,6 +503,8 @@ def merge_upsert(
     *,
     key: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_target_max_keys: int = 100_000,
 ) -> int:
     """MERGE INTO by ``key`` (upsert): rows of ``updates`` replace
     same-keyed rows of the latest snapshot and new keys append — committed
@@ -426,7 +520,17 @@ def merge_upsert(
     unconditional.  Files without recorded ``key`` stats are conservatively
     rewritten; a table with no stats at all degrades to the whole-table
     rewrite.  At 100 TB this is the difference between a merge costing
-    O(touched files) and O(table)."""
+    O(touched files) and O(table).
+
+    When the manifest also carries a ``key`` BLOOM, range-surviving files
+    are re-tested per update key: a file whose bloom proves every update
+    key absent is carried verbatim too.  This is the scattered-key case —
+    CDC batches touch keys spread across the whole domain, every file's
+    range overlaps, and min/max targeting rewrites the entire table while
+    bloom targeting rewrites ~(touched + fp) files.  The refinement
+    collects the distinct update keys once and is skipped for batches
+    larger than ``bloom_target_max_keys`` (a batch that big is rewriting
+    most files anyway)."""
     from pyspark.sql import functions as F
 
     base = _latest_snapshot(table)
@@ -446,6 +550,22 @@ def merge_upsert(
             untouched.append(e)
         else:
             touched.append(e)
+    if touched and any((e.get("bloom") or {}).get(key) for e in touched):
+        n_keys = updates.select(key).distinct().count()
+        if n_keys <= bloom_target_max_keys:
+            keys = [
+                r[0]
+                for r in updates.select(key).distinct().collect()
+                if r[0] is not None
+            ]
+            still = []
+            for e in touched:
+                bl = (e.get("bloom") or {}).get(key)
+                if bl is None or any(_bloom_may_contain(bl, v) for v in keys):
+                    still.append(e)
+                else:
+                    untouched.append(e)
+            touched = still
     if touched:
         current = spark.read.option("mergeSchema", "true").parquet(
             *[e["path"] for e in touched]
@@ -456,7 +576,8 @@ def merge_upsert(
         merged = updates
     return commit(
         merged, table, mode="overwrite", stats_cols=stats_cols,
-        expected_snapshot=base, carry_entries=untouched,
+        bloom_cols=bloom_cols, expected_snapshot=base,
+        carry_entries=untouched,
     )
 
 

@@ -2669,3 +2669,88 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     # absorbed by the doc_id ledger — no duplicates
     run(str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_snapshot_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Per-file bloom skipping: with keys SCATTERED across files every
+    file's [min, max] spans the whole domain — range stats prune nothing —
+    but prune_eq plans only the file(s) whose bloom may contain the key.
+    No false negatives: the looked-up rows are always in the survivors."""
+    from event_stream_spark.sources.snaplog import commit, read_snapshot
+
+    table = str(tmp_path / "tbl")
+    groups = {0: [1, 100, 205], 1: [2, 101, 206], 2: [3, 102, 207]}
+    for g, ids in groups.items():
+        commit(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in ids], "id long, v string"
+            ).coalesce(1),
+            table,
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+
+    # range stats are useless here: every file overlaps [2, 206]
+    ranged = read_snapshot(spark, table, prune={"id": (101, 101)})
+    assert len(ranged.inputFiles()) == 3
+
+    probed = read_snapshot(spark, table, prune_eq={"id": 101})
+    assert len(probed.inputFiles()) == 1
+    assert [r.v for r in probed.filter("id = 101").collect()] == ["v101"]
+
+    # a key in no file: everything may be pruned, schema survives
+    none = read_snapshot(spark, table, prune_eq={"id": 99999})
+    assert none.columns == ["id", "v"] and none.count() == 0
+
+    # files without a bloom are always kept (skipping never loses rows)
+    commit(
+        spark.createDataFrame([(500, "x")], "id long, v string").coalesce(1),
+        table,
+    )
+    kept = read_snapshot(spark, table, prune_eq={"id": 101})
+    assert len(kept.inputFiles()) == 2  # the bloom hit + the bloomless file
+
+
+def test_merge_upsert_bloom_targets_scattered_keys(spark, tmp_path):
+    """Bloom-refined CoW targeting: a CDC batch whose keys are scattered
+    across the domain overlaps every file's range, but only the files
+    whose bloom may contain an update key are rewritten — the rest carry
+    into the new manifest verbatim (same path, bytes never move)."""
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        merge_upsert,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    groups = {0: [1, 100, 205], 1: [2, 101, 206], 2: [3, 102, 207]}
+    for ids in groups.values():
+        commit(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in ids], "id long, v string"
+            ).coalesce(1),
+            table,
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    before = {e["path"] for e in _read_manifest(table, 2)["files"]}
+
+    n = merge_upsert(
+        spark, table,
+        spark.createDataFrame([(101, "UPD"), (300, "NEW")], "id long, v string"),
+        key="id",
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    after = _read_manifest(table, n)["files"]
+    carried = {e["path"] for e in after} & before
+    # files 0 and 2 (keys 1/100/205 and 3/102/207) carry verbatim; only the
+    # file holding key 101 was rewritten
+    assert len(carried) == 2
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got[101] == "UPD" and got[300] == "NEW" and got[1] == "v1"
+    assert len(got) == 10
+    # carried entries keep their bloom, so the next point lookup still prunes
+    probed = read_snapshot(spark, table, prune_eq={"id": 205})
+    assert len(probed.inputFiles()) == 1
