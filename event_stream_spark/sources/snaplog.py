@@ -642,18 +642,45 @@ def compact(
     *,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite the latest snapshot into
     ``target_files`` files as one atomic ``overwrite`` commit.  Row set is
     IDENTICAL — only the file layout changes (the per-batch streaming
     ingests accrete one file set per microbatch; this is their maintenance
-    job, same role as ``compact_event_lake`` for the raw lake)."""
+    job, same role as ``compact_event_lake`` for the raw lake).
+
+    ``zorder_by=[col, ...]`` makes the compaction a CLUSTERING rewrite —
+    Delta's ``OPTIMIZE ZORDER BY`` inside the transaction log: rows are
+    range-partitioned and sorted along the Morton curve of the named
+    columns (``sources/zorder.py``, pure codegen arithmetic + the one
+    range exchange any clustered write needs), so each rewritten file
+    covers a NARROW range of every clustered dimension and the manifest
+    min/max recorded via ``stats_cols`` turns ``read_snapshot(prune=...)``
+    into multi-dimensional file skipping.  Streaming microbatches accrete
+    time-ordered files whose key stats span the whole domain; this is the
+    maintenance pass that restores pruning power on every dimension at
+    once."""
+    from event_stream_spark.sources.zorder import zorder_col
+
     base = _latest_snapshot(table)
     current = read_snapshot(spark, table, snapshot=base)
+    if zorder_by:
+        z = zorder_col(current, zorder_by).alias("__z")
+        current = (
+            current.select("*", z)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        current = current.coalesce(target_files)
     return commit(
-        current.coalesce(target_files),
+        current,
         table,
         mode="overwrite",
         stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
         expected_snapshot=base,
     )

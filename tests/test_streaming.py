@@ -2754,3 +2754,44 @@ def test_merge_upsert_bloom_targets_scattered_keys(spark, tmp_path):
     # carried entries keep their bloom, so the next point lookup still prunes
     probed = read_snapshot(spark, table, prune_eq={"id": 205})
     assert len(probed.inputFiles()) == 1
+
+
+def test_compact_zorder_restores_two_dim_pruning(spark, tmp_path):
+    """compact(zorder_by=[a, b]) inside the snapshot log: microbatch-style
+    appends leave files whose stats span the whole domain on both columns;
+    the Z-order compaction rewrites them so manifest min/max pruning skips
+    files for predicates on EITHER dimension — and the row set is
+    byte-identical across the rewrite."""
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    # 4 "microbatches", each covering the FULL (a, b) domain
+    rows = [(a, b, a * 1000 + b) for a in range(40) for b in range(40)]
+    for i in range(4):
+        batch = [r for j, r in enumerate(rows) if j % 4 == i]
+        commit(
+            spark.createDataFrame(batch, "a long, b long, payload long").coalesce(1),
+            table,
+            stats_cols=["a", "b"],
+        )
+    # every file overlaps every predicate before compaction
+    pre_a = read_snapshot(spark, table, prune={"a": (0, 4)})
+    pre_b = read_snapshot(spark, table, prune={"b": (0, 4)})
+    assert len(pre_a.inputFiles()) == 4 and len(pre_b.inputFiles()) == 4
+
+    compact(spark, table, target_files=8, zorder_by=["a", "b"], stats_cols=["a", "b"])
+    post = read_snapshot(spark, table)
+    assert post.count() == len(rows)
+    assert sorted(tuple(r) for r in post.collect()) == sorted(rows)
+    post_a = read_snapshot(spark, table, prune={"a": (0, 4)})
+    post_b = read_snapshot(spark, table, prune={"b": (0, 4)})
+    n_files = len(post.inputFiles())
+    assert len(post_a.inputFiles()) < n_files
+    assert len(post_b.inputFiles()) < n_files
+    # pruned reads stay correct: add the real filter on top
+    assert post_a.filter("a <= 4").count() == 5 * 40
+    assert post_b.filter("b <= 4").count() == 5 * 40
