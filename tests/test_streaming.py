@@ -2795,3 +2795,124 @@ def test_compact_zorder_restores_two_dim_pruning(spark, tmp_path):
     # pruned reads stay correct: add the real filter on top
     assert post_a.filter("a <= 4").count() == 5 * 40
     assert post_b.filter("b <= 4").count() == 5 * 40
+
+
+def test_streaming_neardup_lsh_first_claim(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup detection: (1) the per-row signature
+    kernel reproduces the batch relational band keys row-for-row, (2) the
+    first-claim state yields exactly the collisions the full-corpus LSH
+    bucketing implies, across a microbatch boundary, (3) exact duplicates
+    collide on every band."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe.dedup import _MH_A, _MH_B, _MH_P
+    from event_stream_spark.datapipe.text import lsh_bands, shingle_rows
+    from event_stream_spark.streaming.neardup import (
+        band_keys_udf,
+        neardup_collisions,
+    )
+
+    base_txt = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        0: base_txt,
+        1: "completely different words about snapshot logs and parquet",
+        2: base_txt,  # exact dup of 0 → all bands collide
+        3: "the quick brown fox jumps over the lazy cat tonight",  # near dup
+        4: "another unrelated document mentioning kafka wire protocols",
+        5: base_txt,  # exact dup again, arrives in batch 2
+        6: "totally fresh content with nothing shared at all here",
+        7: "tiny",  # < 3 words → no shingles, no buckets
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    # (1) kernel ≡ relational derivation
+    bands, rows_ = 4, 4
+    k = bands * rows_
+    sh = shingle_rows(docs, 3)
+    b = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(
+        "doc_id",
+        *[((F.lit(_MH_A[i]) * b + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(f"h{i}")
+          for i in range(k)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}").cast("string") for i in range(k)]).alias("sig"),
+    )
+    rel = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in sig.select(
+            "doc_id",
+            F.posexplode(lsh_bands(F.col("sig"), bands, rows_)).alias(
+                "band_id", "band_key"
+            ),
+        ).collect()
+    }
+    kern = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(band_keys_udf()(F.col("text"))).alias(
+                "band_id", "band_key"
+            ),
+        ).collect()
+    }
+    assert kern == rel
+
+    # expected collisions: per bucket, everyone but the min doc_id
+    buckets: dict[tuple, list[int]] = {}
+    for d, bi, bk in kern:
+        buckets.setdefault((bi, bk), []).append(d)
+    expected = {
+        (d, bi, min(ids))
+        for (bi, _bk), ids in buckets.items()
+        if len(ids) > 1
+        for d in ids
+        if d != min(ids)
+    }
+
+    # (2) drive the stream in two microbatches split at doc_id 5
+    src = str(tmp_path / "nd_feed")
+    _os.makedirs(src)
+
+    def feed(name, lo, hi):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+        _os.replace(tmp, _os.path.join(src, name + ".json"))
+
+    feed("b1", 0, 5)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    got: set[tuple] = set()
+
+    def absorb(bdf, _id):
+        got.update((r.doc_id, r.band_id, r.first_doc_id) for r in bdf.collect())
+
+    q = (
+        neardup_collisions(stream)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("b2", 5, 8)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert got == expected
+    # (3) exact dups collide on all 4 bands against the original
+    assert {(2, b, 0) for b in range(4)} <= got
+    assert {(5, b, 0) for b in range(4)} <= got
+    # the shingle-less doc never claims or collides
+    assert not any(d == 7 or f == 7 for d, _b, f in got)
