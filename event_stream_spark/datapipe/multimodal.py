@@ -1509,6 +1509,168 @@ def keyframe_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 _MP3_RATES = (44100, 48000, 32000)
 
+# Full MPEG-audio header tables (ISO 11172-3 / 13818-3): bitrate kbps by
+# (version-group, layer); sample rates by version.  Version field: 3=MPEG1,
+# 2=MPEG2, 0=MPEG2.5 (the unofficial low-rate extension, same LSF tables).
+_MPA_BITRATES = {
+    # MPEG1: layer 1 / 2 / 3
+    (3, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (3, 3): _MP3_BITRATES,
+    # MPEG2/2.5 (LSF): layer 1; layers 2 and 3 share one table
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPA_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mpa_frame(content: bytes, pos: int):
+    """Decode one MPEG-audio frame header at ``pos``: returns (frame_bytes,
+    samples_per_frame, sample_rate, bitrate_bps, layer, version, channels)
+    or None if ``pos`` doesn't hold a valid header."""
+    if pos + 4 > len(content):
+        return None
+    h = content[pos : pos + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    ver = (h[1] >> 3) & 0x03           # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = 4 - ((h[1] >> 1) & 0x03)   # field 3→L1, 2→L2, 1→L3
+    if ver == 1 or layer == 4:
+        return None  # reserved version / reserved layer
+    vgrp = 3 if ver == 3 else 2
+    br_idx = (h[2] >> 4) & 0x0F
+    sr_idx = (h[2] >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format and reserved rates: not walkable
+    bitrate = _MPA_BITRATES[(vgrp, layer)][br_idx] * 1000
+    rate = _MPA_RATES[ver][sr_idx]
+    pad = (h[2] >> 1) & 1
+    channels = 1 if ((h[3] >> 6) & 0x03) == 3 else 2
+    if layer == 1:
+        samples = 384
+        fbytes = (12 * bitrate // rate + pad) * 4
+    else:
+        # L2 always 1152; L3 is 1152 in MPEG1 but 576 in MPEG2/2.5 (LSF)
+        samples = 1152 if (layer == 2 or ver == 3) else 576
+        coef = 144 if (layer == 2 or ver == 3) else 72
+        fbytes = coef * bitrate // rate + pad
+    return (fbytes, samples, rate, bitrate, layer, ver, channels)
+
+
+def _id3v2_size(content: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none)."""
+    if content[:3] != b"ID3" or len(content) < 10:
+        return 0
+    sz = 0
+    for b in content[6:10]:
+        sz = (sz << 7) | (b & 0x7F)
+    return 10 + sz + (10 if content[5] & 0x10 else 0)  # footer flag
+
+
+def id3v2_tags(content: bytes | None) -> dict:
+    """Text frames of a leading ID3v2.3/2.4 tag as ``{frame_id: text}``
+    (TIT2 title, TPE1 artist, TALB album, TSSE encoder, …).  Handles the
+    four spec text encodings (latin-1, utf-16 w/ BOM, utf-16be, utf-8) and
+    the v2.4 syncsafe frame sizes; non-text frames are skipped.  Returns
+    {} when no tag is present — pure container metadata, same contract as
+    the other header parsers here."""
+    if not content or content[:3] != b"ID3" or len(content) < 10:
+        return {}
+    major = content[3]
+    end = _id3v2_size(content)
+    pos = 10
+    out: dict[str, str] = {}
+    while pos + 10 <= min(end, len(content)):
+        fid = content[pos : pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding reached
+        raw = content[pos + 4 : pos + 8]
+        if major >= 4:  # syncsafe in v2.4
+            size = 0
+            for b in raw:
+                size = (size << 7) | (b & 0x7F)
+        else:
+            size = int.from_bytes(raw, "big")
+        body = content[pos + 10 : pos + 10 + size]
+        pos += 10 + size
+        if size == 0 or not fid.startswith(b"T") or len(body) < 1:
+            continue
+        enc, payload = body[0], body[1:]
+        try:
+            if enc == 0:
+                text = payload.decode("latin-1")
+            elif enc == 1:
+                text = payload.decode("utf-16")
+            elif enc == 2:
+                text = payload.decode("utf-16-be")
+            elif enc == 3:
+                text = payload.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out[fid.decode("ascii")] = text.rstrip("\x00")
+    return out
+
+
+def mp3_frame_profile(content: bytes | None) -> dict | None:
+    """EXACT MPEG-audio stream profile by walking every frame header:
+    frame count, sample-accurate duration, version/layer, sample rate,
+    channels, min/max bitrate (CBR vs VBR), and whether a Xing/Info VBR
+    header frame leads the stream.  Covers MPEG1, MPEG2 and MPEG2.5,
+    Layers I–III — unlike :func:`mp3_duration_ms`'s single-header CBR
+    estimate, the walk is correct for VBR files and LSF sample rates.
+    Leading ID3v2 and trailing ID3v1 tags are stepped over; sample DECODE
+    stays stubbed (declared) — this is container structure, the metadata a
+    media lake records per object."""
+    if not content or len(content) < 4:
+        return None
+    pos = _id3v2_size(content)
+    end = len(content)
+    if end >= 128 and content[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    first = _mpa_frame(content, pos)
+    if first is None:
+        return None
+    n = 0
+    samples = 0
+    br_lo = br_hi = None
+    xing = False
+    ver = layer = rate = channels = None
+    while pos + 4 <= end:
+        fr = _mpa_frame(content, pos)
+        if fr is None:
+            break
+        fbytes, smp, rate, bitrate, layer, ver, channels = fr
+        if n == 0:
+            # Xing/Info (VBR header) sits in the side-info region of the
+            # first frame; that frame carries no audio
+            probe = content[pos + 4 : pos + min(fbytes, 64)]
+            xing = b"Xing" in probe or b"Info" in probe
+        if not xing or n > 0:
+            samples += smp
+        n += 1
+        br_lo = bitrate if br_lo is None else min(br_lo, bitrate)
+        br_hi = bitrate if br_hi is None else max(br_hi, bitrate)
+        if fbytes <= 0:
+            return None
+        pos += fbytes
+    if n == 0 or rate is None:
+        return None
+    return {
+        "n_frames": n,
+        "duration_ms": samples * 1000 // rate,
+        "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[ver],
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": channels,
+        "bitrate_min": br_lo,
+        "bitrate_max": br_hi,
+        "vbr": br_lo != br_hi,
+        "xing": xing,
+    }
+
 
 def mp3_duration_ms(content: bytes | None) -> int | None:
     """CBR duration estimate from the first MPEG1 Layer III frame header

@@ -2131,3 +2131,147 @@ def test_lm_score_kn_continuation_property(spark, tmp_path):
     assert rows[2].n_bigrams == 1 and rows[3].n_bigrams == 1
     # "of francisco" must be MORE surprising than "of the"
     assert rows[2].surprisal_p6 > rows[3].surprisal_p6
+
+
+def _mpa_header(ver=3, layer=3, br_idx=9, sr_idx=0, pad=0, mode=3):
+    """Pack one MPEG-audio frame header (ver: 3=MPEG1, 2=MPEG2, 0=MPEG2.5;
+    layer as LAYER NUMBER 1..3)."""
+    b1 = 0xE0 | (ver << 3) | ((4 - layer) << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b3 = mode << 6
+    return bytes([0xFF, b1, b2, b3])
+
+
+def _mpa_stream(headers_and_sizes):
+    out = bytearray()
+    for hdr, size in headers_and_sizes:
+        out += hdr + bytes(size - 4)
+    return bytes(out)
+
+
+def test_mp3_frame_profile_versions_layers_vbr():
+    """Frame walk: MPEG1 L3 CBR, MPEG2 LSF 576-sample frames, Layer II,
+    VBR bitrate switching, Xing header exclusion, ID3v1/v2 tag stepping."""
+    from event_stream_spark.datapipe.multimodal import (
+        id3v2_tags,
+        mp3_frame_profile,
+    )
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz: frame = 144*128000//44100 = 417
+    h = _mpa_header(ver=3, layer=3, br_idx=9, sr_idx=0)
+    p = mp3_frame_profile(_mpa_stream([(h, 417)] * 10))
+    assert p["n_frames"] == 10 and p["version"] == "MPEG1" and p["layer"] == 3
+    assert p["duration_ms"] == 10 * 1152 * 1000 // 44100
+    assert not p["vbr"] and p["channels"] == 1
+
+    # MPEG2 Layer III (LSF): 576 samples, coef 72 — 64 kbps @ 22050
+    h2 = _mpa_header(ver=2, layer=3, br_idx=8, sr_idx=0)
+    sz2 = 72 * 64000 // 22050
+    p = mp3_frame_profile(_mpa_stream([(h2, sz2)] * 20))
+    assert p["version"] == "MPEG2" and p["duration_ms"] == 20 * 576 * 1000 // 22050
+
+    # Layer II MPEG1 stereo: 1152 samples, coef 144 — 192 kbps @ 48000
+    hl2 = _mpa_header(ver=3, layer=2, br_idx=10, sr_idx=1, mode=0)
+    p = mp3_frame_profile(_mpa_stream([(hl2, 144 * 192000 // 48000)] * 5))
+    assert p["layer"] == 2 and p["channels"] == 2 and p["n_frames"] == 5
+
+    # VBR: alternate 128/320 kbps MPEG1 L3 frames
+    h320 = _mpa_header(ver=3, layer=3, br_idx=14, sr_idx=0)
+    vbr = _mpa_stream([(h, 417), (h320, 144 * 320000 // 44100)] * 4)
+    p = mp3_frame_profile(vbr)
+    assert p["vbr"] and p["bitrate_min"] == 128000 and p["bitrate_max"] == 320000
+
+    # Xing header frame carries no audio samples
+    first = h + bytes(28) + b"Xing" + bytes(417 - 4 - 28 - 4)
+    p = mp3_frame_profile(first + _mpa_stream([(h, 417)] * 9))
+    assert p["xing"] and p["n_frames"] == 10
+    assert p["duration_ms"] == 9 * 1152 * 1000 // 44100
+
+    # tags: ID3v2 in front (syncsafe size), ID3v1 'TAG' trailer
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    trailer = b"TAG" + bytes(125)
+    p = mp3_frame_profile(tag + _mpa_stream([(h, 417)] * 3) + trailer)
+    assert p["n_frames"] == 3
+    assert id3v2_tags(tag + b"x") == {}  # padding-only tag: no text frames
+
+    assert mp3_frame_profile(b"\x00\x01") is None
+    assert mp3_frame_profile(None) is None
+
+
+def test_id3v2_text_frames_all_encodings():
+    """ID3v2.4 (syncsafe) and v2.3 (plain-size) text frames in all four
+    spec encodings decode; non-text frames are skipped."""
+    from event_stream_spark.datapipe.multimodal import id3v2_tags
+
+    def frame(fid, text, enc, syncsafe=True):
+        if enc == 0:
+            body = bytes([0]) + text.encode("latin-1")
+        elif enc == 1:
+            body = bytes([1]) + text.encode("utf-16")
+        elif enc == 2:
+            body = bytes([2]) + text.encode("utf-16-be")
+        else:
+            body = bytes([3]) + text.encode("utf-8")
+        n = len(body)
+        raw = (
+            bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+            if syncsafe
+            else n.to_bytes(4, "big")
+        )
+        return fid + raw + b"\x00\x00" + body
+
+    def tag(frames, major=4):
+        body = b"".join(frames)
+        n = len(body)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3" + bytes([major, 0, 0]) + ss + body
+
+    t4 = tag(
+        [
+            frame(b"TIT2", "Song Title", 3),
+            frame(b"TPE1", "Ärtíst", 1),
+            frame(b"TALB", "Album", 0),
+            frame(b"TSSE", "Encoder", 2),
+            frame(b"APIC", "notext", 0),  # non-text: skipped
+        ]
+    )
+    got = id3v2_tags(t4)
+    assert got == {
+        "TIT2": "Song Title",
+        "TPE1": "Ärtíst",
+        "TALB": "Album",
+        "TSSE": "Encoder",
+    }
+    t3 = tag([frame(b"TIT2", "Old School", 0, syncsafe=False)], major=3)
+    assert id3v2_tags(t3) == {"TIT2": "Old School"}
+
+
+def test_mp3_profile_real_world_file():
+    """Ground truth against a real encoder's output (ffmpeg/Lavf MPEG2
+    Layer III mono file shipped with the system's gsutil test data):
+    frame geometry, LSF 576-sample duration math, and the ID3v2.4 TSSE
+    encoder frame all line up."""
+    import os
+
+    import pytest
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(path):
+        pytest.skip("system test mp3 not present")
+    from event_stream_spark.datapipe.multimodal import (
+        id3v2_tags,
+        mp3_frame_profile,
+    )
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    p = mp3_frame_profile(data)
+    assert p["version"] == "MPEG2" and p["layer"] == 3
+    assert p["sample_rate"] == 22050 and p["channels"] == 1
+    assert not p["vbr"] and p["bitrate_min"] == 64000
+    # 45 frames × 576 samples @ 22050 Hz
+    assert p["n_frames"] == 45 and p["duration_ms"] == 1175
+    assert id3v2_tags(data).get("TSSE", "").startswith("Lavf")
