@@ -1170,6 +1170,106 @@ CHAR_DUP_SPANS_SQL = f"""
 """
 
 
+# Flag a pair once its longest shared substring reaches this many chars
+LCS_FLAG_MIN = 40
+
+
+def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT longest-common-substring length per candidate doc pair — the
+    pair-granular form of exact-substring dedup (Lee et al. 2022 §3: the
+    memorization signal is a long VERBATIM shared span, which similarity
+    scores blur).  Returns (a, b, lcs_len, lcs_flagged) for every pair
+    sharing at least one {CHAR_SPAN_N}-char substring.
+
+    The whole computation is RELATIONAL — no suffix arrays, no kernels —
+    via the diagonal run-length identity: a shared substring of length
+    L ≥ {CHAR_SPAN_N} starting at position i of a and j of b is exactly a
+    run of L−{CHAR_SPAN_N}+1 consecutive char-gram matches on the diagonal
+    d = i−j, so LCS = {CHAR_SPAN_N}−1 + the longest such run.  Runs fall
+    out of the classic ``pos − row_number()`` gaps-and-islands constant.
+
+    Scale shape: gram anchors ride as 60-bit integers (exactness is up to
+    md5-60-bit anchor collisions, the documented ``char_dup_spans``
+    contract — the oracle uses the identical keys so both engines agree
+    unconditionally); the match relation is one gram-key equi-join whose
+    output is Σ_g occ_a(g)·occ_b(g) over cross-doc grams — proportional
+    to true shared content, never doc×doc, with the per-gram occurrence
+    product as the skew knob (cap ultra-heavy grams at ingest, the PPJoin
+    prefix-filter analog); islands need one (a, b, diag) window exchange;
+    everything is whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    g = _char_grams(spark, sf)
+    # only cross-doc grams enter the pairing join (same min≠max trick as
+    # char_dup_spans — single-doc grams can't form a pair)
+    dup = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("g")
+    )
+    occ = g.join(dup, "g").select("doc_id", "pos", "g")
+    a = occ.select(
+        F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g"
+    )
+    b = occ.select(
+        F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g"
+    )
+    m = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ia", (F.col("ia") - F.col("jb")).alias("diag"))
+    )
+    w = Window.partitionBy("a", "b", "diag").orderBy("ia")
+    runs = (
+        m.select(
+            "a", "b", "diag", "ia",
+            (F.col("ia") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("a", "b", "diag", "grp")
+        .agg(F.count("*").alias("r"))
+    )
+    return (
+        runs.groupBy("a", "b")
+        .agg((F.max("r") + F.lit(CHAR_SPAN_N - 1)).alias("lcs_len"))
+        .select(
+            "a", "b", "lcs_len",
+            (F.col("lcs_len") >= LCS_FLAG_MIN).alias("lcs_flagged"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+LCS_PAIRS_SQL = f"""
+    WITH grams AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substring(md5(substring(text, i, {CHAR_SPAN_N})), 1, 15))::BIGINT AS g
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
+            FROM documents) s),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+    occ AS (SELECT doc_id, pos, grams.g FROM grams JOIN dup USING (g)),
+    m AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS ia,
+               a.pos - b.pos AS diag
+        FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
+    runs AS (
+        SELECT a, b, count(*) AS r
+        FROM (
+            SELECT a, b, diag, ia,
+                   ia - row_number() OVER (PARTITION BY a, b, diag ORDER BY ia)
+                       AS grp
+            FROM m)
+        GROUP BY a, b, diag, grp)
+    SELECT a, b, max(r) + {CHAR_SPAN_N - 1} AS lcs_len,
+           max(r) + {CHAR_SPAN_N - 1} >= {LCS_FLAG_MIN} AS lcs_flagged
+    FROM runs GROUP BY a, b
+    ORDER BY a, b
+"""
+
+
 def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source contamination matrix for the data card: for every pair
     of corpus sources, how many distinct word {DECON_N}-gram shingles they

@@ -186,6 +186,7 @@ def main() -> None:
     from event_stream_spark.datapipe.bpe import bpe_pairs
     from event_stream_spark.datapipe.corpusops import (
         char_dup_spans,
+        lcs_pairs,
         dsir_weights,
         dup_spans_clean,
         lm_score,
@@ -232,6 +233,7 @@ def main() -> None:
         ("dup_spans_clean", dup_spans_clean),
         ("dsir_weights", dsir_weights),
         ("char_dup_spans", char_dup_spans),
+        ("lcs_pairs", lcs_pairs),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")

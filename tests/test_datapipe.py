@@ -2275,3 +2275,59 @@ def test_mp3_profile_real_world_file():
     # 45 frames × 576 samples @ 22050 Hz
     assert p["n_frames"] == 45 and p["duration_ms"] == 1175
     assert id3v2_tags(data).get("TSSE", "").startswith("Lavf")
+
+
+def _py_lcs(a: str, b: str) -> int:
+    """Quadratic DP reference: exact longest common substring length."""
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_lcs_pairs_exact_against_dp_reference(spark, tmp_path):
+    """The diagonal run-length identity gives the EXACT longest common
+    substring for every pair sharing a 20-char gram — proved against an
+    independent quadratic-DP reference on a corpus with engineered
+    overlaps (a 40-char verbatim quote, a 21-char tail overlap, repeated
+    shared grams at multiple positions, and an unrelated doc)."""
+    from event_stream_spark.datapipe.corpusops import CHAR_SPAN_N, lcs_pairs
+
+    base = tmp_path / "lcs"
+    quote = "the five boxing wizards jump quickly at dawn"      # 45 chars
+    tail = "abcdefghijklmnopqrstu"                               # 21 chars
+    texts = {
+        0: f"intro text before the quote {quote} and trailing words here",
+        1: f"{quote} opens this one, then diverges completely afterwards",
+        2: f"ends with the shared tail {tail}",
+        3: f"{tail} starts this document then other content follows it",
+        4: "nothing in common with anything else in this tiny corpus!!",
+        # doc 5 shares the quote TWICE (two diagonals vs docs 0/1)
+        5: f"first {quote} then filler and again {quote} closing",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    got = {(r.a, r.b): r.lcs_len for r in lcs_pairs(spark, str(base)).collect()}
+    expected = {}
+    ids = sorted(texts)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                n = _py_lcs(texts[x], texts[y])
+                if n >= CHAR_SPAN_N:
+                    expected[(x, y)] = n
+    assert got == expected
+    assert got[(0, 1)] >= len(quote)  # the verbatim quote is recovered
+    assert got[(2, 3)] == len(tail)
+    assert not any(4 in p for p in got)
