@@ -262,3 +262,84 @@ LENGTH_TRIM_SQL = f"""
     FROM documents d JOIN cuts USING (lang)
     ORDER BY doc_id
 """
+
+
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch Reading Ease and Flesch–Kincaid grade per document — the
+    classic readability features a quality classifier consumes alongside
+    the Gopher-style ratios (``text_quality``):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Syllables use the standard vowel-group heuristic (runs of [aeiouy],
+    minimum 1 per word) and sentences count terminal-punctuation runs
+    (minimum 1) — both pure regex, mirrored verbatim in the oracle.
+
+    Scale shape: one doc_id aggregation over the shared ``word_rows``
+    contract plus a narrow per-doc regex projection — a single linear
+    shuffle, all codegen.  Scores are integer-scaled ×1e3 (the
+    ``surprisal_p6`` determinism contract)."""
+    from event_stream_spark.datapipe.text import word_rows
+
+    d = t(spark, sf, "documents")
+    syl = F.greatest(
+        F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")), F.lit(1)
+    )
+    per = (
+        word_rows(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(syl).alias("n_syllables"),
+        )
+    )
+    sent = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("n_sentences"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return (
+        per.join(sent, "doc_id")
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            F.round(ease * 1e3).cast("long").alias("ease_p3"),
+            F.round(grade * 1e3).cast("long").alias("grade_p3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_READABILITY_SQL = """
+    WITH w AS (
+        SELECT doc_id, x.w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents) d,
+             unnest(d.ws) AS x(w)),
+    per AS (
+        SELECT doc_id, count(*) AS n_words,
+               sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))
+                   AS n_syllables
+        FROM w GROUP BY doc_id),
+    sent AS (
+        SELECT doc_id,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(round((206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables / n_words)) * 1e3) AS BIGINT)
+               AS ease_p3,
+           CAST(round((0.39 * (n_words / n_sentences)
+                       + 11.8 * (n_syllables / n_words) - 15.59) * 1e3)
+               AS BIGINT) AS grade_p3
+    FROM per JOIN sent USING (doc_id)
+    ORDER BY doc_id
+"""

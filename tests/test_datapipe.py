@@ -2331,3 +2331,33 @@ def test_lcs_pairs_exact_against_dp_reference(spark, tmp_path):
     assert got[(0, 1)] >= len(quote)  # the verbatim quote is recovered
     assert got[(2, 3)] == len(tail)
     assert not any(4 in p for p in got)
+
+
+def test_text_readability_flesch_values(spark, tmp_path):
+    """Readability math on constructed docs: a one-syllable-word sentence
+    scores near the Flesch maximum; polysyllabic run-ons score far lower;
+    syllable and sentence counting follow the declared heuristics."""
+    from event_stream_spark.datapipe.textstats import text_readability
+
+    base = tmp_path / "read"
+    texts = {
+        0: "the cat sat on the mat.",
+        1: "internationalization considerations necessitate organizational "
+           "prioritization of incomprehensibility evaluations",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r for r in text_readability(spark, str(base)).collect()}
+    r0 = rows[0]
+    # "the cat sat on the mat." → 6 words, 1 sentence, 6 syllables
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (6, 1, 6)
+    expect0 = round((206.835 - 1.015 * 6.0 - 84.6 * 1.0) * 1e3)
+    assert r0.ease_p3 == expect0
+    r1 = rows[1]
+    assert r1.n_sentences == 1  # no terminal punctuation → min 1
+    assert r1.n_syllables > 3 * r1.n_words  # heavily polysyllabic
+    assert r1.ease_p3 < 0 < r0.ease_p3  # run-on jargon vs simple prose
+    assert r1.grade_p3 > r0.grade_p3

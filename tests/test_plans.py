@@ -923,3 +923,16 @@ def test_pq_codebook_build_is_cached(spark):
     before = sc._jsc.sc().dagScheduler().numTotalJobs()
     ann_pq_topk(spark, SF_CORRECT)
     assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
+
+
+def test_lcs_pairs_is_equi_join_plus_islands(spark):
+    """lcs_pairs stays relational: the gram-match relation is an equi-join
+    on the 60-bit gram key (never a nested-loop/cartesian pairing), the
+    island computation is one (a, b, diag) window, and no Python stage
+    appears anywhere — the whole operator is JVM codegen."""
+    from event_stream_spark.datapipe.corpusops import lcs_pairs
+
+    p = plan(lcs_pairs(spark, SF_CORRECT))
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "EvalPython"):
+        assert bad not in p, bad
+    assert "Window" in p
