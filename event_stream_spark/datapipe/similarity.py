@@ -1097,6 +1097,35 @@ def pq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
     return cb1
 
 
+def pq_lut(q: list[float], cb: list[list[list[float]]]) -> list[list[float]]:
+    """The query's [PQ_M × PQ_K] lookup table of EXACT query-subvector-to-
+    codeword squared distances, computed driver-side in the strict left
+    fold both oracles replay (rounded 9dp)."""
+    lut: list[list[float]] = []
+    for m in range(PQ_M):
+        qs = q[m * PQ_SUB : (m + 1) * PQ_SUB]
+        row = []
+        for c in cb[m]:
+            acc = 0.0
+            for a, b in zip(qs, c):  # strict left fold — both oracles replay
+                acc += (a - b) * (a - b)
+            row.append(round(acc, 9))
+        lut.append(row)
+    return lut
+
+
+def _adc_expr(lut: list[list[float]]) -> Column:
+    """ADC distance over ``code_0 .. code_{M-1}`` columns: the sum of M
+    literal-array lookups — pure codegen, fixed m-order addition."""
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code_{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def ann_pq_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
     """PQ/ADC top-k: encode the table against the trained codebooks, build
     the query's M×K lookup table of EXACT query-subvector-to-codeword
@@ -1114,25 +1143,9 @@ def ann_pq_topk(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
     left-fold LUT arithmetic, same ``adc_p6`` integer scaling)."""
     cb = pq_codebooks(spark, sf)
     q = _query_vector(spark, sf)
-    lut: list[list[float]] = []
-    for m in range(PQ_M):
-        qs = q[m * PQ_SUB : (m + 1) * PQ_SUB]
-        row = []
-        for c in cb[m]:
-            acc = 0.0
-            for a, b in zip(qs, c):  # strict left fold — both oracles replay
-                acc += (a - b) * (a - b)
-            row.append(round(acc, 9))
-        lut.append(row)
-
     e = t(spark, sf, "embeddings")
     coded = _pq_codes(e.select("vec_id", "embedding"), cb)
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code_{m}") + 1
-        )
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(pq_lut(q, cb))
     return (
         coded.select(
             "vec_id",

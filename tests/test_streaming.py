@@ -2916,3 +2916,80 @@ def test_streaming_neardup_lsh_first_claim(spark, tmp_path):
     assert {(5, b, 0) for b in range(4)} <= got
     # the shingle-less doc never claims or collides
     assert not any(d == 7 or f == 7 for d, _b, f in got)
+
+
+def test_streaming_pq_index_batch_stream_parity(spark, tmp_path):
+    """PQ index maintained from an embedding stream in atomic snapshot
+    commits: probing the streamed code table returns EXACTLY what the
+    inline ann_pq_topk computes over the same vectors and codebooks;
+    replays commit nothing; historical index states stay probe-able."""
+    import json as _json
+    import os as _os
+
+    from event_stream_spark.datapipe.similarity import (
+        ann_pq_topk,
+        pq_codebooks,
+        _query_vector,
+    )
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.streaming.pqstream import (
+        ann_from_pq_index,
+        pq_index_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cb = pq_codebooks(spark, sf)
+    q = _query_vector(spark, sf)
+    vecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    src = str(tmp_path / "pq_feed")
+    _os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = str(tmp_path / (name + ".tmp"))
+        with open(tmp, "w") as fh:
+            for vid, emb in rows:
+                fh.write(_json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        _os.replace(tmp, _os.path.join(src, name + ".json"))
+
+    half = len(vecs) // 2
+    feed("b1", vecs[:half])
+    table = str(tmp_path / "pq_table")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(src)
+    qy = pq_index_sink(stream, table, str(tmp_path / "ckpt_pq"), cb).start()
+    try:
+        qy.processAllAvailable()
+        snap_half = snaplog.snapshots(table)[-1]
+        feed("b2", vecs[half:])
+        qy.processAllAvailable()
+        feed("b3", vecs[:10])  # replay: all already indexed → no commit
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+
+    # replay committed nothing: still exactly 2 snapshots
+    assert len(snaplog.snapshots(table)) == 2
+    assert snaplog.read_snapshot(spark, table).count() == len(vecs)
+
+    got = [
+        (r.vec_id, r.codes, r.adc_p6)
+        for r in ann_from_pq_index(spark, table, q, cb).collect()
+    ]
+    want = [
+        (r.vec_id, r.codes, r.adc_p6) for r in ann_pq_topk(spark, sf).collect()
+    ]
+    assert got == want
+
+    # time travel: the half-index probe sees only the first batch's vectors
+    early = ann_from_pq_index(spark, table, q, cb, snapshot=snap_half).collect()
+    assert all(r.vec_id < vecs[half][0] or r.vec_id <= vecs[half - 1][0]
+               for r in early)
+    assert {r.vec_id for r in early} <= {v for v, _e in vecs[:half]}
