@@ -898,18 +898,18 @@ def test_char_dup_spans_hashes_not_text(spark):
 
 
 def test_pq_probe_is_lut_scan_topk(spark):
-    """ann_pq_topk probe plan: after the (cached) codebook training, the
-    probe is scan → encode kernel → literal-LUT element_at sum →
-    TakeOrdered.  No join of any kind and exactly ONE Arrow stage (the
-    subspace-distance kernel) — the ADC scoring itself is pure codegen
-    against broadcast-literal lookup tables."""
+    """ann_pq_topk probe plan: after the (cached) codebook training and
+    the one-time encode materialization, the probe is a pure JVM scan of
+    the M int-code columns → literal-LUT element_at sum → TakeOrdered.
+    No join, no exchange, and ZERO Python stages — the encode kernel runs
+    once at index build, never per probe (the LSH/IVF probe stance)."""
     from event_stream_spark.datapipe.similarity import ann_pq_topk
 
     p = plan(ann_pq_topk(spark, SF_CORRECT))
     assert "TakeOrdered" in p
-    for bad in ("Join", "Cartesian", "Exchange hashpartitioning"):
+    for bad in ("Join", "Cartesian", "Exchange hashpartitioning",
+                "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in p, bad
-    assert p.count("ArrowEvalPython") == 1
 
 
 def test_pq_codebook_build_is_cached(spark):
