@@ -1172,6 +1172,10 @@ CHAR_DUP_SPANS_SQL = f"""
 
 # Flag a pair once its longest shared substring reaches this many chars
 LCS_FLAG_MIN = 40
+# Candidate-generation DF cap: grams occurring in more than this many
+# DISTINCT docs are corpus boilerplate and do not NOMINATE pairs (they
+# still extend runs of nominated pairs, so lcs_len stays exact)
+LCS_MAX_GRAM_DOCS = 64
 
 
 def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1179,46 +1183,57 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
     pair-granular form of exact-substring dedup (Lee et al. 2022 §3: the
     memorization signal is a long VERBATIM shared span, which similarity
     scores blur).  Returns (a, b, lcs_len, lcs_flagged) for every pair
-    sharing at least one {CHAR_SPAN_N}-char substring.
+    sharing at least one RARE {CHAR_SPAN_N}-char substring (one occurring
+    in ≤ {LCS_MAX_GRAM_DOCS} distinct docs); within every reported pair
+    the lcs_len is exact over ALL shared substrings, rare or not.
 
-    The whole computation is RELATIONAL — no suffix arrays, no kernels —
-    via the diagonal run-length identity: a shared substring of length
+    The computation is RELATIONAL — no suffix arrays, no kernels — via
+    the diagonal run-length identity: a shared substring of length
     L ≥ {CHAR_SPAN_N} starting at position i of a and j of b is exactly a
     run of L−{CHAR_SPAN_N}+1 consecutive char-gram matches on the diagonal
     d = i−j, so LCS = {CHAR_SPAN_N}−1 + the longest such run.  Runs fall
     out of the classic ``pos − row_number()`` gaps-and-islands constant.
 
-    Scale shape: gram anchors ride as 60-bit integers (exactness is up to
-    md5-60-bit anchor collisions, the documented ``char_dup_spans``
-    contract — the oracle uses the identical keys so both engines agree
-    unconditionally); the match relation is one gram-key equi-join whose
-    output is Σ_g occ_a(g)·occ_b(g) over cross-doc grams — proportional
-    to true shared content, never doc×doc, with the per-gram occurrence
-    product as the skew knob (cap ultra-heavy grams at ingest, the PPJoin
-    prefix-filter analog); islands need one (a, b, diag) window exchange;
-    everything is whole-stage codegen.
+    Scale shape — the two-phase split is the load-bearing part: grams in
+    > {LCS_MAX_GRAM_DOCS} docs are corpus BOILERPLATE, and letting them
+    nominate pairs is doc×doc quadratic in the hot group (a paragraph
+    shared by 5% of a 200k corpus nominates 5·10⁷ pairs — measured, the
+    10× sweep died there).  Phase 1 nominates pairs from rare grams only
+    (output ∝ true near-dup pairs, the PPJoin/Lee prefix-filter stance);
+    phase 2 joins the FULL gram-occurrence relation back to just the
+    nominated pairs, so run extension — and therefore lcs_len — is exact
+    per reported pair, boilerplate grams included.  Pairs whose ONLY
+    overlap is >-cap boilerplate drop out by design (they are what exact-
+    substring dedup removes corpus-wide, not pairwise).  Gram anchors
+    ride as 60-bit integers (exactness up to md5-60-bit collisions, the
+    ``char_dup_spans`` contract; the oracle uses identical keys so both
+    engines agree unconditionally); islands need one (a, b, diag) window
+    exchange; everything is whole-stage codegen.
     """
     from pyspark.sql import Window
 
     g = _char_grams(spark, sf)
-    # only cross-doc grams enter the pairing join (same min≠max trick as
-    # char_dup_spans — single-doc grams can't form a pair)
-    dup = (
+    # phase 1: rare cross-doc grams nominate candidate pairs
+    rare = (
         g.groupBy("g")
-        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= LCS_MAX_GRAM_DOCS))
         .select("g")
     )
-    occ = g.join(dup, "g").select("doc_id", "pos", "g")
-    a = occ.select(
-        F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g"
-    )
-    b = occ.select(
-        F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g"
-    )
-    m = (
-        a.join(b, "g")
+    rocc = g.join(rare, "g").select("doc_id", "g").distinct()
+    cand = (
+        rocc.select(F.col("doc_id").alias("a"), "g")
+        .join(rocc.select(F.col("doc_id").alias("b"), "g"), "g")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # phase 2: ALL gram occurrences of just the nominated pairs
+    a = g.select(F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g")
+    b = g.select(F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g")
+    m = (
+        cand.join(a, "a")
+        .join(b, ["b", "g"])
         .select("a", "b", "ia", (F.col("ia") - F.col("jb")).alias("diag"))
     )
     w = Window.partitionBy("a", "b", "diag").orderBy("ia")
@@ -1249,12 +1264,17 @@ LCS_PAIRS_SQL = f"""
             SELECT doc_id, text,
                    unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
             FROM documents) s),
-    dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
-    occ AS (SELECT doc_id, pos, grams.g FROM grams JOIN dup USING (g)),
+    rare AS (SELECT g FROM grams GROUP BY g
+             HAVING count(DISTINCT doc_id) BETWEEN 2 AND {LCS_MAX_GRAM_DOCS}),
+    rocc AS (SELECT DISTINCT doc_id, grams.g FROM grams JOIN rare USING (g)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM rocc a JOIN rocc b ON a.g = b.g AND a.doc_id < b.doc_id),
     m AS (
-        SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS ia,
-               a.pos - b.pos AS diag
-        FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
+        SELECT c.a, c.b, ga.pos AS ia, ga.pos - gb.pos AS diag
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.a
+        JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g),
     runs AS (
         SELECT a, b, count(*) AS r
         FROM (

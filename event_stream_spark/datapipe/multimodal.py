@@ -1487,15 +1487,33 @@ def keyframe_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     the shuffle."""
     idx = video_frame_index(df).filter(F.col("keyframe"))
     grid = frame_sample_plan(df, every_ms=every_ms)
+    kf = F.struct("frame_idx", "pts_ms", "file_offset", "size_bytes")
+    # latest keyframe at-or-before the grid point; grid points EARLIER
+    # than the first keyframe (positive composition offset on frame 0 —
+    # common without edit lists) fall back to that first keyframe, which
+    # is what a real player seeking to t=0 decodes.  max_by/min_by ignore
+    # NULL ordering keys, so the covered/fallback split is one aggregate.
     chosen = (
         grid.join(idx, "media_id")
-        .filter(F.col("pts_ms") <= F.col("frame_ts_ms"))
         .groupBy("media_id", "frame_ts_ms")
         .agg(
-            F.max_by("frame_idx", "pts_ms").alias("frame_idx"),
-            F.max("pts_ms").alias("pts_ms"),
-            F.max_by("file_offset", "pts_ms").alias("file_offset"),
-            F.max_by("size_bytes", "pts_ms").alias("size_bytes"),
+            F.max_by(
+                kf, F.when(F.col("pts_ms") <= F.col("frame_ts_ms"), F.col("pts_ms"))
+            ).alias("_cov"),
+            F.min_by(kf, "pts_ms").alias("_first"),
+        )
+        .select(
+            "media_id",
+            "frame_ts_ms",
+            F.coalesce("_cov", "_first").alias("_kf"),
+        )
+        .select(
+            "media_id",
+            "frame_ts_ms",
+            F.col("_kf.frame_idx").alias("frame_idx"),
+            F.col("_kf.pts_ms").alias("pts_ms"),
+            F.col("_kf.file_offset").alias("file_offset"),
+            F.col("_kf.size_bytes").alias("size_bytes"),
         )
     )
     return (

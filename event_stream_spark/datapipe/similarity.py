@@ -1045,6 +1045,13 @@ def pq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
         return cached
     e = t(spark, sf, "embeddings")
     n = e.count()
+    if n < PQ_K:
+        # a short seed list would mis-stride the fixed-PQ_K kernel slices
+        # and diverge from the SQL twin — refuse loudly (the read_snapshot
+        # ValueError contract), don't mis-encode
+        raise ValueError(
+            f"PQ training needs at least PQ_K={PQ_K} vectors, table has {n}"
+        )
     stride = max(1, n // PQ_K)
     seed_ids = [j * stride for j in range(PQ_K)]
     rows = (

@@ -131,10 +131,19 @@ SNAP_BLOOM_K = 3
 def _bloom_hashes(value, m: int = SNAP_BLOOM_M, k: int = SNAP_BLOOM_K) -> list[int]:
     """The k bit positions for a value — same function at build and probe
     (pure Python + md5: engine-independent, stable across runs).  Values
-    are type-tagged so int 7 and str '7' don't alias."""
+    are type-tagged so int 7 and str '7' don't alias — but NUMERICALLY
+    EQUAL probe values must hash identically to the build (Spark's
+    equality coerces 101.0 == 101 == True·101), so integral floats and
+    bools canonicalize to int before tagging.  A non-integral float can
+    never equal an integer column value, so its (unmatchable) hash
+    pruning everything is correct."""
     import hashlib
 
-    tag = "i" if isinstance(value, int) and not isinstance(value, bool) else "s"
+    if isinstance(value, bool):
+        value = int(value)
+    elif isinstance(value, float) and value.is_integer():
+        value = int(value)
+    tag = "i" if isinstance(value, int) else "s"
     canon = f"{tag}|{value}".encode()
     return [
         int.from_bytes(
@@ -551,13 +560,15 @@ def merge_upsert(
         else:
             touched.append(e)
     if touched and any((e.get("bloom") or {}).get(key) for e in touched):
-        n_keys = updates.select(key).distinct().count()
-        if n_keys <= bloom_target_max_keys:
-            keys = [
-                r[0]
-                for r in updates.select(key).distinct().collect()
-                if r[0] is not None
-            ]
+        # one job: limit(max+1) both sizes the guard and fetches the keys
+        rows = (
+            updates.select(key)
+            .distinct()
+            .limit(bloom_target_max_keys + 1)
+            .collect()
+        )
+        if len(rows) <= bloom_target_max_keys:
+            keys = [r[0] for r in rows if r[0] is not None]
             still = []
             for e in touched:
                 bl = (e.get("bloom") or {}).get(key)

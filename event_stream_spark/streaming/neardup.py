@@ -54,14 +54,21 @@ def band_keys_udf(*, bands: int = 4, rows: int = 4, shingle_n: int = 3):
     to the batch relational derivation (``minhash_lsh_pairs``).  Docs with
     fewer than ``shingle_n`` words yield an empty array — the batch path
     has no signature rows for them either."""
+    import re
+
     k = bands * rows
     A, B = _MH_A[:k], _MH_B[:k]
+    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+    # splits on ALL Unicode whitespace (U+00A0 etc.) and would fork the
+    # tokenization contract — re.ASCII pins the same class the batch
+    # word_rows/shingle_rows path uses
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf("array<string>")
     def _keys(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            ws = [w for w in (t or "").lower().split() if w]
+            ws = [w for w in ws_re.split((t or "").lower()) if w]
             sh = {
                 " ".join(ws[i : i + shingle_n])
                 for i in range(len(ws) - shingle_n + 1)

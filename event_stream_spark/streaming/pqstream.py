@@ -62,10 +62,16 @@ def pq_index_batch(
     if snaplog.snapshots(table):
         seen = snaplog.read_snapshot(spark, table).select("vec_id")
         fresh = fresh.join(seen, "vec_id", "left_anti")
-    codes = pq_encode_batch(fresh, codebooks)
-    n = codes.count()
-    if n:
-        snaplog.commit(codes, table, mode="append", stats_cols=["vec_id"])
+    # persist: the count gate and the commit's parquet write would
+    # otherwise each run the encode kernel AND the ledger anti-join —
+    # 2× the dominant per-batch cost
+    codes = pq_encode_batch(fresh, codebooks).persist()
+    try:
+        n = codes.count()
+        if n:
+            snaplog.commit(codes, table, mode="append", stats_cols=["vec_id"])
+    finally:
+        codes.unpersist()
     return n
 
 

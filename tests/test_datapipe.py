@@ -2361,3 +2361,86 @@ def test_text_readability_flesch_values(spark, tmp_path):
     assert r1.n_syllables > 3 * r1.n_words  # heavily polysyllabic
     assert r1.ease_p3 < 0 < r0.ease_p3  # run-on jargon vs simple prose
     assert r1.grade_p3 > r0.grade_p3
+
+
+def test_keyframe_plan_covers_pre_first_keyframe_grid(spark):
+    """A clip whose first sync sample has a positive composition offset:
+    grid points earlier than the first keyframe's pts fall back to that
+    first keyframe (what a player seeking to t=0 decodes) instead of
+    silently dropping the clip's opening."""
+    from event_stream_spark.datapipe.multimodal import (
+        MEDIA,
+        keyframe_sample_plan,
+    )
+
+    clip = _mp4_with_stbl(ctts_runs=((8, 100),))  # every pts = dts + 100
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(clip), "mp4", 640, 360, 1500)], MEDIA
+    )
+    plan_rows = keyframe_sample_plan(df, every_ms=500).collect()
+    by_grid = {}
+    for r in plan_rows:
+        by_grid.setdefault(r.frame_idx, []).append(r)
+    # grid 0 (< first keyframe pts 100) → frame 0 fallback; grids 500+
+    # → frame 4 (pts 500+100=600? no: dts 400 + 100 = 500... pts 500 ≤ 500)
+    idxs = {r.frame_idx for r in plan_rows}
+    assert 0 in idxs, "opening keyframe must be sampled"
+    grids_covered = {r.first_grid_ms for r in plan_rows}
+    assert 0 in grids_covered
+
+
+def test_pq_codebooks_refuse_tiny_table(spark, tmp_path):
+    """Fewer than PQ_K vectors cannot seed the fixed-stride codebooks —
+    the operator refuses with ValueError instead of mis-encoding."""
+    import pytest
+
+    from event_stream_spark.datapipe.similarity import PQ_K, pq_codebooks
+
+    base = tmp_path / "tiny"
+    rows = [(i, [float(i)] * 64) for i in range(PQ_K - 6)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.parquet(f"{base}/embeddings.parquet")
+    with pytest.raises(ValueError, match="at least PQ_K"):
+        pq_codebooks(spark, str(base))
+
+
+def test_neardup_kernel_ascii_whitespace_contract(spark):
+    """The streaming signature kernel must split on ASCII whitespace only
+    (Java \\s), not Unicode whitespace — a non-breaking space is part of
+    a token in BOTH the batch relational path and the kernel."""
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe.text import shingle_rows
+    from event_stream_spark.streaming.neardup import band_keys_udf
+
+    txt = "foo bar baz qux quux corge grault garply waldo"
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    batch_shingles = {r.s for r in shingle_rows(docs, 3).collect()}
+    assert any("foo bar" in s for s in batch_shingles)
+    kern = docs.select(
+        F.posexplode(band_keys_udf()(F.col("text"))).alias("band_id", "k")
+    ).collect()
+    # relational derivation of the same band keys (as in the parity test)
+    from event_stream_spark.datapipe.dedup import _MH_A, _MH_B, _MH_P
+    from event_stream_spark.datapipe.text import lsh_bands
+
+    sh = shingle_rows(docs, 3)
+    b = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(
+        "doc_id",
+        *[((F.lit(_MH_A[i]) * b + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(f"h{i}")
+          for i in range(16)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(16)]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}").cast("string") for i in range(16)]).alias("sig"),
+    )
+    rel = {
+        (r.band_id, r.k)
+        for r in sig.select(
+            F.posexplode(lsh_bands(F.col("sig"), 4, 4)).alias("band_id", "k")
+        ).collect()
+    }
+    assert {(r.band_id, r.k) for r in kern} == rel
