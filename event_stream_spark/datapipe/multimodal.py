@@ -1291,7 +1291,7 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
     if moov is None:
         return None
     traks = _bmff_walk_all(moov, b"trak")
-    chosen: tuple[bytes, bytes] | None = None  # (mdia, stbl)
+    chosen: tuple[bytes, bytes, bytes] | None = None  # (trak, mdia, stbl)
     for trak in traks:
         mdia = _bmff_first(trak, b"mdia")
         if mdia is None:
@@ -1302,13 +1302,13 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
         hdlr = _bmff_first(mdia, b"hdlr")
         is_video = hdlr is not None and len(hdlr) >= 12 and hdlr[8:12] == b"vide"
         if is_video:
-            chosen = (mdia, stbl)
+            chosen = (trak, mdia, stbl)
             break
         if chosen is None:
-            chosen = (mdia, stbl)
+            chosen = (trak, mdia, stbl)
     if chosen is None:
         return None
-    mdia, stbl = chosen
+    trak, mdia, stbl = chosen
     try:
         mdhd = _bmff_first(mdia, b"mdhd")
         if mdhd is None or len(mdhd) < 4:
@@ -1406,6 +1406,41 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
                     sample += 1
         if len(offsets) != n:
             return None
+
+        # edit list (§8.6.6) → presentation-origin shift in ms.  The two
+        # patterns real muxers emit: a leading EMPTY edit (media_time −1)
+        # delays the track by its movie-timescale duration, and the first
+        # normal edit trims ``media_time`` media units off the front (how
+        # encoders cancel the B-frame ctts lead so presentation starts at
+        # 0).  Later segments (splices, rate ≠ 1) are out of scope and
+        # stop the walk — the computed shift stays a correct prefix.
+        edit_offset_ms = 0
+        elst = _bmff_first(trak, b"edts", b"elst")
+        if elst is not None and len(elst) >= 8:
+            mvhd = _bmff_first(moov, b"mvhd")
+            movie_ts = None
+            if mvhd is not None and len(mvhd) >= 4:
+                movie_ts = (
+                    int.from_bytes(mvhd[12:16], "big")
+                    if mvhd[0] == 0
+                    else int.from_bytes(mvhd[20:24], "big")
+                )
+            ver = elst[0]
+            (n_ed,) = struct.unpack(">I", elst[4:8])
+            pos_e = 8
+            for _ in range(n_ed):
+                if ver == 1:
+                    dur, mt = struct.unpack(">Qq", elst[pos_e : pos_e + 16])
+                    pos_e += 20  # + media_rate int16.int16
+                else:
+                    dur, mt = struct.unpack(">Ii", elst[pos_e : pos_e + 8])
+                    pos_e += 12
+                if mt == -1 and movie_ts:
+                    edit_offset_ms += dur * 1000 // movie_ts
+                else:
+                    if mt > 0:
+                        edit_offset_ms -= mt * 1000 // timescale
+                    break
     except (struct.error, IndexError):
         return None
     return {
@@ -1415,6 +1450,7 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
         "size": sizes,
         "offset": offsets,
         "keyframe": keyframe,
+        "edit_offset_ms": edit_offset_ms,
     }
 
 
@@ -1445,13 +1481,18 @@ def video_frame_index(df: DataFrame) -> DataFrame:
                 if st is None:
                     continue
                 ts = st["timescale"]
+                # pts lands on the PRESENTATION timeline: the media
+                # composition time shifted by the edit-list origin (the
+                # sampler's grid is presentation time); dts stays on the
+                # raw media/decode timeline
+                eoff = st.get("edit_offset_ms", 0)
                 for i in range(len(st["dts"])):
                     rows.append(
                         (
                             int(mid),
                             i,
                             st["dts"][i] * 1000 // ts,
-                            st["pts"][i] * 1000 // ts,
+                            st["pts"][i] * 1000 // ts + eoff,
                             st["size"][i],
                             st["offset"][i],
                             st["keyframe"][i],

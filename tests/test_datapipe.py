@@ -1946,6 +1946,7 @@ def _mp4_with_stbl(
     co64=False,
     handler=b"vide",
     uniform_size=0,
+    edts=b"",
 ):
     """Build a minimal mp4 whose stbl carries the full sample-table set
     (ISO 14496-12 §8.6–8.7 layouts, hand-packed)."""
@@ -2005,7 +2006,7 @@ def _mp4_with_stbl(
     )
     hdlr = full(b"hdlr", bytes(4) + handler + bytes(12))
     mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
-    trak = _bmff_box(b"trak", mdia)
+    trak = _bmff_box(b"trak", edts + mdia)
     mvhd = full(b"mvhd", bytes(8) + _struct.pack(">II", 1000, 1600) + bytes(80))
     moov = _bmff_box(b"moov", mvhd + trak)
     return _bmff_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
@@ -2444,3 +2445,62 @@ def test_neardup_kernel_ascii_whitespace_contract(spark):
         ).collect()
     }
     assert {(r.band_id, r.k) for r in kern} == rel
+
+
+def test_mp4_edit_list_shifts_presentation_origin():
+    """elst handling: the first normal edit's media_time cancels a ctts
+    lead (presentation starts at 0), a leading empty edit delays the
+    track, and v1 64-bit layouts parse; no elst → zero offset."""
+    import struct as _struct
+
+    from event_stream_spark.datapipe.multimodal import mp4_sample_table
+
+    def with_elst(entries, ver=0, **kw):
+        body = bytes([ver, 0, 0, 0]) + _struct.pack(">I", len(entries))
+        for dur, mt in entries:
+            if ver == 1:
+                body += _struct.pack(">Qq", dur, mt) + _struct.pack(">hH", 1, 0)
+            else:
+                body += _struct.pack(">Ii", dur, mt) + _struct.pack(">hH", 1, 0)
+        edts = _bmff_box(b"edts", _bmff_box(b"elst", body))
+        return _mp4_with_stbl(edts=edts, **kw)
+
+    # ctts gives every sample +100 (media ts 1000 = +100ms); the edit
+    # media_time=100 trims it → presentation pts 0 for sample 0
+    st = mp4_sample_table(
+        with_elst([(1600, 100)], ctts_runs=((8, 100),))
+    )
+    assert st["edit_offset_ms"] == -100
+    assert st["pts"][0] == 100  # media timeline unchanged
+
+    # leading empty edit: +250ms delay (movie timescale 1000)
+    st = mp4_sample_table(with_elst([(250, -1), (1600, 0)]))
+    assert st["edit_offset_ms"] == 250
+
+    # v1 64-bit entries
+    st = mp4_sample_table(with_elst([(250, -1), (1600, 100)], ver=1))
+    assert st["edit_offset_ms"] == 250 - 100
+
+    # no elst → 0
+    assert mp4_sample_table(_mp4_with_stbl())["edit_offset_ms"] == 0
+
+
+def test_video_frame_index_presentation_pts(spark):
+    """video_frame_index applies the edit-list origin to pts (the
+    presentation timeline the sampling grid lives on) while dts stays on
+    the decode timeline."""
+    import struct as _struct
+
+    from event_stream_spark.datapipe.multimodal import MEDIA, video_frame_index
+
+    body = bytes([0, 0, 0, 0]) + _struct.pack(">I", 1)
+    body += _struct.pack(">Ii", 1600, 100) + _struct.pack(">hH", 1, 0)
+    edts = _bmff_box(b"edts", _bmff_box(b"elst", body))
+    clip = _mp4_with_stbl(ctts_runs=((8, 100),), edts=edts)
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(clip), "mp4", 640, 360, 1500)], MEDIA
+    )
+    rows = {r.frame_idx: r for r in video_frame_index(df).collect()}
+    assert rows[0].pts_ms == 0 and rows[0].dts_ms == 0  # 100 - 100
+    assert rows[4].pts_ms == 400  # dts 400 + 100 ctts - 100 edit
