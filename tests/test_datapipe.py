@@ -2379,15 +2379,12 @@ def test_keyframe_plan_covers_pre_first_keyframe_grid(spark):
         [(1, "video", bytearray(clip), "mp4", 640, 360, 1500)], MEDIA
     )
     plan_rows = keyframe_sample_plan(df, every_ms=500).collect()
-    by_grid = {}
-    for r in plan_rows:
-        by_grid.setdefault(r.frame_idx, []).append(r)
-    # grid 0 (< first keyframe pts 100) → frame 0 fallback; grids 500+
-    # → frame 4 (pts 500+100=600? no: dts 400 + 100 = 500... pts 500 ≤ 500)
-    idxs = {r.frame_idx for r in plan_rows}
-    assert 0 in idxs, "opening keyframe must be sampled"
-    grids_covered = {r.first_grid_ms for r in plan_rows}
-    assert 0 in grids_covered
+    # keyframes at pts 100 (frame 0) and 500 (frame 4, dts 400 + 100
+    # ctts).  Grid 0 precedes every keyframe → frame 0 FALLBACK (the fix
+    # under test: an inner pts ≤ grid filter emitted nothing for grid 0);
+    # grids 500/1000/1500 → frame 4.
+    got = [(r.frame_idx, r.pts_ms, r.first_grid_ms) for r in plan_rows]
+    assert got == [(0, 100, 0), (4, 500, 500)]
 
 
 def test_pq_codebooks_refuse_tiny_table(spark, tmp_path):
