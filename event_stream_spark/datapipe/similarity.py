@@ -1235,3 +1235,249 @@ ANN_PQ_SQL = f"""
     ORDER BY adc_p6, e.vec_id
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (IVF + PQ on residuals) — the composed large-scale ANN layout
+# (Jégou et al. 2011 §IV): the coarse quantizer routes each vector to an
+# inverted list and PQ encodes the RESIDUAL v − centroid(list), which is
+# far more quantizable than v itself (residual energy ≪ vector energy).
+# A probe visits nprobe lists and scores candidates entirely from codes —
+# the classic billion-scale layout: list partitioning prunes the scan,
+# residual PQ shrinks what remains to M·log2(K) bits/vector.
+# ---------------------------------------------------------------------------
+
+#: residual codebooks per (session, sf) — same lifecycle as the PQ cache
+_IVFPQ_CB_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def ivfpq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
+    """Residual PQ codebooks: codeword k of subspace m is the residual of
+    the vector at ``vec_id = k·stride`` against ITS OWN coarse centroid —
+    deterministic seed decimation, the coarse quantizer's own init seam
+    (Lloyd refinement stays the documented orthogonal quality knob, as in
+    ``ivf_assignments``), so the whole build is exactly replayable in
+    SQL with no averaging step at all."""
+    from event_stream_spark.queries import _session_key
+
+    ck = (_session_key(spark), sf)
+    cached = _IVFPQ_CB_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    import numpy as np
+
+    assigned, centroids = ivf_assignments(spark, sf)
+    e = t(spark, sf, "embeddings")
+    n = e.count()
+    if n < PQ_K:
+        raise ValueError(
+            f"IVFPQ training needs at least PQ_K={PQ_K} vectors, table has {n}"
+        )
+    stride = max(1, n // PQ_K)
+    seed_ids = [j * stride for j in range(PQ_K)]
+    rows = (
+        assigned.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding", "list_id")
+        .collect()
+    )
+    cb: list[list[list[float]]] = [[] for _ in range(PQ_M)]
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        res = np.asarray([float(x) for x in r["embedding"]]) - centroids[
+            int(r["list_id"])
+        ]
+        for m in range(PQ_M):
+            cb[m].append([float(x) for x in res[m * PQ_SUB : (m + 1) * PQ_SUB]])
+    _IVFPQ_CB_CACHE[ck] = cb
+    return cb
+
+
+def _ivfpq_d2_kernel(centroids, codebooks):
+    """Arrow kernel: residual r = v − centroid(list_id), then the flat
+    [PQ_M × PQ_K] squared distances of r's subvectors to every residual
+    codeword — same fold discipline as ``_pq_d2_kernel``."""
+    import numpy as np
+
+    CENT = np.asarray(centroids, dtype="float64")
+    C = np.asarray(codebooks, dtype="float64")  # [M, K, SUB]
+
+    @F.pandas_udf("array<double>")
+    def _d2(emb: pd.Series, lid: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        V = np.array(emb.tolist(), dtype="float64")
+        R = V - CENT[lid.to_numpy(dtype="int64")]
+        parts = []
+        for m in range(PQ_M):
+            sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            sq = (sub[:, None, :] - C[m][None, :, :]) ** 2
+            parts.append(np.cumsum(sq, axis=2)[:, :, -1])
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    return _d2
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf: str,
+    k: int = 10,
+    *,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVFADC probe: nprobe nearest lists are chosen driver-side against
+    the coarse centroids (as ``ann_ivf_topk``); each probed list gets its
+    OWN lookup table from the residual q − centroid(list); candidates are
+    scored as M literal-LUT lookups dispatched on ``list_id`` — a CASE
+    over nprobe branches, still pure codegen.  Returns
+    (vec_id, list_id, codes, adc_p6) top-k by approximate distance.
+
+    Plan shape: the (vec_id, list_id, codes) relation is materialized
+    once per (session, sf); at scale it is written ``partitionBy(list_id)``
+    (the ``write_ivf_lake`` layout) so the IN-filter prunes list
+    partitions at plan time AND each survivor row is M·log2(K) bits —
+    the two multiplicative savings the IVFADC layout exists for.  The
+    probe itself: scan → list filter → CASE-LUT sum → TakeOrdered; zero
+    Python, zero joins, zero exchanges."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.matview import materialized
+
+    assigned, centroids = ivf_assignments(spark, sf)
+    cb = ivfpq_codebooks(spark, sf)
+    q = _query_vector(spark, sf)
+
+    d2k = _ivfpq_d2_kernel(centroids, cb)
+
+    def build():
+        out = assigned.select(
+            "vec_id", "list_id", d2k(F.col("embedding"), F.col("list_id")).alias("_ds")
+        )
+        for m in range(PQ_M):
+            dsm = F.transform(
+                F.slice("_ds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
+            )
+            out = out.withColumn(
+                f"code_{m}",
+                (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
+            )
+        return out.drop("_ds")
+
+    coded = materialized(spark, f"ivfpq_codes|{sf}", build)
+
+    qv = np.asarray(q, dtype="float64")
+    d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
+    probe_lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    luts = {l: pq_lut([float(x) for x in qv - centroids[l]], cb) for l in probe_lists}
+
+    adc = None
+    for m in range(PQ_M):
+        term = None
+        for l in probe_lists:
+            hit = F.element_at(
+                F.array(*[F.lit(x) for x in luts[l][m]]), F.col(f"code_{m}") + 1
+            )
+            term = (
+                F.when(F.col("list_id") == l, hit)
+                if term is None
+                else term.when(F.col("list_id") == l, hit)
+            )
+        adc = term if adc is None else adc + term
+    return (
+        coded.filter(F.col("list_id").isin(probe_lists))
+        .select(
+            "vec_id",
+            "list_id",
+            F.concat_ws(",", *[F.col(f"code_{m}") for m in range(PQ_M)]).alias(
+                "codes"
+            ),
+            F.round(adc * 1e6).cast("long").alias("adc_p6"),
+        )
+        .orderBy("adc_p6", "vec_id")
+        .limit(k)
+    )
+
+
+def _ivfpq_sub_sql(m: int) -> str:
+    """Per-subspace residual-PQ chain: seed codebook from residuals,
+    encode by rounded-argmin, per-probed-list LUT."""
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    d2 = (
+        f"list_transform(cs, c -> round(list_sum(list_transform(range({PQ_SUB}),"
+        f" j -> (sub[j+1] - c[j+1]) * (sub[j+1] - c[j+1]))), 9))"
+    )
+    return f"""
+    rsub{m} AS (SELECT vec_id, list_id, rv[{lo}:{hi}] AS sub FROM residual),
+    rcb_{m} AS (SELECT cid, rv[{lo}:{hi}] AS c FROM rseeds),
+    rc_{m} AS (SELECT list(c ORDER BY cid) AS cs FROM rcb_{m}),
+    renc_{m} AS (
+        SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS code
+        FROM (SELECT vec_id, sub, {d2} AS ds FROM rsub{m}, rc_{m})
+    ),
+    rlut_{m} AS (
+        SELECT pq.list_id, cb.cid,
+               round(list_sum(list_transform(range({PQ_SUB}),
+                 j -> (pq.qr[{m * PQ_SUB} + j + 1] - cb.c[j+1])
+                      * (pq.qr[{m * PQ_SUB} + j + 1] - cb.c[j+1]))), 9) AS d
+        FROM probe_resid pq, rcb_{m} cb
+    )"""
+
+
+ANN_IVFPQ_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT greatest((SELECT count(*) FROM e) // {IVF_NLIST}, 1) AS stride),
+    seeds AS (
+        SELECT (vec_id // stride)::INT AS list_id, v
+        FROM e, p
+        WHERE vec_id % stride = 0 AND vec_id // stride < {IVF_NLIST}
+    ),
+    cents AS (SELECT list(v ORDER BY list_id) AS cs FROM seeds),
+    a2 AS (
+        SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS list_id
+        FROM (SELECT vec_id, v,
+                list_transform(cs, c -> round(list_sum(list_transform(range({DIM}),
+                    j -> (v[j+1] - c[j+1]) * (v[j+1] - c[j+1]))), 9)) AS ds
+              FROM e, cents)
+    ),
+    residual AS (
+        SELECT a2.vec_id, a2.list_id,
+               list_transform(range({DIM}),
+                 j -> a2.v[j+1] - cs[a2.list_id + 1][j+1]) AS rv
+        FROM a2, cents
+    ),
+    p2 AS (SELECT greatest((SELECT count(*) FROM e) // {PQ_K}, 1) AS stride2),
+    rseeds AS (
+        SELECT (r.vec_id // stride2)::INT AS cid, r.rv
+        FROM residual r, p2
+        WHERE r.vec_id % stride2 = 0 AND r.vec_id // stride2 < {PQ_K}
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT s.list_id
+        FROM seeds s, q
+        ORDER BY round(list_sum(list_transform(range({DIM}),
+                 j -> (s.v[j+1] - q.qv[j+1]) * (s.v[j+1] - q.qv[j+1]))), 9) ASC,
+                 s.list_id ASC
+        LIMIT {IVF_NPROBE}
+    ),
+    probe_resid AS (
+        SELECT pr.list_id,
+               list_transform(range({DIM}),
+                 j -> q.qv[j+1] - cs[pr.list_id + 1][j+1]) AS qr
+        FROM probe pr, q, cents
+    ),
+    {",".join(_ivfpq_sub_sql(m) for m in range(PQ_M))}
+    SELECT r.vec_id, r.list_id,
+           {" || ',' || ".join(f"renc_{m}.code::VARCHAR" for m in range(PQ_M))}
+               AS codes,
+           CAST(round(({" + ".join(f"l{m}.d" for m in range(PQ_M))}) * 1e6)
+               AS BIGINT) AS adc_p6
+    FROM residual r
+    {" ".join(f"JOIN renc_{m} ON renc_{m}.vec_id = r.vec_id" for m in range(PQ_M))}
+    {" ".join(
+        f"JOIN rlut_{m} l{m} ON l{m}.list_id = r.list_id"
+        f" AND l{m}.cid = renc_{m}.code"
+        for m in range(PQ_M)
+    )}
+    WHERE r.list_id IN (SELECT list_id FROM probe)
+    ORDER BY adc_p6, r.vec_id
+    LIMIT 10
+"""

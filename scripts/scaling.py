@@ -195,6 +195,7 @@ def main() -> None:
     from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
     from event_stream_spark.datapipe.similarity import (
         ann_join,
+        ann_ivfpq_topk,
         ann_pq_topk,
         embed_quantize,
     )
@@ -226,6 +227,7 @@ def main() -> None:
         ("lm_score", lm_score),
         ("ann_join", ann_join),
         ("ann_pq_topk", ann_pq_topk),
+        ("ann_ivfpq_topk", ann_ivfpq_topk),
         ("bpe_pairs", bpe_pairs),
         ("bloom_prune", bloom_prune),
         ("bm25_topk", bm25_topk),

@@ -2501,3 +2501,28 @@ def test_video_frame_index_presentation_pts(spark):
     rows = {r.frame_idx: r for r in video_frame_index(df).collect()}
     assert rows[0].pts_ms == 0 and rows[0].dts_ms == 0  # 100 - 100
     assert rows[4].pts_ms == 400  # dts 400 + 100 ctts - 100 edit
+
+
+def test_ivfpq_residual_quality(spark):
+    """IVFADC sanity: the query retrieves itself (its residual
+    quantization error is the ADC floor), every returned candidate lives
+    in a probed list, and the residual encoding beats raw-vector PQ on
+    the query's own reconstruction error (the reason IVFADC encodes
+    residuals: their energy is far below the vectors')."""
+    from event_stream_spark.datapipe.similarity import (
+        IVF_NPROBE,
+        ann_ivfpq_topk,
+        ann_pq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_ivfpq_topk(spark, sf).collect()
+    assert len(rows) == 10
+    by_id = {r.vec_id: r for r in rows}
+    assert 0 in by_id, "query vector must retrieve itself"
+    assert by_id[0].adc_p6 == min(r.adc_p6 for r in rows)
+    assert len({r.list_id for r in rows}) <= IVF_NPROBE
+    # residual coding reconstructs the query strictly better than raw PQ
+    raw = {r.vec_id: r for r in ann_pq_topk(spark, sf).collect()}
+    if 0 in raw:
+        assert by_id[0].adc_p6 <= raw[0].adc_p6

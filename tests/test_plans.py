@@ -936,3 +936,29 @@ def test_lcs_pairs_is_equi_join_plus_islands(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoop", "EvalPython"):
         assert bad not in p, bad
     assert "Window" in p
+
+
+def test_ivfpq_probe_is_list_filtered_case_lut_scan(spark):
+    """ann_ivfpq_topk probe: scan of the materialized (vec_id, list_id,
+    codes) relation → list_id IN-filter → CASE-dispatched literal-LUT sum
+    → TakeOrdered.  Zero Python stages, zero joins, zero exchanges — the
+    IVFADC probe is pure pruned-scan codegen."""
+    from event_stream_spark.datapipe.similarity import ann_ivfpq_topk
+
+    p = plan(ann_ivfpq_topk(spark, SF_CORRECT))
+    assert "TakeOrdered" in p
+    for bad in ("Join", "Cartesian", "Exchange hashpartitioning",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in p, bad
+
+
+def test_ivfpq_build_is_cached(spark):
+    """Repeated ann_ivfpq_topk plan builds run no jobs once the coarse
+    seeds, residual codebooks, and encoded matview are warm."""
+    from event_stream_spark.datapipe.similarity import ann_ivfpq_topk
+
+    ann_ivfpq_topk(spark, SF_CORRECT)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().numTotalJobs()
+    ann_ivfpq_topk(spark, SF_CORRECT)
+    assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
