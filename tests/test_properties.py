@@ -352,3 +352,73 @@ def test_containment_complete_vs_bruteforce(spark, corpus, tmp_path_factory):
             if round(len(sa & sb) / len(sa), 6) >= t:
                 want.add((a, b))
     assert got == want
+
+
+_LCS_SEGS = [
+    "the quick brown fox jumps over one lazy dog",
+    "pack my box with five dozen liquor jugs now",
+    "sphinx of black quartz judge my vow tonight",
+]
+
+# docs are sequences of pieces: small ints pick a SHARED segment (so ≥20-char
+# overlaps occur), larger ints deterministic per-doc filler
+lcs_corpus = st.lists(
+    st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=3),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _piece(v: int, doc: int) -> str:
+    if v < len(_LCS_SEGS):
+        return _LCS_SEGS[v]
+    return f"filler{v}doc{doc}token{v * 7} unique{doc}x{v}"
+
+
+def _py_lcs_len(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ca = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+@given(corpus=lcs_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lcs_pairs_matches_dp_on_random_corpora(spark, corpus, tmp_path_factory):
+    """The diagonal run-length LCS equals the quadratic DP on randomized
+    corpora built from shared segments + per-doc filler (the rare-gram cap
+    never binds at ≤5 docs, so candidates are exactly the pairs whose true
+    LCS reaches the gram width)."""
+    from event_stream_spark.datapipe.corpusops import CHAR_SPAN_N, lcs_pairs
+
+    base = tmp_path_factory.mktemp("lcsprop")
+    texts = {
+        i: " ".join(_piece(v, i) for v in pieces)
+        for i, pieces in enumerate(corpus)
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+    got = {(r.a, r.b): r.lcs_len for r in lcs_pairs(spark, str(base)).collect()}
+    want = {}
+    ids = sorted(texts)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                n = _py_lcs_len(texts[x], texts[y])
+                if n >= CHAR_SPAN_N:
+                    want[(x, y)] = n
+    assert got == want
