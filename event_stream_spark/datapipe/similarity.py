@@ -1316,6 +1316,36 @@ def _ivfpq_d2_kernel(centroids, codebooks):
     return _d2
 
 
+def ivfpq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVFADC index relation (vec_id, list_id, code_0..code_{M-1}),
+    materialized once per (session, sf).  This is what a deployment
+    WRITES: ``write_ivf_lake(ivfpq_codes(...), path)`` lays it out
+    ``partitionBy(list_id)`` so probes prune list partitions at plan time
+    AND each surviving row is M·log2(K) bits — the two multiplicative
+    savings of the layout (gated: PartitionFilters + row parity)."""
+    from event_stream_spark.datapipe.matview import materialized
+
+    assigned, centroids = ivf_assignments(spark, sf)
+    cb = ivfpq_codebooks(spark, sf)
+    d2k = _ivfpq_d2_kernel(centroids, cb)
+
+    def build():
+        out = assigned.select(
+            "vec_id", "list_id", d2k(F.col("embedding"), F.col("list_id")).alias("_ds")
+        )
+        for m in range(PQ_M):
+            dsm = F.transform(
+                F.slice("_ds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
+            )
+            out = out.withColumn(
+                f"code_{m}",
+                (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
+            )
+        return out.drop("_ds")
+
+    return materialized(spark, f"ivfpq_codes|{sf}", build)
+
+
 def ann_ivfpq_topk(
     spark: SparkSession,
     sf: str,
@@ -1339,29 +1369,10 @@ def ann_ivfpq_topk(
     Python, zero joins, zero exchanges."""
     import numpy as np
 
-    from event_stream_spark.datapipe.matview import materialized
-
-    assigned, centroids = ivf_assignments(spark, sf)
+    _assigned, centroids = ivf_assignments(spark, sf)
     cb = ivfpq_codebooks(spark, sf)
     q = _query_vector(spark, sf)
-
-    d2k = _ivfpq_d2_kernel(centroids, cb)
-
-    def build():
-        out = assigned.select(
-            "vec_id", "list_id", d2k(F.col("embedding"), F.col("list_id")).alias("_ds")
-        )
-        for m in range(PQ_M):
-            dsm = F.transform(
-                F.slice("_ds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
-            )
-            out = out.withColumn(
-                f"code_{m}",
-                (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
-            )
-        return out.drop("_ds")
-
-    coded = materialized(spark, f"ivfpq_codes|{sf}", build)
+    coded = ivfpq_codes(spark, sf)
 
     qv = np.asarray(q, dtype="float64")
     d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)

@@ -962,3 +962,26 @@ def test_ivfpq_build_is_cached(spark):
     before = sc._jsc.sc().dagScheduler().numTotalJobs()
     ann_ivfpq_topk(spark, SF_CORRECT)
     assert sc._jsc.sc().dagScheduler().numTotalJobs() == before
+
+
+def test_ivfpq_code_lake_prunes_and_is_narrow(spark, tmp_path):
+    """The written IVFADC layout: codes partitioned by list_id prune
+    probes at PLAN time (PartitionFilters) and the scanned columns are
+    the M int codes + vec_id — the float embedding never exists in the
+    lake at all."""
+    from event_stream_spark.datapipe.similarity import (
+        ivfpq_codes,
+        read_ivf_lake,
+        write_ivf_lake,
+    )
+
+    codes = ivfpq_codes(spark, SF_CORRECT)
+    lake = str(tmp_path / "ivfpq_lake")
+    write_ivf_lake(codes, lake)
+
+    df = read_ivf_lake(spark, lake, [0, 5])
+    p = plan(df)
+    assert "PartitionFilters" in p
+    assert "list_id" in p.split("PartitionFilters", 1)[1][:200]
+    assert "embedding" not in p  # the lake carries only codes
+    assert read_ivf_lake(spark, lake).count() == codes.count()
