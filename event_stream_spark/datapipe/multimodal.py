@@ -1406,43 +1406,55 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
                     sample += 1
         if len(offsets) != n:
             return None
+    except (struct.error, IndexError):
+        return None
 
-        # edit list (§8.6.6) → presentation-origin shift in ms.  The two
-        # patterns real muxers emit: a leading EMPTY edit (media_time −1)
-        # delays the track by its movie-timescale duration, and the first
-        # normal edit trims ``media_time`` media units off the front (how
-        # encoders cancel the B-frame ctts lead so presentation starts at
-        # 0).  Later segments (splices, rate ≠ 1) are out of scope and
-        # stop the walk — the computed shift stays a correct prefix.
-        edit_offset_ms = 0
+    # edit list (§8.6.6) → presentation-origin shift in MEDIA-timescale
+    # units (applied before the ms conversion so a timescale that doesn't
+    # divide 1000 can't introduce per-frame off-by-1ms).  The two patterns
+    # real muxers emit: a leading EMPTY edit (media_time −1) delays the
+    # track by its movie-timescale duration (converted movie→media), and
+    # the first normal edit trims ``media_time`` media units off the
+    # front (how encoders cancel the B-frame ctts lead so presentation
+    # starts at 0).  Later segments (splices, rate ≠ 1) stop the walk —
+    # the computed shift stays a correct prefix.  The elst parse has its
+    # OWN error handling: a malformed/truncated edit list (or a missing/
+    # truncated mvhd when an empty edit needs the movie timescale) must
+    # degrade to offset 0, never discard the perfectly good sample table.
+    edit_offset = 0
+    try:
         elst = _bmff_first(trak, b"edts", b"elst")
         if elst is not None and len(elst) >= 8:
             mvhd = _bmff_first(moov, b"mvhd")
-            movie_ts = None
+            movie_ts = 0
             if mvhd is not None and len(mvhd) >= 4:
-                movie_ts = (
-                    int.from_bytes(mvhd[12:16], "big")
-                    if mvhd[0] == 0
-                    else int.from_bytes(mvhd[20:24], "big")
+                raw_ts = (
+                    mvhd[12:16] if mvhd[0] == 0 else mvhd[20:24]
                 )
+                if len(raw_ts) == 4:
+                    movie_ts = int.from_bytes(raw_ts, "big")
             ver = elst[0]
             (n_ed,) = struct.unpack(">I", elst[4:8])
-            pos_e = 8
-            for _ in range(n_ed):
+            for i in range(n_ed):
                 if ver == 1:
+                    pos_e = 8 + 20 * i
                     dur, mt = struct.unpack(">Qq", elst[pos_e : pos_e + 16])
-                    pos_e += 20  # + media_rate int16.int16
                 else:
+                    pos_e = 8 + 12 * i
                     dur, mt = struct.unpack(">Ii", elst[pos_e : pos_e + 8])
-                    pos_e += 12
-                if mt == -1 and movie_ts:
-                    edit_offset_ms += dur * 1000 // movie_ts
+                if mt == -1:
+                    if not movie_ts:
+                        # empty edit but no usable movie timescale: the
+                        # shift can't be interpreted — keep offset 0
+                        edit_offset = 0
+                        break
+                    edit_offset += dur * timescale // movie_ts
                 else:
                     if mt > 0:
-                        edit_offset_ms -= mt * 1000 // timescale
+                        edit_offset -= mt
                     break
     except (struct.error, IndexError):
-        return None
+        edit_offset = 0
     return {
         "timescale": timescale,
         "dts": dts,
@@ -1450,7 +1462,7 @@ def mp4_sample_table(content: bytes | None) -> dict | None:
         "size": sizes,
         "offset": offsets,
         "keyframe": keyframe,
-        "edit_offset_ms": edit_offset_ms,
+        "edit_offset": edit_offset,
     }
 
 
@@ -1482,17 +1494,19 @@ def video_frame_index(df: DataFrame) -> DataFrame:
                     continue
                 ts = st["timescale"]
                 # pts lands on the PRESENTATION timeline: the media
-                # composition time shifted by the edit-list origin (the
-                # sampler's grid is presentation time); dts stays on the
-                # raw media/decode timeline
-                eoff = st.get("edit_offset_ms", 0)
+                # composition time shifted by the edit-list origin IN
+                # MEDIA UNITS before the ms floor-division (shifting
+                # after the division is off by 1ms whenever the
+                # timescale doesn't divide 1000); dts stays on the raw
+                # media/decode timeline
+                eoff = st.get("edit_offset", 0)
                 for i in range(len(st["dts"])):
                     rows.append(
                         (
                             int(mid),
                             i,
                             st["dts"][i] * 1000 // ts,
-                            st["pts"][i] * 1000 // ts + eoff,
+                            (st["pts"][i] + eoff) * 1000 // ts,
                             st["size"][i],
                             st["offset"][i],
                             st["keyframe"][i],

@@ -293,6 +293,32 @@ def ivf_assignments(spark: SparkSession, sf: str, *, nlist: int = IVF_NLIST):
     return assigned, centroids
 
 
+def _probe_lists(centroids, q: list[float], nprobe: int) -> list[int]:
+    """The nprobe nearest coarse lists for a query — ONE definition shared
+    by the IVF-Flat and IVFADC probes (9dp-rounded d2, stable argsort =
+    list_id tiebreak; the DuckDB twins replay exactly this)."""
+    import numpy as np
+
+    qv = np.asarray(q, dtype="float64")
+    d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
+    return [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+
+
+def _materialized_assignments(spark: SparkSession, sf: str, nlist: int = IVF_NLIST):
+    """(matview'd assignment relation, centroids) — the coarse-quantizer
+    output both the IVF-Flat probe and the IVFADC encode read, built and
+    parquet-materialized once per (session, sf, nlist)."""
+    from event_stream_spark.datapipe.matview import materialized
+
+    assigned, centroids = ivf_assignments(spark, sf, nlist=nlist)
+    mat = materialized(
+        spark,
+        f"ivf_assign|{sf}|{nlist}",
+        lambda: assigned.select("vec_id", "embedding", "list_id"),
+    )
+    return mat, centroids
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf: str,
@@ -315,20 +341,9 @@ def ann_ivf_topk(
     operator would run against a written ``write_ivf_lake`` layout.  With
     the matview, a probe is a pure JVM scan + IN-filter + cosine top-k.
     """
-    import numpy as np
-
-    from event_stream_spark.datapipe.matview import materialized
-
     q = _query_vector(spark, sf)
-    assigned, centroids = ivf_assignments(spark, sf, nlist=nlist)
-    assigned = materialized(
-        spark,
-        f"ivf_assign|{sf}|{nlist}",
-        lambda: assigned.select("vec_id", "embedding", "list_id"),
-    )
-    qv = np.asarray(q, dtype="float64")
-    d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
-    probe_lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    assigned, centroids = _materialized_assignments(spark, sf, nlist)
+    probe_lists = _probe_lists(centroids, q, nprobe)
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
     return (
         assigned.filter(F.col("list_id").isin(probe_lists))
@@ -979,11 +994,23 @@ PQ_K = 16      # codewords per subspace (codes pack into 4 bits each)
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
 
 
+def _subspace_d2_flat(V, C):
+    """[B, PQ_M·PQ_K] squared-L2 distances of each row's subvectors to
+    every codeword — THE one distance fold both PQ kernels share.
+    np.cumsum keeps the strict left-fold dim order both oracles replay
+    (see ``ivf_assignments``); rounding stays OUTSIDE, JVM-side."""
+    import numpy as np
+
+    parts = []
+    for m in range(PQ_M):
+        sub = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # [B, SUB]
+        sq = (sub[:, None, :] - C[m][None, :, :]) ** 2  # [B, K, SUB]
+        parts.append(np.cumsum(sq, axis=2)[:, :, -1])
+    return np.concatenate(parts, axis=1)
+
+
 def _pq_d2_kernel(codebooks):
-    """Arrow kernel: flattened [PQ_M × PQ_K] squared-L2 distances from each
-    row's subvectors to every codeword.  np.cumsum keeps the strict
-    left-fold dim order both oracles replay (see ``ivf_assignments``);
-    rounding stays OUTSIDE, JVM-side."""
+    """Arrow kernel over raw vectors: see ``_subspace_d2_flat``."""
     import numpy as np
 
     C = np.asarray(codebooks, dtype="float64")  # [M, K, SUB]
@@ -993,14 +1020,25 @@ def _pq_d2_kernel(codebooks):
         if emb.empty:
             return pd.Series([], dtype="object")
         V = np.array(emb.tolist(), dtype="float64")  # [B, DIM]
-        parts = []
-        for m in range(PQ_M):
-            sub = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # [B, SUB]
-            sq = (sub[:, None, :] - C[m][None, :, :]) ** 2  # [B, K, SUB]
-            parts.append(np.cumsum(sq, axis=2)[:, :, -1])
-        return pd.Series(list(np.concatenate(parts, axis=1)))
+        return pd.Series(list(_subspace_d2_flat(V, C)))
 
     return _d2
+
+
+def _argmin_code_cols(df: DataFrame, dscol: str) -> DataFrame:
+    """Append ``code_0 .. code_{M-1}``: per-subspace rounded-argmin over a
+    flat [PQ_M·PQ_K] distance column — the ONE argmin loop the raw-PQ and
+    residual-PQ encoders share (9dp JVM round, first occurrence on ties)."""
+    out = df
+    for m in range(PQ_M):
+        dsm = F.transform(
+            F.slice(dscol, m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
+        )
+        out = out.withColumn(
+            f"code_{m}",
+            (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
+        )
+    return out.drop(dscol)
 
 
 def _pq_codes(df: DataFrame, codebooks) -> DataFrame:
@@ -1010,16 +1048,7 @@ def _pq_codes(df: DataFrame, codebooks) -> DataFrame:
     shares).  Distances round to 9dp JVM-side before the argmin so
     near-ties resolve identically across engines."""
     d2 = _pq_d2_kernel(codebooks)
-    out = df.withColumn("_pqds", d2(F.col("embedding")))
-    for m in range(PQ_M):
-        dsm = F.transform(
-            F.slice("_pqds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
-        )
-        out = out.withColumn(
-            f"code_{m}",
-            (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
-        )
-    return out.drop("_pqds")
+    return _argmin_code_cols(df.withColumn("_pqds", d2(F.col("embedding"))), "_pqds")
 
 
 def pq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
@@ -1253,11 +1282,19 @@ _IVFPQ_CB_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
 
 def ivfpq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
     """Residual PQ codebooks: codeword k of subspace m is the residual of
-    the vector at ``vec_id = k·stride`` against ITS OWN coarse centroid —
-    deterministic seed decimation, the coarse quantizer's own init seam
-    (Lloyd refinement stays the documented orthogonal quality knob, as in
-    ``ivf_assignments``), so the whole build is exactly replayable in
-    SQL with no averaging step at all."""
+    the vector at ``vec_id = k·stride + stride//2`` against ITS OWN coarse
+    centroid — deterministic MID-STRIDE decimation.  The offset is load-
+    bearing: the coarse seeds themselves sit at ``k·stride`` and their
+    residuals are identically ZERO (each coarse seed IS its centroid), so
+    seeding the residual codebooks at the same ids would make every
+    codeword the zero vector and every code constant — a degenerate index
+    that still passes oracle parity because both engines replay the same
+    degeneracy (caught by review, now pinned by
+    ``test_ivfpq_codebook_is_not_degenerate``).  Mid-stride ids never
+    coincide with the coarse seeds for stride ≥ 2, giving real residual
+    samples; Lloyd refinement stays the documented orthogonal quality
+    knob, as in ``ivf_assignments``, so the whole build is exactly
+    replayable in SQL with no averaging step at all."""
     from event_stream_spark.queries import _session_key
 
     ck = (_session_key(spark), sf)
@@ -1266,7 +1303,7 @@ def ivfpq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
         return cached
     import numpy as np
 
-    assigned, centroids = ivf_assignments(spark, sf)
+    assigned, centroids = _materialized_assignments(spark, sf)
     e = t(spark, sf, "embeddings")
     n = e.count()
     if n < PQ_K:
@@ -1274,7 +1311,7 @@ def ivfpq_codebooks(spark: SparkSession, sf: str) -> list[list[list[float]]]:
             f"IVFPQ training needs at least PQ_K={PQ_K} vectors, table has {n}"
         )
     stride = max(1, n // PQ_K)
-    seed_ids = [j * stride for j in range(PQ_K)]
+    seed_ids = [j * stride + stride // 2 for j in range(PQ_K)]
     rows = (
         assigned.filter(F.col("vec_id").isin(seed_ids))
         .select("vec_id", "embedding", "list_id")
@@ -1306,12 +1343,7 @@ def _ivfpq_d2_kernel(centroids, codebooks):
             return pd.Series([], dtype="object")
         V = np.array(emb.tolist(), dtype="float64")
         R = V - CENT[lid.to_numpy(dtype="int64")]
-        parts = []
-        for m in range(PQ_M):
-            sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
-            sq = (sub[:, None, :] - C[m][None, :, :]) ** 2
-            parts.append(np.cumsum(sq, axis=2)[:, :, -1])
-        return pd.Series(list(np.concatenate(parts, axis=1)))
+        return pd.Series(list(_subspace_d2_flat(R, C)))
 
     return _d2
 
@@ -1325,7 +1357,7 @@ def ivfpq_codes(spark: SparkSession, sf: str) -> DataFrame:
     savings of the layout (gated: PartitionFilters + row parity)."""
     from event_stream_spark.datapipe.matview import materialized
 
-    assigned, centroids = ivf_assignments(spark, sf)
+    assigned, centroids = _materialized_assignments(spark, sf)
     cb = ivfpq_codebooks(spark, sf)
     d2k = _ivfpq_d2_kernel(centroids, cb)
 
@@ -1333,15 +1365,7 @@ def ivfpq_codes(spark: SparkSession, sf: str) -> DataFrame:
         out = assigned.select(
             "vec_id", "list_id", d2k(F.col("embedding"), F.col("list_id")).alias("_ds")
         )
-        for m in range(PQ_M):
-            dsm = F.transform(
-                F.slice("_ds", m * PQ_K + 1, PQ_K), lambda d: F.round(d, 9)
-            )
-            out = out.withColumn(
-                f"code_{m}",
-                (F.array_position(dsm, F.array_min(dsm)) - 1).cast("int"),
-            )
-        return out.drop("_ds")
+        return _argmin_code_cols(out, "_ds")
 
     return materialized(spark, f"ivfpq_codes|{sf}", build)
 
@@ -1369,14 +1393,13 @@ def ann_ivfpq_topk(
     Python, zero joins, zero exchanges."""
     import numpy as np
 
-    _assigned, centroids = ivf_assignments(spark, sf)
+    _assigned, centroids = _materialized_assignments(spark, sf)
     cb = ivfpq_codebooks(spark, sf)
     q = _query_vector(spark, sf)
     coded = ivfpq_codes(spark, sf)
 
     qv = np.asarray(q, dtype="float64")
-    d2 = np.round(((centroids - qv) ** 2).sum(axis=1), 9)
-    probe_lists = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    probe_lists = _probe_lists(centroids, q, nprobe)
     luts = {l: pq_lut([float(x) for x in qv - centroids[l]], cb) for l in probe_lists}
 
     adc = None
@@ -1456,9 +1479,13 @@ ANN_IVFPQ_SQL = f"""
     ),
     p2 AS (SELECT greatest((SELECT count(*) FROM e) // {PQ_K}, 1) AS stride2),
     rseeds AS (
-        SELECT (r.vec_id // stride2)::INT AS cid, r.rv
+        -- MID-STRIDE ids (k·stride + stride//2): the k·stride ids are the
+        -- coarse seeds, whose residuals are identically zero
+        SELECT ((r.vec_id - stride2 // 2) // stride2)::INT AS cid, r.rv
         FROM residual r, p2
-        WHERE r.vec_id % stride2 = 0 AND r.vec_id // stride2 < {PQ_K}
+        WHERE r.vec_id >= stride2 // 2
+          AND (r.vec_id - stride2 // 2) % stride2 = 0
+          AND (r.vec_id - stride2 // 2) // stride2 < {PQ_K}
     ),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     probe AS (

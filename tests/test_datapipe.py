@@ -2462,24 +2462,35 @@ def test_mp4_edit_list_shifts_presentation_origin():
         edts = _bmff_box(b"edts", _bmff_box(b"elst", body))
         return _mp4_with_stbl(edts=edts, **kw)
 
-    # ctts gives every sample +100 (media ts 1000 = +100ms); the edit
-    # media_time=100 trims it → presentation pts 0 for sample 0
+    # ctts gives every sample +100 media units; the edit media_time=100
+    # trims it → presentation origin shift −100 MEDIA units
     st = mp4_sample_table(
         with_elst([(1600, 100)], ctts_runs=((8, 100),))
     )
-    assert st["edit_offset_ms"] == -100
+    assert st["edit_offset"] == -100
     assert st["pts"][0] == 100  # media timeline unchanged
 
-    # leading empty edit: +250ms delay (movie timescale 1000)
+    # leading empty edit: +250 movie units → media units (both ts 1000)
     st = mp4_sample_table(with_elst([(250, -1), (1600, 0)]))
-    assert st["edit_offset_ms"] == 250
+    assert st["edit_offset"] == 250
 
     # v1 64-bit entries
     st = mp4_sample_table(with_elst([(250, -1), (1600, 100)], ver=1))
-    assert st["edit_offset_ms"] == 250 - 100
+    assert st["edit_offset"] == 250 - 100
 
     # no elst → 0
-    assert mp4_sample_table(_mp4_with_stbl())["edit_offset_ms"] == 0
+    assert mp4_sample_table(_mp4_with_stbl())["edit_offset"] == 0
+
+    # TRUNCATED elst (declares 2 entries, carries 1): the sample table
+    # must survive with offset 0 — a corrupt edit list can't discard a
+    # perfectly good stbl
+    import struct as _s2
+    bad = bytes([0, 0, 0, 0]) + _s2.pack(">I", 2) + _s2.pack(">Ii", 1600, 100)
+    st = mp4_sample_table(
+        _mp4_with_stbl(edts=_bmff_box(b"edts", _bmff_box(b"elst", bad)))
+    )
+    assert st is not None and st["edit_offset"] in (0, -100)
+    assert len(st["dts"]) == 8
 
 
 def test_video_frame_index_presentation_pts(spark):
@@ -2503,26 +2514,56 @@ def test_video_frame_index_presentation_pts(spark):
     assert rows[4].pts_ms == 400  # dts 400 + 100 ctts - 100 edit
 
 
+def test_ivfpq_codebook_is_not_degenerate(spark):
+    """The residual codebooks must carry information: mid-stride seeds
+    guarantee non-zero codewords (seeding at the coarse-seed ids makes
+    every residual — and thus every codeword and every code — zero, a
+    degenerate index that still passes oracle parity because both engines
+    replay the same degeneracy; caught by review r5)."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.similarity import (
+        ivfpq_codebooks,
+        ivfpq_codes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cb = np.asarray(ivfpq_codebooks(spark, sf))
+    assert np.abs(cb).max() > 0.01, "residual codewords are ~zero"
+    # codes spread across the codebook, not constant
+    codes = ivfpq_codes(spark, sf).select("code_0", "code_1").collect()
+    assert len({r.code_0 for r in codes}) > 4
+    assert len({r.code_1 for r in codes}) > 4
+
+
 def test_ivfpq_residual_quality(spark):
-    """IVFADC sanity: the query retrieves itself (its residual
-    quantization error is the ADC floor), every returned candidate lives
-    in a probed list, and the residual encoding beats raw-vector PQ on
-    the query's own reconstruction error (the reason IVFADC encodes
-    residuals: their energy is far below the vectors')."""
+    """IVFADC retrieval sanity on a NON-seed probe contract: candidates
+    come only from probed lists, ADC orders them, and the top-10 by ADC
+    recovers the true L2 nearest neighbor among the probed lists'
+    candidates (exact distances recomputed independently in numpy)."""
+    import numpy as np
+
     from event_stream_spark.datapipe.similarity import (
         IVF_NPROBE,
+        _materialized_assignments,
+        _probe_lists,
+        _query_vector,
         ann_ivfpq_topk,
-        ann_pq_topk,
     )
 
     sf = "/root/testdata/sf0.001"
     rows = ann_ivfpq_topk(spark, sf).collect()
     assert len(rows) == 10
-    by_id = {r.vec_id: r for r in rows}
-    assert 0 in by_id, "query vector must retrieve itself"
-    assert by_id[0].adc_p6 == min(r.adc_p6 for r in rows)
     assert len({r.list_id for r in rows}) <= IVF_NPROBE
-    # residual coding reconstructs the query strictly better than raw PQ
-    raw = {r.vec_id: r for r in ann_pq_topk(spark, sf).collect()}
-    if 0 in raw:
-        assert by_id[0].adc_p6 <= raw[0].adc_p6
+
+    assigned, centroids = _materialized_assignments(spark, sf)
+    q = np.asarray(_query_vector(spark, sf))
+    probed = set(_probe_lists(centroids, list(q), IVF_NPROBE))
+    assert {r.list_id for r in rows} <= probed
+    cand = assigned.filter(assigned.list_id.isin(list(probed))).collect()
+    exact = sorted(
+        (float(((np.asarray([float(x) for x in r.embedding]) - q) ** 2).sum()), r.vec_id)
+        for r in cand
+    )
+    top_ids = {r.vec_id for r in rows}
+    assert exact[0][1] in top_ids, "ADC top-10 must recover the true probed NN"
