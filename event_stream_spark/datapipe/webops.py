@@ -336,3 +336,120 @@ DEDUP_PARAGRAPH_CLEAN_SQL = f"""
            md5(clean_text) AS clean_md5
     FROM packed ORDER BY doc_id
 """
+
+
+# A paragraph window repeating in at least this many DISTINCT docs of ONE
+# source is boilerplate (nav menus, footers, cookie banners).  Production
+# crawls use higher thresholds; 2 keeps the rule discriminative on the
+# synthetic corpus (the DUP_SPAN_N sizing argument).
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate removal (RefinedWeb's intra-domain line
+    dedup, at the shared paragraph-window granularity): a window occurring
+    in ≥ {BOILER_MIN_DOCS} distinct docs of the SAME source is template
+    furniture and is removed from EVERY occurrence — unlike
+    ``dedup_paragraph_clean``'s global keep-first, which preserves one
+    copy and is the wrong tool for nav menus (the first doc keeps the
+    menu).  Emits per doc: window counts, boilerplate hits, and the md5
+    of the reassembled clean text (NULL when everything was furniture —
+    the empty shells RefinedWeb drops).
+
+    Scale shape: the frequency pass shuffles (source, xxhash64) pairs
+    only — text never rides it (the ``dedup_paragraph`` contract); the
+    boilerplate set is anti-joined back co-keyed; reassembly is the one
+    doc_id exchange.  The oracle keys on the window STRING — same
+    equivalence classes, independent mechanism."""
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    p = (
+        paragraphs(spark, sf)
+        .join(d, "doc_id")
+        .select("doc_id", "source", "para_idx", "para", F.xxhash64("para").alias("h"))
+    )
+    boiler = (
+        p.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("source", "h")
+    )
+    flagged = p.join(boiler, ["source", "h"], "left_semi").select(
+        "doc_id", "para_idx"
+    )
+    kept = p.join(boiler, ["source", "h"], "left_anti")
+    stats = p.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    n_boiler = flagged.groupBy("doc_id").agg(F.count("*").alias("n_boiler"))
+    clean = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("para_idx", "para"))
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    return (
+        stats.join(t(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+        .join(n_boiler, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_paras",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_LINES_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    p AS (
+        SELECT doc_id, source, i AS para_idx,
+               array_to_string(ws[(i*{PARA_WORDS}+1):(i*{PARA_WORDS}+{PARA_WORDS})],
+                               ' ') AS para
+        FROM w, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(ws) / {PARA_WORDS}.0) AS INT))) AS i)
+        WHERE len(ws) >= 1),
+    boiler AS (
+        SELECT source, para
+        FROM p GROUP BY source, para
+        HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+    kept AS (
+        SELECT p.* FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                          WHERE b.source = p.source AND b.para = p.para)),
+    stats AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+    nb AS (
+        SELECT p.doc_id, count(*) AS n_boiler
+        FROM p JOIN boiler b ON b.source = p.source AND b.para = p.para
+        GROUP BY p.doc_id),
+    clean AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(para, ' ' ORDER BY para_idx)) AS clean_md5
+        FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, d.source, s.n_paras,
+           coalesce(nb.n_boiler, 0) AS n_boiler,
+           coalesce(c.n_kept, 0) AS n_kept,
+           c.clean_md5
+    FROM stats s
+    JOIN documents d ON d.doc_id = s.doc_id
+    LEFT JOIN nb ON nb.doc_id = s.doc_id
+    LEFT JOIN clean c ON c.doc_id = s.doc_id
+    ORDER BY s.doc_id
+"""

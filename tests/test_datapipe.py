@@ -2567,3 +2567,40 @@ def test_ivfpq_residual_quality(spark):
     )
     top_ids = {r.vec_id for r in rows}
     assert exact[0][1] in top_ids, "ADC top-10 must recover the true probed NN"
+
+
+def test_boilerplate_lines_per_source_rule(spark, tmp_path):
+    """Boilerplate is a PER-SOURCE property: a window repeated across
+    BOILER_MIN_DOCS docs of source A is removed from every A doc, while
+    the same window appearing once in source B survives there; a doc
+    that is pure furniture empties out (NULL digest, the RefinedWeb
+    empty shell)."""
+    from event_stream_spark.datapipe.webops import (
+        PARA_WORDS,
+        boilerplate_lines,
+    )
+
+    menu = " ".join(f"nav{i}" for i in range(PARA_WORDS))
+    uniq = lambda d: " ".join(f"w{d}x{i}" for i in range(PARA_WORDS))
+    texts = {
+        0: f"{menu} {uniq(0)}",          # A: menu + content
+        1: f"{menu} {uniq(1)}",          # A: menu + content
+        2: menu,                          # A: pure furniture → empty shell
+        3: f"{menu} {uniq(3)}",          # B: menu once here → SURVIVES
+        4: uniq(4),                       # B: no boilerplate at all
+    }
+    src = {0: "A", 1: "A", 2: "A", 3: "B", 4: "B"}
+    base = tmp_path / "boiler"
+    spark.createDataFrame(
+        [(i, t, "en", src[i], len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{base}/documents.parquet")
+
+    rows = {r.doc_id: r for r in boilerplate_lines(spark, str(base)).collect()}
+    assert rows[0].n_boiler == 1 and rows[0].n_kept == 1
+    assert rows[1].n_boiler == 1 and rows[1].n_kept == 1
+    assert rows[2].n_boiler == 1 and rows[2].n_kept == 0
+    assert rows[2].clean_md5 is None
+    # source B keeps the menu: it is not boilerplate THERE
+    assert rows[3].n_boiler == 0 and rows[3].n_kept == 2
+    assert rows[4].n_boiler == 0
