@@ -343,3 +343,61 @@ TEXT_READABILITY_SQL = """
     FROM per JOIN sent USING (doc_id)
     ORDER BY doc_id
 """
+
+
+def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon character entropy per document, H = −Σ p(c)·ln p(c) — the
+    compressibility proxy quality filters use to catch gibberish at both
+    ends (repeated-character spam scores near 0; uniform random bytes
+    score near ln(alphabet); natural language sits in a narrow band).
+
+    Scale shape: one (doc_id, char) partial-agg shuffle plus the doc_id
+    rollup — both map-side combinable; the per-doc character alphabet is
+    bounded (≤ a few hundred distinct), so second-stage state is tiny.
+    Integer-scaled output (the ``surprisal_p6`` contract) absorbs
+    cross-engine summation-order ulp drift."""
+    d = t(spark, sf, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    freq = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("alphabet")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_counted"),
+            F.max("alphabet").alias("alphabet"),
+            F.round(-F.sum(p * F.log(p)) * 1e6).cast("long").alias("entropy_p6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+    WITH ch AS (
+        SELECT doc_id, substring(text, i, 1) AS ch
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)),
+    f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+    n AS (SELECT doc_id, sum(c) AS n, count(*) AS alphabet
+          FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           max(n.n) AS n_chars_counted,
+           max(n.alphabet) AS alphabet,
+           CAST(round(-sum((f.c / CAST(n.n AS DOUBLE))
+                           * ln(f.c / CAST(n.n AS DOUBLE))) * 1e6) AS BIGINT)
+               AS entropy_p6
+    FROM f JOIN n ON n.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+"""

@@ -2604,3 +2604,30 @@ def test_boilerplate_lines_per_source_rule(spark, tmp_path):
     # source B keeps the menu: it is not boilerplate THERE
     assert rows[3].n_boiler == 0 and rows[3].n_kept == 2
     assert rows[4].n_boiler == 0
+
+
+def test_char_entropy_bounds_and_values(spark, tmp_path):
+    """Entropy semantics: a single repeated character scores exactly 0,
+    a uniform alphabet scores exactly ln(k), and natural text sits
+    between — with the exact integer-scaled values pinned."""
+    import math
+
+    from event_stream_spark.datapipe.textstats import char_entropy
+
+    base = tmp_path / "ent"
+    texts = {
+        0: "aaaaaaaaaaaaaaaa",          # H = 0
+        1: "abcdabcdabcdabcd",          # uniform over 4 → ln(4)
+        2: "the quick brown fox",       # natural text
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r for r in char_entropy(spark, str(base)).collect()}
+    assert rows[0].entropy_p6 == 0 and rows[0].alphabet == 1
+    assert rows[1].entropy_p6 == round(math.log(4) * 1e6)
+    assert rows[1].alphabet == 4
+    assert 0 < rows[2].entropy_p6 < round(math.log(rows[2].alphabet) * 1e6) + 1
+    assert rows[2].n_chars_counted == len(texts[2])
