@@ -1043,3 +1043,82 @@ DEDUP_EXACT_NORM_SQL = r"""
     GROUP BY norm_hash
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# soft dedup — duplicate-aware sampling weights instead of removal
+# ---------------------------------------------------------------------------
+
+def dedup_soft(spark: SparkSession, sf: str) -> DataFrame:
+    """SoftDeDup-style reweighting (He et al. 2024): instead of DELETING
+    duplicates, score each document's *commonness* — the mean corpus
+    document-frequency of its distinct word 3-gram shingles — and emit a
+    sampling weight ∝ 1/commonness.  Partially-duplicated documents (boiler-
+    plate, template pages) get smoothly down-weighted where binary dedup
+    either keeps them at weight 1 or drops them entirely.
+
+    Columns: ``n_shingles`` (distinct 3-grams), ``commonness_p6``
+    (round(1e6·mean df)), ``weight_p6`` (round(1e6/mean df)); shingle-less
+    short docs default to unique (1.0 / 1.0).
+
+    Scale shape: reuses the shared ``doc_shingles`` mat-view; one
+    shingle-key shuffle for the df counts (map-side combinable: the value
+    is a count, never text) and one doc_id shuffle for the per-doc sums.
+    Both roundings are the pure-BIGINT HALF-UP identity
+    ``(2a·1e6 + b) DIV 2b`` — the ``dup_spans`` contract — so the twins are
+    bit-identical with no float boundary to split on.
+    """
+    from event_stream_spark.datapipe.text import doc_shingles
+
+    sh = doc_shingles(spark, sf, 3)
+    df_rel = sh.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_rel, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.sum("df").alias("sum_df"))
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(
+                F.expr(
+                    "(sum_df * 2000000 + n_shingles) div (2 * n_shingles)"
+                ),
+                F.lit(1000000),
+            ).cast("long").alias("commonness_p6"),
+            F.coalesce(
+                F.expr(
+                    "(n_shingles * 2000000 + sum_df) div (2 * sum_df)"
+                ),
+                F.lit(1000000),
+            ).cast("long").alias("weight_p6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SOFT_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        FROM w WHERE len(ws) >= 3),
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    pd AS (SELECT sh.doc_id, count(*) AS n, sum(df.df) AS sum_df
+           FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce((pd.sum_df * 2000000 + pd.n) // (2 * pd.n),
+                         1000000) AS BIGINT) AS commonness_p6,
+           CAST(coalesce((pd.n * 2000000 + pd.sum_df) // (2 * pd.sum_df),
+                         1000000) AS BIGINT) AS weight_p6
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

@@ -2631,3 +2631,31 @@ def test_char_entropy_bounds_and_values(spark, tmp_path):
     assert rows[1].alphabet == 4
     assert 0 < rows[2].entropy_p6 < round(math.log(rows[2].alphabet) * 1e6) + 1
     assert rows[2].n_chars_counted == len(texts[2])
+
+
+def test_dedup_soft_weights_planted_duplicates(spark, tmp_path):
+    """Soft-dedup commonness: unique doc keeps weight 1.0, a duplicated pair
+    is down-weighted to exactly 0.5, and a shingle-less short doc defaults
+    to unique rather than dropping out."""
+    from event_stream_spark.datapipe.dedup import dedup_soft
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "one two three four", "en", "s", 18),
+            (3, "one two three four", "en", "s", 18),
+            (4, "tiny doc", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.doc_id: r for r in dedup_soft(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_shingles == 2
+    assert rows[1].commonness_p6 == 1_000_000 and rows[1].weight_p6 == 1_000_000
+    for d in (2, 3):
+        assert rows[d].n_shingles == 2
+        assert rows[d].commonness_p6 == 2_000_000
+        assert rows[d].weight_p6 == 500_000
+    assert rows[4].n_shingles == 0
+    assert rows[4].commonness_p6 == 1_000_000 and rows[4].weight_p6 == 1_000_000
