@@ -1519,3 +1519,72 @@ ANN_IVFPQ_SQL = f"""
     ORDER BY adc_p6, r.vec_id
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination — eval-set cosine screening
+# ---------------------------------------------------------------------------
+
+#: eval slice membership — same modulus contract as the n-gram
+#: ``decontaminate`` operator so the two screens cover the same benchmark
+SEMDECON_EVAL_MOD = 50
+#: rounded-cosine contamination threshold; the flag is derived from the
+#: ROUNDED similarity so a last-ulp divergence can never flip it
+SEMDECON_THRESHOLD = 0.35
+
+
+def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: for every training vector, the max
+    cosine similarity against the eval slice (``vec_id % 50 == 0``) and a
+    contamination flag — catches paraphrased/reworded benchmark leakage the
+    exact n-gram screen (``decontaminate``) misses.
+
+    Scale shape: eval benchmarks are tiny relative to a training corpus, so
+    the eval side is BROADCAST and the corpus-side scan is embarrassingly
+    parallel — no shuffle of the big side at all; the only exchange is the
+    per-vector groupBy(vec_id) max, which is map-side combinable down to
+    one double per vector.  At 100 TB the same plan holds: |eval| ~ 1e5
+    vectors × 64 dims ≈ 50 MB broadcast.  Cosines are rounded to 6 dp
+    BEFORE the max (rounding is monotone, so round∘max ≡ max∘round) and
+    the flag compares the rounded value — the ``quality_classify``
+    boundary contract.
+    """
+    e = t(spark, sf, "embeddings")
+    is_eval = F.col("vec_id") % SEMDECON_EVAL_MOD == 0
+    ev = e.filter(is_eval).select(F.col("embedding").alias("ev"))
+    tr = e.filter(~is_eval).select("vec_id", "embedding")
+    return (
+        tr.join(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("ev")), 6).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("max_eval_sim"))
+        .select(
+            "vec_id",
+            "max_eval_sim",
+            (F.col("max_eval_sim") >= F.lit(SEMDECON_THRESHOLD)).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DECON_SEMANTIC_SQL = f"""
+    WITH ev AS (
+        SELECT embedding::DOUBLE[] AS ev FROM embeddings
+        WHERE vec_id % {SEMDECON_EVAL_MOD} = 0),
+    sims AS (
+        SELECT e.vec_id,
+               max(round(list_cosine_similarity(e.embedding::DOUBLE[], ev.ev), 6))
+                   AS max_eval_sim
+        FROM embeddings e, ev
+        WHERE e.vec_id % {SEMDECON_EVAL_MOD} <> 0
+        GROUP BY e.vec_id)
+    SELECT vec_id, max_eval_sim,
+           (max_eval_sim >= {SEMDECON_THRESHOLD}) AS contaminated
+    FROM sims
+    ORDER BY vec_id
+"""

@@ -2659,3 +2659,22 @@ def test_dedup_soft_weights_planted_duplicates(spark, tmp_path):
         assert rows[d].weight_p6 == 500_000
     assert rows[4].n_shingles == 0
     assert rows[4].commonness_p6 == 1_000_000 and rows[4].weight_p6 == 1_000_000
+
+
+def test_semantic_decon_flags_planted_paraphrase(spark, tmp_path):
+    """A training vector colinear with an eval vector (cosine 1.0) is
+    flagged even though no n-gram overlaps; an orthogonal one is not."""
+    from event_stream_spark.datapipe.similarity import decontaminate_semantic
+
+    dim = 8
+    ev = [1.0] + [0.0] * (dim - 1)          # vec_id 0 -> eval slice
+    near = [0.9] + [0.0] * (dim - 1)        # colinear: cosine 1.0
+    orth = [0.0, 1.0] + [0.0] * (dim - 2)   # cosine 0.0
+    rows = [(0, ev, 0), (1, near, 0), (2, orth, 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.vec_id: r for r in decontaminate_semantic(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}  # eval vector itself is excluded
+    assert out[1].contaminated and out[1].max_eval_sim == 1.0
+    assert not out[2].contaminated and out[2].max_eval_sim == 0.0

@@ -985,3 +985,14 @@ def test_ivfpq_code_lake_prunes_and_is_narrow(spark, tmp_path):
     assert "list_id" in p.split("PartitionFilters", 1)[1][:200]
     assert "embedding" not in p  # the lake carries only codes
     assert read_ivf_lake(spark, lake).count() == codes.count()
+
+
+def test_semantic_decon_broadcasts_eval_side(spark):
+    """decontaminate_semantic: the corpus-sized embedding scan is never
+    shuffled for the candidate pairing — the (tiny) eval slice broadcasts
+    in, and the only exchange is the map-side-combinable per-vector max."""
+    from event_stream_spark.datapipe.similarity import decontaminate_semantic
+
+    p = plan(decontaminate_semantic(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
