@@ -1,0 +1,378 @@
+"""Corpus-wide suffix array by prefix doubling + exact LCP — the suffix-
+array family of dedup analyses (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", builds exact-substring dedup on suffix
+arrays; the gram-hash operators ``dup_spans``/``char_dup_spans`` are the
+probabilistic cousins — this module is the EXACT construction).
+
+Two cleanly separated pieces:
+
+1. **Suffix ORDER** (Manber–Myers prefix doubling, the standard
+   distributed SA construction): round 0 ranks suffixes by first char;
+   round j computes rank(pos, 2k) = dense_rank(rank(pos,k), rank(pos+k,k))
+   — a narrow self-equi-join plus one distributed dense rank.  The loop
+   EARLY-EXITS as soon as every rank is distinct (natural text
+   individuates within ~16–32 chars): distinct length-k ranks mean every
+   suffix pair differs inside its k-prefix, so rank_k order IS the full
+   suffix order.
+2. **Exact LCP of SA-adjacent pairs** by binary refinement over the two
+   capped document strings directly: seven chained ``substring``-equality
+   CASE steps (k = 64, 32, …, 1) — whole-stage-codegen string compares,
+   no joins against intermediate rank tables at all.  Both-suffixes-
+   exhausted overshoot is trimmed by the final least(remaining) cap.
+
+Documents are capped at their first ``SUFFIX_CAP`` chars (boilerplate and
+template duplication live at prefix scale; the cap bounds the round count
+at log2(cap) and keeps the position relation linear in corpus size).
+Suffix comparisons never cross document boundaries: rank lookups past a
+document's end simply miss (LEFT JOIN → NULL → coalesced to the -1
+sentinel), giving string-truncation semantics identical in both engines.
+
+Scale shape: every doubling round exchanges only (doc_id, pos, rank)
+rows — the text is touched in the initial character explode and in the
+final LCP projection, and never rides any rank exchange.  The
+distributed dense rank is two-phase over DETERMINISTIC arithmetic
+buckets of the previous round's rank domain (sampled
+``repartitionByRange`` boundaries are nondeterministic across the two
+physical executions of a shared subplan and can merge rank classes — see
+``_bucketed``).  No corpus-sized window ever runs on a single partition.
+At 100 TB the build is ≤ log2(cap) rounds of linear narrow shuffles —
+the published MapReduce SA recipe.  (Known skew note: round 1 buckets by
+the single-char rank, so a dominant character concentrates one bucket;
+rounds 2+ individuate.  For a production corpus, seed the bucket map
+from a rank histogram instead of equal-width slices.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_stream_spark.queries import t
+
+#: per-document prefix cap: bounds doubling rounds at log2(64) = 6
+SUFFIX_CAP = 64
+#: a suffix counts as "duplicated" when it shares ≥ this many leading
+#: chars with its suffix-array neighbor (Lee et al. use 50 BPE tokens on
+#: full-scale corpora; 20 chars is the same screen at this doc length)
+SUFFIX_DUP_MIN = 20
+#: buckets for the two-phase distributed dense rank
+_RANK_PARTS = 32
+
+
+def _bucketed(df: DataFrame, c1: str, m1: int) -> DataFrame:
+    """Stamp ``_bkt`` = which of ``_RANK_PARTS`` ordered slices of
+    [1, m1] the ``c1`` value falls in — DETERMINISTIC arithmetic
+    bucketing on the known rank domain.  (repartitionByRange is the
+    obvious tool here but is WRONG for a two-phase rank: its sampled
+    boundaries — and ``spark_partition_id()`` — are nondeterministic, and
+    the ranked branch and the offsets branch re-execute the exchange
+    independently, so their partitionings can disagree and merge/split
+    rank classes.  An arithmetic bucket is identical on every
+    execution.)  Equal keys share a bucket; buckets are ordered, so a
+    per-bucket rank + cumulative per-bucket counts compose to the global
+    rank."""
+    width = max(1, -(-m1 // _RANK_PARTS))  # ceil
+    return df.withColumn("_bkt", ((F.col(c1) - 1) / width).cast("long"))
+
+
+def _dense_rank2(df: DataFrame, c1: str, c2: str, m1: int) -> DataFrame:
+    """Append global ``r`` = dense_rank() ordered by (c1, c2), two-phase:
+    arithmetic-bucket on c1's domain [1, m1] (equal keys co-locate,
+    buckets ordered), dense-rank within each bucket, then shift by the
+    cumulative distinct-count of the buckets before — the corpus-sized
+    relation never passes through a SinglePartition window."""
+    part = _bucketed(df, c1, m1)
+    w = Window.partitionBy("_bkt").orderBy(c1, c2)
+    ranked = part.withColumn("_dr", F.dense_rank().over(w))
+    # ≤ _RANK_PARTS rows: the unpartitioned cumsum window is driver-scale
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("_bkt")
+        .agg(F.max("_dr").alias("_n"))
+        .select("_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .withColumn("r", (F.col("_off") + F.col("_dr")).cast("long"))
+        .drop("_bkt", "_dr", "_off")
+    )
+
+
+def _row_number2(df: DataFrame, cols: list[str], out: str, m1: int) -> DataFrame:
+    """Append global ``out`` = row_number() ordered by ``cols`` (the first
+    of which spans [1, m1]) — same two-phase scheme with count offsets."""
+    part = _bucketed(df, cols[0], m1)
+    w = Window.partitionBy("_bkt").orderBy(*cols)
+    ranked = part.withColumn("_rn", F.row_number().over(w))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .select("_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_rn", "_off")
+    )
+
+
+def suffix_order(
+    spark: SparkSession, sf: str, cap: int = SUFFIX_CAP
+) -> tuple[DataFrame, int, int]:
+    """(ranks, n, m) — ranks is (doc_id, pos, dlen, r) where ``r`` densely
+    ranks every suffix of every capped document in full lexicographic
+    suffix order (ties only between suffixes whose capped text is
+    identical); ``n`` is the total suffix count, ``m`` the max rank.
+    Prefix doubling with early exit once ranks are fully distinct.
+
+    Because positions are contiguous 1..dlen, rank(pos+k) is
+    ``lead(r, k)`` over (doc_id, pos) — a window, not a self-join — so a
+    round is exactly two narrow exchanges: hash(doc_id) for the lead,
+    hash(bucket) for the two-phase dense rank."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, cap).alias("s")
+    )
+    pos0 = (
+        d.select(
+            "doc_id",
+            F.length("s").alias("dlen"),
+            F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos0", "ch"),
+        )
+        # Spark's split leaves one trailing "" element — a phantom
+        # position past the document end whose empty string would rank
+        # equal ACROSS documents and corrupt every LCP
+        .filter(F.col("ch") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "dlen", "ch")
+    )
+    # round 0: rank by first char — the distinct alphabet is tiny, so the
+    # unpartitioned window over it is driver-scale by design
+    alpha = pos0.select("ch").distinct()
+    wch = Window.orderBy("ch")
+    alpha_r = alpha.withColumn("r", F.dense_rank().over(wch).cast("long"))
+    lvl = (
+        pos0.join(F.broadcast(alpha_r), "ch")
+        .select("doc_id", "pos", "dlen", "r")
+        .localCheckpoint(eager=False)
+    )
+    k = 1
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # one driver-scalar job per round: it both materializes the (lazy)
+    # checkpoint and yields the bucketing bound + early-exit test
+    m1, n = lvl.agg(F.max("r"), F.count("*")).head()
+    while k < cap and m1 != n:
+        pairs = lvl.select(
+            "doc_id", "pos", "dlen",
+            F.col("r").alias("_r1"),
+            F.coalesce(F.lead("r", k).over(wdoc), F.lit(-1)).alias("_r2"),
+        )
+        lvl = (
+            _dense_rank2(pairs, "_r1", "_r2", m1)
+            .select("doc_id", "pos", "dlen", "r")
+            .localCheckpoint(eager=False)
+        )
+        k *= 2
+        m1, n = lvl.agg(F.max("r"), F.count("*")).head()
+        # m1 == n: every rank distinct ⇒ every suffix pair differs within
+        # its k-prefix ⇒ rank_k order is already the full suffix order
+    return lvl, n, m1
+
+
+def suffix_sa_direct(
+    spark: SparkSession, sf: str, cap: int = SUFFIX_CAP
+) -> DataFrame:
+    """(doc_id, pos, dlen, sp) — suffix-array position by DIRECT
+    distributed sort of the capped suffix strings: with the ≤``cap``-char
+    cap, a suffix IS a bounded sort key, so one two-phase ranked window
+    (bucketed by the first-char rank) replaces the whole doubling loop.
+    This is the fast path the registry entry uses; ``suffix_order``'s
+    prefix doubling is the scale path for long/uncapped contexts, where
+    materializing suffix strings as sort keys would blow the exchange up
+    by the context length.  A pytest pins the two paths to the same
+    order."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, cap).alias("s")
+    )
+    pos0 = (
+        d.select(
+            "doc_id",
+            "s",
+            F.length("s").alias("dlen"),
+            F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos0", "ch"),
+        )
+        .filter(F.col("ch") != "")  # trailing "" from split — see suffix_order
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "dlen",
+            "ch",
+            F.col("s").substr(F.col("pos0") + 1, F.lit(cap)).alias("sfx"),
+        )
+    )
+    alpha = pos0.select("ch").distinct()
+    wch = Window.orderBy("ch")
+    alpha_r = alpha.withColumn("r0", F.dense_rank().over(wch).cast("long"))
+    n_alpha = alpha_r.count()  # driver scalar: alphabet size (tiny)
+    width = max(1, -(-n_alpha // _RANK_PARTS))
+    keyed = pos0.join(F.broadcast(alpha_r), "ch").withColumn(
+        "_bkt", ((F.col("r0") - 1) / width).cast("long")
+    )
+    # equal suffixes share a first char ⇒ share a bucket; buckets are
+    # ordered by construction, so per-bucket row_number + cumulative
+    # counts compose to the global suffix-array position
+    w = Window.partitionBy("_bkt").orderBy("sfx", "doc_id", "pos")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .select("_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .select(
+            "doc_id", "pos", "dlen",
+            (F.col("_off") + F.col("_rn")).cast("long").alias("sp"),
+        )
+    )
+
+
+def _binary_lcp(sa_col, sb_col, pa, pb, cap: int):
+    """Exact LCP of suffixes (sa_col from pa, sb_col from pb), as a chain
+    of log2(cap)+1 codegen substring-equality steps: at width k, if the
+    two length-k windows at offset l match, advance l by k.  Windows past
+    a string's end truncate (possibly to ''), which only over-advances
+    when BOTH suffixes are exhausted-and-equal — trimmed by the caller's
+    least(remaining) cap."""
+    l = F.lit(0)
+    k = cap
+    while k >= 1:
+        step = F.when(
+            F.substring(sa_col, pa + l, k) == F.substring(sb_col, pb + l, k),
+            F.lit(k),
+        ).otherwise(F.lit(0))
+        l = l + step
+        k //= 2
+    return l
+
+
+def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: exact longest-repeated-substring length (the longest
+    prefix any of its suffixes shares with ANY other suffix in the whole
+    corpus — cross-document or internal) and the count of its suffixes
+    whose repeat is ≥ ``SUFFIX_DUP_MIN`` chars, over the first
+    ``SUFFIX_CAP`` chars of each doc.
+
+    The max-LCP-per-suffix identity: in suffix-array order, the longest
+    prefix a suffix shares with any other suffix is the max of its LCP
+    with its two SA NEIGHBORS — so the full pairwise structure collapses
+    to n−1 adjacent pairs, each refined to an exact LCP by the binary
+    substring chain (no joins).
+    """
+    sa = suffix_sa_direct(spark, sf)
+    nxt = sa.select(
+        (F.col("sp") - 1).alias("_sp"),
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("dlen").alias("lb"),
+    )
+    adj = sa.join(nxt, F.col("sp") == F.col("_sp")).select(
+        F.col("doc_id").alias("da"),
+        F.col("pos").alias("pa"),
+        F.col("dlen").alias("la"),
+        "db", "pb", "lb",
+    )
+    capd = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, SUFFIX_CAP).alias("s")
+    )
+    ta = capd.select(F.col("doc_id").alias("_tda"), F.col("s").alias("_sa"))
+    tb = capd.select(F.col("doc_id").alias("_tdb"), F.col("s").alias("_sb"))
+    withtext = adj.join(ta, F.col("_tda") == F.col("da")).join(
+        tb, F.col("_tdb") == F.col("db")
+    )
+    l = _binary_lcp(
+        F.col("_sa"), F.col("_sb"), F.col("pa"), F.col("pb"), SUFFIX_CAP
+    )
+    lcp = withtext.select(
+        "da", "pa", "db", "pb",
+        F.least(
+            l,
+            F.col("la") - F.col("pa") + 1,
+            F.col("lb") - F.col("pb") + 1,
+        ).alias("lcp"),
+    )
+    suff = lcp.select(
+        F.col("da").alias("doc_id"), F.col("pa").alias("pos"), "lcp"
+    ).unionAll(
+        lcp.select(F.col("db").alias("doc_id"), F.col("pb").alias("pos"), "lcp")
+    )
+    per_suffix = suff.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+    return (
+        per_suffix.groupBy("doc_id")
+        .agg(
+            F.max("m").cast("long").alias("lrs_len"),
+            F.count(F.when(F.col("m") >= SUFFIX_DUP_MIN, 1))
+            .cast("long")
+            .alias("n_dup_suffixes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lrs_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
+    """DuckDB twin: the direct capped-suffix sort (one window — the
+    doubling loop is rank-order-equivalent, pinned by pytest), then the
+    same binary substring-LCP chain per adjacent pair."""
+    parts = [f"""
+    WITH capd AS (SELECT doc_id, substring(text, 1, {cap}) AS s FROM documents),
+    pos0 AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, length(s) AS dlen,
+               substring(s, i, {cap}) AS sfx
+        FROM capd, LATERAL (SELECT unnest(range(1, length(s) + 1)) AS i)),
+    sa AS (SELECT doc_id, pos, dlen,
+                  row_number() OVER (ORDER BY sfx, doc_id, pos) AS sp
+           FROM pos0),
+    adj AS (
+        SELECT x.doc_id AS da, x.pos AS pa, x.dlen AS la,
+               y.doc_id AS db, y.pos AS pb, y.dlen AS lb
+        FROM sa x JOIN sa y ON y.sp = x.sp + 1),
+    l_init AS (
+        SELECT adj.*, ta.s AS sa_, tb.s AS sb_, 0 AS l
+        FROM adj
+        JOIN capd ta ON ta.doc_id = adj.da
+        JOIN capd tb ON tb.doc_id = adj.db)"""]
+    cur = "l_init"
+    k = cap
+    step = 0
+    while k >= 1:
+        nxt = f"l_{step}"
+        parts.append(f""",
+    {nxt} AS (
+        SELECT da, pa, la, db, pb, lb, sa_, sb_,
+               l + CASE WHEN substring(sa_, pa + l, {k})
+                             = substring(sb_, pb + l, {k})
+                        THEN {k} ELSE 0 END AS l
+        FROM {cur})""")
+        cur = nxt
+        k //= 2
+        step += 1
+    parts.append(f""",
+    lcp AS (SELECT da, pa, db, pb,
+                   least(l, la - pa + 1, lb - pb + 1) AS lcp
+            FROM {cur}),
+    suff AS (SELECT da AS doc_id, pa AS pos, lcp FROM lcp
+             UNION ALL
+             SELECT db AS doc_id, pb AS pos, lcp FROM lcp),
+    per_suffix AS (SELECT doc_id, pos, max(lcp) AS m
+                   FROM suff GROUP BY doc_id, pos)
+    SELECT doc_id,
+           CAST(max(m) AS BIGINT) AS lrs_len,
+           CAST(count(CASE WHEN m >= {dup_min} THEN 1 END) AS BIGINT)
+               AS n_dup_suffixes
+    FROM per_suffix
+    GROUP BY doc_id
+    ORDER BY doc_id""")
+    return "".join(parts)
+
+
+SUFFIX_LRS_SQL = _lrs_sql()

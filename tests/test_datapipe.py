@@ -2678,3 +2678,44 @@ def test_semantic_decon_flags_planted_paraphrase(spark, tmp_path):
     assert set(out) == {1, 2}  # eval vector itself is excluded
     assert out[1].contaminated and out[1].max_eval_sim == 1.0
     assert not out[2].contaminated and out[2].max_eval_sim == 0.0
+
+
+def test_suffix_lrs_planted_repeats(spark, tmp_path):
+    """Exact longest-repeated-substring on a planted corpus: 'banana '
+    appears in docs 1 and 2 ('banana 'x2 in doc 1 internally), doc 3 is
+    unrelated — values verified against a quadratic brute force."""
+    from event_stream_spark.datapipe.suffix import suffix_lrs
+
+    docs = [(1, "banana split banana"), (2, "banana boat"), (3, "zzz unrelated text")]
+    spark.createDataFrame(
+        [(d, s, "en", "s", len(s)) for d, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: (r.lrs_len, r.n_dup_suffixes) for r in suffix_lrs(spark, str(tmp_path)).collect()}
+    # doc1's ' banana' suffix matches doc1's own later ' banana'? No —
+    # brute truth (computed by character comparison): lrs 7 = 'banana '
+    # vs doc2 / internal repeat; doc3 only shares short fragments
+    assert out == {1: (7, 0), 2: (7, 0), 3: (2, 0)}
+
+
+def test_suffix_doubling_matches_direct_sort(spark):
+    """The prefix-doubling scale path orders suffixes identically to the
+    direct capped-suffix sort (same SA permutation under the same
+    (rank, doc_id, pos) tiebreak) — the contract that lets suffix_lrs use
+    the one-sort fast path at this cap."""
+    from event_stream_spark.datapipe.suffix import (
+        _row_number2,
+        suffix_order,
+        suffix_sa_direct,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    top, n, m = suffix_order(spark, sfd)
+    via_doubling = _row_number2(top, ["r", "doc_id", "pos"], "sp", m)
+    a = {(r.doc_id, r.pos): r.sp for r in via_doubling.collect()}
+    b = {(r.doc_id, r.pos): r.sp for r in suffix_sa_direct(spark, sfd).collect()}
+    assert len(a) == len(b) == n
+    # ties (identical capped suffixes) may order differently between the
+    # two paths ONLY among equal suffixes — but both use (doc_id, pos) as
+    # the final tiebreak, so the permutations must be identical
+    assert a == b

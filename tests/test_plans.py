@@ -996,3 +996,15 @@ def test_semantic_decon_broadcasts_eval_side(spark):
     p = plan(decontaminate_semantic(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_suffix_lrs_bucketed_sort_no_cartesian(spark):
+    """suffix_lrs: the corpus-wide suffix sort runs bucketed (two-phase,
+    no corpus-sized SinglePartition window on the big relation), document
+    texts enter the LCP stage via broadcast, and nothing goes quadratic."""
+    from event_stream_spark.datapipe.suffix import suffix_lrs
+
+    p = plan(suffix_lrs(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "_bkt" in p  # the bucketed two-phase suffix sort
+    assert "BroadcastHashJoin" in p  # capd texts broadcast into the pairs
