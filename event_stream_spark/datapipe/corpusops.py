@@ -1501,3 +1501,109 @@ def _winnow_sql() -> str:
 
 
 WINNOW_FINGERPRINTS_SQL = _winnow_sql()
+
+
+# Content-defined chunking (the FastCDC/LBFS family): chunk boundaries
+# fall where the rolling content hash satisfies a mask, so an insertion
+# early in a document shifts BOUNDARY POSITIONS but not boundary CONTENT —
+# chunk-level dedup then catches near-identical documents that fixed-width
+# shingling misaligns on.  The boundary predicate reuses the shared
+# 60-bit char-gram anchors (one mat-view, no second text pass).
+CDC_MOD = 16  # expected chunk length ≈ CDC_MOD chars past the gram width
+
+
+def cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per doc: content-defined chunk count, how many of those chunks
+    occur ≥2 times corpus-wide (intra- or cross-doc), the duplicated
+    bytes they cover, and the integer-scaled duplicated-byte fraction.
+
+    Scale shape: boundary selection is a scan-local filter on the
+    materialized gram relation (`g % CDC_MOD == 0`); chunk spans come from
+    one per-doc lag window; the only corpus-scale exchanges are the
+    doc_id join back to the text (to hash each chunk once) and the
+    chunk-hash count — and the hash shuffle rides (md5, clen), never the
+    chunk text.  ``dup_byte_frac_p6`` uses the pure-BIGINT HALF-UP
+    identity (the ``dup_spans`` contract)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    grams = _char_grams(spark, sf)
+    bounds = grams.filter(F.col("g") % CDC_MOD == 0).select("doc_id", "pos")
+    # sentinel boundary at end-of-doc: every doc gets ≥1 chunk, and the
+    # spans tile the text exactly
+    ends = d.select("doc_id", F.length("text").alias("pos"))
+    allb = bounds.unionAll(ends).distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = allb.select(
+        "doc_id",
+        (F.coalesce(F.lag("pos").over(w), F.lit(0)) + 1).alias("cstart"),
+        F.col("pos").alias("cend"),
+    )
+    ch = spans.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        (F.col("cend") - F.col("cstart") + 1).alias("clen"),
+        F.md5(F.expr("substring(text, cstart, cend - cstart + 1)")).alias("h"),
+    )
+    cnt = ch.groupBy("h").agg(F.count("*").alias("n_occ"))
+    per = (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum("clen").alias("t_bytes"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("clen")).otherwise(0)).alias(
+                "dup_bytes"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        F.col("dup_chunks").cast("long").alias("dup_chunks"),
+        F.col("dup_bytes").cast("long").alias("dup_bytes"),
+        F.expr("(dup_bytes * 2000000 + t_bytes) div (2 * t_bytes)")
+        .cast("long")
+        .alias("dup_byte_frac_p6"),
+    ).orderBy("doc_id")
+
+
+CDC_CHUNKS_SQL = f"""
+    WITH grams AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substring(md5(substring(text, i, {CHAR_SPAN_N})), 1, 15))::BIGINT AS g
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - {CHAR_SPAN_N - 1}, 0) + 1)) AS i
+            FROM documents) s),
+    bounds AS (
+        SELECT doc_id, pos FROM grams WHERE g % {CDC_MOD} = 0
+        UNION
+        SELECT doc_id, length(text) AS pos FROM documents),
+    spans AS (
+        SELECT doc_id,
+               coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1
+                   AS cstart,
+               pos AS cend
+        FROM bounds),
+    ch AS (
+        SELECT s.doc_id, cend - cstart + 1 AS clen,
+               md5(substring(d.text, cstart, cend - cstart + 1)) AS h
+        FROM spans s JOIN documents d ON d.doc_id = s.doc_id),
+    cnt AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY h),
+    per AS (
+        SELECT ch.doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+               sum(clen) AS t_bytes,
+               sum(CASE WHEN n_occ > 1 THEN clen ELSE 0 END) AS dup_bytes
+        FROM ch JOIN cnt USING (h)
+        GROUP BY ch.doc_id)
+    SELECT doc_id, n_chunks,
+           CAST(dup_chunks AS BIGINT) AS dup_chunks,
+           CAST(dup_bytes AS BIGINT) AS dup_bytes,
+           CAST((dup_bytes * 2000000 + t_bytes) // (2 * t_bytes) AS BIGINT)
+               AS dup_byte_frac_p6
+    FROM per
+    ORDER BY doc_id
+"""

@@ -2719,3 +2719,34 @@ def test_suffix_doubling_matches_direct_sort(spark):
     # two paths ONLY among equal suffixes — but both use (doc_id, pos) as
     # the final tiebreak, so the permutations must be identical
     assert a == b
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
+    """Content-defined boundaries re-synchronize after an insertion: a doc
+    that is another doc plus an injected prefix still shares most of its
+    chunks (fixed-width chunking would misalign every boundary)."""
+    from event_stream_spark.datapipe.corpusops import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors navigate the harbor under a copper sky and the market "
+        "vendors argue about the price of salted fish near the old stone "
+        "bridge that crosses the winding river every autumn morning"
+    )
+    docs = [
+        (1, base),
+        (2, "INSERTED PREAMBLE >>> " + base),
+        (3, "completely different content about astronomy telescopes and "
+            "the orbital mechanics of binary star systems far away"),
+    ]
+    spark.createDataFrame(
+        [(d, s, "en", "s", len(s)) for d, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in cdc_chunks(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    # the shared tail re-synchronizes: both copies flag most bytes dup
+    assert out[1].dup_byte_frac_p6 > 500_000
+    assert out[2].dup_byte_frac_p6 > 500_000
+    # the unrelated doc shares nothing
+    assert out[3].dup_chunks == 0 and out[3].dup_byte_frac_p6 == 0
