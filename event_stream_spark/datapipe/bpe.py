@@ -116,7 +116,13 @@ def _pair_counts(df: DataFrame) -> DataFrame:
     ).select(
         "a",
         "freq",
-        F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i"),
+        # sequence(1, 0) counts DOWN in Spark — a fully-merged
+        # single-symbol word must contribute no pairs, not index a[2]
+        F.explode(
+            F.when(
+                F.size("a") >= 2, F.sequence(F.lit(1), F.size("a") - 1)
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("i"),
     )
     return (
         ex.select(
@@ -296,3 +302,99 @@ def _bpe_tokenize_sql(rounds: int = BPE_ROUNDS) -> str:
 
 
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
+def bpe_fertility(
+    spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Per language: tokenizer FERTILITY (BPE tokens per word) and
+    compression (chars per token) under the learned merge table — the
+    standard cross-lingual tokenizer-quality report (a language with
+    fertility ≫ another pays proportionally more sequence length for the
+    same text; the mBERT/XLM-R literature tunes vocab allocations on
+    exactly this number).
+
+    Scale shape: same as ``bpe_tokenize`` — merges are literals, so the
+    per-occurrence token count is a pure codegen ``replace`` chain with
+    ``lang`` carried through the word explode (no join back to the
+    documents table at all); the only exchange is the per-language
+    aggregation, map-side-combined down to |langs| rows.  Ratios use the
+    pure-BIGINT HALF-UP identity (the ``dup_spans`` contract)."""
+    merges = bpe_merges(spark, sf, rounds)
+    d = t(spark, sf, "documents")
+    # word_rows' tokenization contract (lowercase, split \s+, drop
+    # empties) with lang carried inline — forking the explode here avoids
+    # a corpus-scale doc_id join just to recover the language column
+    w = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    syms = F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW)))
+    s = F.array_join(syms, BPE_SEP)
+    for _rnd, l, r, _cnt in merges:
+        s = F.replace(s, F.lit(l + BPE_SEP + r), F.lit(l + r))
+    n_sym = F.size(F.split(s, r"\|"))
+    return (
+        w.select("lang", F.length("w").alias("n_chars_w"), n_sym.alias("n_sym"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr("(n_tokens * 2000000 + n_words) div (2 * n_words)")
+            .cast("long")
+            .alias("fertility_p6"),
+            F.expr("(n_chars * 2000000 + n_tokens) div (2 * n_tokens)")
+            .cast("long")
+            .alias("chars_per_token_p6"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_sql(rounds: int = BPE_ROUNDS) -> str:
+    apply_expr = (
+        f"array_to_string(list_append(string_split(o.w, ''), '{BPE_EOW}'), "
+        f"'{BPE_SEP}')"
+    )
+    for i in range(rounds):
+        apply_expr = (
+            f"replace({apply_expr}, p{i}.l || '{BPE_SEP}' || p{i}.r, p{i}.l || p{i}.r)"
+        )
+    crosses = " ".join(f"CROSS JOIN p{i}" for i in range(rounds))
+    return (
+        "WITH "
+        + _bpe_ctes(rounds)
+        + f""",
+    occ AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    tok AS (
+        SELECT o.lang, length(o.w) AS n_chars_w,
+               len(string_split({apply_expr}, '{BPE_SEP}')) AS n_sym
+        FROM occ o {crosses}),
+    per AS (
+        SELECT lang, count(*) AS n_words, sum(n_sym) AS n_tokens,
+               sum(n_chars_w) AS n_chars
+        FROM tok GROUP BY lang)
+    SELECT lang, n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((n_tokens * 2000000 + n_words) // (2 * n_words) AS BIGINT)
+               AS fertility_p6,
+           CAST((n_chars * 2000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+               AS chars_per_token_p6
+    FROM per
+    ORDER BY lang"""
+    )
+
+
+BPE_FERTILITY_SQL = _bpe_fertility_sql()

@@ -2750,3 +2750,29 @@ def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
     assert out[2].dup_byte_frac_p6 > 500_000
     # the unrelated doc shares nothing
     assert out[3].dup_chunks == 0 and out[3].dup_byte_frac_p6 == 0
+
+
+def test_bpe_fertility_single_merge_arithmetic(spark, tmp_path):
+    """Exact fertility arithmetic on a corpus where the merge table is
+    predictable: 'aa aa aa' vs 'zz' — after 6 merge rounds every learned
+    symbol comes from the dominant 'aa_' pattern, and fertility is the
+    exact tokens/words ratio in integer-scaled form."""
+    from event_stream_spark.datapipe.bpe import bpe_fertility
+
+    docs = [
+        (1, "aa aa aa aa aa aa aa aa", "en", "s", 23),
+        (2, "zq zq", "de", "s", 5),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.lang: r for r in bpe_fertility(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "de"}
+    # 'aa_' fully merges into one symbol within 6 rounds -> fertility 1.0
+    assert out["en"].n_words == 8
+    assert out["en"].fertility_p6 == 1_000_000
+    # chars_per_token: 2 chars per 'aa' word, 1 token each -> exactly 2.0
+    assert out["en"].chars_per_token_p6 == 2_000_000
+    # every n_* is internally consistent
+    assert out["de"].n_words == 2 and out["de"].n_chars == 4
