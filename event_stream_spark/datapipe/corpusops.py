@@ -1607,3 +1607,63 @@ CDC_CHUNKS_SQL = f"""
     FROM per
     ORDER BY doc_id
 """
+
+
+#: curriculum stages (difficulty deciles of the unigram-LM surprisal)
+CURRICULUM_STAGES = 10
+
+
+def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum binning: each document's difficulty stage (0 = easiest
+    decile … 9 = hardest) by exact corpus-wide deciles of the unigram-LM
+    surprisal — the easy→hard ordering curriculum-learning schedules train
+    on, with the stage as the shard key.
+
+    Scale shape: reuses ``lm_score``'s scoring plan (one Zipf-bounded
+    gram shuffle + broadcast-join scoring); the 9 decile cuts are ONE
+    exact-percentile aggregate (sort-based aggregate state — the q28/
+    length_trim machinery) broadcast back onto the scan, so staging is a
+    narrow codegen projection, not a global sort.  Surprisal is already
+    an integer (the ×1e6 contract) and cuts round to 4 dp in both
+    engines, so the decile boundary cannot split on float drift."""
+    scores = lm_score(spark, sf).select("doc_id", "surprisal_p6")
+    qs = [i / CURRICULUM_STAGES for i in range(1, CURRICULUM_STAGES)]
+    cuts = scores.agg(
+        *[
+            F.round(F.expr(f"percentile(surprisal_p6, {q})"), 4).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    stage = None
+    for i in range(len(qs)):
+        term = F.when(F.col("surprisal_p6") > F.col(f"c{i}"), 1).otherwise(0)
+        stage = term if stage is None else stage + term
+    return (
+        scores.join(F.broadcast(cuts))
+        .select(
+            "doc_id", "surprisal_p6", stage.cast("long").alias("stage")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curriculum_sql(stages: int = CURRICULUM_STAGES) -> str:
+    qs = [i / stages for i in range(1, stages)]
+    cut_cols = ", ".join(
+        f"round(quantile_cont(surprisal_p6, {q}), 4) AS c{i}"
+        for i, q in enumerate(qs)
+    )
+    stage_expr = " + ".join(
+        f"CASE WHEN surprisal_p6 > c{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs))
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, surprisal_p6 FROM ({LM_SCORE_SQL})),
+    cuts AS (SELECT {cut_cols} FROM s)
+    SELECT doc_id, surprisal_p6, CAST({stage_expr} AS BIGINT) AS stage
+    FROM s, cuts
+    ORDER BY doc_id
+"""
+
+
+CURRICULUM_ORDER_SQL = _curriculum_sql()

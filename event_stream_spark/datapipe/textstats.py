@@ -401,3 +401,51 @@ CHAR_ENTROPY_SQL = """
     GROUP BY f.doc_id
     ORDER BY f.doc_id
 """
+
+
+def langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled language × predicted language
+    with counts and the within-label fraction — the data-card diagnostic
+    that shows WHERE the lang-id heuristic loses documents (and, dually,
+    how much of each labeled slice is mislabeled upstream).
+
+    Scale shape: the prediction is ``text_langid``'s scan-local codegen
+    projection; one doc_id equi-join recovers the label and one
+    (lang, lang_pred) partial aggregate — a |langs|² result.  The
+    fraction uses the pure-BIGINT HALF-UP identity."""
+    from event_stream_spark.queries import t
+
+    pred = text_langid(spark, sf)
+    lab = t(spark, sf, "documents").select("doc_id", "lang")
+    pairs = (
+        lab.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        pairs.join(F.broadcast(tot), "lang")
+        .select(
+            "lang", "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 2000000 + n_lang) div (2 * n_lang)")
+            .cast("long")
+            .alias("frac_p6"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+    WITH pred AS (SELECT doc_id, lang_pred FROM ({TEXT_LANGID_SQL})),
+    pairs AS (
+        SELECT d.lang, p.lang_pred, count(*) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.lang_pred),
+    tot AS (SELECT lang, sum(n) AS n_lang FROM pairs GROUP BY lang)
+    SELECT pairs.lang, lang_pred,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * 2000000 + n_lang) // (2 * n_lang) AS BIGINT) AS frac_p6
+    FROM pairs JOIN tot ON tot.lang = pairs.lang
+    ORDER BY pairs.lang, lang_pred
+"""

@@ -2776,3 +2776,37 @@ def test_bpe_fertility_single_merge_arithmetic(spark, tmp_path):
     assert out["en"].chars_per_token_p6 == 2_000_000
     # every n_* is internally consistent
     assert out["de"].n_words == 2 and out["de"].n_chars == 4
+
+
+def test_curriculum_order_stage_monotone(spark):
+    """Stages are monotone in surprisal and roughly balanced deciles."""
+    from event_stream_spark.datapipe.corpusops import curriculum_order
+
+    rows = curriculum_order(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.surprisal_p6)
+    assert set(by_stage) == set(range(10))
+    # monotone: every score in stage s <= every score in stage s+2
+    for s in range(8):
+        assert max(by_stage[s]) <= min(by_stage[s + 2])
+    # deciles are balanced within interpolation slack
+    sizes = [len(v) for _, v in sorted(by_stage.items())]
+    assert all(40 <= n <= 60 for n in sizes), sizes
+
+
+def test_langid_confusion_fractions_sum(spark):
+    """Per-label fractions sum to ~1e6 and counts reconcile with the
+    corpus size."""
+    from event_stream_spark.datapipe.textstats import langid_confusion
+
+    rows = langid_confusion(spark, "/root/testdata/sf0.01").collect()
+    total = sum(r.n for r in rows)
+    assert total == 500
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, 0)
+        per_lang[r.lang] += r.frac_p6
+    for lang, s in per_lang.items():
+        assert abs(s - 1_000_000) <= len(rows), (lang, s)
