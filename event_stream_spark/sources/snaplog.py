@@ -198,6 +198,71 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors — row-level deletes without rewriting data files
+# (the Delta deletion-vector / Iceberg v3 positional-delete design point:
+# a manifest entry may carry a sidecar listing ROW POSITIONS of its data
+# file that are logically deleted; readers anti-filter on
+# (file, _metadata.row_index) and every file byte stays immutable)
+# ---------------------------------------------------------------------------
+
+
+def _dv_read(entry: dict) -> list[int]:
+    """Deleted row positions for one manifest entry ([] if none)."""
+    dvi = entry.get("dv")
+    if not dvi:
+        return []
+    with open(dvi["path"]) as fh:
+        return json.load(fh)["rows"]
+
+
+def _dv_pairs(entries: list[dict]) -> list[tuple[str, int]]:
+    """(file basename, row position) for every deleted row across
+    ``entries`` — driver-side: DVs are the SMALL-delete design point (a
+    purge touching a large fraction of rows should use the copy-on-write
+    ``delete_where``, which this module also provides).  A petabyte
+    implementation would ship these as roaring bitmaps read task-side;
+    the manifest format is identical either way."""
+    out: list[tuple[str, int]] = []
+    for e in entries:
+        b = os.path.basename(e["path"])
+        out.extend((b, i) for i in _dv_read(e))
+    return out
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, entries: list[dict]) -> DataFrame:
+    """Anti-filter ``df`` (a scan over exactly ``entries``' files) by the
+    entries' deletion vectors.  No-op (and zero plan overhead) when no
+    entry carries a DV.  The join is a BROADCAST anti-join on
+    (file basename, row position) — the DV side is tiny by contract."""
+    from pyspark.sql import functions as F
+
+    pairs = _dv_pairs(entries)
+    if not pairs:
+        return df
+    dv = spark.createDataFrame(pairs, "__file string, __row long")
+    keyed = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__file"
+        ),
+        F.col("_metadata.row_index").alias("__row"),
+    )
+    return keyed.join(
+        F.broadcast(dv), ["__file", "__row"], "left_anti"
+    ).drop("__file", "__row")
+
+
+def _read_entries(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """Scan exactly ``entries``' files with their deletion vectors
+    applied — the one read path every DML helper must use (reading the
+    parquet directly would resurrect DV-deleted rows into the rewrite)."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[e["path"] for e in entries]
+    )
+    return _apply_dv(spark, df, entries)
+
+
 class CommitConflict(RuntimeError):
     """A transaction based on ``expected_snapshot`` lost the race: another
     commit landed first.  Re-read the table and retry the transformation —
@@ -205,7 +270,7 @@ class CommitConflict(RuntimeError):
 
 
 def commit(
-    df: DataFrame,
+    df: DataFrame | None,
     table: str,
     *,
     mode: str = "append",
@@ -248,16 +313,31 @@ def commit(
     new manifest verbatim alongside the freshly written files.  This is
     the file-targeted copy-on-write seam: a DML that only rewrites the
     files its keys touch carries every untouched file forward without
-    moving a byte of it."""
+    moving a byte of it.
+
+    ``df=None`` publishes a MANIFEST-ONLY commit (no new data files) —
+    the deletion-vector path: the snapshot is entirely the carried
+    entries (with their updated ``dv`` sidecars) and the column contract
+    is inherited from the previous manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     if carry_entries and mode != "overwrite":
         raise ValueError("carry_entries requires mode='overwrite'")
+    if df is None and not carry_entries:
+        raise ValueError("df=None (manifest-only commit) requires carry_entries")
     os.makedirs(_log_dir(table), exist_ok=True)
     token = uuid.uuid4().hex[:12]
-    new_cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+    new_cols = (
+        [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        if df is not None
+        else None
+    )
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
+        if df is None:
+            if nxt == 0:
+                raise ValueError("manifest-only commit on an empty table")
+            new_cols = _read_manifest(table, nxt - 1).get("columns")
         if nxt > 0 and mode == "append":
             prev_cols = _read_manifest(table, nxt - 1).get("columns")
             if prev_cols is not None and prev_cols != new_cols:
@@ -274,19 +354,23 @@ def commit(
                 f"table moved to snapshot {nxt - 1}, transaction based on "
                 f"{expected_snapshot}: re-read and retry"
             )
-        part_dir = os.path.join(table, "data", f"c{nxt:012d}-{token}")
-        df.write.mode("error").parquet(part_dir)
-        new_files = sorted(
-            os.path.join(part_dir, f)
-            for f in os.listdir(part_dir)
-            if f.endswith(".parquet")
-        )
-        # zero-row part files (empty input partitions) carry no data and no
-        # footer stats; referencing them bloats manifests and schedules
-        # empty scan tasks — keep one only when the whole commit is empty,
-        # so the snapshot still carries the schema
-        nonempty = [p for p in new_files if _row_count(p) > 0]
-        new_files = nonempty or new_files[:1]
+        if df is not None:
+            part_dir = os.path.join(table, "data", f"c{nxt:012d}-{token}")
+            df.write.mode("error").parquet(part_dir)
+            new_files = sorted(
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            )
+            # zero-row part files (empty input partitions) carry no data
+            # and no footer stats; referencing them bloats manifests and
+            # schedules empty scan tasks — keep one only when the whole
+            # commit is empty, so the snapshot still carries the schema
+            nonempty = [p for p in new_files if _row_count(p) > 0]
+            new_files = nonempty or new_files[:1]
+        else:
+            part_dir = None
+            new_files = []
         prev = (
             _read_manifest(table, nxt - 1)["files"]
             if mode == "append" and nxt > 0
@@ -323,7 +407,8 @@ def commit(
             import shutil
 
             os.remove(tmp)
-            shutil.rmtree(part_dir, ignore_errors=True)
+            if part_dir is not None:
+                shutil.rmtree(part_dir, ignore_errors=True)
             if expected_snapshot is not None:
                 raise CommitConflict(
                     f"snapshot {nxt} claimed concurrently, transaction based "
@@ -393,8 +478,11 @@ def read_snapshot(
     files = [f["path"] for f in entries]
     if not files:
         raise ValueError(f"snapshot {n} at {table} references no files")
-    # mergeSchema: pre-evolution files surface NULL for added columns
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    # mergeSchema: pre-evolution files surface NULL for added columns;
+    # deletion vectors (if any surviving entry carries one) anti-filter
+    # the scan by (file, row position) — a no-op otherwise
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return _apply_dv(spark, df, entries)
 
 
 def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list[str]:
@@ -412,8 +500,12 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
     ids = snapshots(table)
     keep_ids = ids[-keep_last:] if keep_last else []
     live: set[str] = set()
+    live_dv: set[str] = set()
     for n in keep_ids:
-        live.update(f["path"] for f in _read_manifest(table, n)["files"])
+        for f in _read_manifest(table, n)["files"]:
+            live.update([f["path"]])
+            if f.get("dv"):
+                live_dv.add(f["dv"]["path"])
     removed: list[str] = []
     now = time.time()
     data_root = os.path.join(table, "data")
@@ -433,6 +525,18 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
                 import shutil
 
                 shutil.rmtree(full, ignore_errors=True)
+    # deletion-vector sidecars: same liveness + TTL rules as data files
+    dv_root = os.path.join(table, "_dv")
+    if os.path.isdir(dv_root):
+        for ddir in os.listdir(dv_root):
+            full = os.path.join(dv_root, ddir)
+            for f in os.listdir(full):
+                p = os.path.join(full, f)
+                if p not in live_dv and now - os.path.getmtime(p) > tmp_ttl_s:
+                    os.remove(p)
+                    removed.append(p)
+            if not os.listdir(full):
+                os.rmdir(full)
     for n in ids:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))
@@ -578,9 +682,9 @@ def merge_upsert(
                     untouched.append(e)
             touched = still
     if touched:
-        current = spark.read.option("mergeSchema", "true").parquet(
-            *[e["path"] for e in touched]
-        )
+        # _read_entries, not a raw parquet read: rewriting a file that
+        # carries a deletion vector must not resurrect its deleted rows
+        current = _read_entries(spark, touched)
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
     else:
@@ -629,9 +733,7 @@ def delete_where(
         untouched = [e for e in touched_entries if not overlaps(e)]
         touched_entries = [e for e in touched_entries if overlaps(e)]
     if touched_entries:
-        current = spark.read.option("mergeSchema", "true").parquet(
-            *[e["path"] for e in touched_entries]
-        )
+        current = _read_entries(spark, touched_entries)
     else:
         current = read_snapshot(spark, table, snapshot=base).limit(0)
     # SQL DELETE semantics: remove rows where the predicate is TRUE and
@@ -645,6 +747,102 @@ def delete_where(
         expected_snapshot=base,
         carry_entries=untouched,
     )
+
+
+#: refuse DV deletes above this many matched rows — a delete this large is
+#: rewriting most files anyway, and the DV sidecars (and the driver-held
+#: position list) would stop being "small by contract"
+DV_MAX_ROWS = 1_000_000
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+) -> int:
+    """Row-level DELETE as DELETION VECTORS: no data file is read in full
+    or rewritten — matched row POSITIONS are recorded in per-file sidecars
+    and the new snapshot carries every existing file verbatim with its
+    updated DV.  The GDPR-purge shape for small-fraction deletes at
+    100 TB: O(matched rows) written instead of O(touched files) —
+    ``merge_upsert``'s file-targeted rewrite still pays a full file
+    rewrite for a single matched row; this pays 8 bytes.
+
+    Semantics match :func:`delete_where` (rows where the predicate is
+    TRUE are removed; FALSE and NULL rows stay), including atomicity
+    (single manifest claim, ``CommitConflict`` on a lost race) and time
+    travel (prior snapshots still see the rows; the underlying bytes are
+    shared, so the retention story is :func:`vacuum`-driven exactly as
+    before).  Repeated DV deletes union their positions.  ``compact`` /
+    ``merge_upsert`` MATERIALIZE deletion vectors when they rewrite a
+    file; ``read_increment`` across a DV commit raises (it is an
+    overwrite — deletes are not expressible as an append delta).
+
+    Raises ValueError when the predicate matches more than
+    ``DV_MAX_ROWS`` rows — use the copy-on-write :func:`delete_where`
+    for bulk purges."""
+    from pyspark.sql import functions as F
+
+    base = _latest_snapshot(table)
+    entries = [dict(e) for e in _read_manifest(table, base)["files"]]
+    # positions are computed over the DV-APPLIED view: already-deleted
+    # rows can't rematch, so each sidecar is the union of live matches
+    # with the prior vector
+    live = _read_entries_with_pos(spark, entries)
+    matched = (
+        live.filter(f"({predicate}) IS TRUE")
+        .select("__file", "__row")
+        .limit(DV_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(matched) > DV_MAX_ROWS:
+        raise ValueError(
+            f"predicate matches > {DV_MAX_ROWS} rows: use the "
+            "copy-on-write delete_where for bulk purges"
+        )
+    per_file: dict[str, list[int]] = {}
+    for r in matched:
+        per_file.setdefault(r["__file"], []).append(r["__row"])
+    if per_file:
+        token = uuid.uuid4().hex[:12]
+        dv_dir = os.path.join(table, "_dv", f"d{base + 1:012d}-{token}")
+        os.makedirs(dv_dir, exist_ok=True)
+        for e in entries:
+            b = os.path.basename(e["path"])
+            if b not in per_file:
+                continue
+            rows = sorted(set(_dv_read(e)) | set(per_file[b]))
+            dv_path = os.path.join(dv_dir, f"{b}.dv.json")
+            with open(dv_path, "w") as fh:
+                json.dump({"rows": rows}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            e["dv"] = {"path": dv_path, "count": len(rows)}
+    return commit(
+        None, table, mode="overwrite", expected_snapshot=base,
+        carry_entries=entries,
+    )
+
+
+def _read_entries_with_pos(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """DV-applied scan of ``entries`` that RETAINS the (__file, __row)
+    position columns — the delete_where_dv work relation."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[e["path"] for e in entries]
+    ).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__file"
+        ),
+        F.col("_metadata.row_index").alias("__row"),
+    )
+    pairs = _dv_pairs(entries)
+    if not pairs:
+        return df
+    dv = spark.createDataFrame(pairs, "__file string, __row long")
+    return df.join(F.broadcast(dv), ["__file", "__row"], "left_anti")
 
 
 def compact(

@@ -183,20 +183,25 @@ def main() -> None:
     gen_events(60_000, one), gen_events(600_000, ten)
 
     from event_stream_spark.datapipe.bloom import bloom_prune
-    from event_stream_spark.datapipe.bpe import bpe_pairs
+    from event_stream_spark.datapipe.bpe import bpe_fertility, bpe_pairs
     from event_stream_spark.datapipe.corpusops import (
+        cdc_chunks,
         char_dup_spans,
+        curriculum_order,
         lcs_pairs,
         dsir_weights,
         dup_spans_clean,
         lm_score,
     )
+    from event_stream_spark.datapipe.dedup import dedup_soft
+    from event_stream_spark.datapipe.suffix import suffix_lrs
     from event_stream_spark.datapipe.graph import graph_pagerank
     from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
     from event_stream_spark.datapipe.similarity import (
         ann_join,
         ann_ivfpq_topk,
         ann_pq_topk,
+        decontaminate_semantic,
         embed_quantize,
     )
     from event_stream_spark.datapipe.webops import (
@@ -236,6 +241,13 @@ def main() -> None:
         ("dsir_weights", dsir_weights),
         ("char_dup_spans", char_dup_spans),
         ("lcs_pairs", lcs_pairs),
+        # round-5 additions
+        ("dedup_soft", dedup_soft),
+        ("decontaminate_semantic", decontaminate_semantic),
+        ("suffix_lrs", suffix_lrs),
+        ("cdc_chunks", cdc_chunks),
+        ("bpe_fertility", bpe_fertility),
+        ("curriculum_order", curriculum_order),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")

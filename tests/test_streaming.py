@@ -2993,3 +2993,148 @@ def test_streaming_pq_index_batch_stream_parity(spark, tmp_path):
     assert all(r.vec_id < vecs[half][0] or r.vec_id <= vecs[half - 1][0]
                for r in early)
     assert {r.vec_id for r in early} <= {v for v, _e in vecs[:half]}
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_no_rewrite_and_time_travel(spark, tmp_path):
+    """delete_where_dv removes rows WITHOUT touching any data file: the new
+    manifest carries the identical file paths plus DV sidecars, readers
+    exclude the rows, and the prior snapshot still serves them."""
+    import json as _json
+
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        delete_where_dv,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+        .repartition(2),
+        table,
+    )
+    before = {e["path"] for e in _read_manifest(table, 0)["files"]}
+    mtimes = {p: __import__("os").path.getmtime(p) for p in before}
+    snap = delete_where_dv(spark, table, "id IN (3, 7)")
+    after_entries = _read_manifest(table, snap)["files"]
+    # identical file set, bytes untouched
+    assert {e["path"] for e in after_entries} == before
+    for p, m in mtimes.items():
+        assert __import__("os").path.getmtime(p) == m
+    assert sum((e.get("dv") or {}).get("count", 0) for e in after_entries) == 2
+    got = {r.id for r in read_snapshot(spark, table).collect()}
+    assert got == set(range(10)) - {3, 7}
+    # time travel: snapshot 0 still has every row
+    assert {r.id for r in read_snapshot(spark, table, snapshot=0).collect()} == set(
+        range(10)
+    )
+    # DV sidecars are valid JSON with sorted row positions
+    for e in after_entries:
+        if e.get("dv"):
+            rows = _json.load(open(e["dv"]["path"]))["rows"]
+            assert rows == sorted(rows)
+
+
+def test_dv_deletes_union_and_null_semantics(spark, tmp_path):
+    """Repeated DV deletes union their positions; NULL-predicate rows are
+    kept (the delete_where contract)."""
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where_dv,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(1, "spam"), (2, "ok"), (3, None), (4, "spam")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    delete_where_dv(spark, table, "v = 'spam'")
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3}
+    delete_where_dv(spark, table, "id = 2")
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {3}
+
+
+def test_dv_not_resurrected_by_merge_or_compact(spark, tmp_path):
+    """CoW DML over DV-carrying files applies the vectors: merge_upsert
+    must not resurrect a DV-deleted row when it rewrites the file, and
+    compact materializes the vectors (row set identical, no dv entries)."""
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        compact,
+        delete_where_dv,
+        merge_upsert,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        table,
+        stats_cols=["id"],
+    )
+    delete_where_dv(spark, table, "id = 5")
+    # upsert touches the (single) file that carries the DV
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(2, "NEW")], "id long, v string"),
+        key="id",
+        stats_cols=["id"],
+    )
+    rows = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert 5 not in rows and rows[2] == "NEW" and len(rows) == 7
+    # compact: same rows, vectors materialized away
+    snap = compact(spark, table, target_files=1)
+    assert {r.id for r in read_snapshot(spark, table).collect()} == set(rows)
+    assert all(not e.get("dv") for e in _read_manifest(table, snap)["files"])
+
+
+def test_dv_vacuum_and_increment_semantics(spark, tmp_path):
+    """Vacuum keeps DV sidecars referenced by kept snapshots and sweeps
+    unreferenced ones; read_increment across a DV commit raises (it is an
+    overwrite — deletes are not an append delta)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        delete_where_dv,
+        read_increment,
+        read_snapshot,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        table,
+    )
+    delete_where_dv(spark, table, "id = 0")  # snapshot 1 (dv A)
+    delete_where_dv(spark, table, "id = 1")  # snapshot 2 (dv B supersedes A)
+    dv_a = next(
+        e["dv"]["path"] for e in _read_manifest(table, 1)["files"] if e.get("dv")
+    )
+    dv_b = next(
+        e["dv"]["path"] for e in _read_manifest(table, 2)["files"] if e.get("dv")
+    )
+    with _pytest.raises(ValueError, match="overwrite"):
+        read_increment(spark, table, since=0)
+    vacuum(table, keep_last=1, tmp_ttl_s=0.0)
+    assert not _os.path.exists(dv_a)  # only snapshot 2 survives
+    assert _os.path.exists(dv_b)
+    assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3, 4, 5}
