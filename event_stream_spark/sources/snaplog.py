@@ -379,6 +379,7 @@ def commit(
         entries = [
             {
                 "path": p,
+                "rows": _row_count(p),
                 **({"stats": _file_stats(p, stats_cols)} if stats_cols else {}),
                 **({"bloom": _file_bloom(p, bloom_cols)} if bloom_cols else {}),
             }
@@ -483,6 +484,25 @@ def read_snapshot(
     # the scan by (file, row position) — a no-op otherwise
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     return _apply_dv(spark, df, entries)
+
+
+def snap_count(table: str, *, snapshot: int | None = None) -> int:
+    """Exact row count of a snapshot from METADATA ONLY — per-entry row
+    counts recorded at commit time minus deletion-vector counts; a footer
+    read (num_rows only, no row data) covers entries from manifests
+    predating the ``rows`` field.  The `SELECT count(*)` fast path every
+    table format grows: no scan task is ever scheduled."""
+    ids = snapshots(table)
+    if not ids:
+        raise ValueError(f"no snapshots committed at {table}")
+    n = ids[-1] if snapshot is None else snapshot
+    if n not in ids:
+        raise ValueError(f"snapshot {n} not in {ids}")
+    total = 0
+    for e in _read_manifest(table, n)["files"]:
+        total += e["rows"] if "rows" in e else _row_count(e["path"])
+        total -= (e.get("dv") or {}).get("count", 0)
+    return total
 
 
 def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list[str]:

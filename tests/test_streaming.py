@@ -3138,3 +3138,33 @@ def test_dv_vacuum_and_increment_semantics(spark, tmp_path):
     assert not _os.path.exists(dv_a)  # only snapshot 2 survives
     assert _os.path.exists(dv_b)
     assert {r.id for r in read_snapshot(spark, table).collect()} == {2, 3, 4, 5}
+
+
+def test_snap_count_metadata_only(spark, tmp_path):
+    """snap_count serves exact counts from manifest metadata (commit-time
+    row counts minus DV counts) — including after appends, DV deletes, and
+    for manifests predating the rows field (footer fallback)."""
+    import json as _json
+
+    from event_stream_spark.sources.snaplog import (
+        _manifest_path,
+        commit,
+        delete_where_dv,
+        read_snapshot,
+        snap_count,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(spark.createDataFrame([(i,) for i in range(7)], "id long"), table)
+    commit(spark.createDataFrame([(i,) for i in range(7, 10)], "id long"), table)
+    assert snap_count(table) == 10
+    assert snap_count(table, snapshot=0) == 7
+    delete_where_dv(spark, table, "id >= 8")
+    assert snap_count(table) == 8
+    assert snap_count(table) == read_snapshot(spark, table).count()
+    # legacy manifest without per-entry rows: strip them, expect fallback
+    m = _json.load(open(_manifest_path(table, 0)))
+    for e in m["files"]:
+        e.pop("rows", None)
+    _json.dump(m, open(_manifest_path(table, 0), "w"))
+    assert snap_count(table, snapshot=0) == 7
