@@ -1553,8 +1553,15 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     is_eval = F.col("vec_id") % SEMDECON_EVAL_MOD == 0
     ev = e.filter(is_eval).select(F.col("embedding").alias("ev"))
     tr = e.filter(~is_eval).select("vec_id", "embedding")
+    return semantic_screen(tr, ev).orderBy("vec_id")
+
+
+def semantic_screen(vecs: DataFrame, eval_vecs: DataFrame) -> DataFrame:
+    """The screening core both the registry entry and the streaming twin
+    share: (vec_id, embedding) × broadcast eval side → (vec_id,
+    max_eval_sim, contaminated).  Batch ≡ stream by construction."""
     return (
-        tr.join(F.broadcast(ev))
+        vecs.join(F.broadcast(eval_vecs))
         .select(
             "vec_id",
             F.round(cosine(F.col("embedding"), F.col("ev")), 6).alias("sim"),
@@ -1568,7 +1575,6 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
                 "contaminated"
             ),
         )
-        .orderBy("vec_id")
     )
 
 

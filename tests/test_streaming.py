@@ -3168,3 +3168,54 @@ def test_snap_count_metadata_only(spark, tmp_path):
         e.pop("rows", None)
     _json.dump(m, open(_manifest_path(table, 0), "w"))
     assert snap_count(table, snapshot=0) == 7
+
+
+def test_streaming_semantic_screen_matches_batch(spark, tmp_path):
+    """Stream twin of decontaminate_semantic: vectors streamed in
+    microbatches against the frozen eval set produce EXACTLY the batch
+    operator's rows; a full replay with a fresh checkpoint appends
+    nothing — exactly-once per vec_id."""
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe.similarity import (
+        SEMDECON_EVAL_MOD,
+        decontaminate_semantic,
+    )
+    from event_stream_spark.streaming.semanticstream import semantic_screen_sink
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    is_eval = F.col("vec_id") % SEMDECON_EVAL_MOD == 0
+    eval_vecs = e.filter(is_eval).select(F.col("embedding").alias("ev"))
+    train = e.filter(~is_eval).select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        train.filter(f"vec_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "screened")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = semantic_screen_sink(stream, eval_vecs, out, checkpoint).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    got = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    want = {r.vec_id: r for r in decontaminate_semantic(spark, sf).collect()}
+    assert set(got) == set(want)
+    for vid, w in want.items():
+        g = got[vid]
+        assert (g.max_eval_sim, g.contaminated) == (
+            w.max_eval_sim, w.contaminated
+        ), vid
+
+    run(str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == len(want)
