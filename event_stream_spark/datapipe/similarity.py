@@ -1558,23 +1558,60 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
 def semantic_screen(vecs: DataFrame, eval_vecs: DataFrame) -> DataFrame:
     """The screening core both the registry entry and the streaming twin
-    share: (vec_id, embedding) × broadcast eval side → (vec_id,
-    max_eval_sim, contaminated).  Batch ≡ stream by construction."""
-    return (
-        vecs.join(F.broadcast(eval_vecs))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("ev")), 6).alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("sim").alias("max_eval_sim"))
-        .select(
-            "vec_id",
-            "max_eval_sim",
-            (F.col("max_eval_sim") >= F.lit(SEMDECON_THRESHOLD)).alias(
-                "contaminated"
-            ),
-        )
+    share: (vec_id, embedding) × frozen eval side → (vec_id,
+    max_eval_sim, contaminated).  Batch ≡ stream by construction.
+
+    Execution is an Arrow ``mapInPandas`` kernel: the eval matrix is
+    collected once on the driver (tiny by contract — benchmarks, not
+    corpora; the embed_kmeans centroid shape) and each input batch runs
+    ONE float64 BLAS matmul against it — zero shuffles, zero joins, no
+    interpreted per-element lambdas (a HOF-cosine × broadcast-join
+    formulation is ~n·|eval|·dim INTERPRETED ops; measured unusable at
+    200k×4k — the embed_quantize HOF lesson).  The max is rounded to
+    6 dp and the flag compares the ROUNDED value (round∘max ≡ max∘round:
+    rounding is monotone), the dedup_embedding cosine contract."""
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_vecs.collect()
+    E = (
+        np.stack([np.asarray(r["ev"], dtype="float64") for r in rows])
+        if rows
+        else np.zeros((0, 1))
+    )
+    if len(rows):
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    else:
+        En = E
+
+    def screen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not En.shape[0]:
+                # empty eval set: nothing can be contaminated
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "max_eval_sim": -1.0}
+                )
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "max_eval_sim": (Vn @ En.T).max(axis=1),
+                }
+            )
+
+    out = vecs.select("vec_id", "embedding").mapInPandas(
+        screen, "vec_id long, max_eval_sim double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("max_eval_sim", 6).alias("max_eval_sim"),
+        (F.round("max_eval_sim", 6) >= F.lit(SEMDECON_THRESHOLD)).alias(
+            "contaminated"
+        ),
     )
 
 

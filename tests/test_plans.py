@@ -987,15 +987,16 @@ def test_ivfpq_code_lake_prunes_and_is_narrow(spark, tmp_path):
     assert read_ivf_lake(spark, lake).count() == codes.count()
 
 
-def test_semantic_decon_broadcasts_eval_side(spark):
-    """decontaminate_semantic: the corpus-sized embedding scan is never
-    shuffled for the candidate pairing — the (tiny) eval slice broadcasts
-    in, and the only exchange is the map-side-combinable per-vector max."""
+def test_semantic_decon_is_shuffle_free_arrow_kernel(spark):
+    """decontaminate_semantic: the corpus side streams through ONE Arrow
+    kernel against the driver-collected eval matrix — no join, no
+    corpus-sized exchange anywhere in the plan (the HOF-cosine ×
+    broadcast-join formulation was measured unusable at 200k×4k)."""
     from event_stream_spark.datapipe.similarity import decontaminate_semantic
 
     p = plan(decontaminate_semantic(spark, SF_CORRECT))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "MapInPandas" in p
+    assert "Join" not in p and "CartesianProduct" not in p
 
 
 def test_suffix_lrs_bucketed_sort_no_cartesian(spark):
