@@ -2810,3 +2810,35 @@ def test_langid_confusion_fractions_sum(spark):
         per_lang[r.lang] += r.frac_p6
     for lang, s in per_lang.items():
         assert abs(s - 1_000_000) <= len(rows), (lang, s)
+
+
+def test_mp3_frames_udtf_lateral_join(spark):
+    """§2.10 UDTF surface: the mp3 frame walk as a Python table function —
+    one output row per frame via LATERAL join, empty output (not an
+    error) for non-MPEG blobs, frame geometry matching mp3_frame_profile."""
+    from event_stream_spark.datapipe.multimodal import mp3_frame_profile
+    from event_stream_spark.functions import udtf as udtf_mod
+
+    udtf_mod.register(spark)
+    h = _mpa_header(ver=3, layer=3, br_idx=9, sr_idx=0)     # 128k @ 44100
+    h320 = _mpa_header(ver=3, layer=3, br_idx=14, sr_idx=0)  # 320k
+    stream = _mpa_stream([(h, 417), (h320, 144 * 320000 // 44100)] * 3)
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    media = spark.createDataFrame(
+        [(1, bytearray(tag + stream)), (2, bytearray(b"not audio at all"))],
+        "media_id long, content binary",
+    )
+    media.createOrReplaceTempView("udtf_media")
+    rows = spark.sql(
+        "SELECT m.media_id, f.* FROM udtf_media m, "
+        "LATERAL mp3_frames(m.content) f ORDER BY m.media_id, f.frame_idx"
+    ).collect()
+    assert {r.media_id for r in rows} == {1}  # non-MPEG blob yields nothing
+    assert len(rows) == 6
+    prof = mp3_frame_profile(tag + stream)
+    assert prof["n_frames"] == 6
+    assert sum(r.samples for r in rows) * 1000 // 44100 == prof["duration_ms"]
+    assert [r.bitrate for r in rows[:2]] == [128000, 320000]
+    assert rows[0].offset == len(tag) and rows[0].n_bytes == 417
+    assert rows[1].offset == len(tag) + 417
+    assert all(r.version == "MPEG1" and r.layer == 3 for r in rows)
