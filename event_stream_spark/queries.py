@@ -1082,6 +1082,41 @@ JSON_EXTRACT_SQL = """
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+
+
+#: explicit pivot columns — passing values to pivot() keeps the plan a
+#: single deterministic aggregate (no extra distinct-scan job to discover
+#: them, and the output schema is fixed at plan time)
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q33(spark, sf):
+    """PIVOT: daily event matrix — one row per day, one count column per
+    event type (the wide activity report every dashboard asks of a long
+    event table).
+
+    Scale shape: `pivot(values=...)` with explicit values compiles to ONE
+    hash aggregate with 5 conditional-count expressions — a single day-key
+    shuffle with map-side partial aggregation, identical cost to the
+    hand-written CASE form the oracle uses; absent cells coalesce to 0 so
+    both engines emit identical integers.
+    """
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+                for c in PIVOT_TYPES
+            ],
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1": q1,
     "q2": q2,
@@ -1116,6 +1151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30": q30,
     "q31": q31,
     "q32": q32,
+    "q33": q33,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
@@ -1375,6 +1411,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN v ON c.user_id = v.user_id
                      AND c_at >= v_from AND c_at <= v_to
         ORDER BY click_id, version_id
+    """,
+    "q33": """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+               CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+               CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY day
     """,
     "q32": """
         SELECT n_name,

@@ -1009,3 +1009,13 @@ def test_suffix_lrs_bucketed_sort_no_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "_bkt" in p  # the bucketed two-phase suffix sort
     assert "BroadcastHashJoin" in p  # capd texts broadcast into the pairs
+
+
+def test_q33_pivot_is_single_aggregate(spark):
+    """q33: pivot with explicit values compiles to ONE hash aggregate over
+    a single day-key exchange — no distinct-discovery scan, no join."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["q33"](spark, SF_CORRECT))
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
