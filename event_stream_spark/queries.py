@@ -1117,6 +1117,34 @@ def q33(spark, sf):
     )
 
 
+
+
+def q34(spark, sf):
+    """UNPIVOT: the inverse of q33 — the wide daily matrix melted back to
+    long (day, event_type, n) form, dropping empty cells.  Wide→long is
+    the standard reshape between reporting marts and modeling inputs;
+    round-tripping q33 through it reproduces the plain groupBy counts
+    exactly (pinned by pytest).
+
+    Scale shape: ``unpivot`` is a generate-style projection — 5 narrow
+    rows out per input row, zero additional exchanges beyond q33's one
+    aggregate; the n > 0 filter drops the coalesced empty cells so the
+    long form matches the sparse groupBy exactly.
+    """
+    wide = q33(spark, sf)
+    return (
+        wide.unpivot(
+            "day",
+            [f"n_{c}" for c in PIVOT_TYPES],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1": q1,
     "q2": q2,
@@ -1152,6 +1180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31": q31,
     "q32": q32,
     "q33": q33,
+    "q34": q34,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
@@ -1411,6 +1440,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN v ON c.user_id = v.user_id
                      AND c_at >= v_from AND c_at <= v_to
         ORDER BY click_id, version_id
+    """,
+    "q34": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY CAST(ts AS DATE), event_type
+        ORDER BY day, event_type
     """,
     "q33": """
         SELECT CAST(ts AS DATE) AS day,
