@@ -174,3 +174,146 @@ def _pagerank_sql() -> str:
 
 
 GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented — Suri & Vassilvitskii's MapReduce
+# formulation, the standard cure for "the curse of the last reducer")
+# ---------------------------------------------------------------------------
+
+#: rank packing: deg·2^32 + node gives one BIGINT whose total order is
+#: (degree, node) — the orientation key that bounds wedge fan-out
+_RANK_BASE = 1 << 32
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, clustering_p6) over an undirected graph
+    given as canonical a<b ``pairs`` — factored so the pytest drives the
+    exact operator code on planted graphs (K4, paths).
+
+    Every edge is ORIENTED from its lower-(degree, id) endpoint to the
+    higher one; a wedge c→u, c→v (rank u < rank v) closes into a triangle
+    iff the oriented edge u→v exists — each triangle is found exactly
+    once, as its rank-ascending traversal.  Orienting by degree bounds a
+    node's out-degree by O(√m), so wedge fan-out is Σ out-deg² ≤ O(m^1.5)
+    REGARDLESS of hubs — an unoriented formulation explodes on the
+    highest-degree center (deg² wedges on the hub).  Both joins are
+    narrow (long, long) equi-joins; nothing is ever quadratic in nodes.
+    ``clustering_p6`` is the local clustering coefficient
+    2T/(deg·(deg−1)) in the pure-BIGINT HALF-UP contract."""
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).select(
+        F.col("a").alias("node"), "deg"
+    )
+    rank = deg.select(
+        "node", (F.col("deg") * _RANK_BASE + F.col("node")).alias("rk")
+    )
+    pr_ = pairs.join(
+        rank.select(F.col("node").alias("a"), F.col("rk").alias("rka")), "a"
+    ).join(rank.select(F.col("node").alias("b"), F.col("rk").alias("rkb")), "b")
+    lo = F.col("rka") < F.col("rkb")
+    oriented = pr_.select(
+        F.when(lo, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("rka", "rkb").alias("dst_rk"),
+    )
+    x = oriented.select(
+        F.col("src").alias("c"), F.col("dst").alias("u"),
+        F.col("dst_rk").alias("urk"),
+    )
+    y = oriented.select(
+        F.col("src").alias("c"), F.col("dst").alias("v"),
+        F.col("dst_rk").alias("vrk"),
+    )
+    wedges = x.join(y, "c").filter(F.col("urk") < F.col("vrk")).select(
+        "c", "u", "v"
+    )
+    closing = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    tris = wedges.join(closing, ["u", "v"]).select("c", "u", "v")
+    nodes = (
+        tris.select(F.col("c").alias("node"))
+        .union(tris.select(F.col("u").alias("node")))
+        .union(tris.select(F.col("v").alias("node")))
+    )
+    per = nodes.groupBy("node").agg(F.count("*").alias("t"))
+    return (
+        deg.join(per, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2 * coalesce(t, 0) * 2000000 + deg * (deg - 1))"
+                    " div (2 * deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_p6"),
+        )
+    )
+
+
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document triangle count + local clustering coefficient over the
+    near-dup graph — triangle density separates template FAMILIES (dense
+    cliques of mutual near-dups) from chains of incidental overlap, the
+    community-structure signal next to ``graph_pagerank``'s centrality."""
+    from event_stream_spark.datapipe.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf, threshold=0.5).select("a", "b")
+    return (
+        triangle_counts(pairs)
+        .select(
+            F.col("node").alias("doc_id"), "deg", "n_triangles",
+            "clustering_p6",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _triangles_sql() -> str:
+    from event_stream_spark.datapipe.dedup import _MINHASH_PAIRS_CTES
+
+    return f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT a, b FROM pairs
+        UNION ALL
+        SELECT b AS a, a AS b FROM pairs
+    ),
+    deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY a),
+    rk AS (SELECT node, deg * {_RANK_BASE} + node AS rk FROM deg),
+    o AS (
+        SELECT CASE WHEN ra.rk < rb.rk THEN p.a ELSE p.b END AS src,
+               CASE WHEN ra.rk < rb.rk THEN p.b ELSE p.a END AS dst,
+               greatest(ra.rk, rb.rk) AS dst_rk
+        FROM pairs p
+        JOIN rk ra ON ra.node = p.a
+        JOIN rk rb ON rb.node = p.b),
+    w AS (
+        SELECT x.src AS c, x.dst AS u, y.dst AS v
+        FROM o x JOIN o y ON y.src = x.src AND x.dst_rk < y.dst_rk),
+    tri AS (SELECT c, u, v FROM w JOIN o ON o.src = w.u AND o.dst = w.v),
+    nodes AS (
+        SELECT c AS node FROM tri
+        UNION ALL SELECT u FROM tri
+        UNION ALL SELECT v FROM tri),
+    per AS (SELECT node, count(*) AS t FROM nodes GROUP BY node)
+    SELECT d.node AS doc_id, d.deg,
+           CAST(coalesce(per.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * coalesce(per.t, 0) * 2000000
+                           + d.deg * (d.deg - 1))
+                          // (2 * d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_p6
+    FROM deg d LEFT JOIN per ON per.node = d.node
+    ORDER BY doc_id
+"""
+
+
+GRAPH_TRIANGLES_SQL = _triangles_sql()

@@ -2842,3 +2842,24 @@ def test_mp3_frames_udtf_lateral_join(spark):
     assert rows[0].offset == len(tag) and rows[0].n_bytes == 417
     assert rows[1].offset == len(tag) + 417
     assert all(r.version == "MPEG1" and r.layer == 3 for r in rows)
+
+
+def test_triangle_counts_planted_graphs(spark):
+    """Degree-oriented triangle counting on planted graphs: K4 (every node
+    in C(3,2)=3 triangles, clustering 1.0), a path (zero), and a hub star
+    plus one closing edge (exactly one triangle, found once)."""
+    from event_stream_spark.datapipe.graph import triangle_counts
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    path = [(10, 11), (11, 12)]
+    star = [(20, i) for i in range(21, 26)] + [(21, 22)]
+    pairs = spark.createDataFrame(k4 + path + star, "a long, b long")
+    rows = {r.node: r for r in triangle_counts(pairs).collect()}
+    for n in range(4):
+        assert rows[n].n_triangles == 3 and rows[n].clustering_p6 == 1_000_000
+    assert rows[11].n_triangles == 0 and rows[11].clustering_p6 == 0
+    # star hub: deg 5, exactly one triangle (20,21,22)
+    assert rows[20].n_triangles == 1
+    # clustering 2*1/(5*4) = 0.1
+    assert rows[20].clustering_p6 == 100_000
+    assert rows[21].n_triangles == 1 and rows[23].n_triangles == 0
