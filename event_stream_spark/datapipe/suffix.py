@@ -59,29 +59,41 @@ SUFFIX_DUP_MIN = 20
 _RANK_PARTS = 32
 
 
-def _bucketed(df: DataFrame, c1: str, m1: int) -> DataFrame:
-    """Stamp ``_bkt`` = which of ``_RANK_PARTS`` ordered slices of
-    [1, m1] the ``c1`` value falls in — DETERMINISTIC arithmetic
-    bucketing on the known rank domain.  (repartitionByRange is the
-    obvious tool here but is WRONG for a two-phase rank: its sampled
-    boundaries — and ``spark_partition_id()`` — are nondeterministic, and
-    the ranked branch and the offsets branch re-execute the exchange
-    independently, so their partitionings can disagree and merge/split
-    rank classes.  An arithmetic bucket is identical on every
-    execution.)  Equal keys share a bucket; buckets are ordered, so a
-    per-bucket rank + cumulative per-bucket counts compose to the global
-    rank."""
-    width = max(1, -(-m1 // _RANK_PARTS))  # ceil
-    return df.withColumn("_bkt", ((F.col(c1) - 1) / width).cast("long"))
+def _range_parted(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Range-partition ``df`` on ``cols`` and MATERIALIZE the result with
+    its partition id stamped as ``_bkt``.
+
+    Two subtleties make this exact:
+
+    - ``repartitionByRange``'s sampled boundaries (and
+      ``spark_partition_id()``) are NONDETERMINISTIC across physical
+      executions — if the ranked branch and the offsets branch of a
+      two-phase rank re-executed the exchange independently, their
+      partitionings could disagree and merge/split rank classes (a bug
+      this module shipped with and a test caught).  The localCheckpoint
+      pins ONE materialized partitioning that both branches read.
+    - the FINAL rank values are boundary-independent (a rank over a total
+      key order doesn't care where the partition cuts fall), so the
+      output is deterministic even though the sampled boundaries aren't.
+
+    Range partitioning (vs arithmetic first-key bucketing, the previous
+    design) balances by the FULL key, so a skewed leading key — every
+    web doc starting 'http', every synthetic doc starting 'w' — cannot
+    serialize the sort into one bucket (measured: the 10× sweep corpus
+    has a single first char, which put 100% of suffixes in one bucket)."""
+    part = df.repartitionByRange(
+        _RANK_PARTS, *[F.col(c) for c in cols]
+    ).withColumn("_bkt", F.spark_partition_id())
+    return part.localCheckpoint(eager=False)
 
 
-def _dense_rank2(df: DataFrame, c1: str, c2: str, m1: int) -> DataFrame:
+def _dense_rank2(df: DataFrame, c1: str, c2: str) -> DataFrame:
     """Append global ``r`` = dense_rank() ordered by (c1, c2), two-phase:
-    arithmetic-bucket on c1's domain [1, m1] (equal keys co-locate,
-    buckets ordered), dense-rank within each bucket, then shift by the
-    cumulative distinct-count of the buckets before — the corpus-sized
+    range-partition on the keys (equal keys co-locate, partitions are
+    ordered), dense-rank within each partition, then shift by the
+    cumulative distinct-count of the partitions before — the corpus-sized
     relation never passes through a SinglePartition window."""
-    part = _bucketed(df, c1, m1)
+    part = _range_parted(df, [c1, c2])
     w = Window.partitionBy("_bkt").orderBy(c1, c2)
     ranked = part.withColumn("_dr", F.dense_rank().over(w))
     # ≤ _RANK_PARTS rows: the unpartitioned cumsum window is driver-scale
@@ -98,10 +110,10 @@ def _dense_rank2(df: DataFrame, c1: str, c2: str, m1: int) -> DataFrame:
     )
 
 
-def _row_number2(df: DataFrame, cols: list[str], out: str, m1: int) -> DataFrame:
-    """Append global ``out`` = row_number() ordered by ``cols`` (the first
-    of which spans [1, m1]) — same two-phase scheme with count offsets."""
-    part = _bucketed(df, cols[0], m1)
+def _row_number2(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Append global ``out`` = row_number() ordered by ``cols`` — same
+    two-phase scheme with count offsets."""
+    part = _range_parted(df, cols)
     w = Window.partitionBy("_bkt").orderBy(*cols)
     ranked = part.withColumn("_rn", F.row_number().over(w))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -157,8 +169,8 @@ def suffix_order(
     )
     k = 1
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # one driver-scalar job per round: it both materializes the (lazy)
-    # checkpoint and yields the bucketing bound + early-exit test
+    # one driver-scalar job per round: materializes the lazy checkpoint
+    # and yields the early-exit test
     m1, n = lvl.agg(F.max("r"), F.count("*")).head()
     while k < cap and m1 != n:
         pairs = lvl.select(
@@ -166,10 +178,10 @@ def suffix_order(
             F.col("r").alias("_r1"),
             F.coalesce(F.lead("r", k).over(wdoc), F.lit(-1)).alias("_r2"),
         )
-        lvl = (
-            _dense_rank2(pairs, "_r1", "_r2", m1)
-            .select("doc_id", "pos", "dlen", "r")
-            .localCheckpoint(eager=False)
+        # _dense_rank2 materializes its range-partitioned input, so the
+        # round output's lineage is already flat — no extra checkpoint
+        lvl = _dense_rank2(pairs, "_r1", "_r2").select(
+            "doc_id", "pos", "dlen", "r"
         )
         k *= 2
         m1, n = lvl.agg(F.max("r"), F.count("*")).head()
@@ -184,12 +196,12 @@ def suffix_sa_direct(
     """(doc_id, pos, dlen, sp) — suffix-array position by DIRECT
     distributed sort of the capped suffix strings: with the ≤``cap``-char
     cap, a suffix IS a bounded sort key, so one two-phase ranked window
-    (bucketed by the first-char rank) replaces the whole doubling loop.
-    This is the fast path the registry entry uses; ``suffix_order``'s
-    prefix doubling is the scale path for long/uncapped contexts, where
-    materializing suffix strings as sort keys would blow the exchange up
-    by the context length.  A pytest pins the two paths to the same
-    order."""
+    (range-partitioned on the full suffix key — balanced under ANY
+    leading-key skew) replaces the whole doubling loop.  This is the fast
+    path the registry entry uses; ``suffix_order``'s prefix doubling is
+    the scale path for long/uncapped contexts, where materializing suffix
+    strings as sort keys would blow the exchange up by the context
+    length.  A pytest pins the two paths to the same order."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, cap).alias("s")
     )
@@ -205,35 +217,11 @@ def suffix_sa_direct(
             "doc_id",
             (F.col("pos0") + 1).alias("pos"),
             "dlen",
-            "ch",
             F.col("s").substr(F.col("pos0") + 1, F.lit(cap)).alias("sfx"),
         )
     )
-    alpha = pos0.select("ch").distinct()
-    wch = Window.orderBy("ch")
-    alpha_r = alpha.withColumn("r0", F.dense_rank().over(wch).cast("long"))
-    n_alpha = alpha_r.count()  # driver scalar: alphabet size (tiny)
-    width = max(1, -(-n_alpha // _RANK_PARTS))
-    keyed = pos0.join(F.broadcast(alpha_r), "ch").withColumn(
-        "_bkt", ((F.col("r0") - 1) / width).cast("long")
-    )
-    # equal suffixes share a first char ⇒ share a bucket; buckets are
-    # ordered by construction, so per-bucket row_number + cumulative
-    # counts compose to the global suffix-array position
-    w = Window.partitionBy("_bkt").orderBy("sfx", "doc_id", "pos")
-    ranked = keyed.withColumn("_rn", F.row_number().over(w))
-    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        ranked.groupBy("_bkt")
-        .agg(F.count("*").alias("_n"))
-        .select("_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
-    )
-    return (
-        ranked.join(F.broadcast(offs), "_bkt")
-        .select(
-            "doc_id", "pos", "dlen",
-            (F.col("_off") + F.col("_rn")).cast("long").alias("sp"),
-        )
+    return _row_number2(pos0, ["sfx", "doc_id", "pos"], "sp").select(
+        "doc_id", "pos", "dlen", "sp"
     )
 
 

@@ -2711,7 +2711,7 @@ def test_suffix_doubling_matches_direct_sort(spark):
 
     sfd = "/root/testdata/sf0.001"
     top, n, m = suffix_order(spark, sfd)
-    via_doubling = _row_number2(top, ["r", "doc_id", "pos"], "sp", m)
+    via_doubling = _row_number2(top, ["r", "doc_id", "pos"], "sp")
     a = {(r.doc_id, r.pos): r.sp for r in via_doubling.collect()}
     b = {(r.doc_id, r.pos): r.sp for r in suffix_sa_direct(spark, sfd).collect()}
     assert len(a) == len(b) == n
