@@ -30,16 +30,13 @@ sentinel), giving string-truncation semantics identical in both engines.
 Scale shape: every doubling round exchanges only (doc_id, pos, rank)
 rows — the text is touched in the initial character explode and in the
 final LCP projection, and never rides any rank exchange.  The
-distributed dense rank is two-phase over DETERMINISTIC arithmetic
-buckets of the previous round's rank domain (sampled
-``repartitionByRange`` boundaries are nondeterministic across the two
-physical executions of a shared subplan and can merge rank classes — see
-``_bucketed``).  No corpus-sized window ever runs on a single partition.
-At 100 TB the build is ≤ log2(cap) rounds of linear narrow shuffles —
-the published MapReduce SA recipe.  (Known skew note: round 1 buckets by
-the single-char rank, so a dominant character concentrates one bucket;
-rounds 2+ individuate.  For a production corpus, seed the bucket map
-from a rank histogram instead of equal-width slices.)
+distributed rank is two-phase over a RANGE-partitioned, MATERIALIZED
+layout (see ``_range_parted`` for why the materialization is load-
+bearing: sampled boundaries are nondeterministic across independent
+executions of a shared subplan, and an earlier arithmetic-bucket design
+serialized under leading-key skew).  No corpus-sized window ever runs
+on a single partition.  At 100 TB the build is ≤ log2(cap) rounds of
+linear narrow shuffles — the published MapReduce SA recipe.
 """
 
 from __future__ import annotations
@@ -141,7 +138,7 @@ def suffix_order(
     Because positions are contiguous 1..dlen, rank(pos+k) is
     ``lead(r, k)`` over (doc_id, pos) — a window, not a self-join — so a
     round is exactly two narrow exchanges: hash(doc_id) for the lead,
-    hash(bucket) for the two-phase dense rank."""
+    the range exchange for the two-phase dense rank."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, cap).alias("s")
     )

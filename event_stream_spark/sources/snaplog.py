@@ -385,9 +385,12 @@ def commit(
             }
             for p in new_files
         ]
+        import time as _time
+
         manifest = {
             "snapshot": nxt,
             "op": mode,
+            "ts": _time.time(),
             "columns": new_cols,
             "files": prev + entries,
         }
@@ -426,10 +429,15 @@ def read_snapshot(
     table: str,
     *,
     snapshot: int | None = None,
+    as_of_ts: float | None = None,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's file set (default: latest).
+
+    ``as_of_ts`` resolves the snapshot by commit wall-clock time instead
+    (``TIMESTAMP AS OF`` — see :func:`snapshot_as_of`); mutually
+    exclusive with ``snapshot``.
 
     ``prune={col: (lo, hi)}`` drops files whose manifest min/max for
     ``col`` cannot overlap [lo, hi] BEFORE planning the scan (files without
@@ -445,6 +453,10 @@ def read_snapshot(
     ids = snapshots(table)
     if not ids:
         raise ValueError(f"no snapshots committed at {table}")
+    if as_of_ts is not None:
+        if snapshot is not None:
+            raise ValueError("snapshot and as_of_ts are mutually exclusive")
+        snapshot = snapshot_as_of(table, as_of_ts)
     n = ids[-1] if snapshot is None else snapshot
     if n not in ids:
         raise ValueError(f"snapshot {n} not in {ids}")
@@ -484,6 +496,49 @@ def read_snapshot(
     # the scan by (file, row position) — a no-op otherwise
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     return _apply_dv(spark, df, entries)
+
+
+def snapshot_as_of(table: str, ts: float) -> int:
+    """The snapshot id current AT wall-clock time ``ts`` — the latest
+    commit whose manifest timestamp is ≤ ts (Delta's ``TIMESTAMP AS OF``
+    resolution).  Manifests predating the ``ts`` field fall back to the
+    manifest file's mtime (the moment the atomic link landed).  Raises
+    ValueError when ``ts`` precedes the first commit."""
+    best = None
+    for n in snapshots(table):
+        committed = _read_manifest(table, n).get("ts")
+        if committed is None:
+            committed = os.path.getmtime(_manifest_path(table, n))
+        if committed <= ts:
+            best = n
+    if best is None:
+        raise ValueError(f"no snapshot at {table} as of {ts}")
+    return best
+
+
+def history(table: str) -> list[dict]:
+    """Audit listing, oldest first: one dict per snapshot with id, op,
+    commit timestamp, file count, metadata row count (net of deletion
+    vectors), and the net row delta vs the previous snapshot — the
+    `DESCRIBE HISTORY` surface, from manifests only (no data file is
+    opened unless a legacy entry lacks its row count)."""
+    out: list[dict] = []
+    prev_rows = 0
+    for n in snapshots(table):
+        m = _read_manifest(table, n)
+        rows = snap_count(table, snapshot=n)
+        out.append(
+            {
+                "snapshot": n,
+                "op": m["op"],
+                "ts": m.get("ts") or os.path.getmtime(_manifest_path(table, n)),
+                "n_files": len(m["files"]),
+                "rows": rows,
+                "row_delta": rows - prev_rows,
+            }
+        )
+        prev_rows = rows
+    return out
 
 
 def snap_count(table: str, *, snapshot: int | None = None) -> int:
@@ -801,8 +856,6 @@ def delete_where_dv(
     Raises ValueError when the predicate matches more than
     ``DV_MAX_ROWS`` rows — use the copy-on-write :func:`delete_where`
     for bulk purges."""
-    from pyspark.sql import functions as F
-
     base = _latest_snapshot(table)
     entries = [dict(e) for e in _read_manifest(table, base)["files"]]
     # positions are computed over the DV-APPLIED view: already-deleted
