@@ -422,3 +422,59 @@ def test_lcs_pairs_matches_dp_on_random_corpora(spark, corpus, tmp_path_factory)
                 if n >= CHAR_SPAN_N:
                     want[(x, y)] = n
     assert got == want
+
+
+suffix_corpus = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=40).map(str.strip).filter(bool),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(texts=suffix_corpus)
+@prop_settings
+def test_suffix_lrs_matches_bruteforce(spark, texts, tmp_path_factory):
+    """suffix_lrs equals the quadratic character-compare brute force on
+    randomized small-alphabet corpora (a 4-char alphabet forces heavy rank
+    ties, the regime where the SA construction and the binary LCP chain
+    can break)."""
+    from event_stream_spark.datapipe.suffix import (
+        SUFFIX_CAP,
+        SUFFIX_DUP_MIN,
+        suffix_lrs,
+    )
+
+    base = tmp_path_factory.mktemp("sfxprop")
+    sf = str(base)
+    spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    caps = {i: s[:SUFFIX_CAP] for i, s in enumerate(texts)}
+    sufs = [
+        (d, p, s[p - 1 :]) for d, s in caps.items() for p in range(1, len(s) + 1)
+    ]
+    best: dict[tuple[int, int], int] = {}
+    for i, (d, p, s) in enumerate(sufs):
+        m = 0
+        for j, (d2, p2, s2) in enumerate(sufs):
+            if i == j:
+                continue
+            k = 0
+            for x, y in zip(s, s2):
+                if x != y:
+                    break
+                k += 1
+            m = max(m, k)
+        best[(d, p)] = m
+    want = {}
+    for (d, _p), m in best.items():
+        lrs, cnt = want.get(d, (0, 0))
+        want[d] = (max(lrs, m), cnt + (1 if m >= SUFFIX_DUP_MIN else 0))
+
+    got = {
+        r.doc_id: (r.lrs_len, r.n_dup_suffixes)
+        for r in suffix_lrs(spark, sf).collect()
+    }
+    assert got == want
