@@ -74,7 +74,7 @@ WITNESS_ORDER: list[str] = [
     "source_overlap", "winnow_fingerprints", "ann_pq_topk", "lm_score_kn", "lcs_pairs", "text_readability", "ann_ivfpq_topk", "boilerplate_lines", "char_entropy",
     "dedup_soft", "decontaminate_semantic", "suffix_lrs", "cdc_chunks",
     "bpe_fertility", "curriculum_order", "langid_confusion", "q33", "q34",
-    "graph_triangles",
+    "graph_triangles", "q35", "text_novelty", "embed_outliers",
 ]
 
 

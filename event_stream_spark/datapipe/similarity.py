@@ -1631,3 +1631,86 @@ DECON_SEMANTIC_SQL = f"""
     FROM sims
     ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding sanity screen — norm outliers
+# ---------------------------------------------------------------------------
+
+#: |z| at or above this (computed on the ROUNDED z) flags an outlier
+OUTLIER_Z = 3.0
+
+
+def embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Corrupt-embedding screen: per-vector L2 norm, its z-score against
+    the corpus norm distribution, and an outlier flag — the cheap sanity
+    gate that catches all-zero vectors, double-scaled batches, and NaN
+    fallout before they poison ANN indexes or k-means.
+
+    Determinism: the norm is the ``ann`` family's fold contract
+    (sequential dot product, rounded ×1e6 to BIGINT); mean/variance then
+    derive from exact BIGINT sums through a FIXED expression tree
+    (sumsq/n − (sum/n)² — each IEEE op correctly rounded, identical in
+    both engines), and the flag compares the ROUNDED z so the boundary
+    can't split.  Scale shape: one narrow scan for norms, one
+    constant-size aggregate broadcast back — no shuffle of vectors."""
+    e = t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        as_double("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norms = e.select(
+        "vec_id",
+        F.round(F.sqrt(sq) * 1e6).cast("long").alias("norm_p6"),
+    )
+    stats = norms.agg(
+        F.count("*").alias("n"),
+        F.sum("norm_p6").alias("s1"),
+        F.sum(F.col("norm_p6") * F.col("norm_p6")).alias("s2"),
+    )
+    var = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (
+        F.col("s1") / F.col("n")
+    )
+    # a constant norm distribution (e.g. unit-normalized embeddings) has
+    # zero variance: every z is 0, nothing is an outlier
+    z = F.when(
+        var > 0,
+        (F.col("norm_p6") - F.col("s1") / F.col("n")) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return (
+        norms.join(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "norm_p6",
+            F.round(z, 3).alias("z_r3"),
+            (F.abs(F.round(z, 3)) >= F.lit(OUTLIER_Z)).alias("outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBED_OUTLIERS_SQL = f"""
+    WITH norms AS (
+        SELECT vec_id,
+               CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) * 1e6)
+                    AS BIGINT) AS norm_p6
+        FROM embeddings),
+    stats AS (SELECT count(*) AS n,
+                     sum(norm_p6)::DOUBLE AS s1,
+                     sum(norm_p6 * norm_p6)::DOUBLE AS s2
+              FROM norms)
+    SELECT vec_id, norm_p6,
+           round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                      THEN (norm_p6 - s1 / n)
+                           / sqrt(s2 / n - (s1 / n) * (s1 / n))
+                      ELSE 0.0 END, 3) AS z_r3,
+           (abs(round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                           THEN (norm_p6 - s1 / n)
+                                / sqrt(s2 / n - (s1 / n) * (s1 / n))
+                           ELSE 0.0 END, 3))
+            >= {OUTLIER_Z}) AS outlier
+    FROM norms, stats
+    ORDER BY vec_id
+"""

@@ -449,3 +449,72 @@ LANGID_CONFUSION_SQL = f"""
     FROM pairs JOIN tot ON tot.lang = pairs.lang
     ORDER BY pairs.lang, lang_pred
 """
+
+
+def text_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of its distinct
+    word 3-grams whose corpus-wide FIRST occurrence (min doc_id) is this
+    document — the novelty curve that diagnoses corpus ordering (a
+    well-shuffled corpus decays smoothly; a crawl sorted by domain shows
+    cliffs where template families begin).
+
+    Scale shape: reuses the shared shingle mat-view; min(doc_id) per gram
+    is one map-side-combinable shuffle riding (hash, long) pairs, joined
+    back co-keyed.  The fraction is the pure-BIGINT HALF-UP identity;
+    shingle-less docs default to fully novel."""
+    from event_stream_spark.datapipe.text import doc_shingles
+    from event_stream_spark.queries import t
+
+    sh = doc_shingles(spark, sf, 3)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+    return (
+        d.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce(
+                F.expr("(n_novel * 2000000 + n_shingles) div (2 * n_shingles)"),
+                F.lit(1000000),
+            )
+            .cast("long")
+            .alias("novelty_p6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NOVELTY_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        FROM w WHERE len(ws) >= 3),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (
+        SELECT sh.doc_id, count(*) AS n,
+               sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS nov
+        FROM sh JOIN first USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(per.nov, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce((per.nov * 2000000 + per.n) // (2 * per.n),
+                         1000000) AS BIGINT) AS novelty_p6
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

@@ -1145,6 +1145,40 @@ def q34(spark, sf):
     )
 
 
+
+
+def q35(spark, sf):
+    """GROUPING SETS: event totals at three explicit granularities —
+    (event_type, day-of-week), (event_type), and grand total — with
+    ``grouping_id`` disambiguating which level each row belongs to (the
+    surface CUBE/ROLLUP can't express: an arbitrary, non-lattice subset
+    of groupings computed in one pass).
+
+    Scale shape: one Expand + one hash aggregate — rows are replicated
+    once per grouping set map-side and partially aggregated before the
+    single exchange, identical to CUBE's physical strategy but with
+    exactly the 3 requested sets instead of the full 4-set lattice.
+    """
+    e = t(spark, sf, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    e.createOrReplaceTempView("q35_events")
+    return spark.sql(
+        """
+        SELECT event_type, dow,
+               CAST(grouping_id(event_type, dow) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               -- integer-scale BEFORE the sum: a commutative BIGINT sum is
+               -- bit-identical at any partial-aggregation order, where
+               -- round(sum(double)) could split on last-ulp drift
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        FROM q35_events
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+        ORDER BY gid, event_type, dow
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1": q1,
     "q2": q2,
@@ -1181,6 +1215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32": q32,
     "q33": q33,
     "q34": q34,
+    "q35": q35,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
@@ -1440,6 +1475,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN v ON c.user_id = v.user_id
                      AND c_at >= v_from AND c_at <= v_to
         ORDER BY click_id, version_id
+    """,
+    "q35": """
+        -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — align
+        SELECT event_type, dayofweek(ts) + 1 AS dow,
+               CAST(grouping(event_type) * 2 + grouping(dayofweek(ts) + 1) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, dayofweek(ts) + 1), (event_type), ())
+        ORDER BY gid, event_type, dow
     """,
     "q34": """
         SELECT CAST(ts AS DATE) AS day, event_type,

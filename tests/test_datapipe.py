@@ -2863,3 +2863,57 @@ def test_triangle_counts_planted_graphs(spark):
     # clustering 2*1/(5*4) = 0.1
     assert rows[20].clustering_p6 == 100_000
     assert rows[21].n_triangles == 1 and rows[23].n_triangles == 0
+
+
+def test_embed_outliers_flags_planted_corruption(spark, tmp_path):
+    """Norm screen: a dead (all-zero) vector and a double-scaled vector
+    among slightly-noisy near-unit peers are each flagged in their own
+    corpus; the peers are not.  (One planted extreme per corpus: a z-score
+    screen is maskable — a 10x outlier inflates sigma enough to hide a
+    simultaneous dead vector, the documented limitation of moment-based
+    outlier detection.)"""
+    from event_stream_spark.datapipe.similarity import embed_outliers
+
+    dim = 4
+
+    def corpus(path, bad_vec):
+        rows = [(i, [0.5 + 0.0005 * i] * dim, 0) for i in range(40)]
+        rows.append((100, bad_vec, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(f"{path}/embeddings.parquet")
+
+    dead = str(tmp_path / "dead")
+    corpus(dead, [0.0] * dim)
+    out = {r.vec_id: r for r in embed_outliers(spark, dead).collect()}
+    assert out[100].outlier and out[100].norm_p6 == 0
+    assert not any(out[i].outlier for i in range(40))
+    assert out[0].norm_p6 == 1_000_000
+
+    scaled = str(tmp_path / "scaled")
+    corpus(scaled, [5.0] * dim)
+    out = {r.vec_id: r for r in embed_outliers(spark, scaled).collect()}
+    assert out[100].outlier and out[100].norm_p6 == 10_000_000
+    assert not any(out[i].outlier for i in range(40))
+
+
+def test_text_novelty_first_doc_claims_grams(spark, tmp_path):
+    """Novelty: the first doc of a duplicated pair is fully novel, its
+    copy fully derivative; an unrelated doc is fully novel."""
+    from event_stream_spark.datapipe.textstats import text_novelty
+
+    docs = [
+        (1, "one two three four"),
+        (2, "one two three four"),
+        (3, "totally different fresh content"),
+        (4, "xy"),  # shingle-less
+    ]
+    spark.createDataFrame(
+        [(d, s, "en", "s", len(s)) for d, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in text_novelty(spark, str(tmp_path)).collect()}
+    assert out[1].novelty_p6 == 1_000_000
+    assert out[2].novelty_p6 == 0 and out[2].n_novel == 0
+    assert out[3].novelty_p6 == 1_000_000
+    assert out[4].n_shingles == 0 and out[4].novelty_p6 == 1_000_000
