@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="--query: write result parquet here instead of showing")
     p.add_argument("--limit", type=int, default=20, help="--query: rows to show")
     p.add_argument("--list-queries", action="store_true", help="list registry query names")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="--query: print the formatted physical plan instead of running",
+    )
     return p
 
 
@@ -203,6 +208,11 @@ def run(argv: list[str] | None = None) -> None:
         spark = get_spark("event-stream-cli")
         spark.sparkContext.setLogLevel("WARN")
         result = reg[args.query](spark, args.sf_dir)
+        if args.explain:
+            # the plan-review loop (.explain("formatted")) as a CLI verb —
+            # what you read before shipping a query to the real cluster
+            result.explain("formatted")
+            return
         if args.out:
             result.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

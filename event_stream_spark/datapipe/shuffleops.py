@@ -242,3 +242,54 @@ CORPUS_SAMPLE_STRAT_SQL = f"""
     WHERE rn <= {STRAT_K}
     ORDER BY lang, rn
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 200
+WSAMPLE_SEED = 13
+
+
+def corpus_sample_weighted(
+    spark: SparkSession, sf: str, k: int = WSAMPLE_K, seed: int = WSAMPLE_SEED
+) -> DataFrame:
+    """Exact-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006): each doc draws u ~ U(0,1) from its md5 and competes
+    with key u^(1/w) — the top-k keys are a weighted sample where
+    P(selected) tracks weight w (here w = n_chars: length-proportional
+    sampling, the "sample by token budget" shape; swap any positive score
+    in).  Implemented in the monotone-equivalent log form ln(u)/w — one
+    ``ln`` per row instead of ``pow`` — integer-scaled ×1e6 and rounded
+    to a WHOLE number (the lm_score ln contract: absorbs last-ulp libm
+    drift between engines), ties broken by doc_id.
+
+    Scale shape: ORDER BY key LIMIT k compiles to TakeOrderedAndProject —
+    per-task k-row heaps, no corpus sort, no full shuffle (plan-gated for
+    the uniform sibling; same physical shape)."""
+    d = t(spark, sf, "documents")
+    # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(f":{seed}"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col("n_chars") * 1e6).cast("long")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("wkey_p6"))
+        .orderBy(F.desc("wkey_p6"), "doc_id")
+        .limit(k)
+    )
+
+
+CORPUS_SAMPLE_WEIGHTED_SQL = f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(round(ln((('0x' || substring(md5(doc_id::VARCHAR || ':{WSAMPLE_SEED}'), 1, 8))::BIGINT + 1)
+                         / {float(1 << 32)})
+                      / n_chars * 1e6) AS BIGINT) AS wkey_p6
+    FROM documents
+    ORDER BY wkey_p6 DESC, doc_id
+    LIMIT {WSAMPLE_K}
+"""

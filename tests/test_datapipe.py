@@ -2917,3 +2917,24 @@ def test_text_novelty_first_doc_claims_grams(spark, tmp_path):
     assert out[2].novelty_p6 == 0 and out[2].n_novel == 0
     assert out[3].novelty_p6 == 1_000_000
     assert out[4].n_shingles == 0 and out[4].novelty_p6 == 1_000_000
+
+
+def test_weighted_sample_tracks_weights(spark, tmp_path):
+    """Efraimidis–Spirakis: selection probability tracks weight — docs
+    with 50× the length are selected far more often than short ones, and
+    the sample is exactly k, deterministic across invocations."""
+    from event_stream_spark.datapipe.shuffleops import corpus_sample_weighted
+
+    rows = []
+    for i in range(400):
+        heavy = i % 2 == 0
+        rows.append((i, "x", "en", "s", 5000 if heavy else 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = corpus_sample_weighted(spark, str(tmp_path), k=100).collect()
+    assert len(got) == 100
+    heavy_n = sum(1 for r in got if r.n_chars == 5000)
+    assert heavy_n >= 85  # 50x weight ratio -> overwhelmingly heavy docs
+    again = corpus_sample_weighted(spark, str(tmp_path), k=100).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in again]

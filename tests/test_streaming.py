@@ -1729,6 +1729,11 @@ def test_cli_query_mode(spark, tmp_path, capsys):
     listed = capsys.readouterr().out.split()
     assert "q19" in listed and "dedup_minhash" in listed and "bpe_learn" in listed
 
+    # --explain prints the formatted physical plan, runs nothing
+    run(["--query", "q1", "--sf-dir", "/root/testdata/sf0.001", "--explain"])
+    planned = capsys.readouterr().out
+    assert "Physical Plan" in planned and "PushedFilters" in planned
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
