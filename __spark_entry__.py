@@ -75,7 +75,7 @@ WITNESS_ORDER: list[str] = [
     "dedup_soft", "decontaminate_semantic", "suffix_lrs", "cdc_chunks",
     "bpe_fertility", "curriculum_order", "langid_confusion", "q33", "q34",
     "graph_triangles", "q35", "text_novelty", "embed_outliers",
-    "corpus_sample_weighted",
+    "corpus_sample_weighted", "quality_gopher", "text_diversity",
 ]
 
 

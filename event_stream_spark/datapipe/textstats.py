@@ -518,3 +518,156 @@ TEXT_NOVELTY_SQL = """
     FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
     ORDER BY d.doc_id
 """
+
+
+def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality report (Rae et al. 2021, app. A1,
+    re-expressed relationally; the reference's filter-operator family is
+    es-core/.../Filters.kt).  Five rules, each a pure integer predicate:
+    word-count band, mean-word-length band, symbol-to-word ratio (# and
+    "..." runs), alphabetic-word fraction, and stopword-hit floor.
+
+    Cross-engine hash-exact contract: every ratio is integer-scaled
+    (floor((x * 1e6) / words) on BIGINTs in both dialects) and the pass
+    flag compares those integers — no float ever crosses the comparison
+    boundary.  Scale shape: narrow projection over the text scan, zero
+    shuffles; the per-word lambdas run once per word (O(doc length)).
+    """
+    d = t(spark, sf, "documents")
+    ws = words(F.col("text"))
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    e = (
+        d.select("doc_id", "text", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.aggregate(
+                "ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ).alias("sum_wl"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[#]", ""))
+                + (F.size(F.split("text", r"\.\.\.", -1)) - 1)
+            ).cast("long").alias("n_sym"),
+            F.size(F.expr("filter(ws, w -> w rlike '[a-z]')")).cast("long").alias(
+                "n_alpha"
+            ),
+            F.size(F.expr(f"filter(ws, w -> w IN ({stop_list}))")).cast("long").alias(
+                "stop_hits"
+            ),
+        )
+    )
+    mean_wl_c = F.expr("(sum_wl * 100) DIV greatest(n_words, 1)")
+    sym_ppm = F.expr("(n_sym * 1000000) DIV greatest(n_words, 1)")
+    alpha_ppm = F.expr("(n_alpha * 1000000) DIV greatest(n_words, 1)")
+    return e.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        mean_wl_c.alias("mean_wl_c"),
+        sym_ppm.alias("sym_ppm"),
+        alpha_ppm.alias("alpha_ppm"),
+        "stop_hits",
+        (
+            F.col("n_words").between(10, 100_000)
+            & mean_wl_c.between(300, 1000)
+            & (sym_ppm <= 100_000)
+            & (alpha_ppm >= 800_000)
+            & (F.col("stop_hits") >= 2)
+        ).alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+QUALITY_GOPHER_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+    e AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS sum_wl,
+               (length(text) - length(regexp_replace(text, '[#]', '', 'g'))
+                + len(string_split(text, '...')) - 1)::BIGINT AS n_sym,
+               len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+               len(list_filter(ws, x -> x IN ({_GOPHER_STOPS})))::BIGINT AS stop_hits
+        FROM w)
+    SELECT doc_id, n_words,
+           (sum_wl * 100) // greatest(n_words, 1) AS mean_wl_c,
+           (n_sym * 1000000) // greatest(n_words, 1) AS sym_ppm,
+           (n_alpha * 1000000) // greatest(n_words, 1) AS alpha_ppm,
+           stop_hits,
+           (n_words BETWEEN 10 AND 100000
+            AND (sum_wl * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
+            AND (n_sym * 1000000) // greatest(n_words, 1) <= 100000
+            AND (n_alpha * 1000000) // greatest(n_words, 1) >= 800000
+            AND stop_hits >= 2) AS gopher_pass
+    FROM e ORDER BY doc_id
+"""
+
+
+def text_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity: type-token ratio and hapax-legomenon fraction per
+    document (the classic repetition-complement signal — a doc whose words
+    are mostly hapaxes is diverse; one whose TTR collapses is template spam).
+
+    Row-based, not HOF: per-doc word counts come from one
+    (doc_id, w)-keyed aggregation over the shared ``word_rows`` contract
+    (O(corpus tokens), linear shuffle), then a doc_id rollup — never an
+    O(types x length) per-row lambda, so a 1M-word document costs the same
+    per token as a 50-word one.  Ratios integer-scaled (ppm) for the
+    cross-engine hash contract.
+    """
+    from event_stream_spark.datapipe.text import word_rows
+
+    d = t(spark, sf, "documents")
+    per = (
+        word_rows(d)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+            F.coalesce(
+                F.expr("(n_types * 1000000) DIV n_words"), F.lit(0)
+            ).alias("ttr_ppm"),
+            F.coalesce(
+                F.expr("(n_hapax * 1000000) DIV n_words"), F.lit(0)
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_DIVERSITY_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    per AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_types,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        FROM wc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_types, 0) AS n_types,
+           coalesce(p.n_hapax, 0) AS n_hapax,
+           coalesce((p.n_types * 1000000) // p.n_words, 0) AS ttr_ppm,
+           coalesce((p.n_hapax * 1000000) // p.n_words, 0) AS hapax_ppm
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -2938,3 +2938,56 @@ def test_weighted_sample_tracks_weights(spark, tmp_path):
     assert heavy_n >= 85  # 50x weight ratio -> overwhelmingly heavy docs
     again = corpus_sample_weighted(spark, str(tmp_path), k=100).collect()
     assert [r.doc_id for r in got] == [r.doc_id for r in again]
+
+
+def test_quality_gopher_rules(spark, tmp_path):
+    """Each Gopher rule trips independently on a planted doc: the healthy
+    doc passes, then one doc per rule fails exactly that rule."""
+    from event_stream_spark.datapipe.textstats import quality_gopher
+
+    base = tmp_path / "gopher"
+    healthy = (
+        "the quick brown foxes jumped over the lazy dogs while the birds watched " * 2
+    )  # 26 words, mean word len ~4.5, plenty of stopword hits
+    texts = {
+        0: healthy,
+        1: "the cat sat",                                   # < 10 words
+        2: "a " * 12 + "the of",                            # mean word len < 3 but stop-rich
+        3: healthy + " ###### # # # # # # # # # # # # #",   # symbol ratio
+        4: "the of " + "1234 5678 " * 11,                   # alpha frac < 0.8
+        5: "cat dog mat sun run fox hen cow pig owl bat",   # no stopword hits
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r for r in quality_gopher(spark, str(base)).collect()}
+    assert rows[0].gopher_pass
+    assert not rows[1].gopher_pass and rows[1].n_words == 3
+    assert not rows[2].gopher_pass and rows[2].mean_wl_c < 300
+    assert not rows[3].gopher_pass and rows[3].sym_ppm > 100_000
+    assert not rows[4].gopher_pass and rows[4].alpha_ppm < 800_000
+    assert not rows[5].gopher_pass and rows[5].stop_hits == 0
+    # the integer contract: ratios are exact floor-scaled BIGINTs
+    assert rows[0].mean_wl_c == (sum(len(w) for w in healthy.split()) * 100) // len(
+        healthy.split()
+    )
+
+
+def test_text_diversity_ttr_and_hapax(spark, tmp_path):
+    """TTR/hapax exactness: all-same-word doc → TTR 1/n and 0 hapaxes;
+    all-distinct doc → TTR 1.0 and all hapaxes; empty doc → zeros."""
+    from event_stream_spark.datapipe.textstats import text_diversity
+
+    base = tmp_path / "div"
+    texts = {0: "word word word word", 1: "alpha beta gamma delta", 2: "", 3: "a a b"}
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r for r in text_diversity(spark, str(base)).collect()}
+    assert rows[0].n_types == 1 and rows[0].ttr_ppm == 250_000 and rows[0].n_hapax == 0
+    assert rows[1].ttr_ppm == 1_000_000 and rows[1].hapax_ppm == 1_000_000
+    assert rows[2].n_words == 0 and rows[2].ttr_ppm == 0
+    assert rows[3].n_types == 2 and rows[3].n_hapax == 1
+    assert rows[3].hapax_ppm == 333_333  # floor(1e6/3): integer contract
