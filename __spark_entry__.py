@@ -22,62 +22,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver correctness-gate ordering.  The driver hash-checks the FIRST 50
 # registry entries per round, so ordering is part of the verification
-# contract.  Round-5 policy (VERDICT r4 ask #3): rotate by witness age —
-# least-recently-driver-witnessed first, so no entry's driver row goes
-# stale while the substrate underneath it is rewritten.  Window = the one
-# r4 red (dup_spans, now hash-exact), the one entry rewritten this round
-# (graph_pagerank, fixed-point iteration), then every entry whose last
-# CORRECTNESS row is r3 (the q1–q32 set and the minhash/ann/kmeans/text
-# families, all rewritten since via the shared shingle mat-view).  The 48
-# r4-green entries sit past the boundary with sketch_profile (rows-only by
-# design; its exact twins are hash-checked via sketch_exact).  Registry
-# membership is still the union of QUERIES + DATAPIPE_QUERIES — this list
-# only fixes iteration order, and a safety net below appends anything not
-# named here.
+# contract.  Policy (VERDICT r4 ask #3, enforced by
+# tests/test_registry_order.py since r6): rotate by witness age — the 50
+# least-recently-GREEN-witnessed entries first, where "green" means a
+# CORRECTNESS_r0N row with hash_match true, or (for the two rows-only-by-
+# design entries) err == "no_oracle" with spark_rows recorded.  Round-6
+# window = dup_spans (r5 hash-red from the DuckDB-HUGEINT float64 fetch,
+# oracle now casts ::BIGINT), the 28 r5-new entries plus sketch_profile
+# (no driver rows yet), then the alphabetically-first 20 of the 47
+# entries last witnessed r4.  Ties at the boundary are broken
+# alphabetically; the guard test recomputes all of this from the
+# CORRECTNESS_r0*.json artifacts so the rotation can't silently drift.
+# Registry membership is still the union of QUERIES + DATAPIPE_QUERIES —
+# this list only fixes iteration order, and a safety net below appends
+# anything not named here.
 WITNESS_ORDER: list[str] = [
-    # -- red in r4 (hash mismatch, now fixed) — must re-witness green --
-    "dup_spans",
-    # -- rewritten this round (plain-sum fixed-point iterations) --
-    "graph_pagerank",
-    # -- last witnessed r3; substrate (shingle mat-view, row-based
-    #    shingles) rewritten in r3/r4 after their rows were recorded --
-    "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_embedding_exact",
-    "ann_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
-    "embed_kmeans", "semdedup", "text_tokens", "text_quality",
-    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8_intersect", "q8_except",
-    "q9", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-    "q19", "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
-    "q29", "q30", "q31", "q32",
-    # ---- driver window boundary (50) ----
-    # last witnessed r4 (green 2026-08) — freshest rows, rotate out
-    "pii_scrub", "text_repetition", "seq_pack", "chunk_docs",
-    "url_dedup", "dedup_paragraph", "dedup_paragraph_clean",
-    "dedup_incremental", "embed_quantize", "lm_score",
-    "text_langid", "text_fingerprint", "multimodal_meta",
-    "datapipe_clean_corpus", "decontaminate", "corpus_mix", "vocab_topk",
-    "tfidf_topterms",
-    "sketch_exact", "corpus_split", "heavy_hitters",
-    "time_gapfill", "corpus_shuffle", "corpus_sample", "ts_anomaly",
-    "json_extract", "embed_project", "dedup_cluster_best", "ann_join",
-    "bpe_pairs", "bpe_learn", "bpe_tokenize", "bloom_prune",
-    "quality_classify", "corpus_temp_mix", "corpus_report",
-    "bm25_topk", "collocations", "mmr_rerank",
-    "lm_score_bigram", "dedup_containment", "length_trim",
-    "datapipe_curate_v2", "corpus_sample_stratified", "dedup_exact_norm",
-    "attribution", "funnel_latency", "fuzzy_match",
-    "sketch_profile",
-    # -- new in round 5 (locally strict-parity-proven; driver-witnessed
-    #    next round when the window rotates) --
-    "dup_spans_clean", "dsir_weights", "char_dup_spans",
-    "source_overlap", "winnow_fingerprints", "ann_pq_topk", "lm_score_kn", "lcs_pairs", "text_readability", "ann_ivfpq_topk", "boilerplate_lines", "char_entropy",
-    "dedup_soft", "decontaminate_semantic", "suffix_lrs", "cdc_chunks",
-    "bpe_fertility", "curriculum_order", "langid_confusion", "q33", "q34",
-    "graph_triangles", "q35", "text_novelty", "embed_outliers",
-    "corpus_sample_weighted", "quality_gopher", "text_diversity",
+    'dup_spans', 'ann_ivfpq_topk', 'ann_pq_topk', 'boilerplate_lines',
+    'bpe_fertility', 'cdc_chunks', 'char_dup_spans', 'char_entropy',
+    'corpus_sample_weighted', 'curriculum_order', 'decontaminate_semantic', 'dedup_soft',
+    'dsir_weights', 'dup_spans_clean', 'embed_outliers', 'graph_triangles',
+    'langid_confusion', 'lcs_pairs', 'lm_score_kn', 'q33',
+    'q34', 'q35', 'quality_gopher', 'source_overlap',
+    'suffix_lrs', 'text_diversity', 'text_novelty', 'text_readability',
+    'winnow_fingerprints', 'sketch_profile', 'ann_join', 'attribution',
+    'bloom_prune', 'bm25_topk', 'bpe_learn', 'bpe_pairs',
+    'bpe_tokenize', 'chunk_docs', 'collocations', 'corpus_mix',
+    'corpus_report', 'corpus_sample', 'corpus_sample_stratified', 'corpus_shuffle',
+    'corpus_split', 'corpus_temp_mix', 'datapipe_clean_corpus', 'datapipe_curate_v2',
+    'decontaminate', 'dedup_cluster_best', 'dedup_containment', 'dedup_exact_norm',
+    'dedup_incremental', 'dedup_paragraph', 'dedup_paragraph_clean', 'embed_project',
+    'embed_quantize', 'funnel_latency', 'fuzzy_match', 'heavy_hitters',
+    'json_extract', 'length_trim', 'lm_score', 'lm_score_bigram',
+    'mmr_rerank', 'multimodal_meta', 'pii_scrub', 'quality_classify',
+    'seq_pack', 'sketch_exact', 'text_fingerprint', 'text_langid',
+    'text_repetition', 'tfidf_topterms', 'time_gapfill', 'ts_anomaly',
+    'url_dedup', 'vocab_topk', 'ann_ivf_topk', 'ann_lsh_topk',
+    'ann_topk_brute', 'dedup_clusters', 'dedup_embedding', 'dedup_embedding_exact',
+    'dedup_exact', 'dedup_minhash', 'dedup_ngram_jaccard', 'dedup_simhash',
+    'dedup_simhash_pairs', 'embed_kmeans', 'graph_pagerank', 'q1',
+    'q10', 'q11', 'q12', 'q13',
+    'q14', 'q15', 'q16', 'q17',
+    'q18', 'q19', 'q2', 'q20',
+    'q21', 'q22', 'q23', 'q24',
+    'q25', 'q26', 'q27', 'q28',
+    'q29', 'q3', 'q30', 'q31',
+    'q32', 'q4', 'q5', 'q6',
+    'q7', 'q8_except', 'q8_intersect', 'q9',
+    'semdedup', 'text_quality', 'text_tokens',
 ]
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from event_stream_spark.queries import QUERIES, plan_cached

@@ -302,7 +302,7 @@ DUP_SPANS_SQL = f"""
         FROM sh JOIN c USING (s) GROUP BY sh.doc_id)
     SELECT d.doc_id,
            coalesce(p.n_spans, 0) AS n_spans,
-           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
            coalesce(((p.n_dup_spans * 2000000 + p.n_spans) // (p.n_spans * 2))
                / 1000000.0, 0.0) AS dup_span_frac,
            coalesce((p.n_dup_spans * 2000000 + p.n_spans) // (p.n_spans * 2), 0)
@@ -984,7 +984,7 @@ def _dsir_sql() -> str:
         FROM wb JOIN mw USING (b) GROUP BY doc_id)
     SELECT d.doc_id,
            coalesce(s.n_words, 0) AS n_words,
-           coalesce(s.dsir_p6, 0) AS dsir_p6,
+           coalesce(s.dsir_p6, 0)::BIGINT AS dsir_p6,
            coalesce(s.dsir_p6, 0) > 0 AS keep
     FROM documents d LEFT JOIN scored s USING (doc_id)
     ORDER BY d.doc_id
@@ -1158,7 +1158,7 @@ CHAR_DUP_SPANS_SQL = f"""
             FROM isl GROUP BY doc_id, island)
         GROUP BY doc_id)
     SELECT d.doc_id, length(d.text) AS n_chars,
-           coalesce(p.dup_chars, 0) AS dup_chars,
+           coalesce(p.dup_chars, 0)::BIGINT AS dup_chars,
            coalesce(p.n_islands, 0) AS n_islands,
            coalesce(((p.dup_chars * 2000000 + length(d.text))
                      // (length(d.text) * 2)) / 1000000.0, 0.0) AS char_frac,

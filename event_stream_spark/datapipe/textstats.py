@@ -333,7 +333,7 @@ TEXT_READABILITY_SQL = """
                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                    AS n_sentences
         FROM documents)
-    SELECT doc_id, n_words, n_sentences, n_syllables,
+    SELECT doc_id, n_words, n_sentences, n_syllables::BIGINT AS n_syllables,
            CAST(round((206.835 - 1.015 * (n_words / n_sentences)
                        - 84.6 * (n_syllables / n_words)) * 1e3) AS BIGINT)
                AS ease_p3,
@@ -392,7 +392,7 @@ CHAR_ENTROPY_SQL = """
     n AS (SELECT doc_id, sum(c) AS n, count(*) AS alphabet
           FROM f GROUP BY doc_id)
     SELECT f.doc_id,
-           max(n.n) AS n_chars_counted,
+           max(n.n)::BIGINT AS n_chars_counted,
            max(n.alphabet) AS alphabet,
            CAST(round(-sum((f.c / CAST(n.n AS DOUBLE))
                            * ln(f.c / CAST(n.n AS DOUBLE))) * 1e6) AS BIGINT)

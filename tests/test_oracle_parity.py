@@ -37,6 +37,31 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_no_hugeint_oracle_columns(duck):
+    """No oracle output column may be HUGEINT/UHUGEINT.
+
+    DuckDB ``sum()`` over integer columns yields HUGEINT; a pandas-style
+    fetch (as the driver uses) converts HUGEINT to float64, so the oracle
+    serializes ``3.0`` where Spark serializes ``3`` — failing the value
+    hash while rows/schema stay green (the r5 ``dup_spans`` red).  Cast
+    such aggregates to BIGINT in the oracle SQL.  This guard makes the
+    whole bug class structurally impossible.
+    """
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = duck.sql(sql)
+        hug = [
+            col
+            for col, typ in zip(rel.columns, rel.types)
+            if str(typ) in ("HUGEINT", "UHUGEINT")
+        ]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, (
+        f"oracle columns with HUGEINT type (cast to ::BIGINT): {offenders}"
+    )
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle entry still must run and return a DataFrame."""
     q = entry_mod.queries()
