@@ -520,22 +520,33 @@ TEXT_NOVELTY_SQL = """
 """
 
 
+# Gopher's own stop-word rule list (Rae et al. 2021, app. A1) — distinct
+# from the language-ID STOPWORDS table above, which serves other operators.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher-style rule-based quality report (Rae et al. 2021, app. A1,
+    """Gopher rule-based quality report (Rae et al. 2021, app. A1,
     re-expressed relationally; the reference's filter-operator family is
-    es-core/.../Filters.kt).  Five rules, each a pure integer predicate:
-    word-count band, mean-word-length band, symbol-to-word ratio (# and
-    "..." runs), alphabetic-word fraction, and stopword-hit floor.
+    es-core/.../Filters.kt).  Five rules at the paper's thresholds, each
+    a pure integer predicate: word count in [50, 100,000], mean word
+    length in [3, 10], symbol-to-word ratio ("#" or "..." ) <= 0.1,
+    >= 80% of words containing at least one letter (Unicode letter class
+    ``\\p{L}`` in both dialects, so accented/non-Latin words count), and
+    at least 2 DISTINCT words from the paper's 8-word stop list
+    (``GOPHER_STOPWORDS``) present.
 
     Cross-engine hash-exact contract: every ratio is integer-scaled
     (floor((x * 1e6) / words) on BIGINTs in both dialects) and the pass
     flag compares those integers — no float ever crosses the comparison
     boundary.  Scale shape: narrow projection over the text scan, zero
-    shuffles; the per-word lambdas run once per word (O(doc length)).
+    shuffles; the per-word lambdas run once per word (O(doc length));
+    the distinct-stop probe iterates the constant 8-word list, not the
+    document.
     """
     d = t(spark, sf, "documents")
     ws = words(F.col("text"))
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
     e = (
         d.select("doc_id", "text", ws.alias("ws"))
         .select(
@@ -549,12 +560,12 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
                 - F.length(F.regexp_replace("text", r"[#]", ""))
                 + (F.size(F.split("text", r"\.\.\.", -1)) - 1)
             ).cast("long").alias("n_sym"),
-            F.size(F.expr("filter(ws, w -> w rlike '[a-z]')")).cast("long").alias(
-                "n_alpha"
-            ),
-            F.size(F.expr(f"filter(ws, w -> w IN ({stop_list}))")).cast("long").alias(
-                "stop_hits"
-            ),
+            F.size(F.expr(r"filter(ws, w -> w rlike '\\p{L}')"))
+            .cast("long")
+            .alias("n_alpha"),
+            F.size(F.expr(f"filter({stop_arr}, s -> array_contains(ws, s))"))
+            .cast("long")
+            .alias("stop_distinct"),
         )
     )
     mean_wl_c = F.expr("(sum_wl * 100) DIV greatest(n_words, 1)")
@@ -566,18 +577,18 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
         mean_wl_c.alias("mean_wl_c"),
         sym_ppm.alias("sym_ppm"),
         alpha_ppm.alias("alpha_ppm"),
-        "stop_hits",
+        "stop_distinct",
         (
-            F.col("n_words").between(10, 100_000)
+            F.col("n_words").between(50, 100_000)
             & mean_wl_c.between(300, 1000)
             & (sym_ppm <= 100_000)
             & (alpha_ppm >= 800_000)
-            & (F.col("stop_hits") >= 2)
+            & (F.col("stop_distinct") >= 2)
         ).alias("gopher_pass"),
     ).orderBy("doc_id")
 
 
-_GOPHER_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_GOPHER_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 QUALITY_GOPHER_SQL = f"""
     WITH w AS (
         SELECT doc_id, text,
@@ -589,19 +600,20 @@ QUALITY_GOPHER_SQL = f"""
                coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS sum_wl,
                (length(text) - length(regexp_replace(text, '[#]', '', 'g'))
                 + len(string_split(text, '...')) - 1)::BIGINT AS n_sym,
-               len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
-               len(list_filter(ws, x -> x IN ({_GOPHER_STOPS})))::BIGINT AS stop_hits
+               len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}')))::BIGINT AS n_alpha,
+               len(list_filter({_GOPHER_STOP_LIST},
+                               s -> list_contains(ws, s)))::BIGINT AS stop_distinct
         FROM w)
     SELECT doc_id, n_words,
            (sum_wl * 100) // greatest(n_words, 1) AS mean_wl_c,
            (n_sym * 1000000) // greatest(n_words, 1) AS sym_ppm,
            (n_alpha * 1000000) // greatest(n_words, 1) AS alpha_ppm,
-           stop_hits,
-           (n_words BETWEEN 10 AND 100000
+           stop_distinct,
+           (n_words BETWEEN 50 AND 100000
             AND (sum_wl * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
             AND (n_sym * 1000000) // greatest(n_words, 1) <= 100000
             AND (n_alpha * 1000000) // greatest(n_words, 1) >= 800000
-            AND stop_hits >= 2) AS gopher_pass
+            AND stop_distinct >= 2) AS gopher_pass
     FROM e ORDER BY doc_id
 """
 

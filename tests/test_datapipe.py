@@ -2942,36 +2942,57 @@ def test_weighted_sample_tracks_weights(spark, tmp_path):
 
 def test_quality_gopher_rules(spark, tmp_path):
     """Each Gopher rule trips independently on a planted doc: the healthy
-    doc passes, then one doc per rule fails exactly that rule."""
+    doc passes every rule, then one doc per rule fails ONLY that rule
+    (each failing doc is checked to pass the other four)."""
     from event_stream_spark.datapipe.textstats import quality_gopher
 
     base = tmp_path / "gopher"
     healthy = (
-        "the quick brown foxes jumped over the lazy dogs while the birds watched " * 2
-    )  # 26 words, mean word len ~4.5, plenty of stopword hits
+        "the quick brown foxes jumped over and beyond the lazy dogs "
+        "while the birds of prey watched " * 4
+    )  # 64 words, mean word len in band, distinct stops: the/and/of
     texts = {
         0: healthy,
-        1: "the cat sat",                                   # < 10 words
-        2: "a " * 12 + "the of",                            # mean word len < 3 but stop-rich
-        3: healthy + " ###### # # # # # # # # # # # # #",   # symbol ratio
-        4: "the of " + "1234 5678 " * 11,                   # alpha frac < 0.8
-        5: "cat dog mat sun run fox hen cow pig owl bat",   # no stopword hits
+        # < 50 words, but stop-rich, alpha, mean length 3.0, no symbols
+        1: "the cat and dog sat",
+        # 62 words of length 2 -> mean word len 200 < 300; to/of = 2 stops
+        2: "to of " + "ab " * 60,
+        # symbols INSIDE alphabetic words: alpha stays 100%, ratio > 0.1
+        3: healthy + " x## y## z## x## y## z## x## y##",
+        # 3/53 alphabetic words; word count, stops, mean length all fine
+        4: "the of and " + "1234 " * 50,
+        # 55 alpha words, mean length 3.0, zero words from the Gopher list
+        5: "cat dog mat sun run fox hen cow pig owl bat " * 5,
     }
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in texts.items()],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
     rows = {r.doc_id: r for r in quality_gopher(spark, str(base)).collect()}
-    assert rows[0].gopher_pass
-    assert not rows[1].gopher_pass and rows[1].n_words == 3
-    assert not rows[2].gopher_pass and rows[2].mean_wl_c < 300
-    assert not rows[3].gopher_pass and rows[3].sym_ppm > 100_000
-    assert not rows[4].gopher_pass and rows[4].alpha_ppm < 800_000
-    assert not rows[5].gopher_pass and rows[5].stop_hits == 0
+
+    def rule_flags(r):
+        return {
+            "words": 50 <= r.n_words <= 100_000,
+            "mean_wl": 300 <= r.mean_wl_c <= 1000,
+            "sym": r.sym_ppm <= 100_000,
+            "alpha": r.alpha_ppm >= 800_000,
+            "stops": r.stop_distinct >= 2,
+        }
+
+    assert rows[0].gopher_pass and all(rule_flags(rows[0]).values())
+    for doc_id, only_fail in [(1, "words"), (2, "mean_wl"), (3, "sym"),
+                              (4, "alpha"), (5, "stops")]:
+        flags = rule_flags(rows[doc_id])
+        assert not rows[doc_id].gopher_pass, doc_id
+        failed = [k for k, ok in flags.items() if not ok]
+        assert failed == [only_fail], f"doc {doc_id}: failed {failed}"
     # the integer contract: ratios are exact floor-scaled BIGINTs
     assert rows[0].mean_wl_c == (sum(len(w) for w in healthy.split()) * 100) // len(
         healthy.split()
     )
+    # distinct semantics: 'the' appears 12 times but counts once — the
+    # healthy doc holds exactly {the, and, of} from the Gopher list
+    assert rows[0].stop_distinct == 3
 
 
 def test_text_diversity_ttr_and_hapax(spark, tmp_path):
