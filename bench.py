@@ -11,13 +11,67 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import pandas as pd
 
 
+def run_isolated(chunk_size: int = 16) -> None:
+    """Fork a fresh interpreter+JVM per chunk of queries and merge results.
+
+    Default (in-process) mode runs all 127 registry entries in ONE Spark
+    session; timings there include cross-query co-residency effects
+    (shared JVM heap, code-cache, matview registry) that made the r3-vs-r4
+    driver numbers need forensics.  Isolated mode bounds those effects to
+    a chunk: per-query wall times come from a session that only ever ran
+    its chunk.  JVM startup/warm-up is untimed in both modes, so totals
+    stay comparable (methodology note in README).
+    """
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    chunks = [names[i : i + chunk_size] for i in range(0, len(names), chunk_size)]
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    sf = None
+    for chunk in chunks:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(chunk))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        rec = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                rec = json.loads(line)
+                break
+        if rec is None:
+            for name in chunk:
+                errors[name] = f"chunk subprocess failed: {proc.stderr[-300:]}"
+            continue
+        timings.update(rec.get("queries", {}))
+        errors.update(rec.get("errors", {}))
+        sf = rec.get("sf", sf)
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "qset_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "isolation": f"fresh JVM per {chunk_size}-query chunk",
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--isolated" in sys.argv[1:]:
+        return run_isolated()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
@@ -114,14 +168,17 @@ def main() -> None:
     # last line still gets metric/value/sf; one that parses the first JSON
     # line still gets the per-query map.
     print(json.dumps(out))
-    # durable full record beside the script (the stdout capture is lossy)
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_LOCAL.json")
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1)
-    except OSError:
-        pass
+    # durable full record beside the script (the stdout capture is lossy);
+    # subset runs (bisection or --isolated child chunks) must not clobber
+    # the full-registry record
+    if not only:
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_LOCAL.json")
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": "qset_total_wall",

@@ -3068,6 +3068,70 @@ def test_dv_deletes_union_and_null_semantics(spark, tmp_path):
     assert {r.id for r in read_snapshot(spark, table).collect()} == {3}
 
 
+def test_dv_stacking_read_amplification_and_compaction_gc(spark, tmp_path):
+    """50 stacked DV commits must not amplify the read plan: the scan
+    stays ONE broadcast anti-join (no shuffle exchange, no per-commit
+    join chain), because each entry's sidecar is the UNION of all its
+    deletes, not a stack.  ``compact`` then materializes everything —
+    zero sidecars in the new manifest — and ``vacuum`` reclaims the 50
+    accumulated sidecar files (the GC half of the GDPR-purge story)."""
+    import glob as _glob
+    import os as _os
+
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        compact,
+        delete_where_dv,
+        read_snapshot,
+        snapshots,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "id long, v string"
+        ).repartition(4),
+        table,
+    )
+    for i in range(50):
+        delete_where_dv(spark, table, f"id = {i}")
+    entries = _read_manifest(table, snapshots(table)[-1])["files"]
+    # one sidecar per data file, holding the union — not 50 stacked DVs
+    assert sum(1 for e in entries if e.get("dv")) <= 4
+    assert sum((e.get("dv") or {}).get("count", 0) for e in entries) == 50
+    df = read_snapshot(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == 1, plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert not shuffles, shuffles  # DV apply must never shuffle the scan
+    assert {r.id for r in df.collect()} == set(range(50, 200))
+    # 50 commits accreted 50 sidecar directories on disk
+    stacked = _glob.glob(_os.path.join(table, "_dv", "*", "*.dv.json"))
+    assert len(stacked) == 50
+    # compact: vectors materialized, manifest carries zero sidecars …
+    snap = compact(spark, table, target_files=1)
+    entries = _read_manifest(table, snap)["files"]
+    assert all(not e.get("dv") for e in entries)
+    assert {r.id for r in read_snapshot(spark, table).collect()} == set(
+        range(50, 200)
+    )
+    # … and the compacted scan has no join at all
+    plan2 = (
+        read_snapshot(spark, table)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan2, plan2
+    # GC: vacuum (keep only the compacted snapshot) deletes every sidecar
+    vacuum(table, keep_last=1, tmp_ttl_s=0.0)
+    assert _glob.glob(_os.path.join(table, "_dv", "*", "*.dv.json")) == []
+
+
 def test_dv_not_resurrected_by_merge_or_compact(spark, tmp_path):
     """CoW DML over DV-carrying files applies the vectors: merge_upsert
     must not resurrect a DV-deleted row when it rewrites the file, and
