@@ -152,11 +152,79 @@ class _Cursor:
 # message-set v1
 # ---------------------------------------------------------------------------
 
+#: message-set / RecordBatch compression attribute values (Kafka protocol)
+_CODEC_IDS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}
+
+
+def _codec_compress(codec: str, payload: bytes, *, v1: bool = False) -> bytes:
+    """Compress ``payload`` with a named codec.  v1 message sets wrap
+    snappy in the xerial stream framing (what snappy-java emits there);
+    RecordBatch v2 carries the raw snappy block."""
+    if codec == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(payload, mtime=0)
+    if codec == "snappy":
+        from event_stream_spark.sources.kafkacodecs import (
+            snappy_compress, xerial_frame,
+        )
+
+        return xerial_frame(payload) if v1 else snappy_compress(payload)
+    if codec == "lz4":
+        from event_stream_spark.sources.kafkacodecs import lz4_frame_compress
+
+        return lz4_frame_compress(payload)
+    raise NotImplementedError(f"codec {codec!r}")
+
+
+def _codec_decompress(ctype: int, payload: bytes, *, v1: bool = False) -> bytes:
+    if ctype == 1:
+        import gzip as _gzip
+
+        return _gzip.decompress(payload)
+    if ctype == 2:
+        from event_stream_spark.sources.kafkacodecs import (
+            snappy_decompress, xerial_unframe,
+        )
+
+        return xerial_unframe(payload) if v1 else snappy_decompress(payload)
+    if ctype == 3:
+        from event_stream_spark.sources.kafkacodecs import lz4_frame_decompress
+
+        return lz4_frame_decompress(payload)
+    raise KafkaWireError(
+        f"compression type {ctype} unsupported (zstd needs full FSE/Huffman "
+        "entropy decoding — none/gzip/snappy/lz4 are implemented)"
+    )
+
+
 def encode_message_set(
-    records: list[tuple[int, int, bytes | None, bytes | None]]
+    records: list[tuple[int, int, bytes | None, bytes | None]],
+    *,
+    codec: str = "none",
 ) -> bytes:
     """``(offset, timestamp_ms, key, value)`` entries → wire message set.
-    crc32 covers magic..value (everything after the crc field)."""
+    crc32 covers magic..value (everything after the crc field).
+
+    ``codec`` other than "none" emits the v1 COMPRESSED form: the whole
+    inner message set becomes the value of ONE wrapper message whose
+    attributes carry the codec id; inner offsets are 0..n-1 and the
+    wrapper's offset is the LAST inner absolute offset (the magic-1
+    relative-offset contract brokers enforce)."""
+    if codec not in _CODEC_IDS:
+        raise NotImplementedError(f"codec {codec!r}")
+    if codec != "none" and records:
+        inner = encode_message_set(
+            [(i, ts, k, v) for i, (_o, ts, k, v) in enumerate(records)]
+        )
+        wrapper_offset = records[-1][0]
+        ts0 = records[0][1]
+        body = (
+            _i8(1) + _i8(_CODEC_IDS[codec]) + _i64(ts0)
+            + _bytes(None) + _bytes(_codec_compress(codec, inner, v1=True))
+        )
+        msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+        return _i64(wrapper_offset) + _i32(len(msg)) + msg
     out = bytearray()
     for offset, ts, key, value in records:
         body = _i8(1) + _i8(0) + _i64(ts) + _bytes(key) + _bytes(value)
@@ -186,11 +254,25 @@ def decode_message_set(
             raise KafkaWireError(f"crc mismatch at offset {offset}")
         c = _Cursor(body)
         magic = c.i8()
-        c.i8()  # attributes (no compression support)
+        attrs = c.i8()
         ts = c.i64() if magic >= 1 else -1
         key = c.bytes()
         value = c.bytes()
-        out.append((offset, ts, key, value))
+        ctype = attrs & 0x07
+        if ctype == 0:
+            out.append((offset, ts, key, value))
+            continue
+        # compressed wrapper: the value is a whole inner message set.
+        # magic>=1: inner offsets are RELATIVE 0..n-1 and the wrapper
+        # offset is the last ABSOLUTE inner offset; magic=0 inner offsets
+        # are already absolute.
+        inner = decode_message_set(
+            _codec_decompress(ctype, value or b"", v1=True)
+        )
+        if magic >= 1 and inner:
+            base = offset - inner[-1][0]
+            inner = [(base + io, its, ik, iv) for io, its, ik, iv in inner]
+        out.extend(inner)
     return out
 
 
@@ -258,12 +340,16 @@ def encode_record_batch(
     codec: str = "none",
 ) -> bytes:
     """``(offset, timestamp_ms, key, value)`` entries → ONE RecordBatch v2
-    (no producer/transactional state, no headers).  ``codec="gzip"``
-    compresses the records section (compression type 1; deterministic
-    mtime=0 stream).  snappy/lz4/zstd need libraries this container
-    doesn't ship — declared unsupported."""
-    if codec not in ("none", "gzip"):
-        raise NotImplementedError(f"codec {codec!r} (only none/gzip)")
+    (no producer/transactional state, no headers).  ``codec`` compresses
+    the records section: "gzip" (type 1, deterministic mtime=0 stream),
+    "snappy" (type 2, raw block — v2 drops the xerial framing v1 used),
+    or "lz4" (type 3, frame format) — both implemented from the public
+    format specs in ``kafkacodecs``.  zstd (type 4) needs full
+    FSE/Huffman entropy coding — declared unsupported."""
+    if codec not in _CODEC_IDS:
+        raise NotImplementedError(
+            f"codec {codec!r} (none/gzip/snappy/lz4)"
+        )
     if not records:
         return b""
     base_off = records[0][0]
@@ -281,12 +367,10 @@ def encode_record_batch(
                 body += _varint(len(blob)) + blob
         body += _varint(0)  # headers
         recs += _varint(len(body)) + body
-    if codec == "gzip":
-        import gzip as _gzip
-
-        recs = _gzip.compress(bytes(recs), mtime=0)
+    if codec != "none":
+        recs = _codec_compress(codec, bytes(recs))
     post_crc = (
-        _i16(1 if codec == "gzip" else 0)  # attrs: compression, CREATE_TIME
+        _i16(_CODEC_IDS[codec])  # attrs: compression type, CREATE_TIME
         + _i32(records[-1][0] - base_off)  # lastOffsetDelta
         + _i64(base_ts) + _i64(max_ts)
         + _i64(-1) + _i16(-1) + _i32(-1)  # producerId/Epoch/baseSequence
@@ -327,11 +411,6 @@ def decode_record_batches(
         c = _Cursor(rest)
         attrs = c.i16()
         compression = attrs & 0x07
-        if compression not in (0, 1):
-            raise KafkaWireError(
-                f"compression type {compression} needs a codec library "
-                "(only none/gzip supported)"
-            )
         c.i32()  # lastOffsetDelta
         base_ts = c.i64()
         c.i64()  # maxTimestamp
@@ -339,10 +418,8 @@ def decode_record_batches(
         c.i16()  # producerEpoch
         c.i32()  # baseSequence
         count = c.i32()
-        if compression == 1:
-            import gzip as _gzip
-
-            raw, p = _gzip.decompress(rest[c.pos:]), 0
+        if compression:
+            raw, p = _codec_decompress(compression, rest[c.pos:]), 0
         else:
             raw, p = rest, c.pos
         for _ in range(count):
@@ -391,10 +468,14 @@ class KafkaWireBroker:
     partition count, append-only logs.  Thread-per-connection."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
-                 num_partitions: int = 1):
+                 num_partitions: int = 1, fetch_codec: str = "none"):
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self.num_partitions = num_partitions
+        # codec for OUTGOING fetch record sets (a real broker serves
+        # whatever compression.type / the producer chose; this exercises
+        # the client's decompression path end-to-end over the socket)
+        self.fetch_codec = fetch_codec
         # topic → partition → list[(timestamp_ms, key, value)]
         self._logs: dict[str, list[list[tuple[int, bytes | None, bytes | None]]]] = {}
         self._lock = threading.Lock()
@@ -567,9 +648,9 @@ class KafkaWireBroker:
                 # v4+ responses carry RecordBatch v2 (varints + CRC32C),
                 # older versions the v1 message set
                 mset = (
-                    encode_record_batch(records)
+                    encode_record_batch(records, codec=self.fetch_codec)
                     if version >= 4
-                    else encode_message_set(records)
+                    else encode_message_set(records, codec=self.fetch_codec)
                 )
                 parts += _i32(pid) + _i16(ERR_NONE) + _i64(hw)
                 if version >= 4:
@@ -707,15 +788,14 @@ class KafkaWireClient:
                 *, version: int = 3, codec: str = "none") -> int:
         """``(key, value, timestamp_ms)`` records → base offset assigned.
         ``version>=3`` (default — what current brokers speak) sends
-        RecordBatch v2 (optionally ``codec="gzip"``); lower versions the
-        v1 message set (uncompressed only)."""
+        RecordBatch v2; lower versions the v1 message set (compressed
+        wrapper form when a codec is named).  Codecs: none/gzip/snappy/
+        lz4 in both framings."""
         entries = [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
         if version >= 3:
             mset = encode_record_batch(entries, codec=codec)
         else:
-            if codec != "none":
-                raise NotImplementedError("compressed v1 message sets")
-            mset = encode_message_set(entries)
+            mset = encode_message_set(entries, codec=codec)
         body = (
             (_string(None) if version >= 3 else b"")  # transactional_id
             + _i16(1) + _i32(10000)  # acks=1, timeout

@@ -288,17 +288,17 @@ def test_record_batch_v2_gzip_compression():
 
     with pytest.raises(NotImplementedError):
         encode_record_batch(records, codec="zstd")
-    # a foreign batch claiming snappy (type 2) is refused, not mis-read
-    snappy = bytearray(plain)
-    # attributes live right after the crc: flip compression bits to 2
+    # a batch claiming zstd (type 4) is refused by name, not mis-read
+    zstd = bytearray(plain)
+    # attributes live right after the crc: flip compression bits to 4
     import struct as _struct
     attrs_off = 8 + 4 + 4 + 1 + 4  # baseOffset+len+epoch+magic+crc
-    _struct.pack_into(">h", snappy, attrs_off, 2)
+    _struct.pack_into(">h", zstd, attrs_off, 4)
     # re-crc so the codec check (not the crc) is what fires
     from event_stream_spark.sources.kafkawire import crc32c as _crc
-    _struct.pack_into(">I", snappy, attrs_off - 4, _crc(bytes(snappy[attrs_off:])))
-    with pytest.raises(KafkaWireError, match="compression type 2"):
-        decode_record_batches(bytes(snappy))
+    _struct.pack_into(">I", zstd, attrs_off - 4, _crc(bytes(zstd[attrs_off:])))
+    with pytest.raises(KafkaWireError, match="compression type 4"):
+        decode_record_batches(bytes(zstd))
 
     # broker end-to-end: gzip produce, both fetch versions read it whole
     broker = KafkaWireBroker()
@@ -316,3 +316,164 @@ def test_record_batch_v2_gzip_compression():
     finally:
         client.close()
         broker.close()
+
+
+def test_codec_primitives_spec_vectors():
+    """snappy/LZ4/xxHash-32 against fixed public-spec vectors plus
+    round-trips over adversarial shapes (empty, incompressible, highly
+    repetitive, overlap-copy RLE)."""
+    import random
+
+    from event_stream_spark.sources.kafkacodecs import (
+        CodecError,
+        lz4_block_compress,
+        lz4_block_decompress,
+        lz4_frame_compress,
+        lz4_frame_decompress,
+        snappy_compress,
+        snappy_decompress,
+        xerial_frame,
+        xerial_unframe,
+        xxh32,
+    )
+
+    # xxHash-32 published vectors (Cyan4973/xxHash README)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc")
+
+    # snappy fixed encodings from format_description.txt rules
+    assert snappy_compress(b"") == b"\x00"  # uvarint 0, no elements
+    assert snappy_decompress(b"\x03\x08abc") == b"abc"  # literal len 3
+    # copy-1 element: 8x 'a' = literal 'a' + copy-1(offset 1, len 7):
+    # tag = ((7-4)<<2)|0b01 = 0x0d, offset low byte 0x01
+    assert snappy_decompress(b"\x08\x00a\x0d\x01") == b"a" * 8
+    # copy-2 element: tag = ((4-1)<<2)|0b10 = 0x0e, offset LE16 = 1
+    assert snappy_decompress(b"\x05\x00a\x0e\x01\x00") == b"a" * 5
+
+    # LZ4 fixed decode: token 0x50 = 5 literals, last sequence
+    assert lz4_block_decompress(b"\x50hello") == b"hello"
+    # RLE via overlap copy: 1 literal + match(offset 1) repeating it
+    rle = lz4_block_compress(b"z" * 300)
+    assert len(rle) < 20 and lz4_block_decompress(rle) == b"z" * 300
+
+    random.seed(11)
+    cases = [
+        b"", b"x", b"abcabcabcabc",
+        bytes(random.randrange(256) for _ in range(5000)),  # incompressible
+        b"the quick brown fox " * 400,
+        bytes(random.randrange(3) for _ in range(70000)),   # > one lz4 frame block
+    ]
+    for blob in cases:
+        assert snappy_decompress(snappy_compress(blob)) == blob
+        assert xerial_unframe(xerial_frame(blob)) == blob
+        assert lz4_block_decompress(lz4_block_compress(blob)) == blob
+        assert lz4_frame_decompress(lz4_frame_compress(blob)) == blob
+    # compressible inputs actually shrink
+    assert len(snappy_compress(cases[4])) < len(cases[4]) // 4
+    assert len(lz4_frame_compress(cases[4])) < len(cases[4]) // 4
+
+    # corrupt frame header checksum is rejected
+    frame = bytearray(lz4_frame_compress(b"payload"))
+    frame[6] ^= 0xFF
+    with pytest.raises(CodecError):
+        lz4_frame_decompress(bytes(frame))
+
+
+def test_lz4_frame_accepts_kafka_legacy_header_checksum():
+    """Kafka message-format-v0 hashed the frame MAGIC into the header
+    checksum (KAFKA-3160); the reader accepts that variant so a
+    mixed-version broker replay does not hard-fail."""
+    import struct as _struct
+
+    from event_stream_spark.sources.kafkacodecs import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+        xxh32,
+    )
+
+    frame = bytearray(lz4_frame_compress(b"legacy-framed payload " * 20))
+    # rewrite HC the broken way: xxh32 over magic+FLG+BD
+    frame[6] = (xxh32(bytes(frame[0:6])) >> 8) & 0xFF
+    assert lz4_frame_decompress(bytes(frame)) == b"legacy-framed payload " * 20
+    # sanity: the two checksums genuinely differ for this header
+    assert frame[6] != (xxh32(bytes(frame[4:6])) >> 8) & 0xFF
+
+
+def test_compressed_v1_message_sets_roundtrip():
+    """v1 compressed wrapper form for every codec: ONE wrapper message
+    whose value is the compressed inner set, inner offsets relative,
+    wrapper offset = last absolute offset (the magic-1 contract)."""
+    import struct as _struct
+
+    from event_stream_spark.sources.kafkawire import (
+        decode_message_set,
+        encode_message_set,
+    )
+
+    records = [
+        (100, 1000, b"k0", b"v0" * 40),
+        (101, 2000, None, b"v1" * 40),
+        (102, 3000, b"k2", None),
+    ]
+    for codec in ("gzip", "snappy", "lz4"):
+        blob = encode_message_set(records, codec=codec)
+        # exactly one top-level wrapper message, carrying the LAST offset
+        assert _struct.unpack_from(">q", blob, 0)[0] == 102
+        wrapper_size = _struct.unpack_from(">i", blob, 8)[0]
+        assert 12 + wrapper_size == len(blob)
+        assert decode_message_set(blob) == records
+    # plain form unchanged
+    assert decode_message_set(encode_message_set(records)) == records
+
+
+def test_compressed_fetch_end_to_end_all_codecs():
+    """Snappy and lz4 RecordBatch v2 produce→broker→fetch over the real
+    socket, plus a broker configured to SERVE compressed fetch responses
+    in both framings (v4 RecordBatch and v1 compressed message set) —
+    the consumed-end-to-end proof for every supported codec."""
+    payload = [(b"key-%d" % i, b"block-payload-%d" % i * 20, 1000 + i)
+               for i in range(25)]
+    expect = [(r[0], r[1]) for r in payload]
+
+    for codec in ("snappy", "lz4"):
+        broker = KafkaWireBroker()
+        client = KafkaWireClient(broker.host, broker.port)
+        try:
+            assert client.produce("blocks", 0, payload, codec=codec) == 0
+            hw, recs = client.fetch("blocks", 0, 0, version=4)
+            assert hw == 25 and [r[2:] for r in recs] == expect
+        finally:
+            client.close()
+            broker.close()
+
+    # compressed v1 produce (wrapper form) through the broker
+    for codec in ("gzip", "snappy", "lz4"):
+        broker = KafkaWireBroker()
+        client = KafkaWireClient(broker.host, broker.port)
+        try:
+            assert client.produce(
+                "blocks", 0, payload, version=2, codec=codec
+            ) == 0
+            hw, recs = client.fetch("blocks", 0, 0, version=2)
+            assert hw == 25 and [r[2:] for r in recs] == expect
+        finally:
+            client.close()
+            broker.close()
+
+    # broker-side compression: fetch responses arrive compressed and the
+    # client decompresses transparently in both framings
+    for codec in ("snappy", "lz4", "gzip"):
+        broker = KafkaWireBroker(fetch_codec=codec)
+        client = KafkaWireClient(broker.host, broker.port)
+        try:
+            client.produce("blocks", 0, payload)
+            for version in (4, 2):
+                hw, recs = client.fetch("blocks", 0, 0, version=version)
+                assert hw == 25 and [r[2:] for r in recs] == expect, (
+                    codec, version,
+                )
+        finally:
+            client.close()
+            broker.close()
