@@ -1,9 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio/video codec libraries, so mp3/mp4 SAMPLE
-decode is STUBBED (NotImplementedError as marked, real container metadata
-around it) — but every format whose spec is implementable with
+The container has no image/audio/video codec libraries, so the SAMPLE
+decodes that require large tabulated spec data (MPEG audio Layer II/III,
+mp4/h264) are STUBBED (NotImplementedError as marked, real container
+metadata around them) — but every format whose spec is implementable with
 stdlib+numpy decodes for REAL end-to-end:
 
 - image: binary NetPBM (P6) header parse + pixel decode, a full PNG codec
@@ -16,7 +17,10 @@ stdlib+numpy decodes for REAL end-to-end:
   per-channel stats (``decode_ppm``/``decode_png``/``decode_gif``/
   ``decode_jpeg``/``image_pixel_stats``);
 - audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
-  (``parse_wav``/``audio_pcm_stats``);
+  (``parse_wav``/``audio_pcm_stats``) — and MPEG-1 Layer I subband
+  sample decode + encode (``datapipe.mpegaudio``: near-PR pseudo-QMF
+  filterbank, closed-form scalefactors; Layer II/III stay metadata-only
+  for the tabulated-data reason above);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
   with per-frame luma (``parse_y4m``/``video_frame_stats``).
 
@@ -655,10 +659,10 @@ AUDIO_STATS_SCHEMA = (
 
 def audio_pcm_stats(df: DataFrame) -> DataFrame:
     """mapInPandas decode → feature stage for audio, REAL end-to-end for
-    PCM WAV (the codec-free audio format, mirroring P6 for images):
-    container walk + raw-sample numpy math give duration, RMS level and
-    peak amplitude.  Compressed formats (mp3/aac) would hit the stubbed
-    codec path and are skipped here.
+    PCM WAV and MPEG-1 Layer I (``datapipe.mpegaudio`` — full subband
+    sample decode; Layer II/III remain frame-walk metadata only, see
+    that module's scope note): container walk + sample math give
+    duration, RMS level and peak amplitude.
 
     Scale shape: streaming Arrow batches, O(samples) per row, no shuffle —
     identical plumbing to ``image_pixel_stats``."""
@@ -671,6 +675,21 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else None
                 parsed = parse_wav(b)
+                if parsed is None and b is not None and (
+                    b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF)
+                ):
+                    try:
+                        from event_stream_spark.datapipe.mpegaudio import (
+                            layer1_decode,
+                        )
+
+                        mrate, _mch, mpcm = layer1_decode(b)
+                        parsed = (
+                            mrate, mpcm.shape[1], 16, mpcm.shape[0],
+                            mpcm.reshape(-1),
+                        )
+                    except (NotImplementedError, ValueError):
+                        parsed = None  # Layer II/III or not MPEG audio
                 if parsed is None:
                     continue
                 rate, ch, bits, frames, pcm = parsed

@@ -3012,3 +3012,110 @@ def test_text_diversity_ttr_and_hapax(spark, tmp_path):
     assert rows[2].n_words == 0 and rows[2].ttr_ppm == 0
     assert rows[3].n_types == 2 and rows[3].n_hapax == 1
     assert rows[3].hapax_ppm == 333_333  # floor(1e6/3): integer contract
+
+
+def test_mpegaudio_filterbank_near_pr():
+    """The 32-band pseudo-QMF analysis+synthesis chain reconstructs a
+    broadband chirp to better than -55 dB relative error (the module's
+    declared near-PR bound), with the documented 480-sample delay."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.mpegaudio import (
+        _DELAY,
+        analysis_frames,
+        synthesis_frames,
+    )
+
+    t = np.arange(16384) / 32000.0
+    x = np.sin(2 * np.pi * (200 + 6000 * t) * t)  # 200 Hz → 12.2 kHz sweep
+    y = synthesis_frames(analysis_frames(x))
+    n = 8192
+    err = np.sqrt(np.mean((y[_DELAY:_DELAY + n] - x[:n]) ** 2))
+    ref = np.sqrt(np.mean(x[:n] ** 2))
+    assert err / ref < 2e-3, err / ref
+
+
+def test_layer1_encode_decode_roundtrip_mono_and_stereo():
+    """Full Layer I bitstream round-trip: ISO frame layout (the frame
+    walk agrees on geometry), closed-form scalefactors, 448 kbps mono
+    reconstructs to <1e-3 relative error; stereo to the coarser
+    uniform-allocation bound; decoded length covers the input
+    sample-exactly after delay compensation."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.mpegaudio import (
+        layer1_decode,
+        layer1_encode,
+    )
+    from event_stream_spark.datapipe.multimodal import mp3_frame_profile
+
+    rate = 32000
+    t = np.arange(rate) / rate
+    x = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1870 * t)
+        + 0.1 * np.sin(2 * np.pi * 7000 * t)
+    )
+    blob = layer1_encode(x, rate, 1)
+    p = mp3_frame_profile(blob)
+    assert (p["version"], p["layer"], p["sample_rate"]) == ("MPEG1", 1, rate)
+    assert p["bitrate_min"] == 448000 and not p["vbr"]
+    got_rate, ch, y = layer1_decode(blob)
+    assert (got_rate, ch) == (rate, 1) and y.shape[0] >= len(x)
+    rel = np.sqrt(np.mean((y[: len(x), 0] - x) ** 2)) / np.sqrt(np.mean(x**2))
+    assert rel < 1e-3, rel
+
+    xs = np.stack([x, 0.3 * np.sin(2 * np.pi * 300 * t)], axis=1)
+    sblob = layer1_encode(xs, rate, 2)
+    srate, sch, sy = layer1_decode(sblob)
+    assert (srate, sch) == (rate, 2)
+    srel = np.sqrt(np.mean((sy[: len(xs)] - xs) ** 2)) / np.sqrt(
+        np.mean(xs**2)
+    )
+    assert srel < 3e-2, srel  # 6-bit uniform allocation at 448k stereo
+    # channels are genuinely independent, not duplicated
+    assert not np.allclose(sy[: len(xs), 0], sy[: len(xs), 1], atol=1e-3)
+
+
+def test_audio_pcm_stats_layer1_parity_with_wav(spark):
+    """The verdict's done-bar: audio_pcm_stats reports WAV-equivalent
+    numbers from an MPEG audio fixture.  The SAME signal goes in as
+    16-bit WAV and as its Layer I transcode; rms agrees within 1%,
+    duration within one Layer I frame + filter delay, rate/channels
+    exactly.  A Layer III file (real-world fixture when present) is
+    skipped, not crashed on."""
+    import os
+    import struct as _struct
+
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+    from event_stream_spark.datapipe.mpegaudio import layer1_encode
+
+    rate = 32000
+    t = np.arange(rate * 2) / rate
+    x = 0.4 * np.sin(2 * np.pi * 523 * t) + 0.15 * np.sin(2 * np.pi * 3100 * t)
+    s16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+    block = 2
+    wav = (
+        b"RIFF" + _struct.pack("<I", 36 + len(s16.tobytes())) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * block, block, 16)
+        + b"data" + _struct.pack("<I", len(s16.tobytes())) + s16.tobytes()
+    )
+    mp1 = layer1_encode(s16.astype(np.float64) / 32767.0, rate, 1)
+    rows = [(1, bytearray(wav)), (2, bytearray(mp1))]
+    real_mp3 = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if os.path.exists(real_mp3):
+        rows.append((3, bytearray(open(real_mp3, "rb").read())))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    stats = {r.media_id: r for r in mm.audio_pcm_stats(df).collect()}
+    assert set(stats) == {1, 2}  # Layer III row skipped by design
+    w, m = stats[1], stats[2]
+    assert (w.sample_rate, w.channels) == (m.sample_rate, m.channels)
+    assert abs(m.rms - w.rms) / w.rms < 0.01, (w.rms, m.rms)
+    # duration: transcode pads to whole frames after delay compensation
+    assert 0 <= m.audio_ms - w.audio_ms <= (384 + 480) / rate * 1000 + 1e-6
+    assert abs(m.peak - w.peak) / w.peak < 0.05
