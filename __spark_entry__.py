@@ -43,7 +43,7 @@ WITNESS_ORDER: list[str] = [
     'dsir_weights', 'dup_spans_clean', 'embed_outliers', 'graph_triangles',
     'langid_confusion', 'lcs_pairs', 'lm_score_kn', 'q33',
     'q34', 'q35', 'quality_gopher', 'source_overlap',
-    'suffix_lrs', 'text_diversity', 'text_novelty', 'text_readability',
+    'suffix_lrs', 'suffix_lrs_full', 'text_diversity', 'text_novelty', 'text_readability',
     'winnow_fingerprints', 'sketch_profile', 'ann_join', 'attribution',
     'bloom_prune', 'bm25_topk', 'bpe_learn', 'bpe_pairs',
     'bpe_tokenize', 'chunk_docs', 'collocations', 'corpus_mix',

@@ -20,9 +20,17 @@ Two cleanly separated pieces:
    no joins against intermediate rank tables at all.  Both-suffixes-
    exhausted overshoot is trimmed by the final least(remaining) cap.
 
-Documents are capped at their first ``SUFFIX_CAP`` chars (boilerplate and
-template duplication live at prefix scale; the cap bounds the round count
-at log2(cap) and keeps the position relation linear in corpus size).
+The registry ships BOTH scopes: ``suffix_lrs`` caps documents at their
+first ``SUFFIX_CAP`` = 64 chars (boilerplate and template duplication
+live at prefix scale; the cap bounds the round count at log2(cap) and
+keeps the position relation linear in corpus size) and uses the direct
+capped-suffix sort; ``suffix_lrs_full`` runs the PREFIX-DOUBLING loop
+over whole documents (``SUFFIX_FULL_CAP`` = 1024 ≥ every corpus doc),
+seeded by a direct sort of the 64-char prefix — the standard hybrid:
+sort what fits in a bounded key, double only beyond it.  Its LCP stage
+is two-phase (codegen chain to 64, Arrow exact-LCP for the saturated
+long-duplicate tail) because an 11-step chain exceeds the JVM 64 KB
+codegen method limit — see ``_pair_lcp``.
 Suffix comparisons never cross document boundaries: rank lookups past a
 document's end simply miss (LEFT JOIN → NULL → coalesced to the -1
 sentinel), giving string-truncation semantics identical in both engines.
@@ -56,7 +64,10 @@ SUFFIX_DUP_MIN = 20
 _RANK_PARTS = 32
 
 
-def _range_parted(df: DataFrame, cols: list[str]) -> DataFrame:
+def _range_parted(
+    df: DataFrame, cols: list[str], parts: int = _RANK_PARTS,
+    track: list | None = None,
+) -> DataFrame:
     """Range-partition ``df`` on ``cols`` and MATERIALIZE the result with
     its partition id stamped as ``_bkt``.
 
@@ -79,18 +90,24 @@ def _range_parted(df: DataFrame, cols: list[str]) -> DataFrame:
     serialize the sort into one bucket (measured: the 10× sweep corpus
     has a single first char, which put 100% of suffixes in one bucket)."""
     part = df.repartitionByRange(
-        _RANK_PARTS, *[F.col(c) for c in cols]
+        parts, *[F.col(c) for c in cols]
     ).withColumn("_bkt", F.spark_partition_id())
-    return part.localCheckpoint(eager=False)
+    ckpt = part.localCheckpoint(eager=False)
+    if track is not None:
+        track.append(ckpt)
+    return ckpt
 
 
-def _dense_rank2(df: DataFrame, c1: str, c2: str) -> DataFrame:
+def _dense_rank2(
+    df: DataFrame, c1: str, c2: str, parts: int = _RANK_PARTS,
+    track: list | None = None,
+) -> DataFrame:
     """Append global ``r`` = dense_rank() ordered by (c1, c2), two-phase:
     range-partition on the keys (equal keys co-locate, partitions are
     ordered), dense-rank within each partition, then shift by the
     cumulative distinct-count of the partitions before — the corpus-sized
     relation never passes through a SinglePartition window."""
-    part = _range_parted(df, [c1, c2])
+    part = _range_parted(df, [c1, c2], parts, track)
     w = Window.partitionBy("_bkt").orderBy(c1, c2)
     ranked = part.withColumn("_dr", F.dense_rank().over(w))
     # ≤ _RANK_PARTS rows: the unpartitioned cumsum window is driver-scale
@@ -107,10 +124,12 @@ def _dense_rank2(df: DataFrame, c1: str, c2: str) -> DataFrame:
     )
 
 
-def _row_number2(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+def _row_number2(
+    df: DataFrame, cols: list[str], out: str, parts: int = _RANK_PARTS
+) -> DataFrame:
     """Append global ``out`` = row_number() ordered by ``cols`` — same
     two-phase scheme with count offsets."""
-    part = _range_parted(df, cols)
+    part = _range_parted(df, cols, parts)
     w = Window.partitionBy("_bkt").orderBy(*cols)
     ranked = part.withColumn("_rn", F.row_number().over(w))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -127,7 +146,8 @@ def _row_number2(df: DataFrame, cols: list[str], out: str) -> DataFrame:
 
 
 def suffix_order(
-    spark: SparkSession, sf: str, cap: int = SUFFIX_CAP
+    spark: SparkSession, sf: str, cap: int = SUFFIX_CAP,
+    seed: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """(ranks, n, m) — ranks is (doc_id, pos, dlen, r) where ``r`` densely
     ranks every suffix of every capped document in full lexicographic
@@ -142,9 +162,23 @@ def suffix_order(
     d = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, cap).alias("s")
     )
+    # round 0 seeds the ranks with a SEED-char prefix window per suffix
+    # (not a single character): the loop then starts at k = seed, cutting
+    # log2(seed) rounds — each round costs 3-6 s of fixed exchange/job
+    # latency at local[32] regardless of data size, so round COUNT is the
+    # small-scale cost driver.  A ≤seed-char string is a perfectly fine
+    # range-partition key (the direct path range-partitions on 64-char
+    # keys); shorter windows near document ends sort prefix-first, which
+    # is exactly the suffix-order semantics the -1 rank sentinel
+    # preserves later.  Callers that want the doubling recurrence
+    # exercised from small k keep the default; the full-text production
+    # path seeds at SUFFIX_CAP (direct-sort the bounded prefix, double
+    # only beyond it — the standard hybrid).
+    seed = min(seed if seed is not None else 16, cap)
     pos0 = (
         d.select(
             "doc_id",
+            "s",
             F.length("s").alias("dlen"),
             F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos0", "ch"),
         )
@@ -152,23 +186,26 @@ def suffix_order(
         # position past the document end whose empty string would rank
         # equal ACROSS documents and corrupt every LCP
         .filter(F.col("ch") != "")
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "dlen", "ch")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "dlen",
+            F.col("s").substr(F.col("pos0") + 1, F.lit(seed)).alias("sfx"),
+        )
     )
-    # round 0: rank by first char — the distinct alphabet is tiny, so the
-    # unpartitioned window over it is driver-scale by design
-    alpha = pos0.select("ch").distinct()
-    wch = Window.orderBy("ch")
-    alpha_r = alpha.withColumn("r", F.dense_rank().over(wch).cast("long"))
-    lvl = (
-        pos0.join(F.broadcast(alpha_r), "ch")
-        .select("doc_id", "pos", "dlen", "r")
-        .localCheckpoint(eager=False)
+    ckpts: list[DataFrame] = []
+    lvl = _dense_rank2(pos0, "sfx", "sfx", track=ckpts).select(
+        "doc_id", "pos", "dlen", "r"
     )
-    k = 1
+    k = seed
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     # one driver-scalar job per round: materializes the lazy checkpoint
     # and yields the early-exit test
     m1, n = lvl.agg(F.max("r"), F.count("*")).head()
+    # adaptive bucket count: a 32-way range exchange on a few hundred
+    # rows pays ~100 task launches per round for nothing — scale the
+    # rank parallelism to the (now known) suffix count
+    parts = max(4, min(_RANK_PARTS, 1 + n // 20_000))
     while k < cap and m1 != n:
         pairs = lvl.select(
             "doc_id", "pos", "dlen",
@@ -177,13 +214,21 @@ def suffix_order(
         )
         # _dense_rank2 materializes its range-partitioned input, so the
         # round output's lineage is already flat — no extra checkpoint
-        lvl = _dense_rank2(pairs, "_r1", "_r2").select(
+        lvl = _dense_rank2(pairs, "_r1", "_r2", parts, track=ckpts).select(
             "doc_id", "pos", "dlen", "r"
         )
         k *= 2
         m1, n = lvl.agg(F.max("r"), F.count("*")).head()
         # m1 == n: every rank distinct ⇒ every suffix pair differs within
         # its k-prefix ⇒ rank_k order is already the full suffix order
+        #
+        # superseded rounds' checkpoint blocks would otherwise pile up
+        # for the whole build (measured: GCLocker thrash at 50M suffixes
+        # x 5 live rounds) — release everything but the round just
+        # materialized by the head() above
+        for old in ckpts[:-1]:
+            old.unpersist()
+        del ckpts[:-1]
     return lvl, n, m1
 
 
@@ -222,6 +267,72 @@ def suffix_sa_direct(
     )
 
 
+def _pair_lcp(withtext: DataFrame, cap: int) -> DataFrame:
+    """Append exact-LCP column ``_l`` for every (_sa @ pa, _sb @ pb) pair.
+
+    cap ≤ 64: the pure-codegen binary chain (7 substring-equality steps).
+
+    cap > 64: the chain CANNOT simply be lengthened — each step
+    references the accumulated ``l`` three times, so the expression tree
+    grows ~3^steps and an 11-step (cap=1024) chain OOMs Janino during
+    whole-stage-codegen compilation (measured: heap exhaustion at
+    sf0.001).  Two phases instead: the 64-chain stays the codegen hot
+    path for EVERY pair; pairs it saturates (``l >= 64`` ⇔ the first
+    64-char window matched, impossible otherwise since the remaining
+    steps sum to 63) are re-refined by an Arrow ``pandas_udf`` computing
+    the true common-prefix length directly.  The saturated set is
+    output-sensitive — only suffixes with ≥64-char exact repeats, i.e.
+    the long-duplicate tail the analysis exists to find — so the
+    Python-side work is proportional to true long duplication, not to
+    the corpus.  Both branches filter one deterministic subplan, and the
+    union keys (da, pa, db, pb) partition exactly."""
+    keep = ["da", "pa", "la", "db", "pb", "lb"]
+    chain64 = _binary_lcp(
+        F.col("_sa"), F.col("_sb"), F.col("pa"), F.col("pb"),
+        min(cap, SUFFIX_CAP),
+    ).cast("long")
+    if cap <= SUFFIX_CAP:
+        return withtext.select(*keep, chain64.alias("_l"))
+
+    @F.pandas_udf("long")
+    def _exact_lcp(sa, sb, pa, pb):
+        import pandas as pd
+
+        out = []
+        for a, b, i, j in zip(sa, sb, pa, pb):
+            x, y = a[i - 1:], b[j - 1:]
+            n = min(len(x), len(y), cap)
+            l = 0
+            while l < n and x[l] == y[l]:
+                l += 1
+            out.append(l)
+        return pd.Series(out, dtype="int64")
+
+    # No filter/union branching: Filter-pushdown would re-inline the
+    # chain into each branch's predicate and the codegen method grows
+    # beyond the JVM's 64 KB limit (measured: 19k-line generated file,
+    # interpreted fallback).  Instead the chain is evaluated EXACTLY once
+    # (step 1 — CollapseProject refuses to merge it upward because it is
+    # non-cheap and multiply-referenced above), the strings are blanked
+    # for non-saturated pairs (step 2 — cheap attribute refs only), and
+    # the Arrow UDF runs over every row but loops zero iterations on the
+    # blanked majority: Python-side work stays proportional to true
+    # ≥64-char duplication, the output-sensitive tail.
+    sat = F.col("_l64") >= SUFFIX_CAP
+    step1 = withtext.select(*keep, "_sa", "_sb", chain64.alias("_l64"))
+    step2 = step1.select(
+        *keep, "_l64",
+        F.when(sat, F.col("_sa")).otherwise(F.lit("")).alias("_ga"),
+        F.when(sat, F.col("_sb")).otherwise(F.lit("")).alias("_gb"),
+    )
+    return step2.select(
+        *keep,
+        F.when(
+            F.col("_l64") < SUFFIX_CAP, F.col("_l64")
+        ).otherwise(_exact_lcp("_ga", "_gb", "pa", "pb")).alias("_l"),
+    )
+
+
 def _binary_lcp(sa_col, sb_col, pa, pb, cap: int):
     """Exact LCP of suffixes (sa_col from pa, sb_col from pb), as a chain
     of log2(cap)+1 codegen substring-equality steps: at width k, if the
@@ -254,7 +365,15 @@ def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
     to n−1 adjacent pairs, each refined to an exact LCP by the binary
     substring chain (no joins).
     """
-    sa = suffix_sa_direct(spark, sf)
+    return _lrs_projection(spark, sf, suffix_sa_direct(spark, sf), SUFFIX_CAP)
+
+
+def _lrs_projection(
+    spark: SparkSession, sf: str, sa: DataFrame, cap: int
+) -> DataFrame:
+    """The shared LRS projection over any (doc_id, pos, dlen, sp) suffix
+    array: SA-adjacent pairs → exact binary-substring LCP → per-suffix
+    max → per-document (lrs_len, n_dup_suffixes)."""
     nxt = sa.select(
         (F.col("sp") - 1).alias("_sp"),
         F.col("doc_id").alias("db"),
@@ -268,20 +387,17 @@ def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
         "db", "pb", "lb",
     )
     capd = t(spark, sf, "documents").select(
-        "doc_id", F.substring("text", 1, SUFFIX_CAP).alias("s")
+        "doc_id", F.substring("text", 1, cap).alias("s")
     )
     ta = capd.select(F.col("doc_id").alias("_tda"), F.col("s").alias("_sa"))
     tb = capd.select(F.col("doc_id").alias("_tdb"), F.col("s").alias("_sb"))
     withtext = adj.join(ta, F.col("_tda") == F.col("da")).join(
         tb, F.col("_tdb") == F.col("db")
     )
-    l = _binary_lcp(
-        F.col("_sa"), F.col("_sb"), F.col("pa"), F.col("pb"), SUFFIX_CAP
-    )
-    lcp = withtext.select(
+    lcp = _pair_lcp(withtext, cap).select(
         "da", "pa", "db", "pb",
         F.least(
-            l,
+            F.col("_l"),
             F.col("la") - F.col("pa") + 1,
             F.col("lb") - F.col("pb") + 1,
         ).alias("lcp"),
@@ -361,3 +477,40 @@ def _lrs_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
 
 
 SUFFIX_LRS_SQL = _lrs_sql()
+
+#: full-text path bound: a power of two ≥ every synthetic corpus doc
+#: (max measured 577 chars at sf0.1) — so "capped at 1024" IS the whole
+#: document, and the doubling loop runs its real multi-round schedule
+#: (log2(1024) = 10 rounds max, early-exiting when ranks individuate)
+SUFFIX_FULL_CAP = 1024
+
+
+def suffix_lrs_full(spark: SparkSession, sf: str) -> DataFrame:
+    """``suffix_lrs`` over FULL document text, built on the PREFIX-
+    DOUBLING suffix order (``suffix_order``) instead of the direct
+    capped-suffix sort — the end-to-end proof of the scale path the
+    64-char registry entry declares as its long-string fallback.
+
+    Why doubling here: with full documents as sort keys, the direct path
+    would exchange O(corpus x doc_len) bytes of materialized suffix
+    strings; the doubling loop exchanges only (doc_id, pos, rank) rows
+    per round — at 100 TB that is the difference between shuffling the
+    corpus times its context length and shuffling log2(len) narrow
+    integer relations (the published MapReduce SA recipe).
+
+    Duplicate documents keep ranks tied through every round (their
+    suffixes are identical strings), so the loop runs to the cap bound;
+    the deterministic (r, doc_id, pos) row-number then breaks those ties
+    exactly like the oracle's ORDER BY sfx, doc_id, pos.  Output schema
+    and semantics match ``suffix_lrs`` — only the cap differs."""
+    ranks, n, _m = suffix_order(
+        spark, sf, cap=SUFFIX_FULL_CAP, seed=SUFFIX_CAP
+    )
+    parts = max(4, min(_RANK_PARTS, 1 + n // 20_000))
+    sa = _row_number2(ranks, ["r", "doc_id", "pos"], "sp", parts).select(
+        "doc_id", "pos", "dlen", "sp"
+    )
+    return _lrs_projection(spark, sf, sa, SUFFIX_FULL_CAP)
+
+
+SUFFIX_LRS_FULL_SQL = _lrs_sql(cap=SUFFIX_FULL_CAP)

@@ -194,7 +194,7 @@ def main() -> None:
         lm_score,
     )
     from event_stream_spark.datapipe.dedup import dedup_soft
-    from event_stream_spark.datapipe.suffix import suffix_lrs
+    from event_stream_spark.datapipe.suffix import suffix_lrs, suffix_lrs_full
     from event_stream_spark.datapipe.graph import graph_pagerank
     from event_stream_spark.datapipe.retrieval import bm25_topk, collocations
     from event_stream_spark.datapipe.similarity import (
@@ -245,6 +245,7 @@ def main() -> None:
         ("dedup_soft", dedup_soft),
         ("decontaminate_semantic", decontaminate_semantic),
         ("suffix_lrs", suffix_lrs),
+        ("suffix_lrs_full", suffix_lrs_full),
         ("cdc_chunks", cdc_chunks),
         ("bpe_fertility", bpe_fertility),
         ("curriculum_order", curriculum_order),

@@ -2698,6 +2698,50 @@ def test_suffix_lrs_planted_repeats(spark, tmp_path):
     assert out == {1: (7, 0), 2: (7, 0), 3: (2, 0)}
 
 
+def test_suffix_lrs_full_long_repeats_beyond_cap(spark, tmp_path):
+    """The full-text path (prefix-doubling SA, two-phase LCP) measures
+    repeats the 64-char capped entry structurally cannot: a 150-char
+    verbatim quote shared by two docs reports lrs_len 150 (the Arrow
+    exact-LCP branch), while the capped path saturates at its bound.
+    Short-repeat docs agree between the two paths (the codegen chain
+    branch is byte-identical logic)."""
+    from event_stream_spark.datapipe.suffix import suffix_lrs, suffix_lrs_full
+
+    quote = (
+        "it was the best of times it was the worst of times it was the "
+        "age of wisdom it was the age of foolishness it was the epoch "
+        "of belief xyz"
+    )
+    assert len(quote) == 136  # > 2x the 64-char cap
+    docs = [
+        (1, "doc one begins here. " + quote),
+        (2, quote + " and doc two diverges after."),
+        (3, "banana split banana"),
+        (4, "zzz unrelated text"),
+    ]
+    spark.createDataFrame(
+        [(d, s, "en", "s", len(s)) for d, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    full = {
+        r.doc_id: (r.lrs_len, r.n_dup_suffixes)
+        for r in suffix_lrs_full(spark, str(tmp_path)).collect()
+    }
+    assert full[1][0] == 136 and full[2][0] == 136  # the whole quote
+    assert full[3] == (6, 0) and full[4] == (2, 0)  # 'banana' internal
+    capped = {
+        r.doc_id: r.lrs_len for r in suffix_lrs(spark, str(tmp_path)).collect()
+    }
+    # the capped entry saturates at 64+ on the long quote: every one of
+    # its first chars starts a >=64-char repeat, but the true length is
+    # invisible to it
+    assert capped[1] < 136 and full[1][0] == 136
+    # n_dup_suffixes: every suffix of the quote inside doc 1 shares
+    # >= SUFFIX_DUP_MIN chars with doc 2's copy (tail under 20 chars ends
+    # the run)
+    assert full[1][1] >= 110
+
+
 def test_suffix_doubling_matches_direct_sort(spark):
     """The prefix-doubling scale path orders suffixes identically to the
     direct capped-suffix sort (same SA permutation under the same
