@@ -280,6 +280,8 @@ def commit(
     allow_added_columns: bool = False,
     max_retries: int = 20,
     carry_entries: list[dict] | None = None,
+    data_change: bool = True,
+    cdc: DataFrame | None = None,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
 
@@ -318,9 +320,23 @@ def commit(
     ``df=None`` publishes a MANIFEST-ONLY commit (no new data files) —
     the deletion-vector path: the snapshot is entirely the carried
     entries (with their updated ``dv`` sidecars) and the column contract
-    is inherited from the previous manifest."""
+    is inherited from the previous manifest.
+
+    CHANGE DATA FEED plumbing (the Delta CDF design point):
+    ``data_change=False`` marks a commit as pure REORGANIZATION —
+    identical row set, new file layout (compaction, clustering) — so
+    :func:`read_changes` skips it entirely instead of synthesizing
+    delete+insert churn for every row the rewrite moved.  ``cdc`` is an
+    optional writer-recorded change relation (must carry a
+    ``_change_type`` string column) persisted as parquet sidecars under
+    ``_cdc_data/`` and referenced by the manifest: the DML helpers pass
+    their exact change sets (they know precisely which rows they
+    touched), so the feed costs O(changes) to read instead of the
+    O(changed files) logical diff the synthesis fallback performs."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
+    if cdc is not None and "_change_type" not in cdc.columns:
+        raise ValueError("cdc relation must carry a _change_type column")
     if carry_entries and mode != "overwrite":
         raise ValueError("carry_entries requires mode='overwrite'")
     if df is None and not carry_entries:
@@ -371,6 +387,17 @@ def commit(
         else:
             part_dir = None
             new_files = []
+        if cdc is not None:
+            cdc_dir = os.path.join(table, "_cdc_data", f"c{nxt:012d}-{token}")
+            cdc.write.mode("error").parquet(cdc_dir)
+            cdc_files = sorted(
+                os.path.join(cdc_dir, f)
+                for f in os.listdir(cdc_dir)
+                if f.endswith(".parquet") and _row_count(os.path.join(cdc_dir, f))
+            )
+        else:
+            cdc_dir = None
+            cdc_files = []
         prev = (
             _read_manifest(table, nxt - 1)["files"]
             if mode == "append" and nxt > 0
@@ -393,6 +420,8 @@ def commit(
             "ts": _time.time(),
             "columns": new_cols,
             "files": prev + entries,
+            "data_change": data_change,
+            **({"cdc": cdc_files} if cdc_files else {}),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a
@@ -413,6 +442,8 @@ def commit(
             os.remove(tmp)
             if part_dir is not None:
                 shutil.rmtree(part_dir, ignore_errors=True)
+            if cdc_dir is not None:
+                shutil.rmtree(cdc_dir, ignore_errors=True)
             if expected_snapshot is not None:
                 raise CommitConflict(
                     f"snapshot {nxt} claimed concurrently, transaction based "
@@ -669,6 +700,158 @@ def read_increment(
     return spark.read.parquet(*files)
 
 
+def read_changes(
+    spark: SparkSession, table: str, *, since: int, until: int | None = None
+) -> DataFrame:
+    """CHANGE DATA FEED: every row-level change committed AFTER snapshot
+    ``since`` up to ``until`` (default latest), as the Delta CDF relation —
+    the table's columns plus ``_change_type`` (``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``), ``_commit_version`` and
+    ``_commit_timestamp``.  This is what an incremental downstream consumer
+    (materialized aggregate, search index, replication target) applies
+    instead of diffing full snapshots — and unlike :func:`read_increment`
+    it survives overwrite commits, because deletes are first-class rows.
+
+    Cost model, per covered snapshot:
+
+    * commits whose writer recorded a change relation (the DML helpers'
+      ``change_feed=True``) read their ``_cdc_data`` sidecars — O(changes);
+    * plain appends read exactly the added files — O(inserted rows);
+    * ``data_change=False`` commits (compaction / z-order clustering) are
+      SKIPPED — identical row set, new layout, zero feed rows;
+    * overwrites with no recorded relation fall back to a LOGICAL DIFF of
+      the manifest delta: removed files' live rows surface as deletes,
+      added files' live rows as inserts, and grown deletion vectors as
+      per-position deletes — O(changed files), never O(table).  All three
+      shapes are file-targeted scans unioned lazily; nothing is collected.
+
+    Design point: Delta Lake's ``table_changes`` / ``readChangeFeed``
+    (public protocol, CDC files + ``dataChange`` flag on actions)."""
+    from pyspark.sql import functions as F
+
+    ids = snapshots(table)
+    if since not in ids:
+        raise ValueError(f"snapshot {since} not in {ids}")
+    hi = ids[-1] if until is None else until
+    if hi not in ids:
+        raise ValueError(f"snapshot {hi} not in {ids}")
+
+    def _stamp(df: DataFrame, n: int, ts: float) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(n).cast("long").alias("_commit_version"),
+            F.lit(float(ts)).alias("_commit_timestamp"),
+        )
+
+    parts: list[DataFrame] = []
+    for n in ids:
+        if not since < n <= hi:
+            continue
+        m = _read_manifest(table, n)
+        ts = m.get("ts") or os.path.getmtime(_manifest_path(table, n))
+        if not m.get("data_change", True):
+            continue  # pure reorganization: same rows, new layout
+        if m.get("cdc"):
+            parts.append(_stamp(spark.read.parquet(*m["cdc"]), n, ts))
+            continue
+        prev = _read_manifest(table, n - 1)["files"] if n > 0 else []
+        prev_by_path = {e["path"]: e for e in prev}
+        cur_by_path = {e["path"]: e for e in m["files"]}
+        if m["op"] == "append" or n == 0:
+            added = [e for e in m["files"] if e["path"] not in prev_by_path]
+            if added:
+                parts.append(
+                    _stamp(
+                        _read_entries(spark, added).withColumn(
+                            "_change_type", F.lit("insert")
+                        ),
+                        n,
+                        ts,
+                    )
+                )
+            continue
+        # overwrite with no recorded change relation: logical diff of the
+        # manifest delta (file-targeted — untouched carried entries never
+        # appear on either side)
+        removed = [e for e in prev if e["path"] not in cur_by_path]
+        added = [e for e in m["files"] if e["path"] not in prev_by_path]
+        if removed:
+            parts.append(
+                _stamp(
+                    _read_entries(spark, removed).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    n,
+                    ts,
+                )
+            )
+        if added:
+            parts.append(
+                _stamp(
+                    _read_entries(spark, added).withColumn(
+                        "_change_type", F.lit("insert")
+                    ),
+                    n,
+                    ts,
+                )
+            )
+        # carried entries whose deletion vector CHANGED: grown positions
+        # are row deletes (the delete_where_dv shape); shrunk positions
+        # (a DV rollback) resurface as inserts
+        grown: list[tuple[str, int]] = []
+        shrunk: list[tuple[str, int]] = []
+        dv_carriers: list[dict] = []
+        for path, cur_e in cur_by_path.items():
+            prev_e = prev_by_path.get(path)
+            if prev_e is None:
+                continue
+            old = set(_dv_read(prev_e))
+            new = set(_dv_read(cur_e))
+            if old == new:
+                continue
+            b = os.path.basename(path)
+            dv_carriers.append(cur_e)
+            grown.extend((b, i) for i in sorted(new - old))
+            shrunk.extend((b, i) for i in sorted(old - new))
+        for pairs, ctype in ((grown, "delete"), (shrunk, "insert")):
+            if not pairs:
+                continue
+            pos = spark.createDataFrame(pairs, "__file string, __row long")
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *[e["path"] for e in dv_carriers]
+            ).select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__row"),
+            )
+            parts.append(
+                _stamp(
+                    scan.join(F.broadcast(pos), ["__file", "__row"], "left_semi")
+                    .drop("__file", "__row")
+                    .withColumn("_change_type", F.lit(ctype)),
+                    n,
+                    ts,
+                )
+            )
+    if not parts:
+        return (
+            read_snapshot(spark, table, snapshot=hi)
+            .limit(0)
+            .select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).cast("long").alias("_commit_version"),
+                F.lit(0.0).alias("_commit_timestamp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Copy-on-write DML — the lakehouse write-path operations over snapshots
 # ---------------------------------------------------------------------------
@@ -693,6 +876,7 @@ def merge_upsert(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_target_max_keys: int = 100_000,
+    change_feed: bool = False,
 ) -> int:
     """MERGE INTO by ``key`` (upsert): rows of ``updates`` replace
     same-keyed rows of the latest snapshot and new keys append — committed
@@ -763,11 +947,41 @@ def merge_upsert(
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
     else:
+        current = None
         merged = updates
+    cdc = None
+    if change_feed:
+        # the writer knows its exact change set — record it so the feed
+        # costs O(changes) to read (the Delta enableChangeDataFeed
+        # design); without this, read_changes falls back to a logical
+        # diff of the changed files
+        from pyspark.sql import functions as _F
+
+        upd_keys = updates.select(key).distinct()
+        if current is not None:
+            pre = current.join(upd_keys, key, "left_semi")
+            pre_keys = pre.select(key).distinct()
+            post = updates.join(pre_keys, key, "left_semi")
+            news = updates.join(pre_keys, key, "left_anti")
+            cdc = (
+                pre.withColumn("_change_type", _F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn(
+                        "_change_type", _F.lit("update_postimage")
+                    ),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    news.withColumn("_change_type", _F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+            )
+        else:
+            cdc = updates.withColumn("_change_type", _F.lit("insert"))
     return commit(
         merged, table, mode="overwrite", stats_cols=stats_cols,
         bloom_cols=bloom_cols, expected_snapshot=base,
-        carry_entries=untouched,
+        carry_entries=untouched, cdc=cdc,
     )
 
 
@@ -778,6 +992,7 @@ def delete_where(
     *,
     stats_cols: list[str] | None = None,
     prune: dict[str, tuple] | None = None,
+    change_feed: bool = False,
 ) -> int:
     """Row-level DELETE (GDPR/abuse purge shape): commit one atomic
     ``overwrite`` snapshot holding every row NOT matching ``predicate``.
@@ -811,6 +1026,13 @@ def delete_where(
         current = _read_entries(spark, touched_entries)
     else:
         current = read_snapshot(spark, table, snapshot=base).limit(0)
+    cdc = None
+    if change_feed:
+        from pyspark.sql import functions as _F
+
+        cdc = current.filter(f"({predicate}) IS TRUE").withColumn(
+            "_change_type", _F.lit("delete")
+        )
     # SQL DELETE semantics: remove rows where the predicate is TRUE and
     # KEEP rows where it is false OR NULL (a bare NOT(pred) would silently
     # purge every row with a NULL in a predicate column)
@@ -821,6 +1043,7 @@ def delete_where(
         stats_cols=stats_cols,
         expected_snapshot=base,
         carry_entries=untouched,
+        cdc=cdc,
     )
 
 
@@ -834,6 +1057,8 @@ def delete_where_dv(
     spark: SparkSession,
     table: str,
     predicate: str,
+    *,
+    change_feed: bool = False,
 ) -> int:
     """Row-level DELETE as DELETION VECTORS: no data file is read in full
     or rewritten — matched row POSITIONS are recorded in per-file sidecars
@@ -891,9 +1116,19 @@ def delete_where_dv(
                 fh.flush()
                 os.fsync(fh.fileno())
             e["dv"] = {"path": dv_path, "count": len(rows)}
+    cdc = None
+    if change_feed:
+        from pyspark.sql import functions as _F
+
+        # the DV cap keeps this relation small by contract
+        cdc = (
+            live.filter(f"({predicate}) IS TRUE")
+            .drop("__file", "__row")
+            .withColumn("_change_type", _F.lit("delete"))
+        )
     return commit(
         None, table, mode="overwrite", expected_snapshot=base,
-        carry_entries=entries,
+        carry_entries=entries, cdc=cdc,
     )
 
 
@@ -965,4 +1200,8 @@ def compact(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         expected_snapshot=base,
+        # identical row set, new layout: the change feed must skip this
+        # commit instead of synthesizing delete+insert churn for every
+        # row the rewrite moved
+        data_change=False,
     )

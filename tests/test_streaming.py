@@ -3342,3 +3342,122 @@ def test_snapshot_timestamp_travel_and_history(spark, tmp_path):
     _json.dump(m, open(_manifest_path(table, 0), "w"))
     _os.utime(_manifest_path(table, 0), (legacy_ts, legacy_ts))
     assert snapshot_as_of(table, t_mid) == 0
+
+
+def test_change_feed_recorded_relations_and_replay(spark, tmp_path):
+    """End-to-end CHANGE DATA FEED: DML with change_feed=True records exact
+    change relations; compaction (data_change=False) contributes ZERO feed
+    rows; and replaying the feed over the base snapshot reconstructs the
+    latest snapshot exactly — the invariant every CDF consumer relies on."""
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        delete_where,
+        delete_where_dv,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).repartition(2),
+        table,
+    )
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 15)], "id long, v string"
+        ),
+        table,
+        mode="append",
+    )
+    # plain append synthesizes inserts for exactly the added files
+    ch1 = read_changes(spark, table, since=0, until=1).collect()
+    assert {r._change_type for r in ch1} == {"insert"}
+    assert {r.id for r in ch1} == set(range(10, 15))
+    assert all(r._commit_version == 1 for r in ch1)
+
+    s2 = merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(3, "upd3"), (20, "v20")], "id long, v string"),
+        key="id",
+        change_feed=True,
+    )
+    ch2 = read_changes(spark, table, since=1, until=s2).collect()
+    by_type = {}
+    for r in ch2:
+        by_type.setdefault(r._change_type, set()).add((r.id, r.v))
+    assert by_type["update_preimage"] == {(3, "v3")}
+    assert by_type["update_postimage"] == {(3, "upd3")}
+    assert by_type["insert"] == {(20, "v20")}
+
+    s3 = delete_where_dv(spark, table, "id >= 12", change_feed=True)
+    ch3 = read_changes(spark, table, since=s2, until=s3).collect()
+    assert {r._change_type for r in ch3} == {"delete"}
+    assert {r.id for r in ch3} == {12, 13, 14, 20}
+
+    s4 = compact(spark, table, target_files=1)
+    assert read_changes(spark, table, since=s3, until=s4).count() == 0
+
+    # CoW delete WITHOUT a recorded relation: logical-diff fallback —
+    # the rewritten file's live rows churn as delete+insert, but replay
+    # still converges (delete-all-then-reinsert-kept)
+    s5 = delete_where(spark, table, "id < 2")
+    ch5 = read_changes(spark, table, since=s4, until=s5)
+    types = {r._change_type for r in ch5.collect()}
+    assert types == {"delete", "insert"}
+
+    # grown-DV fallback: a DV delete without change_feed synthesizes
+    # per-position deletes from the sidecar delta
+    s6 = delete_where_dv(spark, table, "id = 11")
+    ch6 = read_changes(spark, table, since=s5, until=s6).collect()
+    assert [(r.id, r._change_type) for r in ch6] == [(11, "delete")]
+
+    # replay: base snapshot 0 + full feed == latest snapshot
+    state = {(r.id, r.v) for r in read_snapshot(spark, table, snapshot=0).collect()}
+    feed = read_changes(spark, table, since=0).collect()
+    for ver in sorted({r._commit_version for r in feed}):
+        batch = [r for r in feed if r._commit_version == ver]
+        state -= {
+            (r.id, r.v)
+            for r in batch
+            if r._change_type in ("delete", "update_preimage")
+        }
+        state |= {
+            (r.id, r.v)
+            for r in batch
+            if r._change_type in ("insert", "update_postimage")
+        }
+    final = {(r.id, r.v) for r in read_snapshot(spark, table).collect()}
+    assert state == final
+    # commit metadata is monotone and typed
+    vers = [r._commit_version for r in feed]
+    assert all(isinstance(v, int) for v in vers)
+    assert all(r._commit_timestamp > 0 for r in feed)
+
+
+def test_change_feed_validates_bounds_and_cdc_schema(spark, tmp_path):
+    """read_changes rejects unknown snapshot bounds; commit rejects a cdc
+    relation without the _change_type discriminator."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import commit, read_changes
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    commit(df, table)
+    with _pytest.raises(ValueError, match="not in"):
+        read_changes(spark, table, since=7)
+    with _pytest.raises(ValueError, match="not in"):
+        read_changes(spark, table, since=0, until=9)
+    with _pytest.raises(ValueError, match="_change_type"):
+        commit(df, table, mode="append", cdc=df)
+    # empty range returns a typed empty relation, not an error
+    out = read_changes(spark, table, since=0)
+    assert out.count() == 0
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        out.columns
+    )
