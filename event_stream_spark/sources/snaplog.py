@@ -700,6 +700,86 @@ def read_increment(
     return spark.read.parquet(*files)
 
 
+def _change_chunks(table: str, since: int, until: int) -> list[dict]:
+    """Metadata-only CHANGE PLAN for snapshots in ``(since, until]`` — one
+    descriptor per (file, change kind):
+
+    ``{"path", "kind", "version", "ts", "exclude", "include"}``
+
+    * ``kind="cdc"`` — a writer-recorded ``_cdc_data`` sidecar; the file
+      itself carries ``_change_type``;
+    * ``kind="insert"`` / ``"delete"`` — a data file whose LIVE rows
+      (minus ``exclude`` positions, the file's deletion vector) are the
+      change rows, or — when ``include`` is set — exactly those positions
+      (the grown/shrunk-DV delta of a carried file).
+
+    ``since=-1`` means "from the beginning" (snapshot 0 surfaces as
+    inserts).  Shared by the batch reader (:func:`read_changes`) and the
+    ``snapcdf`` streaming source so the two can never drift — driver-side,
+    O(manifests + DV sidecars), no data file is opened."""
+    ids = snapshots(table)
+    if since != -1 and since not in ids:
+        raise ValueError(f"snapshot {since} not in {ids}")
+    if until not in ids:
+        raise ValueError(f"snapshot {until} not in {ids}")
+    chunks: list[dict] = []
+
+    def _add(path, kind, n, ts, exclude=(), include=None):
+        chunks.append(
+            {
+                "path": path,
+                "kind": kind,
+                "version": n,
+                "ts": ts,
+                "exclude": list(exclude),
+                "include": include,
+            }
+        )
+
+    for n in ids:
+        if not since < n <= until:
+            continue
+        m = _read_manifest(table, n)
+        ts = m.get("ts") or os.path.getmtime(_manifest_path(table, n))
+        if not m.get("data_change", True):
+            continue  # pure reorganization: same rows, new layout
+        if m.get("cdc"):
+            for p in m["cdc"]:
+                _add(p, "cdc", n, ts)
+            continue
+        prev = _read_manifest(table, n - 1)["files"] if n > 0 else []
+        prev_by_path = {e["path"]: e for e in prev}
+        cur_by_path = {e["path"]: e for e in m["files"]}
+        if m["op"] == "append" or n == 0:
+            for e in m["files"]:
+                if e["path"] not in prev_by_path:
+                    _add(e["path"], "insert", n, ts, exclude=_dv_read(e))
+            continue
+        # overwrite with no recorded change relation: logical diff of the
+        # manifest delta (file-targeted — untouched carried entries never
+        # appear on either side)
+        for e in prev:
+            if e["path"] not in cur_by_path:
+                _add(e["path"], "delete", n, ts, exclude=_dv_read(e))
+        for e in m["files"]:
+            if e["path"] not in prev_by_path:
+                _add(e["path"], "insert", n, ts, exclude=_dv_read(e))
+        # carried entries whose deletion vector CHANGED: grown positions
+        # are row deletes (the delete_where_dv shape); shrunk positions
+        # (a DV rollback) resurface as inserts
+        for path, cur_e in cur_by_path.items():
+            prev_e = prev_by_path.get(path)
+            if prev_e is None:
+                continue
+            old = set(_dv_read(prev_e))
+            new = set(_dv_read(cur_e))
+            if new - old:
+                _add(path, "delete", n, ts, include=sorted(new - old))
+            if old - new:
+                _add(path, "insert", n, ts, include=sorted(old - new))
+    return chunks
+
+
 def read_changes(
     spark: SparkSession, table: str, *, since: int, until: int | None = None
 ) -> DataFrame:
@@ -733,8 +813,7 @@ def read_changes(
     if since not in ids:
         raise ValueError(f"snapshot {since} not in {ids}")
     hi = ids[-1] if until is None else until
-    if hi not in ids:
-        raise ValueError(f"snapshot {hi} not in {ids}")
+    chunks = _change_chunks(table, since, hi)
 
     def _stamp(df: DataFrame, n: int, ts: float) -> DataFrame:
         return df.select(
@@ -743,98 +822,81 @@ def read_changes(
             F.lit(float(ts)).alias("_commit_timestamp"),
         )
 
+    def _pos_scan(paths: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(*paths).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__row"),
+        )
+
+    # one relation per (snapshot, change kind, position mechanics) — a
+    # commit touching K files contributes O(1) plan nodes, not O(K)
+    by_ver: dict[tuple, list[dict]] = {}
+    for c in chunks:
+        by_ver.setdefault((c["version"], c["ts"]), []).append(c)
     parts: list[DataFrame] = []
-    for n in ids:
-        if not since < n <= hi:
-            continue
-        m = _read_manifest(table, n)
-        ts = m.get("ts") or os.path.getmtime(_manifest_path(table, n))
-        if not m.get("data_change", True):
-            continue  # pure reorganization: same rows, new layout
-        if m.get("cdc"):
-            parts.append(_stamp(spark.read.parquet(*m["cdc"]), n, ts))
-            continue
-        prev = _read_manifest(table, n - 1)["files"] if n > 0 else []
-        prev_by_path = {e["path"]: e for e in prev}
-        cur_by_path = {e["path"]: e for e in m["files"]}
-        if m["op"] == "append" or n == 0:
-            added = [e for e in m["files"] if e["path"] not in prev_by_path]
-            if added:
+    for (n, ts), cs in sorted(by_ver.items()):
+        cdc = [c["path"] for c in cs if c["kind"] == "cdc"]
+        if cdc:
+            parts.append(_stamp(spark.read.parquet(*cdc), n, ts))
+        for ctype in ("insert", "delete"):
+            plain = [
+                c
+                for c in cs
+                if c["kind"] == ctype and c["include"] is None and not c["exclude"]
+            ]
+            excl = [
+                c
+                for c in cs
+                if c["kind"] == ctype and c["include"] is None and c["exclude"]
+            ]
+            incl = [c for c in cs if c["kind"] == ctype and c["include"] is not None]
+            if plain:
                 parts.append(
                     _stamp(
-                        _read_entries(spark, added).withColumn(
-                            "_change_type", F.lit("insert")
-                        ),
+                        spark.read.option("mergeSchema", "true")
+                        .parquet(*[c["path"] for c in plain])
+                        .withColumn("_change_type", F.lit(ctype)),
                         n,
                         ts,
                     )
                 )
-            continue
-        # overwrite with no recorded change relation: logical diff of the
-        # manifest delta (file-targeted — untouched carried entries never
-        # appear on either side)
-        removed = [e for e in prev if e["path"] not in cur_by_path]
-        added = [e for e in m["files"] if e["path"] not in prev_by_path]
-        if removed:
-            parts.append(
-                _stamp(
-                    _read_entries(spark, removed).withColumn(
-                        "_change_type", F.lit("delete")
-                    ),
-                    n,
-                    ts,
+            if excl:
+                pairs = [
+                    (os.path.basename(c["path"]), i)
+                    for c in excl
+                    for i in c["exclude"]
+                ]
+                pos = spark.createDataFrame(pairs, "__file string, __row long")
+                parts.append(
+                    _stamp(
+                        _pos_scan([c["path"] for c in excl])
+                        .join(F.broadcast(pos), ["__file", "__row"], "left_anti")
+                        .drop("__file", "__row")
+                        .withColumn("_change_type", F.lit(ctype)),
+                        n,
+                        ts,
+                    )
                 )
-            )
-        if added:
-            parts.append(
-                _stamp(
-                    _read_entries(spark, added).withColumn(
-                        "_change_type", F.lit("insert")
-                    ),
-                    n,
-                    ts,
+            if incl:
+                pairs = [
+                    (os.path.basename(c["path"]), i)
+                    for c in incl
+                    for i in c["include"]
+                ]
+                pos = spark.createDataFrame(pairs, "__file string, __row long")
+                parts.append(
+                    _stamp(
+                        _pos_scan([c["path"] for c in incl])
+                        .join(F.broadcast(pos), ["__file", "__row"], "left_semi")
+                        .drop("__file", "__row")
+                        .withColumn("_change_type", F.lit(ctype)),
+                        n,
+                        ts,
+                    )
                 )
-            )
-        # carried entries whose deletion vector CHANGED: grown positions
-        # are row deletes (the delete_where_dv shape); shrunk positions
-        # (a DV rollback) resurface as inserts
-        grown: list[tuple[str, int]] = []
-        shrunk: list[tuple[str, int]] = []
-        dv_carriers: list[dict] = []
-        for path, cur_e in cur_by_path.items():
-            prev_e = prev_by_path.get(path)
-            if prev_e is None:
-                continue
-            old = set(_dv_read(prev_e))
-            new = set(_dv_read(cur_e))
-            if old == new:
-                continue
-            b = os.path.basename(path)
-            dv_carriers.append(cur_e)
-            grown.extend((b, i) for i in sorted(new - old))
-            shrunk.extend((b, i) for i in sorted(old - new))
-        for pairs, ctype in ((grown, "delete"), (shrunk, "insert")):
-            if not pairs:
-                continue
-            pos = spark.createDataFrame(pairs, "__file string, __row long")
-            scan = spark.read.option("mergeSchema", "true").parquet(
-                *[e["path"] for e in dv_carriers]
-            ).select(
-                "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__file"),
-                F.col("_metadata.row_index").alias("__row"),
-            )
-            parts.append(
-                _stamp(
-                    scan.join(F.broadcast(pos), ["__file", "__row"], "left_semi")
-                    .drop("__file", "__row")
-                    .withColumn("_change_type", F.lit(ctype)),
-                    n,
-                    ts,
-                )
-            )
     if not parts:
         return (
             read_snapshot(spark, table, snapshot=hi)

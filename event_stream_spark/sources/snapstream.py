@@ -82,9 +82,15 @@ def _table_ddl(table: str) -> str:
 
 
 class SnapFile(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(
+        self, path: str, columns: list[str], exclude: list[int] | None = None
+    ):
         self.path = path
         self.columns = columns
+        # row POSITIONS logically deleted by the entry's deletion vector —
+        # positions index the file's full row order, which pq.read_table
+        # preserves, so masking here is exactly the reader anti-join
+        self.exclude = exclude
 
 
 def _read_snap_file(partition: "SnapFile"):
@@ -98,6 +104,9 @@ def _read_snap_file(partition: "SnapFile"):
         partition.path,
         columns=[c for c in partition.columns if c in pq.read_schema(partition.path).names],
     )
+    if partition.exclude:
+        ex = set(partition.exclude)
+        tbl = tbl.take([i for i in range(tbl.num_rows) if i not in ex])
     n = tbl.num_rows
     cols = [
         tbl.column(name).to_pylist() if name in tbl.column_names else [None] * n
@@ -172,7 +181,11 @@ class SnapTableBatchReader(DataSourceReader):
         )
 
     def partitions(self) -> Sequence[InputPartition]:
-        from event_stream_spark.sources.snaplog import _read_manifest, snapshots
+        from event_stream_spark.sources.snaplog import (
+            _dv_read,
+            _read_manifest,
+            snapshots,
+        )
 
         ids = snapshots(self.table)
         if not ids:
@@ -181,7 +194,7 @@ class SnapTableBatchReader(DataSourceReader):
         if n not in ids:
             raise ValueError(f"snapshot {n} not in {ids}")
         return [
-            SnapFile(f["path"], self.columns)
+            SnapFile(f["path"], self.columns, exclude=_dv_read(f) or None)
             for f in _read_manifest(self.table, n)["files"]
         ]
 
@@ -204,5 +217,116 @@ class SnapTableDataSource(DataSource):
         return SnapTableStreamReader(self.options, schema.fieldNames())
 
 
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED as a stream — ``format("snapcdf")``
+# ---------------------------------------------------------------------------
+
+_CDF_META = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+class CDFChunk(InputPartition):
+    def __init__(self, chunk: dict, columns: list[str]):
+        self.chunk = chunk
+        self.columns = columns
+
+
+class SnapCDFStreamReader(DataSourceStreamReader):
+    """Streaming leg of :func:`snaplog.read_changes` — the Delta
+    ``readChangeFeed`` design point.  Offsets are snapshot ids (same as
+    ``snaptable``), but each microbatch emits CHANGE ROWS — the table's
+    columns plus ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` — planned by ``snaplog._change_chunks`` (the
+    identical plan the batch reader executes, so the two can never
+    drift).  Unlike ``snaptable`` this stream SURVIVES overwrite commits:
+    a rewrite surfaces as delete+insert rows (or the writer's recorded
+    exact change relation), so a downstream materialized view keeps
+    applying deltas where the plain-rows stream would have to resync."""
+
+    def __init__(self, options: dict, columns: list[str]):
+        self.table = options["table_path"]
+        self.columns = columns
+        self.start_after = int(options.get("starting_snapshot", -1))
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_after}
+
+    def latestOffset(self) -> dict:
+        from event_stream_spark.sources.snaplog import snapshots
+
+        ids = snapshots(self.table)
+        return {"snapshot": ids[-1] if ids else self.start_after}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from event_stream_spark.sources.snaplog import _change_chunks, snapshots
+
+        lo, hi = start["snapshot"], end["snapshot"]
+        ids = set(snapshots(self.table))
+        # chunk planning for snapshot n needs manifests n AND n-1; history
+        # vacuumed past the checkpoint must fail loudly, never skip deltas
+        missing = [n for n in range(max(lo, 0), hi + 1) if n not in ids]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} vacuumed past this consumer's "
+                f"checkpoint ({lo}): resync from a full read"
+            )
+        return [
+            CDFChunk(c, self.columns)
+            for c in _change_chunks(self.table, lo, hi)
+        ]
+
+    def read(self, partition: CDFChunk) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        ch = partition.chunk
+        tbl = pq.read_table(ch["path"])
+        if ch["include"] is not None:
+            nrows = tbl.num_rows
+            tbl = tbl.take([i for i in ch["include"] if i < nrows])
+        elif ch["exclude"]:
+            ex = set(ch["exclude"])
+            tbl = tbl.take([i for i in range(tbl.num_rows) if i not in ex])
+        n = tbl.num_rows
+        have = set(tbl.column_names)
+        out = []
+        for name in partition.columns:
+            if name == "_commit_version":
+                out.append([ch["version"]] * n)
+            elif name == "_commit_timestamp":
+                out.append([float(ch["ts"])] * n)
+            elif name == "_change_type" and ch["kind"] != "cdc":
+                out.append([ch["kind"]] * n)
+            elif name in have:
+                out.append(tbl.column(name).to_pylist())
+            else:
+                out.append([None] * n)
+        yield from zip(*out) if out else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the consumer's checkpoint
+
+
+class SnapCDFDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapcdf"
+
+    def schema(self) -> str:
+        base = _table_ddl(self.options["table_path"])
+        return (
+            base + ", `_change_type` string, `_commit_version` bigint,"
+            " `_commit_timestamp` double"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        raise NotImplementedError(
+            "snapcdf is a streaming source; for a batch change scan use "
+            "snaplog.read_changes(spark, table, since=..., until=...)"
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SnapCDFStreamReader(self.options, schema.fieldNames())
+
+
 def register(spark) -> None:
     spark.dataSource.register(SnapTableDataSource)
+    spark.dataSource.register(SnapCDFDataSource)

@@ -3461,3 +3461,128 @@ def test_change_feed_validates_bounds_and_cdc_schema(spark, tmp_path):
     assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
         out.columns
     )
+
+
+def test_snaptable_batch_read_applies_deletion_vectors(spark, tmp_path):
+    """format("snaptable") batch reads must NOT resurrect DV-deleted rows:
+    the per-file partitions carry the entry's deletion-vector positions
+    and mask them executor-side (the reader anti-join, pushed into the
+    partition read)."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import commit, delete_where_dv
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    commit(spark.range(10).selectExpr("id", "id * 2 AS v").repartition(2), table)
+    delete_where_dv(spark, table, "id IN (1, 4, 7)")
+
+    latest = spark.read.format("snaptable").option("table_path", table).load()
+    assert {r.id for r in latest.collect()} == set(range(10)) - {1, 4, 7}
+    # time travel to the pre-delete snapshot still serves every row
+    pinned = (
+        spark.read.format("snaptable")
+        .option("table_path", table)
+        .option("snapshot", 0)
+        .load()
+    )
+    assert {r.id for r in pinned.collect()} == set(range(10))
+
+
+def test_snapcdf_stream_survives_dml_and_matches_batch(spark, tmp_path):
+    """format("snapcdf"): a consumer tails the CHANGE FEED — unlike the
+    plain-rows snaptable stream it keeps running across overwrite commits
+    (merge/delete/compact), emitting typed change rows that match the
+    batch read_changes plan chunk-for-chunk, and replaying its output
+    reconstructs the latest snapshot."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        delete_where_dv,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+    )
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).repartition(2),
+        table,
+    )
+    commit(
+        spark.createDataFrame([(8, "v8"), (9, "v9")], "id long, v string"),
+        table,
+        mode="append",
+    )
+
+    def run_once():
+        stream = spark.readStream.format("snapcdf").option(
+            "table_path", table
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert {r._change_type for r in first} == {"insert"}
+    assert {r.id for r in first} == set(range(10))
+    assert {r._commit_version for r in first} == {0, 1}
+
+    # DML across overwrite commits: the SAME checkpointed stream continues
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(3, "UPD"), (20, "v20")], "id long, v string"),
+        key="id",
+        change_feed=True,
+    )
+    delete_where_dv(spark, table, "id IN (5, 20)")
+    compact(spark, table, target_files=1)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    delta = [r for r in rows if r._commit_version >= 2]
+    # merge: recorded exact change relation; dv delete: synthesized
+    # per-position deletes; compact: zero rows
+    assert {(r.id, r._change_type) for r in delta} == {
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+        (20, "insert"),
+        (5, "delete"),
+        (20, "delete"),
+    }
+    assert max(r._commit_version for r in rows) == 3  # nothing from compact
+
+    # stream output == batch read_changes over the same range
+    batch = read_changes(spark, table, since=1).collect()
+    assert {
+        (r.id, r.v, r._change_type, r._commit_version) for r in delta
+    } == {(r.id, r.v, r._change_type, r._commit_version) for r in batch}
+
+    # replay the full feed from empty: reconstructs the latest snapshot
+    state: set = set()
+    for ver in sorted({r._commit_version for r in rows}):
+        batch_rows = [r for r in rows if r._commit_version == ver]
+        state -= {
+            (r.id, r.v)
+            for r in batch_rows
+            if r._change_type in ("delete", "update_preimage")
+        }
+        state |= {
+            (r.id, r.v)
+            for r in batch_rows
+            if r._change_type in ("insert", "update_postimage")
+        }
+    assert state == {
+        (r.id, r.v) for r in read_snapshot(spark, table).collect()
+    }
