@@ -14,35 +14,17 @@ rotation policy cannot drift silently.
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-
 import __spark_entry__ as entry_mod
+from __spark_entry__ import witness_ages
 
 DRIVER_WINDOW = 50
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def witness_ages() -> dict[str, int]:
-    """name -> newest round with a green CORRECTNESS row (0 = never)."""
-    ages: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(path)[13:15])
-        try:
-            data = json.load(open(path))
-        except ValueError:
-            continue
-        for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            green = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            )
-            if green:
-                ages[name] = max(ages.get(name, 0), rnd)
-    return ages
+def test_order_is_recomputable_from_artifacts():
+    """WITNESS_ORDER must equal a fresh recompute — it is derived at
+    import, so this only fails if someone reintroduces a hard-coded
+    list or the compute function loses determinism."""
+    assert entry_mod.WITNESS_ORDER == entry_mod.compute_witness_order()
 
 
 def test_witness_order_is_exact_registry_permutation():
