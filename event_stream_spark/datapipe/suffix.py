@@ -49,6 +49,8 @@ linear narrow shuffles — the published MapReduce SA recipe.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -124,6 +126,50 @@ def _dense_rank2(
     )
 
 
+def _group_rank2(
+    df: DataFrame, key: str, parts: int = _RANK_PARTS,
+    track: list | None = None,
+) -> DataFrame:
+    """Append global ``r`` = GROUP-START rank over ``key`` (the sorted
+    position of the first row of the row's tie group — ``1 + count of
+    rows strictly smaller``) and boolean ``settled`` (tie group has size
+    1), in ONE range exchange + one per-bucket sort.
+
+    Group-start ranks are the encoding that makes SEGMENTED doubling
+    possible: when a tie group [r, r+g) later splits, the new sub-group
+    starts stay inside [r, r+g) and every OTHER suffix's rank is
+    untouched — so settled suffixes never need re-ranking.  (Dense ranks
+    — the previous encoding — renumber globally on every split, forcing
+    each round to re-sort the full relation.)
+
+    Boundary detection is lag/lead inside the one bucket window (equal
+    keys co-locate under range partitioning, so groups never span
+    buckets); no second exchange, no per-group window that a giant tie
+    class could serialize."""
+    part = _range_parted(df, [key], parts, track)
+    w = Window.partitionBy("_bkt").orderBy(key)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    first = ~F.col(key).eqNullSafe(F.lag(key).over(w))
+    last_ = ~F.col(key).eqNullSafe(F.lead(key).over(w))
+    ranked = part.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        (first & last_).alias("settled"),
+        F.when(first, F.row_number().over(w)).alias("_fst"),
+    ).withColumn("_gs", F.last("_fst", ignorenulls=True).over(run))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .select("_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .withColumn("r", (F.col("_off") + F.col("_gs")).cast("long"))
+        .drop("_bkt", "_rn", "_fst", "_gs", "_off")
+    )
+
+
 def _row_number2(
     df: DataFrame, cols: list[str], out: str, parts: int = _RANK_PARTS
 ) -> DataFrame:
@@ -149,16 +195,40 @@ def suffix_order(
     spark: SparkSession, sf: str, cap: int = SUFFIX_CAP,
     seed: int | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """(ranks, n, m) — ranks is (doc_id, pos, dlen, r) where ``r`` densely
-    ranks every suffix of every capped document in full lexicographic
-    suffix order (ties only between suffixes whose capped text is
-    identical); ``n`` is the total suffix count, ``m`` the max rank.
-    Prefix doubling with early exit once ranks are fully distinct.
+    """(ranks, n, m) — ranks is (doc_id, pos, dlen, r) where ``r`` ranks
+    every suffix of every capped document in full lexicographic suffix
+    order (group-start encoding: equal capped suffixes share the rank of
+    their tie group's first sorted position; ``ORDER BY r`` is the full
+    suffix order either way); ``n`` is the total suffix count, ``m`` the
+    number of distinct rank classes (m == n ⇔ fully individuated).
 
-    Because positions are contiguous 1..dlen, rank(pos+k) is
-    ``lead(r, k)`` over (doc_id, pos) — a window, not a self-join — so a
-    round is exactly two narrow exchanges: hash(doc_id) for the lead,
-    the range exchange for the two-phase dense rank."""
+    SEGMENTED prefix doubling: after each round, suffixes whose rank is
+    unique (``settled``) — or whose whole tie sub-group is exhausted
+    (every member's remaining text ≤ k and equal: identical suffixes
+    that can never split, ``frozen``) — leave the working set; their
+    group-start ranks are final by construction.  Each round therefore:
+
+    - looks up rank(pos+k) for WORKING suffixes only, via an inner
+      equi-join against the full rank relation (the miss case is
+      deterministic — positions are contiguous 1..dlen, so pos+k > dlen
+      ⇔ no row — and becomes the -1 shorter-suffix sentinel without a
+      join).  AQE broadcasts the working side once it collapses, making
+      the lookup a single scan of the full relation with NO exchange of
+      it;
+    - splits each tie group by (r, _r2) via groupBy — partial (map-side)
+      aggregation collapses even a degenerate all-identical-docs group
+      to one row per sub-group, so no window ever serializes on a giant
+      tie class — and assigns sub-group-start ranks r + (count of
+      strictly-smaller _r2 within the group);
+    - unions the updated working rows back with the untouched
+      settled/frozen majority and checkpoints.
+
+    On natural text the working set collapses within a round or two past
+    the seed (random contexts individuate fast; what stays is true
+    long-range duplication), so the per-round shuffle is proportional to
+    the surviving DUPLICATION, not the corpus — the fix for the measured
+    superlinear 10× sweep of the earlier dense-rank design, which
+    re-range-sorted all n suffixes every round."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, cap).alias("s")
     )
@@ -194,34 +264,100 @@ def suffix_order(
         )
     )
     ckpts: list[DataFrame] = []
-    lvl = _dense_rank2(pos0, "sfx", "sfx", track=ckpts).select(
-        "doc_id", "pos", "dlen", "r"
+    lvl = _group_rank2(pos0, "sfx", track=ckpts).select(
+        "doc_id", "pos", "dlen", "r", "settled"
     )
     k = seed
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # one driver-scalar job per round: materializes the lazy checkpoint
-    # and yields the early-exit test
-    m1, n = lvl.agg(F.max("r"), F.count("*")).head()
-    # adaptive bucket count: a 32-way range exchange on a few hundred
-    # rows pays ~100 task launches per round for nothing — scale the
-    # rank parallelism to the (now known) suffix count
-    parts = max(4, min(_RANK_PARTS, 1 + n // 20_000))
-    while k < cap and m1 != n:
-        pairs = lvl.select(
-            "doc_id", "pos", "dlen",
-            F.col("r").alias("_r1"),
-            F.coalesce(F.lead("r", k).over(wdoc), F.lit(-1)).alias("_r2"),
+    # one driver-scalar job per round: materializes the round's lazy
+    # checkpoint and yields the early-exit test.  ``settled`` here means
+    # "rank final" — unique, or frozen-identical (see loop body).
+    lvl = lvl.localCheckpoint(eager=False)
+    ckpts.append(lvl)
+    n, working = lvl.agg(
+        F.count("*"), F.count(F.when(~F.col("settled"), 1))
+    ).head()
+    # the seed's range-partitioned checkpoint carries the 64-char sfx
+    # sort keys — by far the widest relation of the whole build (~7 GB
+    # at 50M suffixes).  The narrow (ints + bool) rank relation is now
+    # materialized, so release the wide one BEFORE the loop allocates
+    # anything (measured: keeping it through round 1 OOMed a 12 GB
+    # driver that the release survives comfortably)
+    for old in ckpts[:-1]:
+        old.unpersist()
+    del ckpts[:-1]
+    while k < cap and working:
+        tied = lvl.filter(~F.col("settled"))
+        # rank-at-pos-k lookup: inner join against the full relation;
+        # the miss case (pos+k past the document end → the -1 sentinel:
+        # shorter suffix sorts first) is decided arithmetically, not by
+        # an outer join — which is what lets AQE build the (collapsing)
+        # working side and stream the full side with zero exchange
+        fullr = lvl.select(
+            F.col("doc_id").alias("_d"),
+            F.col("pos").alias("_p"),
+            F.col("r").alias("_r2"),
         )
-        # _dense_rank2 materializes its range-partitioned input, so the
-        # round output's lineage is already flat — no extra checkpoint
-        lvl = _dense_rank2(pairs, "_r1", "_r2", parts, track=ckpts).select(
-            "doc_id", "pos", "dlen", "r"
+        # shuffle_hash, not broadcast: every relation here descends from
+        # a LogicalRDD checkpoint whose size Catalyst can't estimate, and
+        # a mis-sized driver-side broadcast build competes with the live
+        # checkpoint blocks for the same heap (measured: OOM at 50M
+        # suffixes).  A shuffle-hash build is per-partition-bounded and
+        # spillable — the safe strategy at every scale for this loop.
+        hit = tied.filter(F.col("pos") + k <= F.col("dlen")).hint(
+            "shuffle_hash"
+        ).join(
+            fullr,
+            (F.col("doc_id") == F.col("_d"))
+            & (F.col("pos") + k == F.col("_p")),
+        ).drop("_d", "_p")
+        miss = tied.filter(F.col("pos") + k > F.col("dlen")).withColumn(
+            "_r2", F.lit(-1).cast("long")
         )
+        tied2 = hit.unionByName(miss)
+        # split each tie group by _r2: sub-group-start rank = r + count
+        # of strictly smaller _r2 inside the group.  One row per
+        # sub-group after partial agg; the window runs over sub-group
+        # COUNTS (tiny), never over member rows.
+        grp = tied2.groupBy("r", "_r2").agg(F.count("*").alias("_c"))
+        wg = (
+            Window.partitionBy("r")
+            .orderBy("_r2")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = grp.select(
+            "r",
+            "_r2",
+            (F.col("r") + F.coalesce(F.sum("_c").over(wg), F.lit(0)))
+            .cast("long")
+            .alias("_newr"),
+            # rank final when the sub-group is a singleton, or when the
+            # whole sub-group is exhausted-and-equal (_r2 = -1 with
+            # c > 1 ⇒ every member's suffix is the same ≤ k-char string
+            # — identical forever, so no later round can split it)
+            ((F.col("_c") == 1) | (F.col("_r2") == -1)).alias("_set"),
+        )
+        tied_new = tied2.join(offs.hint("shuffle_hash"), ["r", "_r2"]).select(
+            "doc_id",
+            "pos",
+            "dlen",
+            F.col("_newr").alias("r"),
+            F.col("_set").alias("settled"),
+        )
+        lvl = (
+            lvl.filter(F.col("settled"))
+            .unionByName(tied_new)
+            .localCheckpoint(eager=False)
+        )
+        ckpts.append(lvl)
         k *= 2
-        m1, n = lvl.agg(F.max("r"), F.count("*")).head()
-        # m1 == n: every rank distinct ⇒ every suffix pair differs within
-        # its k-prefix ⇒ rank_k order is already the full suffix order
-        #
+        n, working = lvl.agg(
+            F.count("*"), F.count(F.when(~F.col("settled"), 1))
+        ).head()
+        if os.environ.get("SPARK_SUFFIX_DEBUG"):
+            import sys as _sys
+
+            print(f"suffix_order: k={k} n={n} working={working}",
+                  file=_sys.stderr, flush=True)
         # superseded rounds' checkpoint blocks would otherwise pile up
         # for the whole build (measured: GCLocker thrash at 50M suffixes
         # x 5 live rounds) — release everything but the round just
@@ -229,7 +365,12 @@ def suffix_order(
         for old in ckpts[:-1]:
             old.unpersist()
         del ckpts[:-1]
-    return lvl, n, m1
+    # m (distinct rank classes) == n ⇔ every suffix individuated — ties
+    # can survive as frozen identical suffixes (marked settled), so the
+    # distinct count is the truth, not the settled tally.  One narrow
+    # integer agg over the final checkpoint, once.
+    m1 = lvl.select("r").distinct().count()
+    return lvl.select("doc_id", "pos", "dlen", "r"), n, m1
 
 
 def suffix_sa_direct(
