@@ -421,7 +421,13 @@ def commit(
             "columns": new_cols,
             "files": prev + entries,
             "data_change": data_change,
-            **({"cdc": cdc_files} if cdc_files else {}),
+            # cdc is not None ⇒ the writer RECORDED its change relation —
+            # even an empty one (e.g. a delete matching nothing).  The
+            # explicit [] is load-bearing: it tells _change_chunks "zero
+            # change rows", where an ABSENT key means "not recorded" and
+            # triggers the logical-diff fallback (which would re-derive
+            # full delete+insert churn for the rewritten files).
+            **({"cdc": cdc_files} if cdc is not None else {}),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a
@@ -743,7 +749,10 @@ def _change_chunks(table: str, since: int, until: int) -> list[dict]:
         ts = m.get("ts") or os.path.getmtime(_manifest_path(table, n))
         if not m.get("data_change", True):
             continue  # pure reorganization: same rows, new layout
-        if m.get("cdc"):
+        if m.get("cdc") is not None:
+            # recorded change relation — possibly explicitly EMPTY
+            # ("cdc": [] — a DML call that matched nothing): zero feed
+            # rows, never the logical-diff fallback
             for p in m["cdc"]:
                 _add(p, "cdc", n, ts)
             continue

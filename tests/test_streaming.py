@@ -3463,6 +3463,40 @@ def test_change_feed_validates_bounds_and_cdc_schema(spark, tmp_path):
     )
 
 
+def test_change_feed_empty_cdc_recorded_not_fallback(spark, tmp_path):
+    """A DML call with change_feed=True that matches NOTHING records an
+    explicit empty change relation ("cdc": [] in the manifest) — the feed
+    reports zero change rows for that commit, NOT the logical-diff
+    fallback's full delete+insert churn of any rewritten files."""
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        delete_where,
+        delete_where_dv,
+        read_changes,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ),
+        table,
+    )
+    # DV delete matching nothing: no sidecar, no rewritten file — and a
+    # recorded-empty change relation
+    s1 = delete_where_dv(spark, table, "id > 100", change_feed=True)
+    assert _read_manifest(table, s1).get("cdc") == []
+    assert read_changes(spark, table, since=0, until=s1).count() == 0
+    # copy-on-write delete matching nothing (rewrites files it scanned):
+    # the recorded-empty marker must still win over the manifest diff
+    s2 = delete_where(spark, table, "id > 100", change_feed=True)
+    assert _read_manifest(table, s2).get("cdc") == []
+    assert read_changes(spark, table, since=s1, until=s2).count() == 0
+    # and the whole-history feed still sees zero rows after snapshot 0
+    assert read_changes(spark, table, since=0).count() == 0
+
+
 def test_snaptable_batch_read_applies_deletion_vectors(spark, tmp_path):
     """format("snaptable") batch reads must NOT resurrect DV-deleted rows:
     the per-file partitions carry the entry's deletion-vector positions
@@ -3586,3 +3620,119 @@ def test_snapcdf_stream_survives_dml_and_matches_batch(spark, tmp_path):
     assert state == {
         (r.id, r.v) for r in read_snapshot(spark, table).collect()
     }
+
+
+def test_cdf_maintained_view_through_dml_script(spark, tmp_path):
+    """CDF-driven incremental view maintenance (IVM): a per-key count+sum
+    aggregate consumes format("snapcdf") and maintains itself through a
+    10-commit script — appends, merge-upsert, DV delete, compaction
+    (zero feed rows), copy-on-write delete, and a PLAIN OVERWRITE with no
+    recorded change relation (the logical-diff fallback) — with a stream
+    restart mid-script and a replayed batch, always matching the batch
+    aggregate over the latest snapshot."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        delete_where,
+        delete_where_dv,
+        merge_upsert,
+        read_snapshot,
+    )
+    from event_stream_spark.streaming.cdfview import (
+        apply_cdf_batch,
+        maintain_cdf_view,
+        read_view,
+    )
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(rng):
+        return spark.createDataFrame(
+            [(i, i % 4, 10 * i) for i in rng], "id long, k long, v long"
+        )
+
+    def batch_truth():
+        from pyspark.sql import functions as F
+
+        return {
+            (r.k, r.n, r.total)
+            for r in read_snapshot(spark, table)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+
+    def view_now():
+        return {(r.k, r.n, r.total) for r in read_view(spark, view).collect()}
+
+    # commits 0-4: append, append, merge (updates+inserts), DV delete,
+    # compact (data_change=False -> zero feed rows)
+    commit(rows(range(10)), table, stats_cols=["id"])                    # 0
+    commit(rows(range(10, 15)), table, mode="append", stats_cols=["id"])  # 1
+    merge_upsert(                                                         # 2
+        spark, table,
+        spark.createDataFrame(
+            [(3, 3, 999), (20, 0, 200)], "id long, k long, v long"
+        ),
+        key="id", stats_cols=["id"], change_feed=True,
+    )
+    delete_where_dv(spark, table, "id IN (1, 12)", change_feed=True)      # 3
+    compact(spark, table, stats_cols=["id"])                              # 4
+
+    q = maintain_cdf_view(spark, table, view, ckpt, key="k", val="v")
+    q.awaitTermination(120)
+    assert view_now() == batch_truth()
+
+    # replay idempotence: a batch re-applied with ITS OWN id (the crash-
+    # recovery shape — same content, same id) recomputes from the same
+    # predecessor state and republishes identically, no double-count
+    import os
+
+    from event_stream_spark.sources.snaplog import read_changes
+
+    last_id = max(
+        int(d[1:]) for d in os.listdir(view) if d.startswith("v")
+    )
+    replay = read_changes(spark, table, since=3, until=4)  # empty: compact
+    apply_cdf_batch(replay, last_id + 1, view, key="k", val="v")
+    after_first = view_now()
+    apply_cdf_batch(replay, last_id + 1, view, key="k", val="v")
+    assert view_now() == after_first == batch_truth()
+    # and a NON-empty batch replayed twice is applied once
+    replay2 = read_changes(spark, table, since=2, until=3)  # the deletes
+    apply_cdf_batch(replay2, last_id + 2, view, key="k", val="v")
+    after_first = view_now()
+    apply_cdf_batch(replay2, last_id + 2, view, key="k", val="v")
+    assert view_now() == after_first
+    # roll the side experiment back so the stream restart resumes from
+    # the checkpointed truth (drop the two hand-applied versions)
+    import shutil as _shutil
+
+    for vid in (last_id + 1, last_id + 2):
+        _shutil.rmtree(os.path.join(view, f"v{vid}"), ignore_errors=True)
+    assert view_now() == batch_truth()
+
+    # commits 5-9: append, copy-on-write delete, PLAIN overwrite (no
+    # recorded cdc -> logical-diff fallback), merge, append
+    commit(rows(range(30, 34)), table, mode="append", stats_cols=["id"])  # 5
+    delete_where(spark, table, "id >= 32", change_feed=True)              # 6
+    snap = read_snapshot(spark, table)
+    commit(                                                               # 7
+        snap.filter("id != 5").cache(), table, mode="overwrite",
+        stats_cols=["id"],
+    )
+    merge_upsert(                                                         # 8
+        spark, table,
+        spark.createDataFrame([(40, 1, 400)], "id long, k long, v long"),
+        key="id", stats_cols=["id"], change_feed=True,
+    )
+    commit(rows(range(50, 53)), table, mode="append", stats_cols=["id"])  # 9
+
+    # RESTART: same checkpoint resumes from the committed offset
+    q2 = maintain_cdf_view(spark, table, view, ckpt, key="k", val="v")
+    q2.awaitTermination(120)
+    assert view_now() == batch_truth()
