@@ -93,20 +93,79 @@ class SnapFile(InputPartition):
         self.exclude = exclude
 
 
-def _read_snap_file(partition: "SnapFile"):
+def _arrow_schema(spark_schema) -> "object | None":
+    """Target pyarrow schema for Arrow-batch yields, or None when the
+    conversion helper is unavailable (row-tuple fallback stays)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(spark_schema)
+    except Exception:
+        return None
+
+
+def _mask_positions(tbl, include, exclude):
+    """Vectorized position selection (pyarrow kernels, no Python loop):
+    keep exactly ``include`` positions, or drop ``exclude`` positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    if include is not None:
+        idx = np.asarray(include, dtype=np.int64)
+        return tbl.take(pa.array(idx[idx < n]))
+    if exclude:
+        mask = np.ones(n, dtype=bool)
+        ex = np.asarray(exclude, dtype=np.int64)
+        mask[ex[ex < n]] = False
+        return tbl.filter(pa.array(mask))
+    return tbl
+
+
+def _project_arrow(tbl, fields, constants: dict | None = None):
+    """Project ``tbl`` to ``fields`` (ordered pa.Field list) BY NAME —
+    casting present columns to the target type, nulling absent ones
+    (additive evolution), and broadcasting ``constants`` — then yield the
+    result as RecordBatches: rows cross to the JVM as Arrow buffers, not
+    per-row Python tuples (O(columns) per file instead of O(rows))."""
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    have = set(tbl.column_names)
+    arrays = []
+    for field in fields:
+        if constants and field.name in constants:
+            arrays.append(
+                pa.array([constants[field.name]] * n).cast(field.type)
+            )
+        elif field.name in have:
+            col = tbl.column(field.name)
+            arrays.append(
+                col if col.type == field.type else col.cast(field.type)
+            )
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    out = pa.table(arrays, schema=pa.schema(list(fields)))
+    yield from out.to_batches()
+
+
+def _read_snap_file(partition: "SnapFile", arrow_fields=None):
     """Shared executor-side file read for both legs: columns are selected
     BY NAME in the source-schema order, so a commit whose parquet happened
     to lay columns out differently can never silently swap values; columns
-    a pre-evolution file lacks surface as NULLs (additive evolution)."""
+    a pre-evolution file lacks surface as NULLs (additive evolution).
+    With ``arrow_fields`` the transfer is zero-copy Arrow batches; the
+    tuple path remains as the no-arrow-schema fallback."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
         partition.path,
         columns=[c for c in partition.columns if c in pq.read_schema(partition.path).names],
     )
-    if partition.exclude:
-        ex = set(partition.exclude)
-        tbl = tbl.take([i for i in range(tbl.num_rows) if i not in ex])
+    tbl = _mask_positions(tbl, None, partition.exclude)
+    if arrow_fields is not None:
+        yield from _project_arrow(tbl, arrow_fields)
+        return
     n = tbl.num_rows
     cols = [
         tbl.column(name).to_pylist() if name in tbl.column_names else [None] * n
@@ -116,9 +175,10 @@ def _read_snap_file(partition: "SnapFile"):
 
 
 class SnapTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict, columns: list[str]):
+    def __init__(self, options: dict, schema):
         self.table = options["table_path"]
-        self.columns = columns
+        self.columns = schema.fieldNames()
+        self.arrow_fields = _arrow_schema(schema)
         # deliver history from this snapshot id EXCLUSIVE; default -1 = all
         self.start_after = int(options.get("starting_snapshot", -1))
 
@@ -162,7 +222,7 @@ class SnapTableStreamReader(DataSourceStreamReader):
         return [SnapFile(p, self.columns) for p in files]
 
     def read(self, partition: SnapFile) -> Iterator[tuple]:
-        return _read_snap_file(partition)
+        return _read_snap_file(partition, self.arrow_fields)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the consumer's checkpoint
@@ -173,9 +233,10 @@ class SnapTableBatchReader(DataSourceReader):
     reads one snapshot (latest, or ``.option("snapshot", n)`` for time
     travel) — one partition per data file."""
 
-    def __init__(self, options: dict, columns: list[str]):
+    def __init__(self, options: dict, schema):
         self.table = options["table_path"]
-        self.columns = columns
+        self.columns = schema.fieldNames()
+        self.arrow_fields = _arrow_schema(schema)
         self.snapshot = (
             int(options["snapshot"]) if "snapshot" in options else None
         )
@@ -199,7 +260,7 @@ class SnapTableBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SnapFile) -> Iterator[tuple]:
-        return _read_snap_file(partition)
+        return _read_snap_file(partition, self.arrow_fields)
 
 
 class SnapTableDataSource(DataSource):
@@ -211,10 +272,10 @@ class SnapTableDataSource(DataSource):
         return _table_ddl(self.options["table_path"])
 
     def reader(self, schema) -> DataSourceReader:
-        return SnapTableBatchReader(self.options, schema.fieldNames())
+        return SnapTableBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return SnapTableStreamReader(self.options, schema.fieldNames())
+        return SnapTableStreamReader(self.options, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +303,10 @@ class SnapCDFStreamReader(DataSourceStreamReader):
     exact change relation), so a downstream materialized view keeps
     applying deltas where the plain-rows stream would have to resync."""
 
-    def __init__(self, options: dict, columns: list[str]):
+    def __init__(self, options: dict, schema):
         self.table = options["table_path"]
-        self.columns = columns
+        self.columns = schema.fieldNames()
+        self.arrow_fields = _arrow_schema(schema)
         self.start_after = int(options.get("starting_snapshot", -1))
 
     def initialOffset(self) -> dict:
@@ -279,26 +341,26 @@ class SnapCDFStreamReader(DataSourceStreamReader):
 
         ch = partition.chunk
         tbl = pq.read_table(ch["path"])
-        if ch["include"] is not None:
-            nrows = tbl.num_rows
-            tbl = tbl.take([i for i in ch["include"] if i < nrows])
-        elif ch["exclude"]:
-            ex = set(ch["exclude"])
-            tbl = tbl.take([i for i in range(tbl.num_rows) if i not in ex])
+        tbl = _mask_positions(tbl, ch["include"], ch["exclude"])
+        constants = {
+            "_commit_version": ch["version"],
+            "_commit_timestamp": float(ch["ts"]),
+        }
+        if ch["kind"] != "cdc":
+            constants["_change_type"] = ch["kind"]
+        if self.arrow_fields is not None:
+            yield from _project_arrow(tbl, self.arrow_fields, constants)
+            return
         n = tbl.num_rows
         have = set(tbl.column_names)
-        out = []
-        for name in partition.columns:
-            if name == "_commit_version":
-                out.append([ch["version"]] * n)
-            elif name == "_commit_timestamp":
-                out.append([float(ch["ts"])] * n)
-            elif name == "_change_type" and ch["kind"] != "cdc":
-                out.append([ch["kind"]] * n)
-            elif name in have:
-                out.append(tbl.column(name).to_pylist())
-            else:
-                out.append([None] * n)
+        out = [
+            [constants[name]] * n
+            if name in constants
+            else tbl.column(name).to_pylist()
+            if name in have
+            else [None] * n
+            for name in partition.columns
+        ]
         yield from zip(*out) if out else iter(())
 
     def commit(self, end: dict) -> None:
@@ -324,7 +386,7 @@ class SnapCDFDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return SnapCDFStreamReader(self.options, schema.fieldNames())
+        return SnapCDFStreamReader(self.options, schema)
 
 
 def register(spark) -> None:
