@@ -234,10 +234,11 @@ _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 def xerial_frame(data: bytes, block_size: int = 32 * 1024) -> bytes:
     out = bytearray(_XERIAL_MAGIC)
     out += struct.pack(">ii", 1, 1)  # version, compatible version
-    for i in range(0, len(data), block_size) or [0]:
+    for i in range(0, len(data), block_size):
         block = snappy_compress(data[i:i + block_size])
         out += struct.pack(">i", len(block)) + block
     if not data:
+        # empty payload still carries one (empty) block, as snappy-java does
         block = snappy_compress(b"")
         out += struct.pack(">i", len(block)) + block
     return bytes(out)

@@ -477,3 +477,58 @@ def test_compressed_fetch_end_to_end_all_codecs():
         finally:
             client.close()
             broker.close()
+
+
+def test_zstd_batch_fails_loud_without_poisoning_prior_records():
+    """zstd (compression type 4) is declared unsupported (kafkacodecs.py
+    module doc: a correct decoder needs full FSE/Huffman entropy coding).
+    The CONTRACT for a mixed log is: the decode error (a) names the codec,
+    (b) surfaces as an exception rather than silently skipped records —
+    so a streaming microbatch that hits it FAILS and its offsets are never
+    committed (the checkpoint ledger stays at the pre-batch offset, the
+    at-least-once ack model), and (c) batches BEFORE the zstd one remain
+    independently fetchable."""
+    import struct as _struct
+
+    from event_stream_spark.sources.kafkawire import (
+        KafkaWireError,
+        crc32c,
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    good = encode_record_batch([(0, 1000, b"k0", b"v0")])
+
+    # hand-craft a RecordBatch v2 whose attrs say compression type 4
+    # (zstd) — same layout as encode_record_batch, bogus payload (the
+    # decoder must refuse at the codec check, before touching bytes)
+    body = bytearray(b"\x00")      # record attributes
+    body += b"\x00"                # ts delta varint 0
+    body += b"\x00"                # offset delta varint 0
+    body += b"\x02k"               # key len 1
+    body += b"\x02v"               # value len 1
+    body += b"\x00"                # headers
+    recs = bytes([len(body) * 2 // 2]) + bytes(body)  # varint len + body
+    post_crc = (
+        _struct.pack(">h", 4)          # attrs: compression type 4 = zstd
+        + _struct.pack(">i", 0)        # lastOffsetDelta
+        + _struct.pack(">q", 1000) + _struct.pack(">q", 1000)
+        + _struct.pack(">q", -1) + _struct.pack(">h", -1)
+        + _struct.pack(">i", -1)
+        + _struct.pack(">i", 1) + recs
+    )
+    zstd_batch = (
+        _struct.pack(">q", 1) + _struct.pack(">i", 9 + len(post_crc))
+        + _struct.pack(">i", -1) + b"\x02"
+        + _struct.pack(">I", crc32c(post_crc)) + post_crc
+    )
+
+    # (a)+(b): loud, codec-named, exception — not a silent skip
+    with pytest.raises(KafkaWireError, match="zstd"):
+        decode_record_batches(zstd_batch)
+    with pytest.raises(KafkaWireError, match="zstd"):
+        decode_record_batches(good + zstd_batch)
+
+    # (c): the prior batch alone still decodes — a consumer that resumes
+    # from its unpoisoned checkpoint re-reads it identically
+    assert [r[2:] for r in decode_record_batches(good)] == [(b"k0", b"v0")]
