@@ -18,8 +18,12 @@ Scope — honest and deliberate:
   (``NotImplementedError``): Layer II's bit-allocation tables
   (ISO 11172-3 B.2a-d) and Layer III's Huffman tables are pages of
   tabulated constants; transcribing them from memory would produce
-  silently wrong audio, which is worse than an explicit gap.  Their
-  frame geometry/duration remains fully handled by the frame walk.
+  silently wrong audio, which is worse than an explicit gap.  The
+  round-7 re-evaluation confirmed the gap must stay: this container
+  ships no reference encoder (no ffmpeg/twolame/lame) and no Layer II
+  fixture, so transcribed tables could not be ground-truthed against a
+  real encoded stream — unverifiable tables don't ship.  Their frame
+  geometry/duration remains fully handled by the frame walk.
 - The polyphase filterbank is a 32-band, 512-tap cosine-modulated
   pseudo-QMF (Vaidyanathan's near-perfect-reconstruction formulation,
   theta_k = (-1)^k * pi/4) with a Kaiser-designed prototype

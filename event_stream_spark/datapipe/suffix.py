@@ -509,12 +509,13 @@ def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
     return _lrs_projection(spark, sf, suffix_sa_direct(spark, sf), SUFFIX_CAP)
 
 
-def _lrs_projection(
+def _per_suffix(
     spark: SparkSession, sf: str, sa: DataFrame, cap: int
 ) -> DataFrame:
-    """The shared LRS projection over any (doc_id, pos, dlen, sp) suffix
-    array: SA-adjacent pairs → exact binary-substring LCP → per-suffix
-    max → per-document (lrs_len, n_dup_suffixes)."""
+    """(doc_id, pos, m) — for every suffix, the longest prefix it shares
+    with ANY other suffix in the corpus (max LCP with its two SA
+    neighbors), over any (doc_id, pos, dlen, sp) suffix array: adjacent
+    pairs → exact binary-substring LCP → per-suffix max."""
     nxt = sa.select(
         (F.col("sp") - 1).alias("_sp"),
         F.col("doc_id").alias("db"),
@@ -548,7 +549,15 @@ def _lrs_projection(
     ).unionAll(
         lcp.select(F.col("db").alias("doc_id"), F.col("pb").alias("pos"), "lcp")
     )
-    per_suffix = suff.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+    return suff.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+
+
+def _lrs_projection(
+    spark: SparkSession, sf: str, sa: DataFrame, cap: int
+) -> DataFrame:
+    """Per-document (lrs_len, n_dup_suffixes) over the shared per-suffix
+    max-LCP relation."""
+    per_suffix = _per_suffix(spark, sf, sa, cap)
     return (
         per_suffix.groupBy("doc_id")
         .agg(
@@ -561,10 +570,61 @@ def _lrs_projection(
     )
 
 
-def _lrs_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
-    """DuckDB twin: the direct capped-suffix sort (one window — the
-    doubling loop is rank-order-equivalent, pinned by pytest), then the
-    same binary substring-LCP chain per adjacent pair."""
+def suffix_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT substring-dedup spans (the actual dedup product of Lee et
+    al. 2022 §4.1 "ExactSubstr": remove every duplicated span ≥ a
+    threshold, found via suffix array + adjacent LCP — here the merged
+    per-document char intervals, over the first ``SUFFIX_CAP`` chars):
+    each suffix whose neighbor-LCP ``m ≥ SUFFIX_DUP_MIN`` covers
+    ``[pos, pos+m)``; overlapping/adjacent intervals merge; per doc the
+    covered char total and merged span count.  ``dup_chars`` is exactly
+    the byte count ExactSubstr would cut.
+
+    Scale shape: the SA build is the shared machinery (one bounded-key
+    range sort); the interval merge is a per-document window over ≤ cap
+    rows — no skew risk regardless of corpus-wide duplication, because
+    the partition key is doc_id, not the duplicated content."""
+    sa = suffix_sa_direct(spark, sf)
+    ps = _per_suffix(spark, sf, sa, SUFFIX_CAP)
+    iv = ps.filter(F.col("m") >= SUFFIX_DUP_MIN).select(
+        "doc_id", "pos", (F.col("pos") + F.col("m")).alias("_e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    # classic sorted interval merge: a row opens a NEW span when it
+    # starts past the running max end of everything before it
+    flagged = iv.select(
+        "doc_id", "pos", "_e",
+        (F.col("pos") > F.coalesce(F.max("_e").over(wprev), F.lit(-1)))
+        .cast("int")
+        .alias("_new"),
+    )
+    grouped = flagged.withColumn("_grp", F.sum("_new").over(wrun))
+    spans = grouped.groupBy("doc_id", "_grp").agg(
+        (F.max("_e") - F.min("pos")).alias("_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("_len").cast("long").alias("dup_chars"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    docs = t(spark, sf, "documents").select("doc_id")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sa_lcp_prefix(cap: int) -> str:
+    """Shared DuckDB CTE chain ending at ``per_suffix`` (doc_id, pos, m):
+    the direct capped-suffix sort (one window — the doubling loop is
+    rank-order-equivalent, pinned by pytest), then the same binary
+    substring-LCP chain per adjacent pair."""
     parts = [f"""
     WITH capd AS (SELECT doc_id, substring(text, 1, {cap}) AS s FROM documents),
     pos0 AS (
@@ -606,18 +666,51 @@ def _lrs_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
              UNION ALL
              SELECT db AS doc_id, pb AS pos, lcp FROM lcp),
     per_suffix AS (SELECT doc_id, pos, max(lcp) AS m
-                   FROM suff GROUP BY doc_id, pos)
+                   FROM suff GROUP BY doc_id, pos)""")
+    return "".join(parts)
+
+
+def _lrs_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
+    return _sa_lcp_prefix(cap) + f"""
     SELECT doc_id,
            CAST(max(m) AS BIGINT) AS lrs_len,
            CAST(count(CASE WHEN m >= {dup_min} THEN 1 END) AS BIGINT)
                AS n_dup_suffixes
     FROM per_suffix
     GROUP BY doc_id
-    ORDER BY doc_id""")
-    return "".join(parts)
+    ORDER BY doc_id"""
+
+
+def _dedup_sql(cap: int = SUFFIX_CAP, dup_min: int = SUFFIX_DUP_MIN) -> str:
+    """Twin of :func:`suffix_dedup`: identical interval algebra (open a
+    span at pos > running-max end, merge, sum covered chars)."""
+    return _sa_lcp_prefix(cap) + f""",
+    iv AS (SELECT doc_id, pos, pos + m AS e
+           FROM per_suffix WHERE m >= {dup_min}),
+    flagged AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS is_new
+        FROM iv),
+    grouped AS (
+        SELECT doc_id, pos, e,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged),
+    spans AS (SELECT doc_id, grp, max(e) - min(pos) AS len
+              FROM grouped GROUP BY doc_id, grp)
+    SELECT d.doc_id,
+           CAST(coalesce(sum(s.len), 0) AS BIGINT) AS dup_chars,
+           CAST(count(s.grp) AS BIGINT) AS n_spans
+    FROM documents d LEFT JOIN spans s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""
 
 
 SUFFIX_LRS_SQL = _lrs_sql()
+SUFFIX_DEDUP_SQL = _dedup_sql()
 
 #: full-text path bound: a power of two ≥ every synthetic corpus doc
 #: (max measured 577 chars at sf0.1) — so "capped at 1024" IS the whole

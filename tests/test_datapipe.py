@@ -3163,3 +3163,32 @@ def test_audio_pcm_stats_layer1_parity_with_wav(spark):
     # duration: transcode pads to whole frames after delay compensation
     assert 0 <= m.audio_ms - w.audio_ms <= (384 + 480) / rate * 1000 + 1e-6
     assert abs(m.peak - w.peak) / w.peak < 0.05
+
+
+def test_suffix_dedup_exact_span_coverage(spark, tmp_path):
+    """ExactSubstr span semantics against hand-computed truth: a 30-char
+    quote shared by two docs yields one merged [start, start+30) span in
+    each (the per-position intervals [p, 31) all merge); two DISJOINT
+    20-char shared blocks yield two spans of 20 chars each; a unique doc
+    reports zero."""
+    from event_stream_spark.datapipe.suffix import suffix_dedup
+
+    q = "the cat sat on the mat today!!"
+    assert len(q) == 30
+    blk_a, blk_b = "aaaaabbbbbcccccddddd", "eeeeefffffggggghhhhh"
+    docs = [
+        (1, q + "Aunique tail of doc one"),
+        (2, "PREFIX12 " + q + "Bother tail"),
+        (3, "completely different text with no repeats at all"),
+        (4, blk_a + "123456" + blk_b),
+        (5, blk_b + "zyxwvu" + blk_a),
+    ]
+    spark.createDataFrame(
+        [(d, s, "en", "s", len(s)) for d, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: (r.dup_chars, r.n_spans)
+        for r in suffix_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (30, 1), 2: (30, 1), 3: (0, 0), 4: (40, 2), 5: (40, 2)}
