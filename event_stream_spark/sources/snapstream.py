@@ -181,15 +181,34 @@ class SnapTableStreamReader(DataSourceStreamReader):
         self.arrow_fields = _arrow_schema(schema)
         # deliver history from this snapshot id EXCLUSIVE; default -1 = all
         self.start_after = int(options.get("starting_snapshot", -1))
+        # backpressure knob (maxFilesPerTrigger's snapshot-granular
+        # analogue): cap how many snapshots one microbatch may cover, so
+        # a consumer starting against a long-history table catches up in
+        # bounded batches instead of one table-sized batch.  CAVEAT: use
+        # with continuous/processing-time triggers — Trigger.AvailableNow
+        # captures its drain target from ONE latestOffset call (the
+        # Python DataSource API has no ReadLimit plumbing), so a clamped
+        # offset would end an availableNow run after a single step.
+        self.max_per_trigger = (
+            int(options.get("max_snapshots_per_trigger", 0)) or None
+        )
+        self._last = self.start_after
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.start_after}
 
     def latestOffset(self) -> dict:
+        """Clamped HERE, not in partitions(): the planner checkpoints
+        whatever this returns as the batch end, so clamping later would
+        silently skip the gap (an offset is an ack)."""
         from event_stream_spark.sources.snaplog import snapshots
 
         ids = snapshots(self.table)
-        return {"snapshot": ids[-1] if ids else self.start_after}
+        head = ids[-1] if ids else self.start_after
+        if self.max_per_trigger is not None:
+            head = min(head, self._last + self.max_per_trigger)
+        self._last = max(self._last, head)
+        return {"snapshot": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from event_stream_spark.sources.snaplog import (
@@ -308,6 +327,12 @@ class SnapCDFStreamReader(DataSourceStreamReader):
         self.columns = schema.fieldNames()
         self.arrow_fields = _arrow_schema(schema)
         self.start_after = int(options.get("starting_snapshot", -1))
+        # same backpressure contract as snaptable (clamped in
+        # latestOffset — an offset is an ack)
+        self.max_per_trigger = (
+            int(options.get("max_snapshots_per_trigger", 0)) or None
+        )
+        self._last = self.start_after
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.start_after}
@@ -316,7 +341,11 @@ class SnapCDFStreamReader(DataSourceStreamReader):
         from event_stream_spark.sources.snaplog import snapshots
 
         ids = snapshots(self.table)
-        return {"snapshot": ids[-1] if ids else self.start_after}
+        head = ids[-1] if ids else self.start_after
+        if self.max_per_trigger is not None:
+            head = min(head, self._last + self.max_per_trigger)
+        self._last = max(self._last, head)
+        return {"snapshot": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from event_stream_spark.sources.snaplog import _change_chunks, snapshots

@@ -3736,3 +3736,69 @@ def test_cdf_maintained_view_through_dml_script(spark, tmp_path):
     q2 = maintain_cdf_view(spark, table, view, ckpt, key="k", val="v")
     q2.awaitTermination(120)
     assert view_now() == batch_truth()
+
+
+def test_snap_stream_max_snapshots_per_trigger(spark, tmp_path):
+    """Backpressure: max_snapshots_per_trigger bounds how many snapshot
+    ids one microbatch covers, on both the plain-rows and the CDF leg —
+    clamped in latestOffset so every skipped id is still delivered by a
+    later batch (an offset is an ack), and availableNow drains the whole
+    history in bounded steps."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import commit
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    for n in range(6):
+        commit(
+            spark.createDataFrame(
+                [(n * 10 + i, n) for i in range(3)], "id long, snap long"
+            ),
+            table,
+            mode="append",
+        )
+
+    import time as _time
+
+    def drain(fmt, cap, ck, extract):
+        """Run throttled with a processing-time trigger (see the option's
+        availableNow caveat) until all 6 snapshots are seen."""
+        batches: list[set[int]] = []
+
+        def sink(df, _bid, acc=batches):
+            acc.append(extract(df))
+
+        q = (
+            spark.readStream.format(fmt)
+            .option("table_path", table)
+            .option("max_snapshots_per_trigger", str(cap))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if set().union(*batches, set()) == set(range(6)):
+                    break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+        return [b for b in batches if b]
+
+    nonempty = drain(
+        "snaptable", 2, "ck1", lambda df: {r.snap for r in df.collect()}
+    )
+    assert all(len(b) <= 2 for b in nonempty), nonempty
+    assert len(nonempty) >= 3  # 6 snapshots at <=2 per trigger
+    assert set().union(*nonempty) == set(range(6))
+    assert sum(len(b) for b in nonempty) == 6  # no id delivered twice
+
+    nonempty2 = drain(
+        "snapcdf", 3, "ck2",
+        lambda df: {r._commit_version for r in df.collect()},
+    )
+    assert all(len(b) <= 3 for b in nonempty2), nonempty2
+    assert set().union(*nonempty2) == set(range(6))
