@@ -613,11 +613,14 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
     keep_ids = ids[-keep_last:] if keep_last else []
     live: set[str] = set()
     live_dv: set[str] = set()
+    live_cdc: set[str] = set()
     for n in keep_ids:
-        for f in _read_manifest(table, n)["files"]:
+        m = _read_manifest(table, n)
+        for f in m["files"]:
             live.update([f["path"]])
             if f.get("dv"):
                 live_dv.add(f["dv"]["path"])
+        live_cdc.update(m.get("cdc") or [])
     removed: list[str] = []
     now = time.time()
     data_root = os.path.join(table, "data")
@@ -645,6 +648,22 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
             for f in os.listdir(full):
                 p = os.path.join(full, f)
                 if p not in live_dv and now - os.path.getmtime(p) > tmp_ttl_s:
+                    os.remove(p)
+                    removed.append(p)
+            if not os.listdir(full):
+                os.rmdir(full)
+    # change-feed sidecars: a _cdc_data file is live only while a KEPT
+    # manifest's "cdc" list references it — once its manifest is dropped,
+    # the feed over that window is unreadable anyway (read_changes fails
+    # loudly on vacuumed history), so the sidecar is pure garbage.  Same
+    # TTL guard protects an in-flight commit's fresh sidecars.
+    cdc_root = os.path.join(table, "_cdc_data")
+    if os.path.isdir(cdc_root):
+        for cdir in os.listdir(cdc_root):
+            full = os.path.join(cdc_root, cdir)
+            for f in os.listdir(full):
+                p = os.path.join(full, f)
+                if p not in live_cdc and now - os.path.getmtime(p) > tmp_ttl_s:
                     os.remove(p)
                     removed.append(p)
             if not os.listdir(full):

@@ -3802,3 +3802,64 @@ def test_snap_stream_max_snapshots_per_trigger(spark, tmp_path):
     )
     assert all(len(b) <= 3 for b in nonempty2), nonempty2
     assert set().union(*nonempty2) == set(range(6))
+
+
+def test_vacuum_sweeps_unreferenced_cdc_sidecars(spark, tmp_path):
+    """_cdc_data sidecars follow the same vacuum liveness rule as data
+    files and DVs: alive while a KEPT manifest's "cdc" list references
+    them, garbage once their manifest is dropped (the feed over that
+    window already fails loudly on vacuumed history) — they must not
+    leak forever."""
+    import glob as _glob
+    import os as _os
+
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where_dv,
+        merge_upsert,
+        read_changes,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ),
+        table,
+        stats_cols=["id"],
+    )
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([(3, "u3")], "id long, v string"),
+        key="id", stats_cols=["id"], change_feed=True,
+    )  # snapshot 1: cdc sidecar that will become garbage
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([(4, "u4")], "id long, v string"),
+        key="id", stats_cols=["id"], change_feed=True,
+    )  # snapshot 2: kept
+    s2 = delete_where_dv(spark, table, "id = 7", change_feed=True)
+    # snapshot 3: cdc sidecar that must SURVIVE (kept manifest)
+
+    def cdc_files():
+        return set(_glob.glob(_os.path.join(table, "_cdc_data", "*", "*")))
+
+    from event_stream_spark.sources.snaplog import _read_manifest
+
+    referenced = set(_read_manifest(table, s2).get("cdc") or [])
+    assert referenced  # the kept manifest records its change relation
+    before = cdc_files()
+    assert len([p for p in before if p.endswith(".parquet")]) >= 3
+    removed = vacuum(table, keep_last=2, tmp_ttl_s=0.0)
+    after = cdc_files()
+    # snapshot 1's sidecars are garbage (their manifest was dropped) and
+    # must be gone; everything the KEPT manifest references must survive
+    # (unreferenced empty part files / _SUCCESS markers may go either way)
+    assert any("_cdc_data" in p and f"c{1:012d}" in p for p in removed)
+    assert not any(f"c{1:012d}" in p for p in after)
+    assert referenced <= after
+    # the feed over the kept window still reads its recorded relation
+    ch = read_changes(spark, table, since=s2 - 1, until=s2).collect()
+    assert {r._change_type for r in ch} == {"delete"}
+    assert {r.id for r in ch} == {7}
