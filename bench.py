@@ -28,7 +28,7 @@ HEAVY_WATCHLIST: set[str] = {"suffix_lrs_full"}
 def run_isolated(chunk_size: int = 16) -> None:
     """Fork a fresh interpreter+JVM per chunk of queries and merge results.
 
-    Default (in-process) mode runs all 127 registry entries in ONE Spark
+    Default (in-process) mode runs every registry entry in ONE Spark
     session; timings there include cross-query co-residency effects
     (shared JVM heap, code-cache, matview registry) that made the r3-vs-r4
     driver numbers need forensics.  Isolated mode bounds those effects to

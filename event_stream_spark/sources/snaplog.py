@@ -838,7 +838,10 @@ def read_changes(
     from pyspark.sql import functions as F
 
     ids = snapshots(table)
-    if since not in ids:
+    # since=-1 = "from the beginning" (snapshot 0's rows surface as
+    # inserts) — the same convention the snapcdf stream's initial offset
+    # uses, so batch and stream can express identical windows
+    if since != -1 and since not in ids:
         raise ValueError(f"snapshot {since} not in {ids}")
     hi = ids[-1] if until is None else until
     chunks = _change_chunks(table, since, hi)

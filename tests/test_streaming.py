@@ -3451,6 +3451,12 @@ def test_change_feed_validates_bounds_and_cdc_schema(spark, tmp_path):
     commit(df, table)
     with _pytest.raises(ValueError, match="not in"):
         read_changes(spark, table, since=7)
+    # since=-1 = from-the-beginning: snapshot 0's rows surface as inserts
+    # (stream-offset convention), matching the snapcdf initial offset
+    full = read_changes(spark, table, since=-1).collect()
+    assert [(r.id, r._change_type, r._commit_version) for r in full] == [
+        (1, "insert", 0)
+    ]
     with _pytest.raises(ValueError, match="not in"):
         read_changes(spark, table, since=0, until=9)
     with _pytest.raises(ValueError, match="_change_type"):
