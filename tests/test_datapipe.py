@@ -3192,3 +3192,58 @@ def test_suffix_dedup_exact_span_coverage(spark, tmp_path):
         for r in suffix_dedup(spark, str(tmp_path)).collect()
     }
     assert out == {1: (30, 1), 2: (30, 1), 3: (0, 0), 4: (40, 2), 5: (40, 2)}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("case,docs", [
+    # identical docs: every suffix ties to the end -> frozen groups
+    ("identical", ["abcabcab"] * 4),
+    # single-char runs of different lengths: maximal tie depth, every
+    # comparison resolves only by the -1 shorter-suffix sentinel
+    ("runs", ["a" * n for n in (1, 3, 7, 12)]),
+    # tiny alphabet random + planted duplicates (seeded)
+    ("random2", None),
+    # mixed: empty-ish, shared prefixes, one unique doc
+    ("mixed", ["ab", "ab", "abab", "ba", "zq", "a"]),
+])
+def test_segmented_doubling_order_identity_pathological(
+    spark, tmp_path, case, docs
+):
+    """The segmented doubling build (group-start ranks, tied-set rounds,
+    frozen exhausted-equal groups) must order suffixes identically to the
+    direct capped-suffix sort on corpora chosen to stress exactly its
+    edge cases — run with seed=2 so the recurrence executes MANY rounds
+    instead of early-exiting at the 64-char seed."""
+    import random
+
+    from event_stream_spark.datapipe.suffix import (
+        _row_number2,
+        suffix_order,
+        suffix_sa_direct,
+    )
+
+    if docs is None:
+        rng = random.Random(13)
+        docs = [
+            "".join(rng.choice("ab") for _ in range(rng.randrange(1, 14)))
+            for _ in range(12)
+        ]
+        docs += docs[:4]  # planted exact duplicates
+    rows = [(i + 1, s, "en", "s", len(s)) for i, s in enumerate(docs)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    sfd = str(tmp_path)
+    top, n, m = suffix_order(spark, sfd, seed=2)
+    assert n == sum(len(s) for s in docs)
+    via = _row_number2(top, ["r", "doc_id", "pos"], "sp")
+    a = {(r.doc_id, r.pos): r.sp for r in via.collect()}
+    b = {(r.doc_id, r.pos): r.sp for r in suffix_sa_direct(spark, sfd).collect()}
+    assert a == b, case
+    # rank-class count never exceeds suffix count; equals it only when
+    # no two capped suffixes are string-identical
+    distinct_sfx = len({s[i:][:64] for s in docs for i in range(len(s))})
+    assert m == distinct_sfx
