@@ -862,16 +862,62 @@ def read_changes(
             F.col("_metadata.row_index").alias("__row"),
         )
 
-    # one relation per (snapshot, change kind, position mechanics) — a
-    # commit touching K files contributes O(1) plan nodes, not O(K)
+    parts: list[DataFrame] = []
+    # PATH-DATED categories collapse to ONE scan each, regardless of how
+    # many snapshots the window covers: cdc sidecars and first-referenced
+    # data files live in c{version:012d}-{token} dirs written BY that
+    # commit (newly referenced ⇒ newly written — carried entries are in
+    # the previous manifest and never produce these chunks), so the
+    # commit version is derivable from the file path and the whole
+    # category is a single plan node + one ts-map broadcast.  The
+    # per-version union this replaces built O(window) relations — a
+    # 10k-commit window would have choked the driver at plan time.
+    cdc_all = [c for c in chunks if c["kind"] == "cdc"]
+    ins_all = [
+        c for c in chunks
+        if c["kind"] == "insert" and c["include"] is None and not c["exclude"]
+    ]
+    if cdc_all or ins_all:
+        vts = sorted({(c["version"], float(c["ts"])) for c in chunks})
+        vmap = F.broadcast(
+            spark.createDataFrame(
+                vts, "_commit_version long, _commit_timestamp double"
+            )
+        )
+        ver = F.regexp_extract(
+            F.col("_metadata.file_path"), r"/c(\d{12})-[0-9a-f]+/", 1
+        ).cast("long")
+
+        def _path_stamped(paths: list[str], ctype: str | None) -> DataFrame:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if ctype is not None:
+                df = df.withColumn("_change_type", F.lit(ctype))
+            cols = df.columns
+            return (
+                df.withColumn("_commit_version", ver)
+                .join(vmap, "_commit_version")
+                .select(*cols, "_commit_version", "_commit_timestamp")
+            )
+
+        if cdc_all:
+            parts.append(_path_stamped([c["path"] for c in cdc_all], None))
+        if ins_all:
+            parts.append(
+                _path_stamped([c["path"] for c in ins_all], "insert")
+            )
+    # position-filtered and removed-file categories stay per-version: a
+    # DELETED file's path carries its CREATION commit, not the deleting
+    # one, and include/exclude position sets are per-(version, file)
     by_ver: dict[tuple, list[dict]] = {}
     for c in chunks:
+        if c["kind"] == "cdc" or (
+            c["kind"] == "insert"
+            and c["include"] is None
+            and not c["exclude"]
+        ):
+            continue  # handled by the single path-dated scans above
         by_ver.setdefault((c["version"], c["ts"]), []).append(c)
-    parts: list[DataFrame] = []
     for (n, ts), cs in sorted(by_ver.items()):
-        cdc = [c["path"] for c in cs if c["kind"] == "cdc"]
-        if cdc:
-            parts.append(_stamp(spark.read.parquet(*cdc), n, ts))
         for ctype in ("insert", "delete"):
             plain = [
                 c
