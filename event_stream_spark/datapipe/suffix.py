@@ -80,8 +80,14 @@ def _range_parted(
       executions — if the ranked branch and the offsets branch of a
       two-phase rank re-executed the exchange independently, their
       partitionings could disagree and merge/split rank classes (a bug
-      this module shipped with and a test caught).  The localCheckpoint
-      pins ONE materialized partitioning that both branches read.
+      this module shipped with and a test caught).  The DISK_ONLY
+      persist pins ONE materialized partitioning that both branches
+      read — on heap this relation (the build's widest: it carries the
+      string sort keys) was the measured GC-thrash driver at 43M
+      suffixes in a 12 GB JVM; a lost block recomputes through the one
+      partitioner object fixed at materialization, so determinism holds
+      (strictly safer than the lineage-truncating checkpoint this
+      replaces).
     - the FINAL rank values are boundary-independent (a rank over a total
       key order doesn't care where the partition cuts fall), so the
       output is deterministic even though the sampled boundaries aren't.
@@ -91,10 +97,12 @@ def _range_parted(
     web doc starting 'http', every synthetic doc starting 'w' — cannot
     serialize the sort into one bucket (measured: the 10× sweep corpus
     has a single first char, which put 100% of suffixes in one bucket)."""
+    from pyspark import StorageLevel
+
     part = df.repartitionByRange(
         parts, *[F.col(c) for c in cols]
     ).withColumn("_bkt", F.spark_partition_id())
-    ckpt = part.localCheckpoint(eager=False)
+    ckpt = part.persist(StorageLevel.DISK_ONLY)
     if track is not None:
         track.append(ckpt)
     return ckpt
@@ -285,14 +293,29 @@ def suffix_order(
     for old in ckpts[:-1]:
         old.unpersist()
     del ckpts[:-1]
+    # PIECE accounting: the full relation is maintained as a lazy union
+    # of DISJOINT materialized pieces — rows settled at the seed, rows
+    # settled in each round, and the current tied set.  A round therefore
+    # checkpoints ONLY its updated tied rows (|tied| collapses fast on
+    # natural text), never rewrites the n-row relation; the big seed
+    # checkpoint is written once and only ever scanned.
+    settled_parts: list[DataFrame] = [lvl.filter(F.col("settled"))]
+    cur = lvl  # the relation whose ~settled rows form the working set
+
+    def _full() -> DataFrame:
+        out = settled_parts[0]
+        for p in settled_parts[1:]:
+            out = out.unionByName(p)
+        return out.unionByName(cur.filter(~F.col("settled")))
+
     while k < cap and working:
-        tied = lvl.filter(~F.col("settled"))
+        tied = cur.filter(~F.col("settled"))
         # rank-at-pos-k lookup: inner join against the full relation;
         # the miss case (pos+k past the document end → the -1 sentinel:
         # shorter suffix sorts first) is decided arithmetically, not by
         # an outer join — which is what lets AQE build the (collapsing)
         # working side and stream the full side with zero exchange
-        fullr = lvl.select(
+        fullr = _full().select(
             F.col("doc_id").alias("_d"),
             F.col("pos").alias("_p"),
             F.col("r").alias("_r2"),
@@ -343,34 +366,24 @@ def suffix_order(
             F.col("_newr").alias("r"),
             F.col("_set").alias("settled"),
         )
-        lvl = (
-            lvl.filter(F.col("settled"))
-            .unionByName(tied_new)
-            .localCheckpoint(eager=False)
-        )
-        ckpts.append(lvl)
+        # materialize ONLY the round's tied rows (disjoint piece); the
+        # settled majority stays in its already-materialized pieces
+        cur = tied_new.localCheckpoint(eager=False)
         k *= 2
-        n, working = lvl.agg(
-            F.count("*"), F.count(F.when(~F.col("settled"), 1))
-        ).head()
+        working = cur.filter(~F.col("settled")).count()
+        settled_parts.append(cur.filter(F.col("settled")))
         if os.environ.get("SPARK_SUFFIX_DEBUG"):
             import sys as _sys
 
-            print(f"suffix_order: k={k} n={n} working={working}",
+            print(f"suffix_order: k={k} working={working}",
                   file=_sys.stderr, flush=True)
-        # superseded rounds' checkpoint blocks would otherwise pile up
-        # for the whole build (measured: GCLocker thrash at 50M suffixes
-        # x 5 live rounds) — release everything but the round just
-        # materialized by the head() above
-        for old in ckpts[:-1]:
-            old.unpersist()
-        del ckpts[:-1]
     # m (distinct rank classes) == n ⇔ every suffix individuated — ties
     # can survive as frozen identical suffixes (marked settled), so the
     # distinct count is the truth, not the settled tally.  One narrow
-    # integer agg over the final checkpoint, once.
-    m1 = lvl.select("r").distinct().count()
-    return lvl.select("doc_id", "pos", "dlen", "r"), n, m1
+    # integer agg over the final relation, once.
+    full = _full()
+    m1 = full.select("r").distinct().count()
+    return full.select("doc_id", "pos", "dlen", "r"), n, m1
 
 
 def suffix_sa_direct(
