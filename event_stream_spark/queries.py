@@ -1179,6 +1179,87 @@ def q35(spark, sf):
     )
 
 
+#: shared SQL text for q36 — identical in Spark and DuckDB (both speak
+#: standard WITH RECURSIVE), so the oracle IS the query modulo the view name
+_Q36_BODY = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {orders}
+), chain AS (
+  -- anchors: orders with no predecessor within the 30-day gap
+  SELECT s.o_custkey, s.rn AS anchor_rn, s.rn,
+         s.o_orderdate AS chain_start, s.o_orderdate AS cur_date,
+         CAST(1 AS BIGINT) AS chain_len
+  FROM seq s LEFT JOIN seq p
+    ON p.o_custkey = s.o_custkey AND p.rn = s.rn - 1
+  WHERE p.rn IS NULL OR s.o_orderdate > p.o_orderdate + INTERVAL 30 DAY
+  UNION ALL
+  -- extend each chain to the next order while the gap stays <= 30 days
+  SELECT c.o_custkey, c.anchor_rn, n.rn, c.chain_start, n.o_orderdate,
+         c.chain_len + CAST(1 AS BIGINT)
+  FROM chain c JOIN seq n
+    ON n.o_custkey = c.o_custkey AND n.rn = c.rn + 1
+  WHERE n.o_orderdate <= c.cur_date + INTERVAL 30 DAY
+)
+SELECT o_custkey, CAST(chain_start AS DATE) AS chain_start,
+       CAST(max(chain_len) AS BIGINT) AS chain_len,
+       CAST(max(cur_date) AS DATE) AS chain_end
+FROM chain
+GROUP BY o_custkey, anchor_rn, chain_start
+ORDER BY o_custkey, chain_start
+"""
+
+
+def q36(spark, sf):
+    """WITH RECURSIVE: per-customer order *chains* (runs of consecutive
+    orders each placed within 30 days of the previous), computed by
+    fixpoint recursion — anchor rows seed each chain, the recursive member
+    extends it one order per iteration until the gap rule fails.  The
+    islands problem solved the way a graph engine would, exercising
+    Spark 4's recursive-CTE support (SPARK-24497) end-to-end.
+
+    Scale shape: each iteration is one equi-join of the frontier (rows
+    added last round — the surviving chains only, a shrinking set) against
+    the rn-indexed seq relation, partitioned by o_custkey; iteration count
+    is the LONGEST chain (max 6 at sf0.1, data-bounded by the 30-day gap
+    rule), not the row count.  The oracle runs the IDENTICAL SQL text in
+    DuckDB — both engines speak standard WITH RECURSIVE.
+    """
+    t(spark, sf, "orders").createOrReplaceTempView("q36_orders")
+    return spark.sql(_Q36_BODY.format(orders="q36_orders"))
+
+
+def q37(spark, sf):
+    """LATERAL correlated subquery with ORDER BY + LIMIT: each AUTOMOBILE
+    customer's top-3 orders by price — the per-row top-k idiom SQL users
+    reach for before learning window functions, here executed natively.
+
+    Scale shape: Catalyst decorrelates the LATERAL into a
+    WindowGroupLimit (partial top-k per input partition BEFORE the
+    o_custkey exchange, so only <=3 rows per key per partition shuffle)
+    + row_number filter + a BroadcastHashJoin against the filtered
+    customer side — no per-row subquery execution anywhere.  Verified via
+    .explain: the partial WindowGroupLimit bounds the shuffle at any
+    corpus size.
+    """
+    t(spark, sf, "orders").createOrReplaceTempView("q37_orders")
+    t(spark, sf, "customer").createOrReplaceTempView("q37_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM q37_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM q37_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1": q1,
     "q2": q2,
@@ -1216,6 +1297,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33": q33,
     "q34": q34,
     "q35": q35,
+    "q36": q36,
+    "q37": q37,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
@@ -1227,6 +1310,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    # identical SQL text both engines — standard WITH RECURSIVE
+    "q36": _Q36_BODY.format(orders="orders"),
+    "q37": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
     "q1": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > 100 ORDER BY o_orderkey LIMIT 100

@@ -1019,3 +1019,59 @@ def test_q33_pivot_is_single_aggregate(spark):
     p = plan(QUERIES["q33"](spark, SF_CORRECT))
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_q36_recursion_frontier_joins_keyed(spark):
+    """q36: the recursive-CTE fixpoint must advance via keyed equi-joins
+    of the frontier against the rn-indexed seq relation — no Cartesian /
+    nested-loop fallback, and iteration count bounded by chain length
+    (six at sf0.1), not row count."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["q36"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q36_matches_window_islands(spark):
+    """q36's recursive chains must equal the classic gaps-and-islands
+    window formulation (break marks + running sum) computed without any
+    recursion — two independent formulations, one answer."""
+    from pyspark.sql import Window
+
+    from event_stream_spark.queries import QUERIES, t
+
+    o = t(spark, SF_CORRECT, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.col("o_orderdate") > prev + F.expr("INTERVAL 30 DAY")),
+        1,
+    ).otherwise(0)
+    islands = (
+        o.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.min("o_orderdate").cast("date").alias("chain_start"),
+            F.count("*").cast("long").alias("chain_len"),
+            F.max("o_orderdate").cast("date").alias("chain_end"),
+        )
+        .drop("island")
+    )
+    rec = QUERIES["q36"](spark, SF_CORRECT)
+    assert rec.exceptAll(islands).count() == 0
+    assert islands.exceptAll(rec.select(*islands.columns)).count() == 0
+
+
+def test_q37_lateral_decorrelates_to_window_group_limit(spark):
+    """q37: the correlated LATERAL LIMIT must decorrelate into a partial
+    WindowGroupLimit (<=k rows per key per partition cross the shuffle)
+    plus a broadcast of the filtered customer side — never a per-row
+    subquery or nested loop."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["q37"](spark, SF_CORRECT))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
