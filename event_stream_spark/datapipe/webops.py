@@ -453,3 +453,71 @@ BOILERPLATE_LINES_SQL = f"""
     LEFT JOIN clean c ON c.doc_id = s.doc_id
     ORDER BY s.doc_id
 """
+
+
+def domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus health rollup — the aggregate a crawl curator
+    reads before deciding domain-level keeps/drops (RefinedWeb-style
+    curation works domain-first: a domain whose pages are mostly exact
+    duplicates of each other is boilerplate or a mirror, whatever the
+    per-page quality scores say).
+
+    Per canonical host: page count, distinct languages, total chars, the
+    number of pages whose exact text hash repeats corpus-wide, and the
+    resulting duplicate share.
+
+    Scale shape: two hash shuffles, both narrow — (1) dup flags from a
+    groupBy on md5(text) carrying only the 32-char hash, joined back to
+    (doc_id, h) pairs, never the text; (2) the domain rollup, whose key
+    cardinality is the domain count (tiny by web-corpus construction), so
+    the final aggregate is map-side-combined into almost nothing.
+    """
+    d = t(spark, sf, "documents")
+    host = F.lower(F.concat(F.col("source"), F.lit(".example.com")))
+    docs = d.select(
+        "doc_id",
+        host.alias("domain"),
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    sizes = docs.groupBy("h").agg(F.count("*").alias("cnt"))
+    flagged = docs.join(sizes, "h").select(
+        "domain", "lang", "n_chars",
+        (F.col("cnt") > 1).cast("long").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+        )
+        .select(
+            "domain", "n_docs", "n_langs", "total_chars", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("dup_share"),
+        )
+        .orderBy("domain")
+    )
+
+
+DOMAIN_STATS_SQL = """
+    WITH docs AS (
+        SELECT doc_id, lower(source || '.example.com') AS domain, lang,
+               length(text) AS n_chars, md5(text) AS h
+        FROM documents),
+    sizes AS (SELECT h, count(*) AS cnt FROM docs GROUP BY h),
+    flagged AS (
+        SELECT domain, lang, n_chars,
+               CASE WHEN cnt > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM docs JOIN sizes USING (h))
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup,
+           round(CAST(sum(is_dup) AS BIGINT)
+                 / CAST(count(*) AS BIGINT), 6) AS dup_share
+    FROM flagged GROUP BY domain ORDER BY domain
+"""

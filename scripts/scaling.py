@@ -204,10 +204,12 @@ def main() -> None:
         decontaminate_semantic,
         embed_quantize,
     )
+    from event_stream_spark.datapipe.splits import shard_balance
     from event_stream_spark.datapipe.webops import (
         dedup_incremental,
         dedup_paragraph,
         dedup_paragraph_clean,
+        domain_stats,
         url_dedup,
     )
     from event_stream_spark.session import get_spark
@@ -249,6 +251,9 @@ def main() -> None:
         ("cdc_chunks", cdc_chunks),
         ("bpe_fertility", bpe_fertility),
         ("curriculum_order", curriculum_order),
+        # round-7 additions
+        ("shard_balance", shard_balance),
+        ("domain_stats", domain_stats),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")
