@@ -282,6 +282,7 @@ def commit(
     carry_entries: list[dict] | None = None,
     data_change: bool = True,
     cdc: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
 
@@ -332,7 +333,21 @@ def commit(
     ``_cdc_data/`` and referenced by the manifest: the DML helpers pass
     their exact change sets (they know precisely which rows they
     touched), so the feed costs O(changes) to read instead of the
-    O(changed files) logical diff the synthesis fallback performs."""
+    O(changed files) logical diff the synthesis fallback performs.
+
+    IDEMPOTENT WRITER TRANSACTIONS (the Delta ``txnAppId``/``txnVersion``
+    design point): ``txn=(app_id, version)`` stamps the commit with a
+    monotonically increasing per-writer version.  The manifest carries a
+    cumulative ``{app_id: latest_version}`` map forward through EVERY
+    commit; a commit whose version is <= the recorded one is a REPLAY and
+    is skipped (no data written, the current snapshot id is returned).
+    This is what makes a restart-replayed streaming microbatch
+    (``streaming/snapsink.py`` passes ``txn=(query_id, batch_id)``)
+    exactly-once even though foreachBatch itself is at-least-once.  The
+    skip check runs inside the claim-retry loop, so losing a manifest
+    race to a concurrent replay of the SAME batch also resolves to a
+    skip, never a duplicate.  The map is O(writers) bytes — negligible
+    against the file list at any scale."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     if cdc is not None and "_change_type" not in cdc.columns:
@@ -350,6 +365,14 @@ def commit(
     )
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
+        txn_map: dict[str, int] = (
+            dict(_read_manifest(table, nxt - 1).get("txn", {})) if nxt > 0 else {}
+        )
+        if txn is not None:
+            app_id, version = txn
+            if txn_map.get(app_id, -1) >= int(version):
+                return nxt - 1  # replay of an already-applied transaction
+            txn_map[app_id] = int(version)
         if df is None:
             if nxt == 0:
                 raise ValueError("manifest-only commit on an empty table")
@@ -428,6 +451,9 @@ def commit(
             # triggers the logical-diff fallback (which would re-derive
             # full delete+insert churn for the rewritten files).
             **({"cdc": cdc_files} if cdc is not None else {}),
+            # writer-transaction watermarks ride every manifest so a
+            # replayed (app_id, version) is recognizable forever
+            **({"txn": txn_map} if txn_map else {}),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a

@@ -30,3 +30,7 @@ from event_stream_spark.streaming.retry import (  # noqa: F401
     run_with_restarts,
 )
 from event_stream_spark.streaming.windows import windowed_event_counts  # noqa: F401
+from event_stream_spark.streaming.snapsink import (  # noqa: F401
+    snap_append_writer,
+    stream_into_snaptable,
+)

@@ -3869,3 +3869,202 @@ def test_vacuum_sweeps_unreferenced_cdc_sidecars(spark, tmp_path):
     ch = read_changes(spark, table, since=s2 - 1, until=s2).collect()
     assert {r._change_type for r in ch} == {"delete"}
     assert {r.id for r in ch} == {7}
+
+
+def test_txn_commit_idempotent_replay(spark, tmp_path):
+    """snaplog writer transactions: a replayed (app_id, version) commit is
+    a no-op returning the current snapshot; the watermark map survives
+    unrelated commits and compaction; independent app_ids don't collide."""
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        snap_count,
+        snapshots,
+        _read_manifest,
+    )
+
+    table = str(tmp_path / "t")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+
+    s0 = commit(df(0, 10), table, txn=("appA", 0))
+    assert snap_count(table) == 10
+    # exact replay: skipped, same table state, NO new snapshot
+    assert commit(df(0, 10), table, txn=("appA", 0)) == s0
+    assert snapshots(table)[-1] == s0 and snap_count(table) == 10
+    # stale (lower) version replay after progress: also skipped
+    commit(df(10, 20), table, txn=("appA", 1))
+    assert snap_count(table) == 20
+    assert commit(df(0, 10), table, txn=("appA", 0)) == snapshots(table)[-1]
+    assert snap_count(table) == 20
+    # a different app with the same version number is independent
+    commit(df(20, 25), table, txn=("appB", 0))
+    assert snap_count(table) == 25
+    # the map rides unrelated commits (plain append, then compact)
+    commit(df(25, 30), table)
+    compact(spark, table)
+    assert commit(df(0, 10), table, txn=("appA", 1)) == snapshots(table)[-1]
+    assert commit(df(0, 10), table, txn=("appB", 0)) == snapshots(table)[-1]
+    assert snap_count(table) == 30
+    assert _read_manifest(table, snapshots(table)[-1])["txn"] == {
+        "appA": 1,
+        "appB": 0,
+    }
+
+
+def test_stream_into_snaptable_exactly_once(spark, tmp_path):
+    """Streaming appends into a snapshot table are exactly-once across a
+    sink-write/checkpoint-commit crash: re-running the query after the
+    last epoch's checkpoint commit marker is deleted re-executes that
+    microbatch, and the txn watermark absorbs the duplicate."""
+    import glob
+    import os
+
+    from event_stream_spark.sources.snaplog import snap_count, snapshots
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+
+    def arrive(lo, hi):
+        spark.createDataFrame(
+            [(i, f"row{i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        import time
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_into_snaptable(
+            stream, table, ckpt, app_id="ingest",
+            trigger_available_now=False, change_feed=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # stop() returns before the stream thread deregisters the
+            # checkpoint path; an immediate same-checkpoint restart would
+            # trip Spark's concurrent-use guard
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    arrive(0, 50)
+    run_once()
+    assert snap_count(table) == 50
+    arrive(50, 80)
+    run_once()
+    assert snap_count(table) == 80
+    n_snaps = len(snapshots(table))
+
+    # simulate a crash AFTER the snaplog commit but BEFORE the checkpoint
+    # marker: delete the newest checkpoint commit file and re-run — the
+    # engine replays the microbatch, the sink must not duplicate it
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "[0-9]*")))
+    os.remove(commits[-1])
+    # Hadoop's local FS writes a checksum sidecar next to each metadata
+    # file; a real crash loses both, so the simulation must too
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    assert snap_count(table) == 80  # no duplicates
+    assert len(snapshots(table)) == n_snaps  # no extra snapshot published
+
+    # replay with nothing new at all: still a no-op
+    run_once()
+    assert snap_count(table) == 80
+
+    # the recorded change feed covers exactly the ingested rows
+    from event_stream_spark.sources.snaplog import read_changes
+
+    ch = read_changes(spark, table, since=-1)
+    ins = ch.filter("_change_type = 'insert'")
+    assert ins.count() == 80
+    assert ins.agg(F.countDistinct("k")).collect()[0][0] == 80
+
+
+def test_lakehouse_loop_stream_in_cdf_out(spark, tmp_path):
+    """The full lakehouse loop: a file stream ingests into a snapshot
+    table exactly-once (snapsink, change_feed recorded), and a second
+    stream consumes that table's change feed to maintain a per-key
+    aggregate view — which must equal the batch aggregate over the table
+    at every ingest step."""
+    import time
+
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import read_snapshot
+    from event_stream_spark.streaming.cdfview import (
+        maintain_cdf_view,
+        read_view,
+    )
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    snapstream.register(spark)
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    schema = "k long, v double"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def ingest():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_into_snaptable(
+            stream, table, str(tmp_path / "ckpt_in"), app_id="ingest",
+            trigger_available_now=False, change_feed=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    def maintain():
+        q = maintain_cdf_view(
+            spark, table, str(tmp_path / "view"), str(tmp_path / "ckpt_out"),
+            key="k", val="v",
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    for step, rows in enumerate(
+        [
+            [(i % 7, float(i)) for i in range(40)],
+            # integral doubles: the IVM view keeps integer-scaled totals
+            # (the repo-wide bit-exactness stance for commutative sums)
+            [(i % 5, float(i * 3)) for i in range(25)],
+        ]
+    ):
+        arrive(rows)
+        ingest()
+        maintain()
+        got = {
+            (r["k"]): (r["n"], r["total"])
+            for r in read_view(spark, str(tmp_path / "view")).collect()
+        }
+        want = {
+            r["k"]: (r["n"], r["total"])
+            for r in read_snapshot(spark, table)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+        assert got == want, f"step {step}: {got} != {want}"
