@@ -263,6 +263,12 @@ def _read_entries(spark: SparkSession, entries: list[dict]) -> DataFrame:
     return _apply_dv(spark, df, entries)
 
 
+class ConstraintViolation(RuntimeError):
+    """A commit's new rows violate a table CHECK constraint.  Raised
+    BEFORE the manifest claim, so the offending data never becomes
+    visible — the table stays at its previous snapshot."""
+
+
 class CommitConflict(RuntimeError):
     """A transaction based on ``expected_snapshot`` lost the race: another
     commit landed first.  Re-read the table and retry the transformation —
@@ -365,9 +371,9 @@ def commit(
     )
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
-        txn_map: dict[str, int] = (
-            dict(_read_manifest(table, nxt - 1).get("txn", {})) if nxt > 0 else {}
-        )
+        prev_manifest = _read_manifest(table, nxt - 1) if nxt > 0 else {}
+        txn_map: dict[str, int] = dict(prev_manifest.get("txn", {}))
+        constraints: dict[str, str] = dict(prev_manifest.get("constraints", {}))
         if txn is not None:
             app_id, version = txn
             if txn_map.get(app_id, -1) >= int(version):
@@ -407,6 +413,36 @@ def commit(
             # commit is empty, so the snapshot still carries the schema
             nonempty = [p for p in new_files if _row_count(p) > 0]
             new_files = nonempty or new_files[:1]
+            if constraints and nonempty:
+                from pyspark.sql import functions as F
+
+                # CHECK enforcement on the rows as WRITTEN (one scan of
+                # the new files only — never a second run of df's plan,
+                # never a rescan of carried files, which were checked by
+                # the commits that wrote them).  SQL CHECK semantics:
+                # NULL passes, only an expression that is FALSE violates.
+                import shutil
+
+                viol = (
+                    df.sparkSession.read.parquet(part_dir)
+                    .agg(
+                        *[
+                            F.sum(
+                                F.when(F.expr(e) == False, 1).otherwise(0)  # noqa: E712
+                            ).alias(name)
+                            for name, e in constraints.items()
+                        ]
+                    )
+                    .collect()[0]
+                )
+                bad = {n: int(viol[n]) for n in constraints if viol[n]}
+                if bad:
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                    raise ConstraintViolation(
+                        f"commit violates CHECK constraint(s) {bad} "
+                        f"(name -> violating row count); table stays at "
+                        f"snapshot {nxt - 1}"
+                    )
         else:
             part_dir = None
             new_files = []
@@ -454,6 +490,9 @@ def commit(
             # writer-transaction watermarks ride every manifest so a
             # replayed (app_id, version) is recognizable forever
             **({"txn": txn_map} if txn_map else {}),
+            # CHECK constraints are table contract: carried forward until
+            # explicitly dropped, enforced on every commit's new rows
+            **({"constraints": constraints} if constraints else {}),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a
@@ -485,6 +524,81 @@ def commit(
         os.remove(tmp)
         return nxt
     raise RuntimeError(f"snapshot commit contention: {max_retries} retries exhausted")
+
+
+def _metadata_commit(table: str, mutate, *, max_retries: int = 20) -> int:
+    """Publish a data-free snapshot whose manifest is the previous one
+    with ``mutate(manifest_dict)`` applied — same atomic-link claim as
+    :func:`commit`, zero data files moved."""
+    import time as _time
+
+    for _ in range(max_retries):
+        nxt = (snapshots(table) or [-1])[-1] + 1
+        if nxt == 0:
+            raise ValueError("metadata commit on an empty table")
+        manifest = dict(_read_manifest(table, nxt - 1))
+        manifest.update(
+            snapshot=nxt, op="metadata", ts=_time.time(), data_change=False
+        )
+        manifest.pop("cdc", None)  # change relations belong to their commit
+        mutate(manifest)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(_log_dir(table), f".tmp-{token}-{nxt}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(table, nxt))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return nxt
+    raise RuntimeError(f"metadata commit contention: {max_retries} retries")
+
+
+def set_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ADD a CHECK constraint (the Delta ``ALTER TABLE ADD CONSTRAINT``
+    design point): existing rows are validated first (one scan — a
+    constraint that the table already violates is refused), then the
+    constraint lands in the manifest via a metadata-only commit and every
+    later :func:`commit` enforces it on its new rows before the manifest
+    claim.  SQL CHECK semantics: NULL passes, FALSE violates."""
+    from pyspark.sql import functions as F
+
+    n_bad = (
+        read_snapshot(spark, table)
+        .where(F.expr(expr) == False)  # noqa: E712
+        .count()
+    )
+    if n_bad:
+        raise ConstraintViolation(
+            f"cannot add CHECK {name!r}: {n_bad} existing rows violate {expr!r}"
+        )
+
+    def mutate(m: dict) -> None:
+        cons = dict(m.get("constraints", {}))
+        cons[name] = expr
+        m["constraints"] = cons
+
+    return _metadata_commit(table, mutate)
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """Remove a CHECK constraint; later commits stop enforcing it."""
+
+    def mutate(m: dict) -> None:
+        cons = dict(m.get("constraints", {}))
+        cons.pop(name, None)
+        if cons:
+            m["constraints"] = cons
+        else:
+            m.pop("constraints", None)
+
+    return _metadata_commit(table, mutate)
 
 
 def read_snapshot(

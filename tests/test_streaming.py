@@ -4068,3 +4068,100 @@ def test_lakehouse_loop_stream_in_cdf_out(spark, tmp_path):
             .collect()
         }
         assert got == want, f"step {step}: {got} != {want}"
+
+
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """CHECK constraints (the Delta ADD CONSTRAINT design point): adding
+    validates existing rows; every later commit enforces on its new rows
+    BEFORE the manifest claim (a violating commit leaves the table at the
+    previous snapshot, no orphan visible); NULL passes (SQL CHECK
+    semantics); constraints survive unrelated commits and compaction;
+    drop lifts enforcement."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import (
+        ConstraintViolation,
+        commit,
+        compact,
+        drop_constraint,
+        read_snapshot,
+        set_constraint,
+        snap_count,
+        snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    schema = "k long, v double"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+
+    commit(mk([(1, 1.0), (2, 2.0)]), table)
+    set_constraint(spark, table, "v_pos", "v >= 0")
+    # a constraint the table already violates is refused, no commit lands
+    n_before = len(snapshots(table))
+    with _pytest.raises(ConstraintViolation, match="existing rows"):
+        set_constraint(spark, table, "v_big", "v > 100")
+    assert len(snapshots(table)) == n_before
+
+    # conforming append passes; violating append is rejected atomically
+    commit(mk([(3, 3.0)]), table)
+    assert snap_count(table) == 3
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        commit(mk([(4, 4.0), (5, -1.0)]), table)
+    assert snap_count(table) == 3
+    assert len(snapshots(table)) == n_before + 1
+
+    # NULL passes: SQL CHECK only rejects FALSE
+    commit(mk([(6, None)]), table)
+    assert snap_count(table) == 4
+
+    # survives compaction and unrelated commits
+    compact(spark, table)
+    with _pytest.raises(ConstraintViolation):
+        commit(mk([(7, -7.0)]), table)
+
+    # DML inherits enforcement: an upsert writing a violating postimage
+    from event_stream_spark.sources.snaplog import merge_upsert
+
+    with _pytest.raises(ConstraintViolation):
+        merge_upsert(spark, table, mk([(1, -5.0)]), key="k")
+    assert read_snapshot(spark, table).where("v < 0").count() == 0
+
+    # drop lifts enforcement
+    drop_constraint(table, "v_pos")
+    commit(mk([(8, -8.0)]), table)
+    assert snap_count(table) == 5
+
+
+def test_constraint_blocks_streaming_sink(spark, tmp_path):
+    """A violating microbatch fails the streaming ingest and the table
+    stays at its last good snapshot — constraints guard the streaming
+    path through the same commit seam."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        set_constraint,
+        snap_count,
+    )
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    schema = "k long, v double"
+    commit(spark.createDataFrame([(0, 1.0)], schema), table)
+    set_constraint(spark, table, "v_pos", "v >= 0")
+
+    spark.createDataFrame(
+        [(1, 2.0), (2, -3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_into_snaptable(
+        stream, table, str(tmp_path / "ckpt"), app_id="ingest",
+        trigger_available_now=False,
+    )
+    try:
+        with _pytest.raises(Exception, match="v_pos"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snap_count(table) == 1
