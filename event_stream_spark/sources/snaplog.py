@@ -587,6 +587,67 @@ def set_constraint(
     return _metadata_commit(table, mutate)
 
 
+def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
+    """RESTORE the table to a previous snapshot's state (the Delta
+    ``RESTORE TABLE ... TO VERSION AS OF`` design point): publishes a NEW
+    overwrite commit whose file set (including deletion-vector state) is
+    the target snapshot's — history is preserved, nothing is rewritten or
+    deleted, and the restore itself can be time-traveled past or restored
+    away again.
+
+    Semantics pinned here:
+
+    - the target's data files must still exist — restoring past a
+      :func:`vacuum` horizon fails loudly instead of publishing a
+      snapshot that cannot be read;
+    - current CHECK constraints are re-validated against the restored
+      state (a restore cannot resurrect rows a since-added constraint
+      forbids — the table never visibly violates its contract);
+    - the change feed sees the restore as an overwrite and synthesizes
+      the delete/insert churn via the file-targeted logical diff;
+    - writer-transaction watermarks are NOT rolled back (a replayed
+      microbatch stays recognizable after a restore).
+
+    Cost: manifest copy + one constraint-validation scan of the restored
+    state (skipped when the table has no constraints)."""
+    ids = snapshots(table)
+    if to_snapshot not in ids:
+        raise ValueError(f"snapshot {to_snapshot} not in {ids}")
+    target = _read_manifest(table, to_snapshot)
+    missing = [e["path"] for e in target["files"] if not os.path.exists(e["path"])]
+    if missing:
+        raise ValueError(
+            f"cannot restore to snapshot {to_snapshot}: {len(missing)} data "
+            f"file(s) vacuumed away (first: {missing[0]})"
+        )
+    cons = dict(_read_manifest(table, ids[-1]).get("constraints", {}))
+    if cons:
+        from pyspark.sql import functions as F
+
+        restored = _read_entries(spark, target["files"])
+        viol = restored.agg(
+            *[
+                F.sum(F.when(F.expr(e) == False, 1).otherwise(0)).alias(n)  # noqa: E712
+                for n, e in cons.items()
+            ]
+        ).collect()[0]
+        bad = {n: int(viol[n]) for n in cons if viol[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"restore to snapshot {to_snapshot} would violate CHECK "
+                f"constraint(s) {bad}"
+            )
+
+    def mutate(m: dict) -> None:
+        m["op"] = "overwrite"
+        m["data_change"] = True
+        m["files"] = target["files"]
+        m["columns"] = target["columns"]
+        m["restored_from"] = to_snapshot
+
+    return _metadata_commit(table, mutate)
+
+
 def drop_constraint(table: str, name: str) -> int:
     """Remove a CHECK constraint; later commits stop enforcing it."""
 

@@ -4165,3 +4165,75 @@ def test_constraint_blocks_streaming_sink(spark, tmp_path):
     finally:
         q.stop()
     assert snap_count(table) == 1
+
+
+def test_restore_to_previous_snapshot(spark, tmp_path):
+    """RESTORE: a bad DML is rolled back by publishing a new overwrite
+    commit with the target snapshot's exact file+DV state; history stays
+    time-travelable, the change feed synthesizes the rollback churn, a
+    since-added constraint blocks a violating restore, and restoring past
+    the vacuum horizon fails loudly."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import (
+        ConstraintViolation,
+        commit,
+        delete_where_dv,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+        restore,
+        set_constraint,
+        snap_count,
+        snapshots,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    schema = "k long, v double"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+
+    commit(mk([(i, float(i)) for i in range(10)]), table)      # snap 0
+    delete_where_dv(spark, table, "k >= 8")                     # snap 1 (DV)
+    good = snapshots(table)[-1]
+    assert snap_count(table) == 8
+    merge_upsert(spark, table, mk([(0, -999.0), (1, -999.0)]), key="k")  # bad
+
+    r = restore(spark, table, good)
+    assert r == snapshots(table)[-1]
+    assert snap_count(table) == 8
+    assert read_snapshot(spark, table).where("v < 0").count() == 0
+    # DV state restored too: k=8,9 stay deleted
+    assert read_snapshot(spark, table).where("k >= 8").count() == 0
+    # history preserved: the bad snapshot is still time-travelable
+    bad_snap = r - 1
+    assert (
+        read_snapshot(spark, table, snapshot=bad_snap).where("v < 0").count()
+        == 2
+    )
+    # the change feed reports the rollback as delete+insert churn
+    ch = read_changes(spark, table, since=bad_snap, until=r)
+    assert ch.where("_change_type = 'delete' AND v < 0").count() == 2
+
+    # a since-added constraint blocks restoring to a violating state
+    set_constraint(spark, table, "v_pos", "v >= 0")
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        restore(spark, table, bad_snap)
+
+    # restore to a state whose data files are gone: loud failure
+    commit(mk([(100, 100.0)]), table)
+    from event_stream_spark.sources.snaplog import _read_manifest, compact
+
+    compact(spark, table)  # current state no longer shares good's files
+    import os
+
+    os.remove(_read_manifest(table, good)["files"][0]["path"])
+    n = len(snapshots(table))
+    with _pytest.raises(ValueError, match="vacuumed"):
+        restore(spark, table, good)
+    assert len(snapshots(table)) == n
+    # restore past the vacuum horizon (manifest itself trimmed): loud too
+    vacuum(table, keep_last=1)
+    with _pytest.raises(ValueError, match="not in"):
+        restore(spark, table, good)
+    assert snap_count(table) == 9
