@@ -19,6 +19,7 @@ Chain (each stage an already-oracled operator or the snapshot log):
   curate_v2  length trim → model-based quality keep → containment dedup
              (``datapipe_curate_v2`` verbatim over the deduped corpus)
   pack       ``seq_pack`` sequence packing over the survivors
+  shard      ``shard_balance`` token-balanced training-shard assignment
 
 Per-stage shuffle read/write bytes come from Spark's public REST API
 (``/api/v1/applications/<app>/stages`` — the same numbers the UI shows),
@@ -191,12 +192,24 @@ def main() -> None:
 
     run_stage("pack", pack)
 
+    # -- shard: token-balanced training-shard assignment --------------------
+    def shard():
+        from event_stream_spark.datapipe.splits import shard_balance
+
+        rows = shard_balance(spark, curated).collect()
+        return {
+            "rows": len(rows),
+            "max_skew": round(max(abs(r["balance"] - 1.0) for r in rows), 4),
+        }
+
+    run_stage("shard", shard)
+
     summary = {
         "metric": "rehearsal_total_wall",
         "value": round(sum(r["wall_s"] for r in results), 3),
         "unit": "sec",
         "input_rows": n_src * REPLICAS,
-        "final_rows": results[-2]["rows"],
+        "final_rows": results[-3]["rows"],
         "shuffle_write_total": sum(r["shuffle_write"] for r in results),
         "cpus": cpus,
     }
