@@ -132,3 +132,112 @@ SELECT doc_id, val, _change_type, _commit_version
 FROM feed
 ORDER BY _commit_version, doc_id, _change_type
 """
+
+
+#: separate build dir: the restore script has its own history
+_RESTORE_TAG = "v1"
+
+
+def _restore_table_dir(sf: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"es_snaprestore_{_RESTORE_TAG}_{key}")
+
+
+def _build_restore(spark: SparkSession, sf: str) -> str:
+    """Deterministic contract-and-rollback script:
+
+    * snap 0 — append keys ``doc_id % 3 IN (0, 1)``;
+    * snap 1 — ``set_constraint("val >= 0")`` (metadata commit);
+    * snap 2 — ``merge_upsert``: ``% 6 == 0`` gets val+1000, keys
+      ``% 3 == 2 AND % 2 == 0`` insert;
+    * (blocked) — an upsert writing ``val = -5`` MUST raise
+      ConstraintViolation and leave no snapshot;
+    * snap 3 — ``delete_where_dv("doc_id % 10 = 7")``;
+    * snap 4 — ``restore(to=2)``: resurrects the deleted rows,
+      re-validating the constraint on the restored state.
+    """
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+
+    table = _restore_table_dir(sf)
+    marker = os.path.join(table, "_built")
+    if os.path.exists(marker) and snaplog.snapshots(table) == [0, 1, 2, 3, 4]:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    base = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("val")
+    )
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 < 2), table, stats_cols=["doc_id"]
+    )
+    snaplog.set_constraint(spark, table, "val_pos", "val >= 0")
+    upd = base.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "val", F.col("val") + 1000
+    )
+    new = base.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0))
+    snaplog.merge_upsert(
+        spark, table, upd.unionByName(new), key="doc_id", stats_cols=["doc_id"]
+    )
+    try:
+        snaplog.merge_upsert(
+            spark,
+            table,
+            base.filter(F.col("doc_id") % 6 == 3).withColumn(
+                "val", F.lit(-5).cast("long")
+            ),
+            key="doc_id",
+        )
+    except snaplog.ConstraintViolation:
+        pass  # the contract held — required for the script to proceed
+    else:
+        raise RuntimeError(
+            "constraint did NOT block the violating merge — snap_restore "
+            "refuses to publish a green-looking history"
+        )
+    snaplog.delete_where_dv(spark, table, "doc_id % 10 = 7")
+    snaplog.restore(spark, table, 2)
+    with open(marker, "w") as fh:
+        fh.write(_RESTORE_TAG)
+    return table
+
+
+def snap_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """Final state after the contract-and-rollback script, each row joined
+    to its ORIGINAL value via a time-travel read of snapshot 0 (inserted
+    keys surface NULL) — one relation proving: the restore resurrected the
+    DV-deleted rows, the CHECK constraint blocked the bad merge, and
+    history stayed time-travelable through all of it."""
+    from event_stream_spark.sources import snaplog
+
+    table = _build_restore(spark, sf)
+    cur = snaplog.read_snapshot(spark, table)
+    orig = snaplog.read_snapshot(spark, table, snapshot=0).select(
+        "doc_id", F.col("val").alias("val_orig")
+    )
+    return (
+        cur.join(orig, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("val").cast("long").alias("val"),
+            F.col("val_orig").cast("long").alias("val_orig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: DuckDB replay: the restored state IS the post-merge state (snap 2) —
+#: the delete must be invisible and the blocked merge absent.
+SNAP_RESTORE_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS val FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN val + 1000 ELSE val END
+            AS BIGINT) AS val,
+       CAST(val AS BIGINT) AS val_orig
+FROM base WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT doc_id, CAST(val AS BIGINT), CAST(NULL AS BIGINT)
+FROM base WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+ORDER BY doc_id
+"""
