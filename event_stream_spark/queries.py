@@ -1260,6 +1260,41 @@ def q37(spark, sf):
     )
 
 
+def q38(spark, sf):
+    """RANGE-frame sliding window: for every event, the count and value
+    sum of the SAME user's events in the trailing hour — event-time
+    sliding aggregates computed per row without self-join or explode
+    (the load/velocity feature a fraud or rate-limit pipeline computes).
+
+    Scale shape: ONE user_id exchange + one in-partition sort; the RANGE
+    frame over unix-micros is a sliding two-pointer pass per partition
+    (state = the frame contents, bounded by per-user events/hour), never
+    a per-row rescan.  Both engines run the frame over the same BIGINT
+    microsecond key, so boundary inclusion is bit-identical.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            us.alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("n_hour"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .over(w)
+            .alias("value_c_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1": q1,
     "q2": q2,
@@ -1299,6 +1334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35": q35,
     "q36": q36,
     "q37": q37,
+    "q38": q38,
     "fuzzy_match": fuzzy_match_q,
     "sketch_profile": sketch_profile,
     "sketch_exact": sketch_exact,
@@ -1310,6 +1346,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "q38": """
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_hour,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS value_c_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     # identical SQL text both engines — standard WITH RECURSIVE
     "q36": _Q36_BODY.format(orders="orders"),
     "q37": """

@@ -1124,3 +1124,14 @@ def test_domain_stats_narrow_shuffles(spark):
     )
     total_docs = d.count()
     assert sum(r["n_dup"] for r in rows) == total_docs - n_unique_singletons
+
+
+def test_q38_range_frame_single_exchange(spark):
+    """q38: the trailing-hour RANGE frame must be one user_id exchange +
+    one Window node — never a self-join or explode re-expression."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["q38"](spark, SF_CORRECT))
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert re.search(r"specifiedwindowframe\(RangeFrame", p)
