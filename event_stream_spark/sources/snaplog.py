@@ -648,6 +648,68 @@ def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
     return _metadata_commit(table, mutate)
 
 
+def clone(src_table: str, dst_table: str, *, snapshot: int | None = None) -> int:
+    """SHALLOW CLONE (the Delta design point): create ``dst_table`` whose
+    snapshot 0 references ``src_table``'s data files (at ``snapshot``,
+    default latest) WITHOUT copying a byte — the zero-cost dev/test
+    sandbox over a production table.
+
+    Contract pinned here:
+
+    - DML on the clone is copy-on-write INTO THE CLONE's directory: the
+      source never observes a clone's writes, and untouched entries keep
+      referencing source files;
+    - ``vacuum`` is directory-scoped, so vacuuming the clone can never
+      delete source files (and vice versa) — but vacuuming the SOURCE
+      does not know about clone references, so source vacuums can break
+      a shallow clone (the same documented hazard as Delta's; promote
+      with a rewriting ``compact`` on the clone to sever the dependency);
+    - CHECK constraints travel with the clone (table contract);
+    - writer-transaction watermarks do NOT (a clone is a new writer
+      lineage — a stream re-pointed at it must start a fresh ledger)."""
+    src_ids = snapshots(src_table)
+    if not src_ids:
+        raise ValueError(f"clone source {src_table!r} has no snapshots")
+    n = src_ids[-1] if snapshot is None else snapshot
+    if n not in src_ids:
+        raise ValueError(f"snapshot {n} not in {src_ids}")
+    if snapshots(dst_table):
+        raise ValueError(f"clone destination {dst_table!r} already exists")
+    src = _read_manifest(src_table, n)
+    import time as _time
+
+    os.makedirs(_log_dir(dst_table), exist_ok=True)
+    manifest = {
+        "snapshot": 0,
+        "op": "clone",
+        "ts": _time.time(),
+        "columns": src["columns"],
+        "files": src["files"],
+        "data_change": True,
+        "cloned_from": {"table": src_table, "snapshot": n},
+        **(
+            {"constraints": src["constraints"]}
+            if src.get("constraints")
+            else {}
+        ),
+    }
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_log_dir(dst_table), f".tmp-{token}-0.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(dst_table, 0))
+    except FileExistsError:
+        os.remove(tmp)
+        raise ValueError(
+            f"clone destination {dst_table!r} claimed concurrently"
+        ) from None
+    os.remove(tmp)
+    return 0
+
+
 def drop_constraint(table: str, name: str) -> int:
     """Remove a CHECK constraint; later commits stop enforcing it."""
 

@@ -4237,3 +4237,69 @@ def test_restore_to_previous_snapshot(spark, tmp_path):
     with _pytest.raises(ValueError, match="not in"):
         restore(spark, table, good)
     assert snap_count(table) == 9
+
+
+def test_shallow_clone(spark, tmp_path):
+    """SHALLOW CLONE: zero data files copied, reads equal the source at
+    the cloned snapshot, DML on the clone is copy-on-write into the
+    clone's own directory (the source never changes), CHECK constraints
+    travel, and vacuuming the clone never touches source files."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snaplog import (
+        ConstraintViolation,
+        clone,
+        commit,
+        merge_upsert,
+        read_snapshot,
+        set_constraint,
+        snap_count,
+        vacuum,
+    )
+
+    src_t = str(tmp_path / "src")
+    dst_t = str(tmp_path / "dst")
+    schema = "k long, v double"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+
+    commit(mk([(i, float(i)) for i in range(10)]), src_t)       # snap 0
+    set_constraint(spark, src_t, "v_pos", "v >= 0")             # snap 1
+    commit(mk([(10, 10.0), (11, 11.0)]), src_t)                 # snap 2
+
+    # clone at an older snapshot: time-travel clone
+    clone(src_t, str(tmp_path / "old"), snapshot=0)
+    assert snap_count(str(tmp_path / "old")) == 10
+
+    clone(src_t, dst_t)
+    assert snap_count(dst_t) == 12
+    assert not glob.glob(os.path.join(dst_t, "data", "**", "*.parquet"),
+                         recursive=True)  # zero bytes copied
+    with _pytest.raises(ValueError, match="already exists"):
+        clone(src_t, dst_t)
+
+    # constraints travel with the clone
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        commit(mk([(99, -1.0)]), dst_t)
+
+    # copy-on-write divergence: the source never observes clone DML
+    merge_upsert(spark, dst_t, mk([(0, 1000.0), (50, 50.0)]), key="k")
+    assert snap_count(dst_t) == 13
+    assert read_snapshot(spark, dst_t).where("k = 0").first()["v"] == 1000.0
+    assert snap_count(src_t) == 12
+    assert read_snapshot(spark, src_t).where("k = 0").first()["v"] == 0.0
+    # the clone's new files live under ITS directory; untouched entries
+    # still reference source files
+    new_files = glob.glob(os.path.join(dst_t, "data", "**", "*.parquet"),
+                          recursive=True)
+    assert new_files
+    # vacuuming the clone removes nothing of the source's
+    before = set(glob.glob(os.path.join(src_t, "data", "**", "*.parquet"),
+                           recursive=True))
+    vacuum(dst_t, keep_last=1, tmp_ttl_s=0.0)
+    after = set(glob.glob(os.path.join(src_t, "data", "**", "*.parquet"),
+                          recursive=True))
+    assert before == after
+    assert snap_count(dst_t) == 13  # clone still fully readable
