@@ -4303,3 +4303,46 @@ def test_shallow_clone(spark, tmp_path):
                           recursive=True))
     assert before == after
     assert snap_count(dst_t) == 13  # clone still fully readable
+
+
+def test_interval_join_left_outer_stream(spark, tmp_path):
+    """§2.9: leftOuter stream-stream interval join — matched rows pair as
+    in the inner join, and an UNMATCHED left row is emitted with NULL
+    right columns once the watermark passes its window (driven here by a
+    late sentinel row on both sides)."""
+    import datetime as dt
+
+    from event_stream_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_id long"
+    purchases = [
+        (1, mins(30), 100),   # click 200 in window -> matched
+        (2, mins(30), 101),   # user-2 click came after -> UNMATCHED
+    ]
+    clicks = [
+        (1, mins(20), 200),
+        (2, mins(40), 201),   # after the purchase: outside the window
+    ]
+    sentinel_p = [(9, mins(60 * 24), 999)]
+    sentinel_c = [(9, mins(60 * 24), 998)]
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(purchases + sentinel_p, schema).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(clicks + sentinel_c, schema).coalesce(1).write.parquet(rsrc)
+    ls = spark.readStream.schema(schema).parquet(lsrc)
+    rs = spark.readStream.schema(schema).parquet(rsrc)
+    _drain(
+        interval_join(ls, rs, join_type="leftOuter")
+        .writeStream.format("memory")
+        .queryName("ivj_lo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+    )
+    rows = {
+        r["event_id"]: r["event_id_r"]
+        for r in spark.sql("SELECT * FROM ivj_lo").collect()
+        if r["user_id"] != 9
+    }
+    assert rows == {100: 200, 101: None}
