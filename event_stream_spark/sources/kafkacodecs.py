@@ -19,10 +19,10 @@ both codecs are implemented here from their PUBLIC format specifications:
   accepts both, the writer emits the spec-correct one.
 - **xxHash-32** (Cyan4973/xxHash spec) — needed by the LZ4 frame header.
 
-zstd (compression type 4) is NOT implemented: its decoder needs full
-FSE/Huffman entropy coding, which is out of proportion for a test
-transport — `decode_record_batches` raises a clear error naming the
-codec.  Compressors here are greedy hash-match (snappy: 4-byte hash +
+zstd (compression type 4) lives in its own module (``zstdcodec``):
+a full RFC 8878 decoder (FSE + Huffman entropy coding, ground-truthed
+against the reference CLI) plus a store-mode writer.  Compressors
+here are greedy hash-match (snappy: 4-byte hash +
 copy-2 elements; LZ4: 4-byte hash + token sequences) — format-compliant
 output any conformant decoder accepts, trading ratio for simplicity.
 """

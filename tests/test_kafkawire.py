@@ -286,19 +286,9 @@ def test_record_batch_v2_gzip_compression():
     with pytest.raises(KafkaWireError, match="crc32c"):
         decode_record_batches(bytes(bad))
 
-    with pytest.raises(NotImplementedError):
-        encode_record_batch(records, codec="zstd")
-    # a batch claiming zstd (type 4) is refused by name, not mis-read
-    zstd = bytearray(plain)
-    # attributes live right after the crc: flip compression bits to 4
-    import struct as _struct
-    attrs_off = 8 + 4 + 4 + 1 + 4  # baseOffset+len+epoch+magic+crc
-    _struct.pack_into(">h", zstd, attrs_off, 4)
-    # re-crc so the codec check (not the crc) is what fires
-    from event_stream_spark.sources.kafkawire import crc32c as _crc
-    _struct.pack_into(">I", zstd, attrs_off - 4, _crc(bytes(zstd[attrs_off:])))
-    with pytest.raises(KafkaWireError, match="compression type 4"):
-        decode_record_batches(bytes(zstd))
+    # zstd round-trips too: store-mode write, full RFC 8878 read
+    zblob = encode_record_batch(records, codec="zstd")
+    assert decode_record_batches(zblob) == records
 
     # broker end-to-end: gzip produce, both fetch versions read it whole
     broker = KafkaWireBroker()
@@ -480,14 +470,14 @@ def test_compressed_fetch_end_to_end_all_codecs():
 
 
 def test_zstd_batch_fails_loud_without_poisoning_prior_records():
-    """zstd (compression type 4) is declared unsupported (kafkacodecs.py
-    module doc: a correct decoder needs full FSE/Huffman entropy coding).
-    The CONTRACT for a mixed log is: the decode error (a) names the codec,
-    (b) surfaces as an exception rather than silently skipped records —
-    so a streaming microbatch that hits it FAILS and its offsets are never
-    committed (the checkpoint ledger stays at the pre-batch offset, the
-    at-least-once ack model), and (c) batches BEFORE the zstd one remain
-    independently fetchable."""
+    """A zstd batch (compression type 4) whose payload is GARBAGE must
+    (a) fail with a zstd-specific error, (b) surface as an exception
+    rather than silently skipped records — so a streaming microbatch
+    that hits it FAILS and its offsets are never committed (the
+    checkpoint ledger stays at the pre-batch offset, the at-least-once
+    ack model), and (c) batches BEFORE the bad one remain independently
+    fetchable.  (Valid zstd payloads decode — see the round-trip and
+    real-encoder tests; this pins the corruption contract.)"""
     import struct as _struct
 
     from event_stream_spark.sources.kafkawire import (
@@ -523,10 +513,12 @@ def test_zstd_batch_fails_loud_without_poisoning_prior_records():
         + _struct.pack(">I", crc32c(post_crc)) + post_crc
     )
 
-    # (a)+(b): loud, codec-named, exception — not a silent skip
-    with pytest.raises(KafkaWireError, match="zstd"):
+    # (a)+(b): loud, zstd-specific, exception — not a silent skip
+    from event_stream_spark.sources.zstdcodec import ZstdError
+
+    with pytest.raises(ZstdError, match="magic"):
         decode_record_batches(zstd_batch)
-    with pytest.raises(KafkaWireError, match="zstd"):
+    with pytest.raises(ZstdError, match="magic"):
         decode_record_batches(good + zstd_batch)
 
     # (c): the prior batch alone still decodes — a consumer that resumes
