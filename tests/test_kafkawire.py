@@ -303,6 +303,14 @@ def test_record_batch_v2_gzip_compression():
         assert hw == 2 and [r[2:] for r in recs] == [
             (b"k1", b"v1" * 100), (None, b"v2" * 100)
         ]
+        # zstd (store-mode produce, RFC 8878 fetch-side decode) end-to-end
+        assert client.produce(
+            "blocks", 0,
+            [(b"k3", b"v3" * 100, 3000)],
+            codec="zstd",
+        ) == 2
+        hw, recs = client.fetch("blocks", 0, 2, version=4)
+        assert hw == 3 and [r[2:] for r in recs] == [(b"k3", b"v3" * 100)]
     finally:
         client.close()
         broker.close()
