@@ -1135,3 +1135,28 @@ def test_q38_range_frame_single_exchange(spark):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert re.search(r"specifiedwindowframe\(RangeFrame", p)
+
+
+def test_contrastive_pairs_bucket_probed_negatives(spark):
+    """contrastive_pairs: negative sampling is a bucket-key equi-join
+    (never anchor x corpus), and the labels are sound — every anchor
+    carries at least one negative, and no sampled negative collides with
+    that anchor's labeled positives or itself."""
+    from collections import defaultdict
+
+    from event_stream_spark.datapipe.contrastive import contrastive_pairs
+
+    df = contrastive_pairs(spark, SF_CORRECT)
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "text#" not in p  # document text never enters this plan
+    rows = df.collect()
+    by = defaultdict(lambda: {"pos": set(), "neg": set()})
+    for r in rows:
+        by[r["anchor"]][r["label"]].add(r["other"])
+    for anchor, d in by.items():
+        assert d["pos"], anchor  # anchors only exist via a positive pair
+        assert d["neg"], anchor
+        assert len(d["neg"]) <= 2
+        assert anchor not in d["neg"]
+        assert not (d["pos"] & d["neg"])
