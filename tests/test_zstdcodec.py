@@ -310,3 +310,37 @@ def test_read_jsonl_zst_entropy_coded_shards(spark, tmp_path):
                         "doc_id long, text string")
     got = {r["doc_id"]: r["text"] for r in df.collect()}
     assert got == {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_read_warc_mixed_record_types(spark, tmp_path):
+    """WARC reader: request/metadata records are skipped, response
+    records surface with status + content-type; a multi-member gzip
+    archive parses whole; binary bodies survive byte-exact."""
+    import gzip
+
+    from event_stream_spark.sources.dumps import read_warc, write_warc_gz
+
+    p = tmp_path / "a.warc.gz"
+    write_warc_gz(
+        [
+            {"url": "http://x/1", "body": b"\x00\xffbinary\r\n\r\nbytes"},
+            {"url": "http://x/2", "body": "text", "content_type": "text/plain"},
+        ],
+        str(p),
+    )
+    # splice a non-response record between the members: must be skipped
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Record-ID: <urn:uuid:req>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://x/1\r\n"
+        b"Content-Length: 5\r\n\r\nGET /\r\n\r\n"
+    )
+    blob = p.read_bytes()
+    p.write_bytes(blob + gzip.compress(req, mtime=0))
+
+    rows = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
+    assert set(rows) == {"http://x/1", "http://x/2"}
+    assert bytes(rows["http://x/1"]["body"]) == b"\x00\xffbinary\r\n\r\nbytes"
+    assert rows["http://x/2"]["content_type"] == "text/plain"
+    assert rows["http://x/2"]["status"] == 200
