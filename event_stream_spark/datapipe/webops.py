@@ -521,3 +521,104 @@ DOMAIN_STATS_SQL = """
                  / CAST(count(*) AS BIGINT), 6) AS dup_share
     FROM flagged GROUP BY domain ORDER BY domain
 """
+
+
+#: deterministic per-source robots rules (the RFC 9309 PREFIX-RULE core:
+#: no * / $ wildcards — longest-match + allow-wins-ties is fully exercised
+#: by nested allow/deny prefixes).  Built from the source id so both
+#: engines materialize the identical rule table.
+def _robots_rules() -> list[tuple[str, str, str]]:
+    rules: list[tuple[str, str, str]] = []
+    for k in range(20):  # covers every source the synthetic corpus emits
+        src = f"src{k}"
+        rules.append((src, "disallow", "/de"))          # block German paths
+        rules.append((src, "allow", "/de/page1"))       # ...except page1
+        if k % 2 == 1:
+            rules.append((src, "disallow", "/en/page2"))
+        if k % 3 == 0:
+            rules.append((src, "disallow", ""))          # blanket disallow
+            rules.append((src, "allow", "/fr"))          # ...French only
+    return rules
+
+
+def robots_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 9309 robots evaluation over the synthetic crawl URLs: each
+    URL's path is judged by its domain's most-specific (longest-prefix)
+    matching rule, allow winning length ties; no match → allowed.  The
+    prefix-rule core of the spec — wildcards are an encoding of prefix
+    sets and add no new join shape.
+
+    Scale shape: rules tables are tiny by construction (a robots.txt is
+    KBs) so the rule join BROADCASTS; the per-URL winner is one
+    max_by-style aggregate keyed by doc_id — the corpus never shuffles
+    on anything wider than its own id.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    raw = synthetic_url(F.col("doc_id"), F.col("source"), F.col("lang"))
+    no_q = F.split(raw, r"\?").getItem(0)
+    no_scheme = F.regexp_replace(no_q, r"(?i)^https?://", "")
+    host = F.split(no_scheme, "/").getItem(0)
+    path = F.lower(F.substring(no_scheme, F.length(host) + 1, 1 << 20))
+    urls = d.select("doc_id", F.col("source"), raw.alias("url"), path.alias("path"))
+    rules = spark.createDataFrame(
+        _robots_rules(), "source string, rule string, prefix string"
+    )
+    matched = urls.join(F.broadcast(rules), "source").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        F.col("rule").asc(),  # 'allow' < 'disallow': allow wins ties
+    )
+    winners = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "rule", F.col("prefix").alias("matched_prefix"))
+    )
+    return (
+        urls.join(winners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.coalesce(F.col("rule") == "allow", F.lit(True)).alias("allowed"),
+            F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _robots_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', '{r}', '{p}')" for s, r, p in _robots_rules()
+    )
+    return f"""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || upper(source) || '.example.com/' || lang
+                 || '/page' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || '?utm_source=feed&uid=' || CAST(doc_id AS VARCHAR) AS url,
+               source,
+               lower('/' || lang || '/page' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) AS path
+        FROM documents),
+    rules(source, rule, prefix) AS (VALUES {vals}),
+    matched AS (
+        SELECT u.doc_id, r.rule, r.prefix,
+               row_number() OVER (PARTITION BY u.doc_id
+                                  ORDER BY length(r.prefix) DESC, r.rule ASC)
+                 AS rn
+        FROM u JOIN rules r ON u.source = r.source
+        WHERE starts_with(u.path, r.prefix)),
+    winners AS (SELECT doc_id, rule, prefix FROM matched WHERE rn = 1)
+    SELECT u.doc_id, u.url,
+           coalesce(w.rule = 'allow', TRUE) AS allowed,
+           coalesce(w.prefix, '') AS matched_prefix
+    FROM u LEFT JOIN winners w USING (doc_id)
+    ORDER BY u.doc_id
+    """
+
+
+ROBOTS_EVAL_SQL = _robots_sql()

@@ -1160,3 +1160,39 @@ def test_contrastive_pairs_bucket_probed_negatives(spark):
         assert len(d["neg"]) <= 2
         assert anchor not in d["neg"]
         assert not (d["pos"] & d["neg"])
+
+
+def test_robots_eval_rfc_semantics(spark):
+    """robots_eval: longest-prefix match governs, allow wins length ties,
+    a blanket disallow is carved out only by its allow rules, unmatched
+    paths default to allowed; the rule join broadcasts."""
+    from event_stream_spark.datapipe.webops import robots_eval
+
+    df = robots_eval(spark, SF_CORRECT)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    rows = {r["doc_id"]: r for r in df.collect()}
+    # derive expectations straight from the rule algebra
+    from event_stream_spark.queries import t
+
+    docs = {
+        r["doc_id"]: (r["source"], r["lang"])
+        for r in t(spark, SF_CORRECT, "documents").collect()
+    }
+    for doc_id, r in rows.items():
+        source, lang = docs[doc_id]
+        k = int(source[3:])
+        page = doc_id % 40
+        path = f"/{lang}/page{page}" + ("/" if doc_id % 3 == 0 else "")
+        if lang == "de" and path.startswith("/de/page1"):
+            assert r["allowed"], (doc_id, path)  # carve-out beats /de
+        elif lang == "de":
+            assert not r["allowed"], (doc_id, path)
+        elif k % 3 == 0 and lang != "fr":
+            assert not r["allowed"], (doc_id, path)  # blanket disallow
+        elif k % 3 == 0 and lang == "fr":
+            assert r["allowed"], (doc_id, path)  # allow carve-out
+        elif k % 2 == 1 and lang == "en" and path.startswith("/en/page2"):
+            assert not r["allowed"], (doc_id, path)
+        else:
+            assert r["allowed"], (doc_id, path)  # no match -> allowed
