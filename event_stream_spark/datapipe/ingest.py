@@ -149,3 +149,75 @@ INGEST_WARC_SQL = """
            md5(text) AS content_md5
     FROM documents ORDER BY url
 """
+
+
+def _wds_dir(sf: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"es_wds_{_BUILD_TAG}_{key}")
+
+
+def _build_wds(spark: SparkSession, sf: str) -> str:
+    import json
+
+    from event_stream_spark.sources.dumps import write_webdataset
+
+    path = _wds_dir(sf)
+    marker = os.path.join(path, "_built")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    rows = (
+        t(spark, sf, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    write_webdataset(
+        [
+            {
+                "__key__": f"{r['doc_id']:09d}",
+                "txt": r["text"],
+                "json": json.dumps(
+                    {"doc_id": r["doc_id"], "lang": r["lang"]},
+                    separators=(",", ":"),
+                ),
+            }
+            for r in rows
+        ],
+        path,
+        shards=4,
+    )
+    with open(marker, "w") as fh:
+        fh.write(_BUILD_TAG)
+    return path
+
+
+def ingest_webdataset(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset round-trip, driver-witnessed: the documents table as
+    tar shards of {key}.txt/{key}.json members, read back distributed and
+    projected via the json sidecar + md5 of the txt member — hash parity
+    against the original parquet proves grouping AND byte fidelity."""
+    from event_stream_spark.sources.dumps import read_webdataset
+
+    path = _build_wds(spark, sf)
+    df = read_webdataset(spark, os.path.join(path, "*.tar"))
+    meta = F.from_json(
+        F.col("files").getItem("json").cast("string"),
+        "doc_id long, lang string",
+    )
+    return (
+        df.select(
+            meta.getField("doc_id").alias("doc_id"),
+            meta.getField("lang").alias("lang"),
+            F.md5(F.col("files").getItem("txt").cast("string")).alias(
+                "content_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INGEST_WEBDATASET_SQL = """
+    SELECT doc_id, lang, md5(text) AS content_md5
+    FROM documents ORDER BY doc_id
+"""
