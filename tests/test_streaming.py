@@ -4346,3 +4346,100 @@ def test_interval_join_left_outer_stream(spark, tmp_path):
         if r["user_id"] != 9
     }
     assert rows == {100: 200, 101: None}
+
+
+def test_dumpfeed_streaming_ingest_end_to_end(spark, tmp_path):
+    """format("dumpfeed"): .jsonl.zst shards landing in a directory stream
+    into a snapshot table exactly-once across restarts (the crawl front
+    door composed with the txn-guarded sink), and an out-of-order shard —
+    one sorting below the ingested watermark — fails the stream loudly
+    instead of being silently skipped."""
+    import time
+
+    import pytest as _pytest
+
+    from event_stream_spark.sources import dumpstream
+    from event_stream_spark.sources.dumps import write_jsonl_zst
+    from event_stream_spark.sources.snaplog import snap_count, snapshots
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    dumpstream.register(spark)
+    d = str(tmp_path / "landing")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(lo, hi, name):
+        import json
+        import os
+
+        from event_stream_spark.sources.zstdcodec import zstd_store_frame
+
+        os.makedirs(d, exist_ok=True)
+        payload = "".join(
+            json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n"
+            for i in range(lo, hi)
+        ).encode()
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(zstd_store_frame(payload))
+
+    def run_once():
+        stream = (
+            spark.readStream.format("dumpfeed")
+            .schema("doc_id long, text string")
+            .option("path", d)
+            .load()
+        )
+        q = stream_into_snaptable(
+            stream, table, ckpt, app_id="crawl",
+            trigger_available_now=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    land(0, 30, "crawl-00000.jsonl.zst")
+    land(30, 50, "crawl-00001.jsonl.zst")
+    run_once()
+    assert snap_count(table) == 50
+    n_snaps = len(snapshots(table))
+
+    # restart with one new shard: only the delta ingests
+    land(50, 70, "crawl-00002.jsonl.zst")
+    run_once()
+    assert snap_count(table) == 70
+    # replay with nothing new: no snapshots published
+    run_once()
+    assert snap_count(table) == 70
+
+    # an out-of-order shard below the watermark mid-run: loud failure
+    stream = (
+        spark.readStream.format("dumpfeed")
+        .schema("doc_id long, text string")
+        .option("path", d)
+        .load()
+    )
+    q = stream_into_snaptable(
+        stream, table, ckpt, app_id="crawl", trigger_available_now=False
+    )
+    try:
+        q.processAllAvailable()
+        land(70, 80, "crawl-00001a.jsonl.zst")  # sorts below 00002
+        land(80, 90, "crawl-00003.jsonl.zst")
+        with _pytest.raises(Exception, match="out-of-order"):
+            q.processAllAvailable()
+            for _ in range(100):
+                if q.exception() is not None:
+                    raise q.exception()
+                time.sleep(0.1)
+    finally:
+        q.stop()
+        for _ in range(200):
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+    assert snap_count(table) == 70  # nothing partial ingested
