@@ -1,0 +1,156 @@
+"""Training-ready binary token shards — the OUTPUT side of the pipeline.
+
+GPT-style trainers (nanoGPT, Megatron data loaders) consume flat binary
+arrays of token ids, one file per shard, memory-mapped at step time.
+``export_token_shards`` writes that layout straight from executors: one
+``applyInPandas`` group per (lang, shard) packing stratum tokenizes its
+documents in doc_id order (the ``seq_pack`` order contract), maps words
+to 16-bit ids, and writes a standard ``.npy`` (uint16) file — the writer
+returns only the manifest row, so nothing corpus-sized ever reaches the
+driver.
+
+Token ids are the md5-hash vocabulary (`('0x'||md5(word)[:4])::id`,
+16-bit) — deterministic, tokenizer-free, and expressible in BOTH engines,
+which is what makes the export DRIVER-WITNESSABLE: the registry entry
+reads the shard files back with binaryFile, recomputes a position-weighted
+checksum from the BYTES ON DISK, and hash-compares against a DuckDB
+replay of the logical token stream — disk bytes ≡ oracle, not just
+"writer agrees with itself".  (A real deployment swaps the hash vocab for
+its BPE vocab — ``bpe_tokenize`` exists — without touching the layout.)
+
+Scale shape: one shuffle on the stratum key; each stratum's tokenize +
+write is sequential within its group but strata run in parallel (raise
+``packing.SHARDS`` so a stratum fits an executor — the documented
+packing knob); the read-back verify is per-file map work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_spark.datapipe.packing import SHARDS
+from event_stream_spark.queries import t
+
+_BUILD_TAG = "v1"
+#: position-weighted checksum modulus (fits BIGINT sums at any shard size)
+_CK_MOD = (1 << 61) - 1
+
+
+def _shard_dir(sf: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"es_tokshards_{_BUILD_TAG}_{key}")
+
+
+def export_token_shards(spark: SparkSession, sf: str, out_dir: str) -> None:
+    """Write one ``{lang}-{shard}.npy`` uint16 file per packing stratum."""
+    os.makedirs(out_dir, exist_ok=True)
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % SHARDS).alias("shard"),
+        "text",
+    )
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("doc_id")
+        ids: list[int] = []
+        for text in pdf["text"]:
+            for w in str(text).lower().split():
+                h = hashlib.md5(w.encode()).hexdigest()[:4]
+                ids.append(int(h, 16))
+        arr = np.asarray(ids, dtype=np.uint16)
+        lang, shard = pdf["lang"].iloc[0], int(pdf["shard"].iloc[0])
+        np.save(os.path.join(out_dir, f"{lang}-{shard}.npy"), arr)
+        return pd.DataFrame(
+            {"lang": [lang], "shard": [shard], "n_tokens": [len(arr)]}
+        )
+
+    (
+        d.groupBy("lang", "shard")
+        .applyInPandas(write, "lang string, shard int, n_tokens long")
+        .collect()  # manifest rows only — one per stratum
+    )
+
+
+def _build(spark: SparkSession, sf: str) -> str:
+    path = _shard_dir(sf)
+    marker = os.path.join(path, "_built")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    export_token_shards(spark, sf, path)
+    with open(marker, "w") as fh:
+        fh.write(_BUILD_TAG)
+    return path
+
+
+def token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest of the exported shards recomputed FROM THE FILES: each
+    ``.npy`` parses in its executor and reports token count plus the
+    position-weighted checksum of its ids."""
+    path = _build(spark, sf)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                arr = np.load(io.BytesIO(bytes(blob)))
+                name = os.path.basename(fpath).rsplit(".", 1)[0]
+                lang, shard = name.rsplit("-", 1)
+                pos = np.arange(1, len(arr) + 1, dtype=np.uint64)
+                ck = int((pos * (arr.astype(np.uint64) + 1)).sum() % _CK_MOD)
+                yield pd.DataFrame(
+                    {
+                        "lang": [lang],
+                        "shard": [int(shard)],
+                        "n_tokens": [len(arr)],
+                        "checksum": [ck],
+                    }
+                )
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.npy"))
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            verify, "lang string, shard int, n_tokens long, checksum long"
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+TOKEN_SHARDS_SQL = f"""
+    WITH toks AS (
+        SELECT lang, doc_id % {SHARDS} AS shard, doc_id, w.i AS pos_in_doc,
+               ('0x' || substring(md5(w.word), 1, 4))::BIGINT AS id
+        FROM documents,
+             LATERAL (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                             '\\s+'),
+                              x -> x <> '')) AS word,
+                       generate_subscripts(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''), 1) AS i
+             ) w),
+    stream AS (
+        SELECT lang, shard, id,
+               row_number() OVER (PARTITION BY lang, shard
+                                  ORDER BY doc_id, pos_in_doc) AS pos
+        FROM toks)
+    SELECT lang, CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(pos * (id + 1)) % {_CK_MOD} AS BIGINT) AS checksum
+    FROM stream GROUP BY lang, shard ORDER BY lang, shard
+"""
