@@ -107,8 +107,23 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         from event_stream_spark.sources.zstdcodec import zstd_decompress
 
         with open(partition.path, "rb") as fh:
-            text = zstd_decompress(fh.read()).decode("utf-8")
-        recs = [json.loads(l) for l in text.splitlines() if l]
+            raw = fh.read()
+        if partition.path.endswith(".warc.gz"):
+            # the crawl-capture variant: gzip members → WARC response
+            # records surface under their standard field names
+            import zlib
+
+            from event_stream_spark.sources.dumps import _parse_warc
+
+            parts = []
+            while raw:
+                d = zlib.decompressobj(wbits=31)
+                parts.append(d.decompress(raw))
+                raw = d.unused_data
+            recs = _parse_warc(b"".join(parts))
+        else:
+            text = zstd_decompress(raw).decode("utf-8")
+            recs = [json.loads(l) for l in text.splitlines() if l]
         cols = {
             n: [r.get(n) for r in recs] for n in partition.names
         }

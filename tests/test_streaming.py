@@ -4443,3 +4443,42 @@ def test_dumpfeed_streaming_ingest_end_to_end(spark, tmp_path):
                 break
             time.sleep(0.1)
     assert snap_count(table) == 70  # nothing partial ingested
+
+
+def test_dumpfeed_streams_warc_archives(spark, tmp_path):
+    """format("dumpfeed") with suffix=.warc.gz: crawl-capture archives
+    stream shard-per-partition, response records surfacing under their
+    standard field names — the WARC front door live."""
+    import os
+
+    from event_stream_spark.sources import dumpstream
+    from event_stream_spark.sources.dumps import write_warc_gz
+
+    dumpstream.register(spark)
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    write_warc_gz(
+        [{"url": f"http://x/{i}", "body": f"body {i}"} for i in range(20)],
+        os.path.join(d, "crawl-00000.warc.gz"),
+    )
+    write_warc_gz(
+        [{"url": f"http://x/{i}", "body": f"body {i}"} for i in range(20, 30)],
+        os.path.join(d, "crawl-00001.warc.gz"),
+    )
+    stream = (
+        spark.readStream.format("dumpfeed")
+        .schema("url string, status int, body binary")
+        .option("path", d)
+        .option("suffix", ".warc.gz")
+        .load()
+    )
+    _drain(
+        stream.writeStream.format("memory")
+        .queryName("warcfeed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+    )
+    rows = {r["url"]: r for r in spark.sql("SELECT * FROM warcfeed").collect()}
+    assert len(rows) == 30
+    assert bytes(rows["http://x/25"]["body"]) == b"body 25"
+    assert rows["http://x/0"]["status"] == 200
