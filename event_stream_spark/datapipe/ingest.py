@@ -31,6 +31,9 @@ def _dump_dir(sf: str) -> str:
 
 
 def _build(spark: SparkSession, sf: str) -> str:
+    # FIXTURE builder (collect is bounded by the oracle/bench SFs and
+    # marker-gated to one run): production dumps arrive FROM outside —
+    # the operator under test is the distributed READER, not this writer.
     from event_stream_spark.sources.dumps import write_jsonl_zst
 
     path = _dump_dir(sf)
