@@ -52,7 +52,12 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         self.max_per_trigger = (
             int(options.get("max_files_per_trigger", 0)) or None
         )
-        self._last = ""
+        # tail-only consumers skip history: shards named <= this start
+        # ingested (the from="latest" analogue of the block sources).
+        # _start is IMMUTABLE — initialOffset may be called after
+        # latestOffset has already advanced the watermark
+        self._start = options.get("starting_after", "")
+        self._last = self._start
         self._below: set[str] | None = None  # files <= watermark, last poll
 
     def _shards(self) -> list[str]:
@@ -63,7 +68,7 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"name": ""}
+        return {"name": self._start}
 
     def latestOffset(self) -> dict:
         shards = self._shards()

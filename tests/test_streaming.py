@@ -4482,3 +4482,38 @@ def test_dumpfeed_streams_warc_archives(spark, tmp_path):
     assert len(rows) == 30
     assert bytes(rows["http://x/25"]["body"]) == b"body 25"
     assert rows["http://x/0"]["status"] == 200
+
+
+def test_dumpfeed_starting_after_skips_history(spark, tmp_path):
+    """dumpfeed starting_after: a tail-only consumer ingests only shards
+    named after its start marker."""
+    import json
+    import os
+
+    from event_stream_spark.sources import dumpstream
+    from event_stream_spark.sources.zstdcodec import zstd_store_frame
+
+    dumpstream.register(spark)
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    for s, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 30)]):
+        payload = "".join(
+            json.dumps({"doc_id": i}) + "\n" for i in range(lo, hi)
+        ).encode()
+        with open(os.path.join(d, f"crawl-{s:05d}.jsonl.zst"), "wb") as fh:
+            fh.write(zstd_store_frame(payload))
+    stream = (
+        spark.readStream.format("dumpfeed")
+        .schema("doc_id long")
+        .option("path", d)
+        .option("starting_after", "crawl-00000.jsonl.zst")
+        .load()
+    )
+    _drain(
+        stream.writeStream.format("memory")
+        .queryName("tailfeed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+    )
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM tailfeed").collect())
+    assert got == list(range(10, 30))  # shard 0 skipped
