@@ -204,12 +204,14 @@ def main() -> None:
         decontaminate_semantic,
         embed_quantize,
     )
+    from event_stream_spark.datapipe.contrastive import contrastive_pairs
     from event_stream_spark.datapipe.splits import shard_balance
     from event_stream_spark.datapipe.webops import (
         dedup_incremental,
         dedup_paragraph,
         dedup_paragraph_clean,
         domain_stats,
+        robots_eval,
         url_dedup,
     )
     from event_stream_spark.session import get_spark
@@ -254,6 +256,8 @@ def main() -> None:
         # round-7 additions
         ("shard_balance", shard_balance),
         ("domain_stats", domain_stats),
+        ("contrastive_pairs", contrastive_pairs),
+        ("robots_eval", robots_eval),
     ]:
         t1, t10 = timeit(fn, one), timeit(fn, ten)
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ({t10 / t1:.1f}x on 10x data)")

@@ -478,3 +478,46 @@ def test_suffix_lrs_matches_bruteforce(spark, texts, tmp_path_factory):
         for r in suffix_lrs(spark, sf).collect()
     }
     assert got == want
+
+
+@given(
+    data=st.binary(min_size=0, max_size=300_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_zstd_store_frame_roundtrip_property(data):
+    """Any byte string survives store-frame encode → spec decode."""
+    from event_stream_spark.sources.zstdcodec import (
+        zstd_decompress,
+        zstd_store_frame,
+    )
+
+    assert zstd_decompress(zstd_store_frame(data)) == data
+
+
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=2000), min_size=1, max_size=20),
+)
+@settings(max_examples=20, deadline=None)
+def test_warc_roundtrip_property(tmp_path_factory, bodies):
+    """Arbitrary binary bodies survive WARC write → parse, order and
+    bytes intact (CRLF sequences inside bodies must not confuse the
+    record framing — Content-Length governs)."""
+    import os
+    import zlib
+
+    from event_stream_spark.sources.dumps import _parse_warc, write_warc_gz
+
+    d = tmp_path_factory.mktemp("warc")
+    p = os.path.join(str(d), "a.warc.gz")
+    write_warc_gz(
+        [{"url": f"http://x/{i}", "body": b} for i, b in enumerate(bodies)],
+        p,
+    )
+    raw = open(p, "rb").read()
+    parts = []
+    while raw:
+        dec = zlib.decompressobj(wbits=31)
+        parts.append(dec.decompress(raw))
+        raw = dec.unused_data
+    recs = _parse_warc(b"".join(parts))
+    assert [r["body"] for r in recs] == bodies
