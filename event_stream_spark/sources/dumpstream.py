@@ -89,6 +89,19 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         self._below = below
         fresh = [f for f in shards if f > self._last]
         if self.max_per_trigger is not None:
+            # The clamp is safe ONLY because _last can never sit below a
+            # committed offset when this runs: on a fresh checkpoint
+            # nothing is committed, and on a RESTART Spark always re-plans
+            # the last offset-log batch — partitions(start, committed_end)
+            # — before its first latestOffset call (verified against the
+            # engine; the e2e restart test pins it), which advances _last
+            # to the committed end below.  Without that advance, a clamp
+            # from the reset watermark would return an offset BELOW the
+            # checkpoint; Spark commits whatever this returns as a batch
+            # end, and a later batch would re-plan (regressed, head]
+            # shards that were already ingested before the restart —
+            # duplicates the txn sink cannot catch, since the replays
+            # arrive under NEW batch ids.
             fresh = fresh[: self.max_per_trigger]
         if fresh:
             self._last = fresh[-1]
@@ -97,6 +110,11 @@ class DumpFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["name"], end["name"]
+        if hi > self._last:
+            # a replayed (restart-recovered) batch teaches the fresh reader
+            # instance the committed watermark — never regress below it
+            self._last = hi
+            self._below = None  # stale below-set; re-baseline next poll
         names = [f for f in self._shards() if lo < f <= hi]
         missing = [f for f in names if not os.path.exists(os.path.join(self.dir, f))]
         if missing:
@@ -139,7 +157,11 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         yield from zip(*[cols[n] for n in partition.names])
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the consumer's checkpoint
+        # offsets live in the consumer's checkpoint; mirror the committed
+        # end locally so the watermark can never regress below it
+        if end["name"] > self._last:
+            self._last = end["name"]
+            self._below = None
 
 
 class DumpFeedDataSource(DataSource):

@@ -200,7 +200,17 @@ class SnapTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         """Clamped HERE, not in partitions(): the planner checkpoints
         whatever this returns as the batch end, so clamping later would
-        silently skip the gap (an offset is an ack)."""
+        silently skip the gap (an offset is an ack).  The clamp is safe
+        only because ``_last`` can never sit below a committed offset when
+        this runs: on a fresh checkpoint nothing is committed, and on a
+        RESTART Spark always re-plans the last offset-log batch —
+        ``partitions(start, committed_end)`` — before its first
+        latestOffset call (verified against the engine; the restart test
+        pins it), which advances ``_last`` to the committed end.  Without
+        that advance, a clamp from the reset ``starting_snapshot``
+        watermark would regress below the checkpoint, and a later batch
+        would re-plan already-ingested snapshots under new batch ids —
+        duplicates the txn sink cannot catch."""
         from event_stream_spark.sources.snaplog import snapshots
 
         ids = snapshots(self.table)
@@ -218,6 +228,9 @@ class SnapTableStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = start["snapshot"], end["snapshot"]
+        # a replayed (restart-recovered) batch teaches the fresh reader
+        # instance the committed watermark — never regress below it
+        self._last = max(self._last, hi)
         ids = set(snapshots(self.table))
         # the delta of snapshot n needs manifests n AND n-1; a vacuum that
         # truncated history past this consumer's checkpoint must fail the
@@ -244,7 +257,9 @@ class SnapTableStreamReader(DataSourceStreamReader):
         return _read_snap_file(partition, self.arrow_fields)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the consumer's checkpoint
+        # offsets live in the consumer's checkpoint; mirror the committed
+        # end locally so the watermark can never regress below it
+        self._last = max(self._last, end["snapshot"])
 
 
 class SnapTableBatchReader(DataSourceReader):
@@ -338,6 +353,9 @@ class SnapCDFStreamReader(DataSourceStreamReader):
         return {"snapshot": self.start_after}
 
     def latestOffset(self) -> dict:
+        # clamp safe because partitions()/commit() advance _last to the
+        # committed end before the first post-restart poll — see
+        # SnapTableStreamReader.latestOffset for the regression rationale
         from event_stream_spark.sources.snaplog import snapshots
 
         ids = snapshots(self.table)
@@ -351,6 +369,7 @@ class SnapCDFStreamReader(DataSourceStreamReader):
         from event_stream_spark.sources.snaplog import _change_chunks, snapshots
 
         lo, hi = start["snapshot"], end["snapshot"]
+        self._last = max(self._last, hi)
         ids = set(snapshots(self.table))
         # chunk planning for snapshot n needs manifests n AND n-1; history
         # vacuumed past the checkpoint must fail loudly, never skip deltas
@@ -393,7 +412,8 @@ class SnapCDFStreamReader(DataSourceStreamReader):
         yield from zip(*out) if out else iter(())
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the consumer's checkpoint
+        # mirror the committed end so the watermark can never regress
+        self._last = max(self._last, end["snapshot"])
 
 
 class SnapCDFDataSource(DataSource):

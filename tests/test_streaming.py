@@ -4517,3 +4517,178 @@ def test_dumpfeed_starting_after_skips_history(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM tailfeed").collect())
     assert got == list(range(10, 30))  # shard 0 skipped
+
+def test_dumpfeed_clamped_offset_never_regresses_after_restart(tmp_path):
+    """Unit-level simulation of the engine's reader protocol around
+    restart + max_files_per_trigger.  The engine's observed call order
+    (probed against pyspark's MicroBatchExecution; the e2e restart test
+    below pins it end-to-end):
+
+    - fresh checkpoint:  latestOffset, initialOffset, partitions, ...
+    - restart (committed OR pending last batch):  partitions(start,
+      committed_end) FIRST, then latestOffset.
+
+    The hazard: a fresh post-restart reader has ``_last`` back at
+    ``starting_after``; a clamp from that reset watermark would return an
+    offset BELOW the committed checkpoint, Spark would commit it as a
+    batch end, and a later batch would re-plan (regressed, head] shards
+    already ingested before the restart — duplicates under new batch ids.
+    The fix: partitions()/commit() advance ``_last`` to the committed
+    end, so by the first post-restart poll the clamp is relative to the
+    checkpoint, never below it."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from event_stream_spark.sources.dumpstream import DumpFeedStreamReader
+    from event_stream_spark.sources.zstdcodec import zstd_store_frame
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    names = [f"crawl-{i:05d}.jsonl.zst" for i in range(6)]
+    for i, n in enumerate(names):
+        with open(os.path.join(d, n), "wb") as fh:
+            fh.write(zstd_store_frame(b'{"doc_id": %d}\n' % i))
+    schema = StructType([StructField("doc_id", LongType())])
+    opts = {"path": d, "max_files_per_trigger": "2"}
+
+    # fresh checkpoint: bounded catch-up from the very first poll
+    r = DumpFeedStreamReader(dict(opts), schema)
+    assert r.latestOffset() == {"name": names[1]}  # clamped to 2
+    assert r.initialOffset() == {"name": ""}
+    assert r.latestOffset() == {"name": names[3]}
+
+    # restart, last batch committed: the engine re-plans the last
+    # offset-log batch first — partitions(end, end) — which teaches the
+    # fresh reader the committed watermark; the first poll then clamps
+    # RELATIVE TO it (never names[1] < committed names[3])
+    r2 = DumpFeedStreamReader(dict(opts), schema)
+    assert r2.partitions({"name": names[3]}, {"name": names[3]}) == []
+    off = r2.latestOffset()
+    assert off == {"name": names[5]}  # 2 past the committed watermark
+    assert off["name"] > names[3]
+
+    # restart with a pending batch: partitions(start, end) replay, same
+    r3 = DumpFeedStreamReader(dict(opts), schema)
+    parts = r3.partitions({"name": names[1]}, {"name": names[3]})
+    assert [os.path.basename(p.path) for p in parts] == [names[2], names[3]]
+    assert r3.latestOffset() == {"name": names[5]}
+
+    # commit(end) alone also teaches the watermark
+    r4 = DumpFeedStreamReader(dict(opts), schema)
+    r4.commit({"name": names[3]})
+    assert r4.latestOffset() == {"name": names[5]}
+
+
+def test_dumpfeed_max_files_per_trigger_restart_exactly_once(spark, tmp_path):
+    """End-to-end: dumpfeed throttled by max_files_per_trigger, composed
+    with the txn-guarded snapshot sink, stays exactly-once ACROSS RESTARTS
+    — the regression the trusted-watermark clamp fix closes (before it,
+    the post-restart reader committed a regressed offset and re-ingested
+    every shard under new batch ids)."""
+    import json
+    import os
+    import time
+
+    from event_stream_spark.sources import dumpstream
+    from event_stream_spark.sources.snaplog import read_snapshot, snap_count
+    from event_stream_spark.sources.zstdcodec import zstd_store_frame
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    dumpstream.register(spark)
+    d = str(tmp_path / "landing")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+
+    def land(s, lo, hi):
+        payload = "".join(
+            json.dumps({"doc_id": i}) + "\n" for i in range(lo, hi)
+        ).encode()
+        with open(os.path.join(d, f"crawl-{s:05d}.jsonl.zst"), "wb") as fh:
+            fh.write(zstd_store_frame(payload))
+
+    def run_once():
+        stream = (
+            spark.readStream.format("dumpfeed")
+            .schema("doc_id long")
+            .option("path", d)
+            .option("max_files_per_trigger", "1")
+            .load()
+        )
+        q = stream_into_snaptable(
+            stream, table, ckpt, app_id="crawl",
+            trigger_available_now=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    land(0, 0, 10)
+    land(1, 10, 25)
+    land(2, 25, 30)
+    run_once()
+    assert snap_count(table) == 30
+
+    # restart with two new shards: ONLY the delta ingests, throttled
+    land(3, 30, 40)
+    land(4, 40, 45)
+    run_once()
+    assert snap_count(table) == 45
+    ids = sorted(
+        r["doc_id"] for r in read_snapshot(spark, table).collect()
+    )
+    assert ids == list(range(45))  # no duplicates, no gaps
+
+    # idle restart: nothing replans
+    run_once()
+    assert snap_count(table) == 45
+
+
+def test_snapstream_clamped_offset_never_regresses_after_restart(
+    spark, tmp_path
+):
+    """Same trusted-watermark contract on the snaptable/snapcdf legs:
+    a post-restart first poll never returns an offset below the committed
+    snapshot id when max_snapshots_per_trigger is set."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from event_stream_spark.sources.snaplog import commit
+    from event_stream_spark.sources.snapstream import (
+        SnapCDFStreamReader,
+        SnapTableStreamReader,
+    )
+
+    table = str(tmp_path / "tbl")
+    for n in range(6):
+        commit(
+            spark.createDataFrame([(n,)], "id long"), table, mode="append"
+        )
+    schema = StructType([StructField("id", LongType())])
+    opts = {"table_path": table, "max_snapshots_per_trigger": "2"}
+
+    for cls in (SnapTableStreamReader, SnapCDFStreamReader):
+        # fresh checkpoint: clamp from poll one
+        r = cls(dict(opts), schema)
+        assert r.latestOffset() == {"snapshot": 1}
+        assert r.initialOffset() == {"snapshot": -1}
+        assert r.latestOffset() == {"snapshot": 3}
+
+        # restart: the engine re-plans the last offset-log batch first —
+        # partitions(start, committed_end) — teaching the fresh reader the
+        # committed watermark; the first poll clamps RELATIVE TO it, never
+        # below (a clamp from the reset -1 would return snapshot 1 < 3)
+        r2 = cls(dict(opts), schema)
+        r2.partitions({"snapshot": 3}, {"snapshot": 3})
+        assert r2.latestOffset() == {"snapshot": 5}
+        r3 = cls(dict(opts), schema)
+        r3.partitions({"snapshot": 1}, {"snapshot": 3})
+        assert r3.latestOffset() == {"snapshot": 5}
+        r4 = cls(dict(opts), schema)
+        r4.commit({"snapshot": 3})
+        assert r4.latestOffset() == {"snapshot": 5}
