@@ -70,13 +70,19 @@ def contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
         _bkt(F.concat_ws(":", F.col("anchor"), F.col("j"))).alias("bkt"),
     )
     tie = F.md5(F.concat_ws("|", F.col("anchor"), F.col("doc_id")))
+    # exclusion covers BOTH orientations: pairs are canonical a<b, but an
+    # anchor may appear as the b-side of another pair — without the
+    # reversed leg that partner could be drawn as a negative
+    labeled = pairs.select(
+        F.col("a").alias("anchor"), F.col("b").alias("doc_id")
+    ).unionByName(
+        pairs.select(F.col("b").alias("anchor"), F.col("a").alias("doc_id"))
+    )
     cand = (
         probes.join(docs, "bkt")
         .filter(F.col("doc_id") != F.col("anchor"))
         .join(
-            pairs.select(
-                F.col("a").alias("anchor"), F.col("b").alias("doc_id")
-            ),
+            labeled,
             ["anchor", "doc_id"],
             "left_anti",  # never sample a labeled positive as a negative
         )
@@ -121,7 +127,8 @@ def _contrastive_sql() -> str:
         FROM probes p JOIN docs d USING (bkt)
         WHERE d.doc_id != p.anchor
           AND NOT EXISTS (SELECT 1 FROM pairs q
-                          WHERE q.a = p.anchor AND q.b = d.doc_id)
+                          WHERE (q.a = p.anchor AND q.b = d.doc_id)
+                             OR (q.b = p.anchor AND q.a = d.doc_id))
     ),
     neg AS (
         SELECT DISTINCT anchor, min_by(doc_id, tie) AS other, 'neg' AS label

@@ -94,6 +94,30 @@ def _build(spark: SparkSession, sf: str) -> str:
     return path
 
 
+def shard_checksum(arr) -> int:
+    """Position-weighted checksum ``sum((i+1) * (id+1)) % _CK_MOD``,
+    computed EXACTLY at any shard size: a straight uint64 ``.sum()``
+    silently wraps mod 2^64 past ~24M tokens/shard while the DuckDB
+    oracle sums in HUGEINT.  Chunked hi/lo split keeps every numpy
+    partial sum < 2^59 (exact) and folds into a Python int mod
+    ``_CK_MOD`` per chunk — exact for any shard under 2^47 tokens
+    (a 256 TB file; far past any real shard)."""
+    import numpy as np
+
+    ck = 0
+    chunk = 1 << 24
+    for s in range(0, len(arr), chunk):
+        seg = arr[s : s + chunk].astype(np.uint64) + 1
+        pos = np.arange(s + 1, s + 1 + len(seg), dtype=np.uint64)
+        terms = pos * seg  # < 2^64 elementwise (n < 2^47, ids < 2^16)
+        ck = (
+            ck
+            + (int((terms >> np.uint64(32)).sum()) << 32)
+            + int((terms & np.uint64(0xFFFFFFFF)).sum())
+        ) % _CK_MOD
+    return ck
+
+
 def token_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest of the exported shards recomputed FROM THE FILES: each
     ``.npy`` parses in its executor and reports token count plus the
@@ -110,8 +134,7 @@ def token_shards(spark: SparkSession, sf: str) -> DataFrame:
                 arr = np.load(io.BytesIO(bytes(blob)))
                 name = os.path.basename(fpath).rsplit(".", 1)[0]
                 lang, shard = name.rsplit("-", 1)
-                pos = np.arange(1, len(arr) + 1, dtype=np.uint64)
-                ck = int((pos * (arr.astype(np.uint64) + 1)).sum() % _CK_MOD)
+                ck = shard_checksum(arr)
                 yield pd.DataFrame(
                     {
                         "lang": [lang],

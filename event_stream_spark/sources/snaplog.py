@@ -526,16 +526,28 @@ def commit(
     raise RuntimeError(f"snapshot commit contention: {max_retries} retries exhausted")
 
 
-def _metadata_commit(table: str, mutate, *, max_retries: int = 20) -> int:
+def _metadata_commit(
+    table: str, mutate, *, max_retries: int = 20, expected_parent: int | None = None
+) -> int:
     """Publish a data-free snapshot whose manifest is the previous one
     with ``mutate(manifest_dict)`` applied — same atomic-link claim as
-    :func:`commit`, zero data files moved."""
+    :func:`commit`, zero data files moved.
+
+    ``expected_parent`` pins the snapshot this commit must stack on: if
+    another commit claimed it first, :class:`CommitConflict` is raised
+    instead of silently rebasing — callers whose mutation depends on the
+    parent STATE (e.g. constraint validation) re-check and retry."""
     import time as _time
 
     for _ in range(max_retries):
         nxt = (snapshots(table) or [-1])[-1] + 1
         if nxt == 0:
             raise ValueError("metadata commit on an empty table")
+        if expected_parent is not None and nxt - 1 != expected_parent:
+            raise CommitConflict(
+                f"snapshot {nxt - 1} committed since this mutation was "
+                f"prepared against {expected_parent}: re-check and retry"
+            )
         manifest = dict(_read_manifest(table, nxt - 1))
         manifest.update(
             snapshot=nxt, op="metadata", ts=_time.time(), data_change=False
@@ -566,25 +578,37 @@ def set_constraint(
     constraint that the table already violates is refused), then the
     constraint lands in the manifest via a metadata-only commit and every
     later :func:`commit` enforces it on its new rows before the manifest
-    claim.  SQL CHECK semantics: NULL passes, FALSE violates."""
-    from pyspark.sql import functions as F
+    claim.  SQL CHECK semantics: NULL passes, FALSE violates.
 
-    n_bad = (
-        read_snapshot(spark, table)
-        .where(F.expr(expr) == False)  # noqa: E712
-        .count()
-    )
-    if n_bad:
-        raise ConstraintViolation(
-            f"cannot add CHECK {name!r}: {n_bad} existing rows violate {expr!r}"
-        )
+    Concurrency: the metadata commit is pinned to the snapshot the
+    validation scan read (``expected_parent``) — a data commit landing
+    between the scan and the manifest claim forces a re-validation
+    against the new head, so concurrently written rows can never become
+    visible under a constraint they violate."""
+    from pyspark.sql import functions as F
 
     def mutate(m: dict) -> None:
         cons = dict(m.get("constraints", {}))
         cons[name] = expr
         m["constraints"] = cons
 
-    return _metadata_commit(table, mutate)
+    for _ in range(20):
+        head = (snapshots(table) or [-1])[-1]
+        n_bad = (
+            read_snapshot(spark, table, snapshot=head)
+            .where(F.expr(expr) == False)  # noqa: E712
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add CHECK {name!r}: {n_bad} existing rows "
+                f"violate {expr!r}"
+            )
+        try:
+            return _metadata_commit(table, mutate, expected_parent=head)
+        except CommitConflict:
+            continue  # a commit landed mid-validation: re-validate on it
+    raise RuntimeError("set_constraint contention: 20 retries exhausted")
 
 
 def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
@@ -609,7 +633,10 @@ def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
       microbatch stays recognizable after a restore).
 
     Cost: manifest copy + one constraint-validation scan of the restored
-    state (skipped when the table has no constraints)."""
+    state (skipped when the table has no constraints).  The commit is
+    pinned to the head whose constraint set was validated — a constraint
+    added concurrently forces a re-validation, same as
+    :func:`set_constraint`."""
     ids = snapshots(table)
     if to_snapshot not in ids:
         raise ValueError(f"snapshot {to_snapshot} not in {ids}")
@@ -620,23 +647,6 @@ def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
             f"cannot restore to snapshot {to_snapshot}: {len(missing)} data "
             f"file(s) vacuumed away (first: {missing[0]})"
         )
-    cons = dict(_read_manifest(table, ids[-1]).get("constraints", {}))
-    if cons:
-        from pyspark.sql import functions as F
-
-        restored = _read_entries(spark, target["files"])
-        viol = restored.agg(
-            *[
-                F.sum(F.when(F.expr(e) == False, 1).otherwise(0)).alias(n)  # noqa: E712
-                for n, e in cons.items()
-            ]
-        ).collect()[0]
-        bad = {n: int(viol[n]) for n in cons if viol[n]}
-        if bad:
-            raise ConstraintViolation(
-                f"restore to snapshot {to_snapshot} would violate CHECK "
-                f"constraint(s) {bad}"
-            )
 
     def mutate(m: dict) -> None:
         m["op"] = "overwrite"
@@ -645,7 +655,30 @@ def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
         m["columns"] = target["columns"]
         m["restored_from"] = to_snapshot
 
-    return _metadata_commit(table, mutate)
+    for _ in range(20):
+        head = snapshots(table)[-1]
+        cons = dict(_read_manifest(table, head).get("constraints", {}))
+        if cons:
+            from pyspark.sql import functions as F
+
+            restored = _read_entries(spark, target["files"])
+            viol = restored.agg(
+                *[
+                    F.sum(F.when(F.expr(e) == False, 1).otherwise(0)).alias(n)  # noqa: E712
+                    for n, e in cons.items()
+                ]
+            ).collect()[0]
+            bad = {n: int(viol[n]) for n in cons if viol[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"restore to snapshot {to_snapshot} would violate CHECK "
+                    f"constraint(s) {bad}"
+                )
+        try:
+            return _metadata_commit(table, mutate, expected_parent=head)
+        except CommitConflict:
+            continue  # a commit landed mid-validation: re-validate on it
+    raise RuntimeError("restore contention: 20 retries exhausted")
 
 
 def clone(src_table: str, dst_table: str, *, snapshot: int | None = None) -> int:

@@ -3247,3 +3247,52 @@ def test_segmented_doubling_order_identity_pathological(
     # no two capped suffixes are string-identical
     distinct_sfx = len({s[i:][:64] for s in docs for i in range(len(s))})
     assert m == distinct_sfx
+
+
+def test_shard_checksum_exact_at_uint64_wrapping_sizes():
+    """The position-weighted shard checksum must match an exact big-int
+    computation even when the naive uint64 running sum would wrap mod
+    2^64 (the DuckDB oracle sums in HUGEINT, so a silent wrap on the
+    Spark side reds the parity gate only at production shard sizes)."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.export import _CK_MOD, shard_checksum
+
+    rng = np.random.default_rng(7)
+
+    # small shard: sanity vs the obvious formula
+    small = rng.integers(0, 1 << 16, size=1000, dtype=np.uint16)
+    exact = sum(
+        (i + 1) * (int(v) + 1) for i, v in enumerate(small)
+    ) % _CK_MOD
+    assert shard_checksum(small) == exact
+
+    # wrap-inducing shard: all-max ids at 24M tokens pushes the naive
+    # uint64 sum past 2^64 (~2^79 here); verify against exact arithmetic
+    n = 24_000_000
+    big = np.full(n, (1 << 16) - 1, dtype=np.uint16)
+    naive = int(
+        (
+            np.arange(1, n + 1, dtype=np.uint64)
+            * (big.astype(np.uint64) + 1)
+        ).sum()
+        % _CK_MOD
+    )
+    # closed form: 2^16 * n(n+1)/2
+    exact_big = ((1 << 16) * n * (n + 1) // 2) % _CK_MOD
+    assert shard_checksum(big) == exact_big
+    assert naive != exact_big  # the wrap the fix closes
+
+    # crossing a chunk boundary with mixed ids stays exact
+    m = (1 << 24) + 12345
+    mixed = rng.integers(0, 1 << 16, size=m, dtype=np.uint16)
+    exact_mixed = (
+        int(
+            np.sum(
+                np.arange(1, m + 1, dtype=object)
+                * (mixed.astype(object) + 1)
+            )
+        )
+        % _CK_MOD
+    )
+    assert shard_checksum(mixed) == exact_mixed

@@ -1152,14 +1152,20 @@ def test_contrastive_pairs_bucket_probed_negatives(spark):
     assert "text#" not in p  # document text never enters this plan
     rows = df.collect()
     by = defaultdict(lambda: {"pos": set(), "neg": set()})
+    partners = defaultdict(set)  # near-dup partnership is SYMMETRIC
     for r in rows:
         by[r["anchor"]][r["label"]].add(r["other"])
+        if r["label"] == "pos":
+            partners[r["anchor"]].add(r["other"])
+            partners[r["other"]].add(r["anchor"])
     for anchor, d in by.items():
         assert d["pos"], anchor  # anchors only exist via a positive pair
         assert d["neg"], anchor
         assert len(d["neg"]) <= 2
         assert anchor not in d["neg"]
-        assert not (d["pos"] & d["neg"])
+        # no negative is a labeled near-dup partner in EITHER orientation
+        # (canonical a<b pairs: an anchor can be the b-side of another)
+        assert not (partners[anchor] & d["neg"]), anchor
 
 
 def test_robots_eval_rfc_semantics(spark):

@@ -4692,3 +4692,76 @@ def test_snapstream_clamped_offset_never_regresses_after_restart(
         r4 = cls(dict(opts), schema)
         r4.commit({"snapshot": 3})
         assert r4.latestOffset() == {"snapshot": 5}
+
+
+def test_set_constraint_revalidates_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A data commit landing between set_constraint's validation scan and
+    its manifest claim must NOT slip violating rows under the new
+    constraint: the metadata commit is pinned to the validated head, the
+    conflict forces a re-validation, and the constraint is refused."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources.snaplog import (
+        CommitConflict,
+        ConstraintViolation,
+        _read_manifest,
+        commit,
+        set_constraint,
+        snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    commit(spark.createDataFrame([(1,), (2,)], "v long"), table, mode="append")
+
+    # _metadata_commit with a stale expected parent conflicts loudly
+    commit(spark.createDataFrame([(3,)], "v long"), table, mode="append")
+    with _pytest.raises(CommitConflict):
+        snaplog._metadata_commit(
+            table, lambda m: None, expected_parent=snapshots(table)[-1] - 1
+        )
+
+    # race injection: the FIRST validation scan triggers a concurrent
+    # commit of a VIOLATING row right after it reads its head
+    real_read = snaplog.read_snapshot
+    fired = {"n": 0}
+
+    def racing_read(spark_, table_, **kw):
+        df = real_read(spark_, table_, **kw)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            commit(
+                spark.createDataFrame([(-7,)], "v long"),
+                table_,
+                mode="append",
+            )
+        return df
+
+    monkeypatch.setattr(snaplog, "read_snapshot", racing_read)
+    with _pytest.raises(ConstraintViolation, match="violate"):
+        set_constraint(spark, table, "v_pos", "v >= 0")
+    assert fired["n"] == 1  # the race actually fired
+    head = snapshots(table)[-1]
+    assert "v_pos" not in _read_manifest(table, head).get("constraints", {})
+
+    # a concurrent commit of CLEAN rows: retry re-validates and succeeds
+    fired["n"] = 0
+
+    def racing_clean(spark_, table_, **kw):
+        df = real_read(spark_, table_, **kw)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            commit(
+                spark.createDataFrame([(9,)], "v long"),
+                table_,
+                mode="append",
+            )
+        return df
+
+    monkeypatch.setattr(snaplog, "read_snapshot", racing_clean)
+    # the violating -7 row is in the table now; constrain differently
+    set_constraint(spark, table, "v_small", "v < 100")
+    head = snapshots(table)[-1]
+    assert _read_manifest(table, head)["constraints"]["v_small"] == "v < 100"

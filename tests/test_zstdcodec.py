@@ -344,3 +344,33 @@ def test_read_warc_mixed_record_types(spark, tmp_path):
     assert bytes(rows["http://x/1"]["body"]) == b"\x00\xffbinary\r\n\r\nbytes"
     assert rows["http://x/2"]["content_type"] == "text/plain"
     assert rows["http://x/2"]["status"] == 200
+
+
+def test_sequences_bitstream_exact_consumption():
+    """RFC 8878: the sequences bitstream must land exactly on bit 0 after
+    the last sequence.  Leftover bits and past-the-start under-runs both
+    mean corruption and must raise — not decode to garbage silently (the
+    only other net for such frames is the optional content checksum)."""
+    import pytest
+
+    from event_stream_spark.sources.zstdcodec import (
+        ZstdError,
+        _decode_sequences,
+        _FrameCtx,
+    )
+
+    def section(bitstream: bytes, of_sym: int = 0) -> bytes:
+        # 1 sequence, all three channels RLE (symbol bytes ll, of, ml)
+        return bytes([1, 0x54, 0, of_sym, 0]) + bitstream
+
+    # valid: all-zero codes consume zero bits; marker-only stream is exact
+    seqs, _ = _decode_sequences(section(b"\x01"), _FrameCtx())
+    assert seqs == [(0, 1, 3)]  # ll_base[0], 1<<0, ml_base[0]
+
+    # an extra byte below the marker leaves 8 unread bits: corrupt
+    with pytest.raises(ZstdError, match="not exactly consumed"):
+        _decode_sequences(section(b"\x01\x01"), _FrameCtx())
+
+    # offset code 5 demands 5 bits the stream lacks: under-run, corrupt
+    with pytest.raises(ZstdError, match="not exactly consumed"):
+        _decode_sequences(section(b"\x01", of_sym=5), _FrameCtx())
