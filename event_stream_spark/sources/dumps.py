@@ -67,11 +67,14 @@ def read_jsonl_zst(
     names = [f.name for f in schema.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from event_stream_spark.sources.zstdcodec import zstd_decompress
+        # fast path: C-accelerated decode when a binding/CLI is present
+        # in the executor image; pure-Python (the verification oracle)
+        # otherwise — parity pinned by tests/test_zstdcodec.py
+        from event_stream_spark.sources.zstdcodec import zstd_decompress_fast
 
         for pdf in batches:
             for blob in pdf["content"]:
-                text = zstd_decompress(bytes(blob)).decode("utf-8")
+                text = zstd_decompress_fast(bytes(blob)).decode("utf-8")
                 recs = [json.loads(l) for l in text.splitlines() if l]
                 yield pd.DataFrame(
                     {n: [r.get(n) for r in recs] for n in names}

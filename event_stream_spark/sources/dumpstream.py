@@ -127,7 +127,7 @@ class DumpFeedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         from event_stream_spark.sources.snapstream import _project_arrow
-        from event_stream_spark.sources.zstdcodec import zstd_decompress
+        from event_stream_spark.sources.zstdcodec import zstd_decompress_fast
 
         with open(partition.path, "rb") as fh:
             raw = fh.read()
@@ -145,7 +145,7 @@ class DumpFeedStreamReader(DataSourceStreamReader):
                 raw = d.unused_data
             recs = _parse_warc(b"".join(parts))
         else:
-            text = zstd_decompress(raw).decode("utf-8")
+            text = zstd_decompress_fast(raw).decode("utf-8")
             recs = [json.loads(l) for l in text.splitlines() if l]
         cols = {
             n: [r.get(n) for r in recs] for n in partition.names

@@ -202,9 +202,11 @@ def _codec_decompress(ctype: int, payload: bytes, *, v1: bool = False) -> bytes:
         # zstd (only ever used with RecordBatch v2): pure-python RFC 8878
         # decoder, every entropy path ground-truthed against the
         # reference CLI (tests/test_zstdcodec.py)
-        from event_stream_spark.sources.zstdcodec import zstd_decompress
+        from event_stream_spark.sources.zstdcodec import zstd_decompress_fast
 
-        return zstd_decompress(payload)
+        # C binding when present; record batches under _CLI_MIN_BYTES stay
+        # on the pure decoder (a subprocess spawn per batch would dominate)
+        return zstd_decompress_fast(payload)
     raise KafkaWireError(
         f"compression type {ctype} unsupported "
         "(none/gzip/snappy/lz4/zstd reads are implemented)"

@@ -374,3 +374,93 @@ def test_sequences_bitstream_exact_consumption():
     # offset code 5 demands 5 bits the stream lacks: under-run, corrupt
     with pytest.raises(ZstdError, match="not exactly consumed"):
         _decode_sequences(section(b"\x01", of_sym=5), _FrameCtx())
+
+
+# --------------------------------------------------------------------------
+# Fast path: pure-Python decoder is the ORACLE for the C-accelerated one
+# --------------------------------------------------------------------------
+
+
+def test_fast_decode_parity_on_golden_frames():
+    """zstd_decompress_fast must agree byte-for-byte with the pure
+    decoder on every committed golden frame, whatever backend resolved
+    in this environment."""
+    from event_stream_spark.sources.zstdcodec import (
+        zstd_decompress_fast,
+        zstd_fast_backend_name,
+    )
+
+    assert zstd_fast_backend_name() in ("zstandard", "cli", "pure")
+    for kind, size, seed, md5, b64 in _GOLDENS:
+        frame = base64.b64decode(b64)
+        data = _gen(kind, size, seed)
+        assert zstd_decompress_fast(frame) == data
+        assert zstd_decompress_fast(frame) == zstd_decompress(frame)
+
+
+def test_fast_decode_handles_concat_and_store_frames():
+    from event_stream_spark.sources.zstdcodec import zstd_decompress_fast
+
+    f1 = zstd_store_frame(b"hello " * 10)
+    f2 = zstd_store_frame(b"world " * 10)
+    skip = struct.pack("<II", 0x184D2A50, 5) + b"junk!"
+    assert (
+        zstd_decompress_fast(f1 + skip + f2)
+        == b"hello " * 10 + b"world " * 10
+    )
+
+
+def test_fast_decode_raises_zstderror_on_corruption():
+    from event_stream_spark.sources.zstdcodec import zstd_decompress_fast
+
+    frame = bytearray(zstd_store_frame(b"payload " * 100))
+    frame[20] ^= 0xFF
+    with pytest.raises(ZstdError):
+        zstd_decompress_fast(bytes(frame))
+    with pytest.raises(ZstdError):
+        zstd_decompress_fast(b"\x00" * 16)
+
+
+@needs_bin
+def test_fast_decode_parity_randomized_cli_sweep():
+    """pure == fast on 30 CLI-compressed frames across shapes × levels,
+    sized ABOVE the CLI threshold so the subprocess path (not the pure
+    fallback) is what's exercised when the backend is 'cli'."""
+    from event_stream_spark.sources.zstdcodec import (
+        _CLI_MIN_BYTES,
+        zstd_decompress_fast,
+    )
+
+    rng = random.Random(99)
+    kinds = ["text", "small_alpha", "repeat", "random"]
+    for trial in range(30):
+        kind = kinds[trial % 4]
+        size = rng.choice([70000, 300000])
+        data = (rng.randbytes(size) if kind == "random"
+                else _gen(kind, size, rng.randrange(1 << 30)))
+        args = rng.choice(
+            [["-1"], ["-9"], ["-19"], ["--long=27", "-9"]]
+        ) + (["--no-check"] if rng.random() < 0.3 else [])
+        frame = _cli(data, args)
+        assert len(frame) >= _CLI_MIN_BYTES or kind != "random", (
+            "sweep must exercise the subprocess path"
+        )
+        fast = zstd_decompress_fast(frame)
+        pure = zstd_decompress(frame)
+        assert fast == pure == data, (trial, kind, args)
+
+
+@needs_bin
+def test_fast_decode_small_inputs_stay_pure():
+    """Inputs under _CLI_MIN_BYTES (Kafka record batches) take the pure
+    decoder on the 'cli' backend — no subprocess spawn per batch."""
+    from unittest import mock
+
+    import event_stream_spark.sources.zstdcodec as zc
+
+    if zc.zstd_fast_backend_name() != "cli":
+        pytest.skip("only meaningful on the cli backend")
+    frame = _cli(b"tiny payload " * 10, ["-3"])
+    assert len(frame) < zc._CLI_MIN_BYTES
+    with mock.patch("subprocess.run", side_effect=AssertionError) as _:
+        assert zc.zstd_decompress_fast(frame) == b"tiny payload " * 10
