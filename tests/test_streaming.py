@@ -4765,3 +4765,127 @@ def test_set_constraint_revalidates_on_concurrent_commit(
     set_constraint(spark, table, "v_small", "v < 100")
     head = snapshots(table)[-1]
     assert _read_manifest(table, head)["constraints"]["v_small"] == "v < 100"
+
+
+def test_cdf_maintained_join_view_through_dml_script(spark, tmp_path):
+    """Join-view IVM (the bilinear case): V = fact ⋈ dim maintains itself
+    from BOTH tables' snapcdf feeds through a DML script — appends on
+    each side, a dim attribute update (every joined row it touches
+    updates), a fact DV delete, duplicate fact rows (multiplicity > 1),
+    a SAME-BATCH fact+dim insert pair (the ΔF ⋈ ΔD cross term), a dim
+    delete that removes join partners, and a plain dim OVERWRITE (the
+    logical-diff fallback) — with a stream restart mid-script and a
+    replayed batch, always matching the batch join over the latest
+    snapshots."""
+    import os
+
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where,
+        delete_where_dv,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+    )
+    from event_stream_spark.streaming.cdfjoin import (
+        apply_cdf_join_batch,
+        maintain_cdf_join_view,
+        read_join_view,
+    )
+
+    snapstream.register(spark)
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def facts(rows):
+        return spark.createDataFrame(rows, "id long, fk long, v long")
+
+    def dims(rows):
+        return spark.createDataFrame(rows, "pk long, attr string")
+
+    def batch_truth():
+        f, d = read_snapshot(spark, fact), read_snapshot(spark, dim)
+        j = (
+            f.join(d, f.fk == d.pk)
+            .groupBy("id", "fk", "v", "pk", "attr")
+            .count()
+        )
+        return {
+            (r.id, r.fk, r.v, r.pk, r.attr, r["count"]) for r in j.collect()
+        }
+
+    def view_now():
+        v = read_join_view(spark, view)
+        if v is None:
+            return set()
+        return {(r.id, r.fk, r.v, r.pk, r.attr, r.m) for r in v.collect()}
+
+    def run():
+        q = maintain_cdf_join_view(
+            spark, fact, dim, view, ckpt, fact_key="fk", dim_key="pk"
+        )
+        q.awaitTermination(120)
+
+    # phase 1: appends on both sides (key 4 has no dim partner), a dim
+    # update, a fact DV delete, and a DUPLICATE fact row (m = 2)
+    commit(facts([(i, i % 5, 10 * i) for i in range(10)]), fact)
+    commit(dims([(k, f"attr{k}") for k in range(4)]), dim)
+    merge_upsert(
+        spark, dim, dims([(2, "attr2x"), (5, "attr5")]),
+        key="pk", change_feed=True,
+    )
+    delete_where_dv(spark, fact, "id IN (1, 6)", change_feed=True)
+    commit(facts([(3, 3, 30)]), fact, mode="append")  # duplicates id=3 row
+    run()
+    assert view_now() == batch_truth()
+    assert any(m == 2 for *_, m in view_now())  # the duplicate joined
+
+    # phase 2, same run: fact rows AND their dim partner land together —
+    # one availableNow drain carries both feeds, exercising ΔF ⋈ ΔD
+    commit(facts([(100, 7, 700), (101, 7, 701)]), fact, mode="append")
+    commit(dims([(7, "attr7")]), dim, mode="append")
+    run()
+    assert view_now() == batch_truth()
+    assert any(fk == 7 for _, fk, *_ in view_now())
+
+    # replay idempotence: a hand-tagged batch re-applied with ITS OWN id
+    # recomputes from the same predecessor — no double-count
+    from pyspark.sql import functions as F
+
+    last_id = max(int(d[1:]) for d in os.listdir(view) if d.startswith("v"))
+    ch = read_changes(spark, fact, since=1, until=2).select(
+        F.lit("f").alias("_side"),
+        "id", "fk", "v",
+        F.lit(None).cast("long").alias("pk"),
+        F.lit(None).cast("string").alias("attr"),
+        "_change_type",
+    )
+    kw = dict(
+        fact_key="fk", dim_key="pk",
+        fact_cols=["id", "fk", "v"], dim_cols=["pk", "attr"],
+    )
+    apply_cdf_join_batch(ch, last_id + 1, view, **kw)
+    after_first = view_now()
+    apply_cdf_join_batch(ch, last_id + 1, view, **kw)
+    assert view_now() == after_first
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(view, f"v{last_id + 1}"))
+    assert view_now() == batch_truth()
+
+    # phase 3: a dim delete REMOVES JOIN PARTNERS (fact rows with fk=0
+    # survive in fstate but leave the view), then a plain dim overwrite
+    # (no recorded cdc -> logical diff), then a fact append; RESTART
+    delete_where(spark, dim, "pk = 0", change_feed=True)
+    snap = read_snapshot(spark, dim)
+    commit(snap.filter("pk != 3").cache(), dim, mode="overwrite")
+    commit(facts([(200, 2, 2000)]), fact, mode="append")
+    run()
+    truth = batch_truth()
+    assert view_now() == truth
+    assert not any(fk == 0 for _, fk, *_ in view_now())  # partners gone
+    assert not any(pk == 3 for *_, pk, _a, _m in view_now())
+    assert any(i == 200 for i, *_ in view_now())
