@@ -57,10 +57,14 @@ API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC = 3
 ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_DUPLICATE_SEQUENCE = 46
+ERR_INVALID_PRODUCER_EPOCH = 47
 
 TS_LATEST = -1
 TS_EARLIEST = -2
@@ -68,6 +72,13 @@ TS_EARLIEST = -2
 
 class KafkaWireError(RuntimeError):
     pass
+
+
+class KafkaConnectionError(KafkaWireError):
+    """Transport-level failure (socket closed mid-request) — the ONLY
+    error class an idempotent producer retries: the broker may or may
+    not have applied the batch, and re-sending the same (pid, epoch,
+    sequence) is safe either way (KIP-98)."""
 
 
 # ---------------------------------------------------------------------------
@@ -353,9 +364,13 @@ def encode_record_batch(
     records: list[tuple[int, int, bytes | None, bytes | None]],
     *,
     codec: str = "none",
+    producer: tuple[int, int, int] | None = None,
 ) -> bytes:
     """``(offset, timestamp_ms, key, value)`` entries → ONE RecordBatch v2
-    (no producer/transactional state, no headers).  ``codec`` compresses
+    (no transactional state, no headers).  ``producer=(pid, epoch,
+    base_sequence)`` stamps KIP-98 idempotent-producer identity into the
+    batch header; None writes the non-idempotent sentinel (-1, -1, -1).
+    ``codec`` compresses
     the records section: "gzip" (type 1, deterministic mtime=0 stream),
     "snappy" (type 2, raw block — v2 drops the xerial framing v1 used),
     "lz4" (type 3, frame format), or "zstd" (type 4) — all implemented
@@ -386,11 +401,12 @@ def encode_record_batch(
         recs += _varint(len(body)) + body
     if codec != "none":
         recs = _codec_compress(codec, bytes(recs))
+    pid, epoch, base_seq = producer if producer is not None else (-1, -1, -1)
     post_crc = (
         _i16(_CODEC_IDS[codec])  # attrs: compression type, CREATE_TIME
         + _i32(records[-1][0] - base_off)  # lastOffsetDelta
         + _i64(base_ts) + _i64(max_ts)
-        + _i64(-1) + _i16(-1) + _i32(-1)  # producerId/Epoch/baseSequence
+        + _i64(pid) + _i16(epoch) + _i32(base_seq)
         + _i32(len(records)) + recs
     )
     # batchLength counts everything after itself: leaderEpoch(4) + magic(1)
@@ -465,6 +481,22 @@ def decode_record_batches(
     return out
 
 
+def batch_producer_meta(mset: bytes) -> tuple[int, int, int, int] | None:
+    """(producer_id, producer_epoch, base_sequence, record_count) of the
+    FIRST RecordBatch v2 in ``mset``, or None for a v1 message set or a
+    non-idempotent batch (pid -1).  Fixed header offsets per the spec:
+    pid at 43, epoch at 51, baseSequence at 53, count at 57."""
+    if len(mset) < 61 or mset[16] != 2:
+        return None
+    pid = struct.unpack_from(">q", mset, 43)[0]
+    if pid < 0:
+        return None
+    epoch = struct.unpack_from(">h", mset, 51)[0]
+    base_seq = struct.unpack_from(">i", mset, 53)[0]
+    count = struct.unpack_from(">i", mset, 57)[0]
+    return pid, epoch, base_seq, count
+
+
 def decode_any_record_set(
     data: bytes,
 ) -> list[tuple[int, int, bytes | None, bytes | None]]:
@@ -495,6 +527,12 @@ class KafkaWireBroker:
         self.fetch_codec = fetch_codec
         # topic → partition → list[(timestamp_ms, key, value)]
         self._logs: dict[str, list[list[tuple[int, bytes | None, bytes | None]]]] = {}
+        # KIP-98 idempotent-producer state: (topic, partition) →
+        # pid → (epoch, last_base_seq, next_seq, last_base_offset);
+        # a replayed batch (same pid/epoch/base_seq) returns the cached
+        # base offset WITHOUT re-appending
+        self._next_pid = 1000
+        self._producers: dict[tuple[str, int], dict[int, tuple[int, int, int, int]]] = {}
         self._lock = threading.Lock()
         self._stopped = threading.Event()
         self._socks: list[socket.socket] = []
@@ -562,14 +600,16 @@ class KafkaWireBroker:
         c.string()  # client_id
         self.requests[api_key] = self.requests.get(api_key, 0) + 1
         if api_key == API_VERSIONS:
-            body = _i16(ERR_NONE) + _i32(5) + b"".join(
+            body = _i16(ERR_NONE) + _i32(6) + b"".join(
                 _i16(k) + _i16(lo) + _i16(hi)
                 for k, lo, hi in [
                     (API_PRODUCE, 0, 3), (API_FETCH, 0, 4),
                     (API_LIST_OFFSETS, 0, 1), (API_METADATA, 0, 0),
-                    (API_VERSIONS, 0, 0),
+                    (API_VERSIONS, 0, 0), (API_INIT_PRODUCER_ID, 0, 0),
                 ]
             )
+        elif api_key == API_INIT_PRODUCER_ID:
+            body = self._init_producer_id(c)
         elif api_key == API_METADATA:
             body = self._metadata(c)
         elif api_key == API_PRODUCE:
@@ -606,6 +646,47 @@ class KafkaWireBroker:
             )
         return brokers + bytes(topics)
 
+    def _init_producer_id(self, c: _Cursor) -> bytes:
+        c.string()  # transactional_id (nullable; transactions unsupported)
+        c.i32()  # transaction_timeout_ms
+        with self._lock:
+            pid = self._next_pid
+            self._next_pid += 1
+        # v0: throttle_time, error, producer_id, producer_epoch
+        return _i32(0) + _i16(ERR_NONE) + _i64(pid) + _i16(0)
+
+    def _check_producer(
+        self, name: str, pidx: int, mset: bytes
+    ) -> tuple[int, int | None, tuple | None]:
+        """KIP-98 sequence check for one partition's batch: returns
+        (error_code, cached_base_offset_for_duplicates, state_update).
+        Must be called under self._lock."""
+        meta = batch_producer_meta(mset)
+        if meta is None:
+            return ERR_NONE, None, None
+        prod_id, epoch, base_seq, count = meta
+        state = self._producers.setdefault((name, pidx), {})
+        cur = state.get(prod_id)
+        if cur is not None:
+            cur_epoch, last_bs, next_seq, last_off = cur
+            if epoch < cur_epoch:
+                return ERR_INVALID_PRODUCER_EPOCH, None, None
+            if epoch == cur_epoch:
+                if base_seq == last_bs:
+                    # the retried batch: already appended — ack with the
+                    # ORIGINAL base offset, append nothing
+                    return ERR_NONE, last_off, None
+                if base_seq < next_seq:
+                    return ERR_DUPLICATE_SEQUENCE, None, None
+                if base_seq > next_seq:
+                    return ERR_OUT_OF_ORDER_SEQUENCE, None, None
+                return ERR_NONE, None, (prod_id, epoch, base_seq, count)
+        # new producer on this partition, or a bumped epoch: must start
+        # its sequence at 0 (KIP-98)
+        if base_seq != 0:
+            return ERR_OUT_OF_ORDER_SEQUENCE, None, None
+        return ERR_NONE, None, (prod_id, epoch, base_seq, count)
+
     def _produce(self, c: _Cursor, version: int) -> bytes:
         if version >= 3:
             c.string()  # transactional_id (nullable)
@@ -620,13 +701,25 @@ class KafkaWireBroker:
             for _ in range(n_parts):
                 pid = c.i32()
                 mset = c.bytes() or b""
-                base = self.high_watermark(name, pid)
-                # v3+ officially carries RecordBatch v2, v0-2 message sets;
-                # sniff the magic byte so either decodes (brokers do the same
-                # for down-converted producers)
-                for _off, ts, key, value in decode_any_record_set(mset):
-                    self.append(name, pid, ts, key, value)
-                parts += _i32(pid) + _i16(ERR_NONE) + _i64(base)
+                with self._lock:
+                    err, cached, update = self._check_producer(name, pid, mset)
+                    if err == ERR_NONE and cached is None:
+                        plog = self._partition(name, pid)
+                        base = len(plog)
+                        # v3+ officially carries RecordBatch v2, v0-2
+                        # message sets; sniff the magic byte so either
+                        # decodes (brokers do the same for down-converted
+                        # producers)
+                        for _off, ts, key, value in decode_any_record_set(mset):
+                            plog.append((ts, key, value))
+                        if update is not None:
+                            prod_id, epoch, base_seq, count = update
+                            self._producers[(name, pid)][prod_id] = (
+                                epoch, base_seq, base_seq + count, base
+                            )
+                    else:
+                        base = cached if cached is not None else -1
+                parts += _i32(pid) + _i16(err) + _i64(base)
                 if version >= 2:
                     parts += _i64(-1)  # log_append_time (producer time kept)
             topics += _string(name) + bytes(parts)
@@ -751,14 +844,14 @@ class KafkaWireClient:
                 chunk = sock.recv(65536)
                 if not chunk:
                     self._sock = None
-                    raise KafkaWireError("connection closed")
+                    raise KafkaConnectionError("connection closed")
                 buf += chunk
             n = struct.unpack_from(">i", buf, 0)[0]
             while len(buf) < 4 + n:
                 chunk = sock.recv(65536)
                 if not chunk:
                     self._sock = None
-                    raise KafkaWireError("connection closed")
+                    raise KafkaConnectionError("connection closed")
                 buf += chunk
             c = _Cursor(buf[4:4 + n])
             got = c.i32()
@@ -800,18 +893,34 @@ class KafkaWireClient:
             topics[name] = {"error": err, "partitions": parts}
         return {"brokers": brokers, "topics": topics}
 
+    def init_producer_id(self) -> tuple[int, int]:
+        """InitProducerId v0 → (producer_id, producer_epoch) — the
+        identity an idempotent producer stamps into every batch."""
+        c = self._request(API_INIT_PRODUCER_ID, 0, _string(None) + _i32(60000))
+        c.i32()  # throttle_time_ms
+        err = c.i16()
+        if err:
+            raise KafkaWireError(f"InitProducerId error {err}")
+        return c.i64(), c.i16()
+
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None, int]],
-                *, version: int = 3, codec: str = "none") -> int:
+                *, version: int = 3, codec: str = "none",
+                producer: tuple[int, int, int] | None = None) -> int:
         """``(key, value, timestamp_ms)`` records → base offset assigned.
         ``version>=3`` (default — what current brokers speak) sends
         RecordBatch v2; lower versions the v1 message set (compressed
         wrapper form when a codec is named).  Codecs: none/gzip/snappy/
-        lz4 in both framings."""
+        lz4 in both framings.  ``producer=(pid, epoch, base_sequence)``
+        stamps idempotent-producer identity (RecordBatch v2 only)."""
         entries = [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
         if version >= 3:
-            mset = encode_record_batch(entries, codec=codec)
+            mset = encode_record_batch(entries, codec=codec, producer=producer)
         else:
+            if producer is not None:
+                raise KafkaWireError(
+                    "idempotent produce needs RecordBatch v2 (version >= 3)"
+                )
             mset = encode_message_set(entries, codec=codec)
         body = (
             (_string(None) if version >= 3 else b"")  # transactional_id
@@ -880,6 +989,57 @@ class KafkaWireClient:
         if self._sock is not None:
             self._sock.close()
             self._sock = None
+
+
+class IdempotentProducer:
+    """KIP-98 idempotent producer over :class:`KafkaWireClient` —
+    upgrading the K4 sink's produce from at-least-once to exactly-once
+    per producer session (the guarantee the reference's native client
+    provides via ``enable.idempotence``; KafkaBlockSink.kt:16-38).
+
+    One InitProducerId fetches a (pid, epoch); every batch then carries
+    a per-partition monotone base sequence.  On a TRANSPORT failure
+    (response lost — the broker may or may not have appended) the same
+    batch is re-sent with the SAME sequence: the broker recognizes a
+    replay and acks the original base offset without re-appending, so a
+    retry can never double-write.  Broker-side errors (fencing, sequence
+    gaps) surface immediately — retrying those is never safe.
+
+    Scope note: idempotence covers retries WITHIN this producer session.
+    A restarted process gets a fresh pid, so cross-restart replay
+    (foreachBatch re-running a microbatch) still needs the ack/offset-log
+    contract (K6) or a txn sink — same division of labor as Kafka."""
+
+    def __init__(self, client: KafkaWireClient, topic: str, *,
+                 codec: str = "none", retries: int = 3):
+        self.client = client
+        self.topic = topic
+        self.codec = codec
+        self.retries = retries
+        self.pid, self.epoch = client.init_producer_id()
+        self._seq: dict[int, int] = {}  # partition → next base sequence
+
+    def send(self, partition: int,
+             records: list[tuple[bytes | None, bytes | None, int]]) -> int:
+        """Produce one batch exactly-once; returns its base offset."""
+        if not records:
+            raise ValueError("empty batch")
+        seq = self._seq.get(partition, 0)
+        last: Exception | None = None
+        for _ in range(self.retries + 1):
+            try:
+                off = self.client.produce(
+                    self.topic, partition, records,
+                    codec=self.codec,
+                    producer=(self.pid, self.epoch, seq),
+                )
+            except (KafkaConnectionError, OSError) as exc:
+                last = exc
+                self.client.close()  # reconnect on the next request
+                continue
+            self._seq[partition] = seq + len(records)
+            return off
+        raise last  # type: ignore[misc]
 
 
 # ---------------------------------------------------------------------------

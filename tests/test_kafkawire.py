@@ -532,3 +532,174 @@ def test_zstd_batch_fails_loud_without_poisoning_prior_records():
     # (c): the prior batch alone still decodes — a consumer that resumes
     # from its unpoisoned checkpoint re-reads it identically
     assert [r[2:] for r in decode_record_batches(good)] == [(b"k0", b"v0")]
+
+
+def test_idempotent_produce_broker_dup_reject():
+    """KIP-98 sequence checks on the broker: a replayed Produce with the
+    same (pid, epoch, base_seq) acks the ORIGINAL base offset without
+    re-appending; sequence gaps, stale sequences, stale epochs, and a
+    fresh producer not starting at 0 all error loudly."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        KafkaWireBroker,
+        KafkaWireClient,
+        KafkaWireError,
+    )
+
+    broker = KafkaWireBroker(num_partitions=2)
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        pid, epoch = client.init_producer_id()
+        pid2, _ = client.init_producer_id()
+        assert pid2 == pid + 1  # monotone assignment
+
+        recs = [(b"k%d" % i, b"v%d" % i, 1000 + i) for i in range(3)]
+        assert client.produce("t", 0, recs, producer=(pid, epoch, 0)) == 0
+        assert broker.high_watermark("t", 0) == 3
+
+        # the retried batch: same identity -> original offset, no append
+        assert client.produce("t", 0, recs, producer=(pid, epoch, 0)) == 0
+        assert broker.high_watermark("t", 0) == 3
+
+        # next in sequence appends
+        nxt = [(b"k3", b"v3", 1003)]
+        assert client.produce("t", 0, nxt, producer=(pid, epoch, 3)) == 3
+        assert broker.high_watermark("t", 0) == 4
+        # ... and ITS replay is also a no-op
+        assert client.produce("t", 0, nxt, producer=(pid, epoch, 3)) == 3
+        assert broker.high_watermark("t", 0) == 4
+
+        # a gap (skipped sequence) is out-of-order
+        with _pytest.raises(KafkaWireError, match="45"):
+            client.produce("t", 0, nxt, producer=(pid, epoch, 9))
+        # a sequence older than the last batch is a (non-cached) duplicate
+        with _pytest.raises(KafkaWireError, match="46"):
+            client.produce("t", 0, nxt, producer=(pid, epoch, 1))
+        # a stale epoch is fenced
+        with _pytest.raises(KafkaWireError, match="47"):
+            client.produce("t", 0, nxt, producer=(pid, epoch - 1, 4))
+        # a NEW producer id must start its sequence at 0
+        with _pytest.raises(KafkaWireError, match="45"):
+            client.produce("t", 0, nxt, producer=(pid2, 0, 7))
+        # sequences are PER PARTITION: partition 1 starts fresh
+        assert client.produce("t", 1, recs, producer=(pid, epoch, 0)) == 0
+        # non-idempotent producers (pid -1) remain unchecked
+        assert client.produce("t", 0, nxt) == 4
+        assert broker.high_watermark("t", 0) == 5
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_idempotent_producer_retries_lost_response_without_dup():
+    """The producer wrapper: a transport failure AFTER the broker applied
+    the batch (response lost) triggers a retry of the same sequence —
+    the broker recognizes the replay, the log gains exactly one copy,
+    and the producer's sequence advances normally for later batches."""
+    from event_stream_spark.sources.kafkawire import (
+        IdempotentProducer,
+        KafkaConnectionError,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    real_request = client._request
+    drops = {"n": 0}
+
+    def lossy_request(api_key, api_version, body):
+        c = real_request(api_key, api_version, body)
+        from event_stream_spark.sources.kafkawire import API_PRODUCE
+
+        if api_key == API_PRODUCE and drops["n"] == 0:
+            drops["n"] = 1  # the broker HAS applied it; the ack is lost
+            raise KafkaConnectionError("simulated lost response")
+        return c
+
+    client._request = lossy_request
+    try:
+        prod = IdempotentProducer(client, "blocks")
+        recs = [(b"k%d" % i, b"v%d" % i, 1000 + i) for i in range(5)]
+        assert prod.send(0, recs) == 0
+        assert drops["n"] == 1  # the failure really fired
+        assert broker.high_watermark("blocks", 0) == 5  # exactly once
+        assert prod.send(0, [(b"k5", b"v5", 1005)]) == 5
+        assert broker.high_watermark("blocks", 0) == 6
+        # full payload intact and unduplicated
+        _, fetched = KafkaWireClient(broker.host, broker.port).fetch(
+            "blocks", 0, 0
+        )
+        assert [r[2] for r in fetched] == [b"k%d" % i for i in range(6)]
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_idempotent_produce_composes_with_splay_ack_round_trip(
+    spark, tmp_path
+):
+    """End-to-end composition: blocks produced through the idempotent
+    producer (with an injected lost-response retry) → kafkawire Spark
+    source → kafka-fed splay sink — the file-per-height output contains
+    exactly one file per height, no duplicates from the retry."""
+    import json
+    import os
+
+    from event_stream_spark.sinks.splay import write_kafka_fed_splay_batch
+    from event_stream_spark.sources import kafkawire
+    from event_stream_spark.sources.kafkawire import (
+        API_PRODUCE,
+        IdempotentProducer,
+        KafkaConnectionError,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    kafkawire.register(spark)
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    real_request = client._request
+    drops = {"n": 0}
+
+    def lossy_request(api_key, api_version, body):
+        c = real_request(api_key, api_version, body)
+        if api_key == API_PRODUCE and drops["n"] == 0:
+            drops["n"] = 1
+            raise KafkaConnectionError("simulated lost response")
+        return c
+
+    client._request = lossy_request
+    try:
+        prod = IdempotentProducer(client, "blocks")
+        for h in range(100, 110):
+            key = f"chain-1.{h}".encode()
+            val = json.dumps(
+                {"height": h, "block": None, "historical": True}
+            ).encode()
+            prod.send(0, [(key, val, 1000 + h)])
+        assert drops["n"] == 1
+        assert broker.high_watermark("blocks", 0) == 10  # retry absorbed
+
+        stream = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", f"{broker.host}:{broker.port}")
+            .option("topic", "blocks")
+            .load()
+        )
+        out = str(tmp_path / "splay")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: write_kafka_fed_splay_batch(b, out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        files = sorted(os.listdir(out))
+        assert len(files) == 10  # one file per height, exactly once
+    finally:
+        client.close()
+        broker.close()
