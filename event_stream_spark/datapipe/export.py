@@ -49,8 +49,16 @@ def _shard_dir(sf: str) -> str:
     return os.path.join("/tmp", f"es_tokshards_{_BUILD_TAG}_{key}")
 
 
-def export_token_shards(spark: SparkSession, sf: str, out_dir: str) -> None:
-    """Write one ``{lang}-{shard}.npy`` uint16 file per packing stratum."""
+def export_token_shards(
+    spark: SparkSession, sf: str, out_dir: str, *,
+    chaos_flag: str | None = None,
+) -> None:
+    """Write one ``{lang}-{shard}.npy`` uint16 file per packing stratum.
+
+    ``chaos_flag`` is the task-retry fault-injection seam
+    (:mod:`event_stream_spark.chaos`): exactly one stratum task raises
+    once, proving a re-attempted write leaves no torn or duplicate
+    output (see ``scripts/chaos_sinks.py``)."""
     os.makedirs(out_dir, exist_ok=True)
     d = t(spark, sf, "documents").select(
         "doc_id",
@@ -60,7 +68,11 @@ def export_token_shards(spark: SparkSession, sf: str, out_dir: str) -> None:
     )
 
     def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
         import numpy as np
+
+        from event_stream_spark.chaos import claim_once
 
         pdf = pdf.sort_values("doc_id")
         ids: list[int] = []
@@ -70,7 +82,18 @@ def export_token_shards(spark: SparkSession, sf: str, out_dir: str) -> None:
                 ids.append(int(h, 16))
         arr = np.asarray(ids, dtype=np.uint16)
         lang, shard = pdf["lang"].iloc[0], int(pdf["shard"].iloc[0])
-        np.save(os.path.join(out_dir, f"{lang}-{shard}.npy"), arr)
+        # write-then-atomic-rename with a per-attempt tmp name: a task
+        # killed mid-write never leaves a torn file at the final path,
+        # and a zombie attempt racing its retry publishes identical
+        # bytes (stratum content is deterministic) whoever wins
+        path = os.path.join(out_dir, f"{lang}-{shard}.npy")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:  # file handle: np.save can't rename it
+            np.save(fh, arr)
+        os.replace(tmp, path)
+        # chaos fires AFTER the shard published: the retry re-derives the
+        # identical bytes and republishes atomically — no dup, no tear
+        claim_once(chaos_flag)
         return pd.DataFrame(
             {"lang": [lang], "shard": [shard], "n_tokens": [len(arr)]}
         )

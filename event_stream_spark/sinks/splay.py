@@ -31,11 +31,17 @@ def splay_frame(stream_blocks: DataFrame) -> DataFrame:
     )
 
 
-def write_splayed_json_batch(batch_df: DataFrame, out_dir: str) -> None:
-    """foreachBatch body: write one file per block, skipping existing files."""
+def write_splayed_json_batch(
+    batch_df: DataFrame, out_dir: str, *, chaos_flag: str | None = None
+) -> None:
+    """foreachBatch body: write one file per block, skipping existing
+    files.  ``chaos_flag`` is the task-retry fault-injection seam
+    (:mod:`event_stream_spark.chaos` / ``scripts/chaos_sinks.py``)."""
     frame = splay_frame(batch_df)
 
     def write_partition(rows) -> None:
+        from event_stream_spark.chaos import claim_once
+
         for row in rows:
             d = os.path.join(out_dir, row["splay"])
             os.makedirs(d, exist_ok=True)
@@ -46,6 +52,9 @@ def write_splayed_json_batch(batch_df: DataFrame, out_dir: str) -> None:
             with open(tmp, "w") as fh:
                 fh.write(row["payload"])
             os.replace(tmp, path)
+            # chaos fires AFTER a file landed: the retry must absorb a
+            # partially written partition (skip-if-exists is the proof)
+            claim_once(chaos_flag)
 
     frame.foreachPartition(write_partition)
 

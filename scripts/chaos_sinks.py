@@ -1,0 +1,141 @@
+"""Task-retry chaos proof for the exactly-once sinks.
+
+Query-RESTART idempotence is covered in tests/test_streaming.py; this
+script proves TASK-level retry safety: under ``local[8, 3]`` (three
+task attempts) a fault injected into one executor task of each sink —
+AFTER it has published partial output — must leave the final output
+with no duplicate and no torn file, byte-identical to an unchaosed run.
+
+Runs as a standalone process because the shared pytest session is
+``local[32]`` (maxFailures=1, task retries disabled); pytest drives it
+via subprocess (tests/test_streaming.py::test_task_retry_chaos_sinks).
+
+Covered sinks:
+- splay JSON file sink  (skip-if-exists + write-then-rename per file)
+- token-shard .npy export (deterministic stratum bytes + atomic rename)
+- snaplog.commit          (Spark parquet task-commit protocol upstream
+  of the manifest claim; a once-failing mapInPandas stage rides the
+  same tasks as the file write)
+
+Prints one JSON line and exits 0 on success.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8, 3]")  # 3 task attempts
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("chaos-sinks")
+        .getOrCreate()
+    )
+    work = tempfile.mkdtemp(prefix="chaos_sinks_")
+    results: dict[str, object] = {}
+
+    def arm(name: str) -> str:
+        flag = os.path.join(work, f"flag_{name}")
+        open(flag, "w").close()
+        return flag
+
+    def fired(flag: str) -> None:
+        assert os.path.exists(flag + ".claimed"), (
+            f"chaos never fired for {flag} — the proof proved nothing"
+        )
+
+    # ---- 1. splay JSON sink --------------------------------------------
+    from event_stream_spark.sinks.splay import write_splayed_json_batch
+
+    blocks = spark.range(0, 40).selectExpr(
+        "id AS height", "concat('chain-', id) AS chain_id"
+    ).repartition(8)
+    out = os.path.join(work, "splay")
+    flag = arm("splay")
+    write_splayed_json_batch(blocks, out, chaos_flag=flag)
+    fired(flag)
+    files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(out)
+        for f in fs
+    )
+    tears = [f for f in files if not f.endswith(".json")]
+    assert not tears, f"torn/leftover files: {tears}"
+    assert len(files) == 40, f"expected 40 files, got {len(files)}"
+    # byte-compare against an unchaosed run
+    out2 = os.path.join(work, "splay_ref")
+    write_splayed_json_batch(blocks, out2)
+    for f in files:
+        ref = f.replace(out, out2, 1)
+        assert open(f, "rb").read() == open(ref, "rb").read(), f
+    results["splay_files"] = len(files)
+
+    # ---- 2. token-shard export -----------------------------------------
+    import numpy as np
+
+    from event_stream_spark.datapipe.export import export_token_shards
+
+    shards = os.path.join(work, "shards")
+    flag = arm("shards")
+    export_token_shards(spark, SF, shards, chaos_flag=flag)
+    fired(flag)
+    names = sorted(os.listdir(shards))
+    tears = [n for n in names if not n.endswith(".npy")]
+    assert not tears, f"torn/leftover shard files: {tears}"
+    ref_dir = os.path.join(work, "shards_ref")
+    export_token_shards(spark, SF, ref_dir)
+    assert names == sorted(os.listdir(ref_dir))
+    for n in names:
+        a = np.load(os.path.join(shards, n))
+        b = np.load(os.path.join(ref_dir, n))
+        assert np.array_equal(a, b), f"shard {n} diverged after retry"
+    results["shard_files"] = len(names)
+
+    # ---- 3. snaplog.commit with a once-failing write-stage task ---------
+    from event_stream_spark.sources.snaplog import (
+        read_snapshot,
+        snap_count,
+        snapshots,
+    )
+    from event_stream_spark.sources.snaplog import commit as snap_commit
+
+    flag = arm("snap")
+
+    def fail_once(batches):
+        from event_stream_spark.chaos import claim_once
+
+        out_rows = list(batches)  # materialize, then maybe die
+        claim_once(flag)
+        yield from out_rows
+
+    base = spark.range(0, 1000).selectExpr("id", "id * 3 AS v").repartition(8)
+    table = os.path.join(work, "tbl")
+    snap_commit(
+        base.mapInPandas(fail_once, "id long, v long"),
+        table,
+        txn=("chaos", 0),
+    )
+    fired(flag)
+    assert snapshots(table) == [0]
+    assert snap_count(table) == 1000
+    got = sorted(r.id for r in read_snapshot(spark, table).collect())
+    assert got == list(range(1000)), "duplicate or missing rows after retry"
+    results["snap_rows"] = 1000
+
+    spark.stop()
+    print(json.dumps({"ok": True, **results}))
+
+
+if __name__ == "__main__":
+    main()

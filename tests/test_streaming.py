@@ -4889,3 +4889,32 @@ def test_cdf_maintained_join_view_through_dml_script(spark, tmp_path):
     assert not any(fk == 0 for _, fk, *_ in view_now())  # partners gone
     assert not any(pk == 3 for *_, pk, _a, _m in view_now())
     assert any(i == 200 for i, *_ in view_now())
+
+
+def test_task_retry_chaos_sinks():
+    """TASK-level retry safety for the exactly-once sinks (splay files,
+    token-shard export, snaplog commit): a fault injected into one
+    executor task AFTER it published partial output must leave final
+    output with no duplicates and no torn files.  Runs in a subprocess
+    because task retries need the local[N, F] master form, which the
+    shared session doesn't use (see scripts/chaos_sinks.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "chaos_sinks.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    last = [l for l in proc.stdout.splitlines() if l.startswith('{"ok"')]
+    result = json.loads(last[-1])
+    assert result == {
+        "ok": True, "splay_files": 40, "shard_files": 20, "snap_rows": 1000,
+    }
