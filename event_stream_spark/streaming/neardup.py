@@ -26,11 +26,26 @@ Contract:
 
 Scale shape: the signature kernel is row-local (zero shuffles); the ONE
 exchange is on the (band, key) bucket — the same key the state store
-shards on.  State is one long per distinct bucket ever seen: bounded by
-corpus-distinct content, not stream length, and a petabyte deployment
-ages buckets out with a timeout or pushes the claim set into the snapshot
-log the way ``indexstream`` does.  Emission is append-mode: collisions
-are immutable facts.
+shards on.  Emission is append-mode: collisions are immutable facts.
+
+STATE BOUND: without a policy, state is one long per distinct bucket
+ever seen — bounded by corpus-distinct content, which still grows
+forever on an open-ended stream.  ``claim_ttl_ms`` is the eviction
+policy: a bucket's claim is a LEASE renewed by every touch (first claim
+and every later collision), and a bucket idle for the TTL is evicted by
+the state store's processing-time timeout.  Under the policy, state
+size is bounded by the distinct buckets touched within any TTL window —
+a rate × horizon product, independent of total stream length (measured
+in ``test_streaming_neardup_state_ttl_bound``).
+
+The documented semantic trade: duplicates are detected against claims
+ACTIVE within the horizon; a duplicate arriving after its bucket's
+lease expired re-claims the bucket as a fresh first-claimant and is NOT
+flagged (exactly the watermarked-dedup contract every bounded-state
+streaming dedup makes).  Pick the TTL from the dedup-recency SLO; the
+unbounded default keeps full-history semantics for bounded corpora, and
+a petabyte deployment that needs full history pushes claims into the
+snapshot log the way ``indexstream`` does.
 """
 
 from __future__ import annotations
@@ -94,24 +109,37 @@ def band_keys_udf(*, bands: int = 4, rows: int = 4, shingle_n: int = 3):
     return _keys
 
 
-def _first_claim(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    ids: list[int] = []
-    for pdf in pdfs:
-        ids.extend(int(x) for x in pdf["doc_id"])
-    ids = sorted(set(ids))
-    first = int(state.get[0]) if state.exists else ids[0]
-    collide = [i for i in ids if i != first]
-    if not state.exists:
-        state.update((first,))
-    yield pd.DataFrame(
-        {
-            "doc_id": collide,
-            "band_id": [key[0]] * len(collide),
-            "first_doc_id": [first] * len(collide),
-        }
-    )
+def _first_claim_fn(claim_ttl_ms: int | None):
+    """The stateful kernel; with a TTL every touch renews the bucket's
+    lease and an idle bucket is evicted by processing-time timeout."""
+
+    def _first_claim(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if claim_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # lease expired: next claimant starts fresh
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids = sorted(set(ids))
+        first = int(state.get[0]) if state.exists else ids[0]
+        collide = [i for i in ids if i != first]
+        if not state.exists:
+            state.update((first,))
+        if claim_ttl_ms is not None:
+            # a set timeout is cleared on every invocation — renew the
+            # lease whether this call claimed or collided
+            state.setTimeoutDuration(claim_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": collide,
+                "band_id": [key[0]] * len(collide),
+                "first_doc_id": [first] * len(collide),
+            }
+        )
+
+    return _first_claim
 
 
 def neardup_collisions(
@@ -121,11 +149,17 @@ def neardup_collisions(
     rows: int = 4,
     shingle_n: int = 3,
     text_col: str = "text",
+    claim_ttl_ms: int | None = None,
 ) -> DataFrame:
     """LSH bucket collisions over a document stream with (doc_id,
     ``text_col``) columns: one row per (later doc, band) whose bucket an
     earlier doc already claimed.  Works on batch DataFrames too (one
-    "microbatch")."""
+    "microbatch").
+
+    ``claim_ttl_ms`` bounds state on open-ended streams: a bucket claim
+    idle for the TTL is evicted, so state tracks the distinct buckets of
+    a TTL window instead of all history (see the module doc for the
+    recency-horizon semantics this trades)."""
     keyed = docs.select(
         "doc_id",
         F.posexplode(band_keys_udf(bands=bands, rows=rows, shingle_n=shingle_n)(
@@ -133,9 +167,13 @@ def neardup_collisions(
         )).alias("band_id", "band_key"),
     )
     return keyed.groupBy("band_id", "band_key").applyInPandasWithState(
-        _first_claim,
+        _first_claim_fn(claim_ttl_ms),
         outputStructType=NEARDUP_OUTPUT_SCHEMA,
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if claim_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -4918,3 +4918,112 @@ def test_task_retry_chaos_sinks():
     assert result == {
         "ok": True, "splay_files": 40, "shard_files": 20, "snap_rows": 1000,
     }
+
+
+def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
+    """State-size policy for streaming near-dup: without a TTL the
+    first-claim state grows with every distinct bucket the stream ever
+    touches; with claim_ttl_ms the state is bounded by the buckets of a
+    TTL window — measured via the state-store metrics — while in-horizon
+    duplicates keep flagging and a post-horizon duplicate re-claims
+    freshly (the documented recency trade)."""
+    import json
+    import os
+    import time
+
+    from event_stream_spark.streaming.neardup import neardup_collisions
+
+    def txt(i):
+        return (
+            f"document number {i} carries tokens {i * 7} and {i * 13} "
+            f"plus {i * 29} tail"
+        )
+
+    def make_feed(src):
+        os.makedirs(src)
+        n = {"i": 0}
+
+        def feed(rows):
+            n["i"] += 1
+            tmp = src + f".tmp{n['i']}"
+            with open(tmp, "w") as fh:
+                for d, t in rows:
+                    fh.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+            os.replace(tmp, os.path.join(src, f"w{n['i']:03d}.json"))
+
+        return feed
+
+    def start(src, ckpt, got, ttl):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        w = (
+            neardup_collisions(stream, claim_ttl_ms=ttl)
+            .writeStream.foreachBatch(
+                lambda b, _i: got.update(
+                    (r.doc_id, r.band_id, r.first_doc_id) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if ttl is not None:
+            # processing-time timeouts need the engine ticking without
+            # data (processAllAvailable never settles — the engine keeps
+            # scheduling timeout-check batches)
+            w = w.trigger(processingTime="300 milliseconds")
+        return w.start()
+
+    def state_rows(q):
+        p = q.lastProgress
+        return p["stateOperators"][0]["numRowsTotal"] if p else 0
+
+    def wait_until(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.3)
+        raise AssertionError("condition not reached")
+
+    # unbounded (no TTL): state grows with stream length
+    srcA = str(tmp_path / "feedA")
+    feedA = make_feed(srcA)
+    gotA: set = set()
+    qA = start(srcA, str(tmp_path / "ckptA"), gotA, None)
+    sizes = []
+    try:
+        for w in range(3):
+            feedA([(w * 20 + j, txt(w * 20 + j)) for j in range(20)])
+            qA.processAllAvailable()
+            sizes.append(state_rows(qA))
+    finally:
+        qA.stop()
+    assert sizes[0] < sizes[1] < sizes[2], sizes
+    assert sizes[2] >= 2.5 * sizes[0], sizes  # ~linear in stream length
+
+    # TTL: claims live for the horizon, then evict — idle state is ZERO
+    ttl = 2000
+    srcB = str(tmp_path / "feedB")
+    feedB = make_feed(srcB)
+    gotB: set = set()
+    qB = start(srcB, str(tmp_path / "ckptB"), gotB, ttl)
+    try:
+        feedB([(i, txt(i)) for i in range(20)])
+        wait_until(lambda: state_rows(qB) >= sizes[0])  # claims registered
+        peak1 = state_rows(qB)
+        # an IN-HORIZON duplicate flags against the live claim
+        feedB([(1000, txt(3))])
+        wait_until(lambda: any(d == 1000 and f == 3 for d, _b, f in gotB))
+
+        # idle past the horizon: every lease expires, state returns to 0
+        wait_until(lambda: state_rows(qB) == 0)
+
+        # a POST-HORIZON duplicate re-claims freshly — NOT a collision —
+        # and a second wave peaks at one wave's size, not cumulative
+        feedB([(2000, txt(3))] + [(100 + j, txt(100 + j)) for j in range(20)])
+        wait_until(lambda: state_rows(qB) >= sizes[0])
+        peak2 = state_rows(qB)
+        assert peak2 <= peak1 + 8, (peak1, peak2)  # bounded, not growing
+        assert not any(d == 2000 for d, _b, _f in gotB)
+        wait_until(lambda: state_rows(qB) == 0)  # and evicts again
+    finally:
+        qB.stop()
