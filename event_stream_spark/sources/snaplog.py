@@ -253,14 +253,64 @@ def _apply_dv(spark: SparkSession, df: DataFrame, entries: list[dict]) -> DataFr
     ).drop("__file", "__row")
 
 
-def _read_entries(spark: SparkSession, entries: list[dict]) -> DataFrame:
+def _logical_projection(
+    df: DataFrame, manifest: dict, *, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """COLUMN MAPPING read side: project a physical-named scan to the
+    manifest's LOGICAL schema (the Delta column-mapping design point —
+    data files keep their physical column names forever; renames and
+    drops are manifest-only).  Identity for tables that never renamed or
+    dropped a column, so the legacy read surface is bit-identical.
+    Idempotent: a column already surfaced under its logical name passes
+    through.  ``extra`` names ride along when present (CDF meta columns,
+    position columns)."""
+    if not manifest.get("column_mapping"):
+        return df
+    from pyspark.sql import functions as F
+
+    phys = manifest.get("physical") or {}
+    have = set(df.columns)
+    sel = []
+    for name, typ in manifest["columns"]:
+        p = phys.get(name, name)
+        if p in have:
+            sel.append(F.col(p).alias(name))
+        elif name in have:  # already logical (double projection)
+            sel.append(F.col(name))
+        else:  # file predates the column's (re-)addition
+            sel.append(F.lit(None).cast(typ).alias(name))
+    sel.extend(F.col(c) for c in extra if c in have)
+    return df.select(*sel)
+
+
+def _physical_frame(df: DataFrame, manifest: dict | None) -> DataFrame:
+    """COLUMN MAPPING write side: alias a logical-named frame to the
+    physical column names new data files must carry.  Identity when the
+    table has no active mapping."""
+    if not manifest or not manifest.get("column_mapping"):
+        return df
+    from pyspark.sql import functions as F
+
+    phys = manifest.get("physical") or {}
+    return df.select(*[F.col(c).alias(phys.get(c, c)) for c in df.columns])
+
+
+def _read_entries(
+    spark: SparkSession, entries: list[dict], manifest: dict | None = None
+) -> DataFrame:
     """Scan exactly ``entries``' files with their deletion vectors
     applied — the one read path every DML helper must use (reading the
-    parquet directly would resurrect DV-deleted rows into the rewrite)."""
+    parquet directly would resurrect DV-deleted rows into the rewrite).
+    Pass the governing ``manifest`` to surface the logical schema of a
+    column-mapped table (physical names otherwise — identical for tables
+    that never renamed)."""
     df = spark.read.option("mergeSchema", "true").parquet(
         *[e["path"] for e in entries]
     )
-    return _apply_dv(spark, df, entries)
+    df = _apply_dv(spark, df, entries)
+    if manifest is not None:
+        df = _logical_projection(df, manifest)
+    return df
 
 
 class ConstraintViolation(RuntimeError):
@@ -399,9 +449,26 @@ def commit(
                 f"table moved to snapshot {nxt - 1}, transaction based on "
                 f"{expected_snapshot}: re-read and retry"
             )
+        # COLUMN MAPPING (active only after a rename/drop): logical names
+        # are the caller surface, physical names are what data files carry
+        mapping_on = bool(prev_manifest.get("column_mapping"))
+        phys_map = dict(prev_manifest.get("physical") or {})
+        phys_used = list(prev_manifest.get("physical_used") or [])
+        if mapping_on and new_cols is not None:
+            prev_logical = {n for n, _t in (prev_manifest.get("columns") or [])}
+            for n, _t in new_cols:
+                if n not in prev_logical and n not in phys_map:
+                    if n in phys_used:
+                        # a re-added logical column must NOT resurrect the
+                        # dropped column's bytes: fresh physical name
+                        phys_map[n] = f"{n}__p{nxt}_{token[:4]}"
+                    target = phys_map.get(n, n)
+                    if target not in phys_used:
+                        phys_used.append(target)
+        pm = {"column_mapping": True, "physical": phys_map} if mapping_on else None
         if df is not None:
             part_dir = os.path.join(table, "data", f"c{nxt:012d}-{token}")
-            df.write.mode("error").parquet(part_dir)
+            _physical_frame(df, pm).write.mode("error").parquet(part_dir)
             new_files = sorted(
                 os.path.join(part_dir, f)
                 for f in os.listdir(part_dir)
@@ -424,7 +491,10 @@ def commit(
                 import shutil
 
                 viol = (
-                    df.sparkSession.read.parquet(part_dir)
+                    _logical_projection(
+                        df.sparkSession.read.parquet(part_dir),
+                        {**(pm or {}), "columns": new_cols},
+                    )
                     .agg(
                         *[
                             F.sum(
@@ -448,7 +518,7 @@ def commit(
             new_files = []
         if cdc is not None:
             cdc_dir = os.path.join(table, "_cdc_data", f"c{nxt:012d}-{token}")
-            cdc.write.mode("error").parquet(cdc_dir)
+            _physical_frame(cdc, pm).write.mode("error").parquet(cdc_dir)
             cdc_files = sorted(
                 os.path.join(cdc_dir, f)
                 for f in os.listdir(cdc_dir)
@@ -462,12 +532,33 @@ def commit(
             if mode == "append" and nxt > 0
             else list(carry_entries or [])
         )
+        def _keyed(fn, p, cols):
+            """Per-file stats/bloom keyed by LOGICAL name: computed over
+            the physical columns on disk, re-keyed so pruning predicates
+            (always logical) keep working across renames."""
+            if not mapping_on:
+                return fn(p, cols)
+            raw = fn(p, [phys_map.get(c, c) for c in cols])
+            return {
+                c: raw[phys_map.get(c, c)]
+                for c in cols
+                if phys_map.get(c, c) in raw
+            }
+
         entries = [
             {
                 "path": p,
                 "rows": _row_count(p),
-                **({"stats": _file_stats(p, stats_cols)} if stats_cols else {}),
-                **({"bloom": _file_bloom(p, bloom_cols)} if bloom_cols else {}),
+                **(
+                    {"stats": _keyed(_file_stats, p, stats_cols)}
+                    if stats_cols
+                    else {}
+                ),
+                **(
+                    {"bloom": _keyed(_file_bloom, p, bloom_cols)}
+                    if bloom_cols
+                    else {}
+                ),
             }
             for p in new_files
         ]
@@ -493,6 +584,17 @@ def commit(
             # CHECK constraints are table contract: carried forward until
             # explicitly dropped, enforced on every commit's new rows
             **({"constraints": constraints} if constraints else {}),
+            # column-mapping state (rename/drop without touching data):
+            # logical→physical map + every physical name ever assigned
+            **(
+                {
+                    "column_mapping": True,
+                    "physical": phys_map,
+                    "physical_used": phys_used,
+                }
+                if mapping_on
+                else {}
+            ),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a
@@ -611,6 +713,118 @@ def set_constraint(
     raise RuntimeError("set_constraint contention: 20 retries exhausted")
 
 
+def _constraint_refs(manifest: dict, column: str) -> list[str]:
+    """Names of CHECK constraints whose expression references ``column``
+    (word-boundary match — the conservative Delta stance: DDL on a
+    constrained column is refused rather than silently rewritten)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(column)}\b")
+    return [
+        n
+        for n, e in (manifest.get("constraints") or {}).items()
+        if pat.search(e)
+    ]
+
+
+def _activate_mapping(m: dict) -> None:
+    """First rename/drop on a table turns COLUMN MAPPING on: physical
+    names freeze at their current values and every name ever assigned is
+    recorded (a future re-add of a dropped name gets a fresh physical
+    name instead of resurrecting the old bytes)."""
+    if not m.get("column_mapping"):
+        m["column_mapping"] = True
+        m.setdefault("physical", {})
+        m["physical_used"] = sorted(
+            {n for n, _t in m.get("columns") or []}
+            | set(m.get("physical", {}).values())
+        )
+
+
+def rename_column(spark: SparkSession, table: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit (the Delta column-mapping
+    design point): zero data files move — files keep their physical
+    column names forever, and the manifest maps logical → physical.
+    Time travel to a pre-rename snapshot reads under the OLD name (each
+    snapshot surfaces its own logical schema); the change feed surfaces
+    the whole window under the LATEST names.  Refused while a CHECK
+    constraint references ``old`` (drop the constraint first — silently
+    rewriting its expression would change a recorded contract).
+
+    Streaming note: like Delta without ``schemaTrackingLocation``, the
+    ``snaptable``/``snapcdf`` STREAM legs refuse a column-mapped table —
+    a consumer restarts from a full read after a rename."""
+    for _ in range(20):
+        head = (snapshots(table) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no snapshots committed at {table}")
+        m = _read_manifest(table, head)
+        names = [n for n, _t in m["columns"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        refs = _constraint_refs(m, old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+
+        def mutate(mm: dict) -> None:
+            _activate_mapping(mm)
+            phys = dict(mm["physical"])
+            phys[new] = phys.pop(old, old)
+            mm["physical"] = {k: v for k, v in phys.items()}
+            mm["columns"] = [
+                [new if n == old else n, t] for n, t in mm["columns"]
+            ]
+
+        try:
+            return _metadata_commit(table, mutate, expected_parent=head)
+        except CommitConflict:
+            continue
+    raise RuntimeError("rename_column contention: 20 retries exhausted")
+
+
+def drop_column(spark: SparkSession, table: str, name: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit: the column leaves the
+    logical schema; its bytes stay in the data files (time travel still
+    reads them) and are reclaimed as files age out via :func:`vacuum`
+    after rewrites.  A later re-add of the same name is a NEW column
+    (fresh physical name) — the dropped values never resurface.  Refused
+    while a CHECK constraint references the column."""
+    for _ in range(20):
+        head = (snapshots(table) or [-1])[-1]
+        if head < 0:
+            raise ValueError(f"no snapshots committed at {table}")
+        m = _read_manifest(table, head)
+        names = [n for n, _t in m["columns"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        refs = _constraint_refs(m, name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+
+        def mutate(mm: dict) -> None:
+            _activate_mapping(mm)
+            phys = dict(mm["physical"])
+            phys.pop(name, None)
+            mm["physical"] = phys
+            mm["columns"] = [[n, t] for n, t in mm["columns"] if n != name]
+
+        try:
+            return _metadata_commit(table, mutate, expected_parent=head)
+        except CommitConflict:
+            continue
+    raise RuntimeError("drop_column contention: 20 retries exhausted")
+
+
 def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
     """RESTORE the table to a previous snapshot's state (the Delta
     ``RESTORE TABLE ... TO VERSION AS OF`` design point): publishes a NEW
@@ -654,14 +868,31 @@ def restore(spark: SparkSession, table: str, to_snapshot: int) -> int:
         m["files"] = target["files"]
         m["columns"] = target["columns"]
         m["restored_from"] = to_snapshot
+        # restore the target's column-mapping state WITH its schema (a
+        # head-era logical→physical map over the target's columns would
+        # mis-resolve); physical_used stays the union so names assigned
+        # in either era can never be reused
+        used = set(m.get("physical_used") or []) | set(
+            target.get("physical_used") or []
+        )
+        for k in ("column_mapping", "physical", "physical_used"):
+            if k in target:
+                m[k] = target[k]
+            else:
+                m.pop(k, None)
+        if target.get("column_mapping"):
+            m["physical_used"] = sorted(used)
 
     for _ in range(20):
         head = snapshots(table)[-1]
-        cons = dict(_read_manifest(table, head).get("constraints", {}))
+        head_m = _read_manifest(table, head)
+        cons = dict(head_m.get("constraints", {}))
         if cons:
             from pyspark.sql import functions as F
 
-            restored = _read_entries(spark, target["files"])
+            # constraint exprs use the HEAD's logical names; target files
+            # carry stable physical names — project with the head manifest
+            restored = _read_entries(spark, target["files"], head_m)
             viol = restored.agg(
                 *[
                     F.sum(F.when(F.expr(e) == False, 1).otherwise(0)).alias(n)  # noqa: E712
@@ -793,7 +1024,8 @@ def read_snapshot(
     n = ids[-1] if snapshot is None else snapshot
     if n not in ids:
         raise ValueError(f"snapshot {n} not in {ids}")
-    entries = _read_manifest(table, n)["files"]
+    m = _read_manifest(table, n)
+    entries = m["files"]
     if prune or prune_eq:
         def overlaps(e: dict) -> bool:
             st = e.get("stats") or {}
@@ -820,15 +1052,19 @@ def read_snapshot(
             # evolution (the oldest would drop added trailing columns and
             # break callers selecting them — same reason
             # snapstream._table_ddl reads files[-1])
-            return spark.read.parquet(all_files[-1]).limit(0)
+            return _logical_projection(
+                spark.read.parquet(all_files[-1]).limit(0), m
+            )
     files = [f["path"] for f in entries]
     if not files:
         raise ValueError(f"snapshot {n} at {table} references no files")
     # mergeSchema: pre-evolution files surface NULL for added columns;
     # deletion vectors (if any surviving entry carries one) anti-filter
-    # the scan by (file, row position) — a no-op otherwise
+    # the scan by (file, row position) — a no-op otherwise; a mapped
+    # table's snapshot surfaces under ITS OWN logical names (time travel
+    # to a pre-rename snapshot reads under the pre-rename name)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    return _apply_dv(spark, df, entries)
+    return _logical_projection(_apply_dv(spark, df, entries), m)
 
 
 def snapshot_as_of(table: str, ts: float) -> int:
@@ -1284,7 +1520,14 @@ def read_changes(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    # a mapped table's feed surfaces under the LATEST logical names for
+    # the whole window — physical names are stable across renames, so one
+    # projection covers every covered version's files and cdc sidecars
+    return _logical_projection(
+        out,
+        _read_manifest(table, hi),
+        extra=("_change_type", "_commit_version", "_commit_timestamp"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1378,7 +1621,7 @@ def merge_upsert(
     if touched:
         # _read_entries, not a raw parquet read: rewriting a file that
         # carries a deletion vector must not resurrect its deleted rows
-        current = _read_entries(spark, touched)
+        current = _read_entries(spark, touched, _read_manifest(table, base))
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
     else:
@@ -1458,7 +1701,9 @@ def delete_where(
         untouched = [e for e in touched_entries if not overlaps(e)]
         touched_entries = [e for e in touched_entries if overlaps(e)]
     if touched_entries:
-        current = _read_entries(spark, touched_entries)
+        current = _read_entries(
+            spark, touched_entries, _read_manifest(table, base)
+        )
     else:
         current = read_snapshot(spark, table, snapshot=base).limit(0)
     cdc = None
@@ -1521,7 +1766,7 @@ def delete_where_dv(
     # positions are computed over the DV-APPLIED view: already-deleted
     # rows can't rematch, so each sidecar is the union of live matches
     # with the prior vector
-    live = _read_entries_with_pos(spark, entries)
+    live = _read_entries_with_pos(spark, entries, _read_manifest(table, base))
     matched = (
         live.filter(f"({predicate}) IS TRUE")
         .select("__file", "__row")
@@ -1567,9 +1812,12 @@ def delete_where_dv(
     )
 
 
-def _read_entries_with_pos(spark: SparkSession, entries: list[dict]) -> DataFrame:
+def _read_entries_with_pos(
+    spark: SparkSession, entries: list[dict], manifest: dict | None = None
+) -> DataFrame:
     """DV-applied scan of ``entries`` that RETAINS the (__file, __row)
-    position columns — the delete_where_dv work relation."""
+    position columns — the delete_where_dv work relation.  ``manifest``
+    surfaces a mapped table's logical names (predicates are logical)."""
     from pyspark.sql import functions as F
 
     df = spark.read.option("mergeSchema", "true").parquet(
@@ -1582,10 +1830,12 @@ def _read_entries_with_pos(spark: SparkSession, entries: list[dict]) -> DataFram
         F.col("_metadata.row_index").alias("__row"),
     )
     pairs = _dv_pairs(entries)
-    if not pairs:
-        return df
-    dv = spark.createDataFrame(pairs, "__file string, __row long")
-    return df.join(F.broadcast(dv), ["__file", "__row"], "left_anti")
+    if pairs:
+        dv = spark.createDataFrame(pairs, "__file string, __row long")
+        df = df.join(F.broadcast(dv), ["__file", "__row"], "left_anti")
+    if manifest is not None:
+        df = _logical_projection(df, manifest, extra=("__file", "__row"))
+    return df
 
 
 def compact(

@@ -62,7 +62,19 @@ def _table_ddl(table: str) -> str:
     ids = snapshots(table)
     if not ids:
         raise ValueError(f"no snapshots committed at {table}")
-    files = _read_manifest(table, ids[-1])["files"]
+    manifest = _read_manifest(table, ids[-1])
+    if manifest.get("column_mapping"):
+        # the stream legs read data files by PHYSICAL column name with a
+        # schema fixed at query start; after a rename/drop the honest
+        # move is a loud refusal (Delta's stance without
+        # schemaTrackingLocation) — consumers resync from a batch read,
+        # which maps logical names per snapshot
+        raise ValueError(
+            f"{table} has column mapping active (a column was renamed "
+            "or dropped): snaptable/snapcdf streaming is unsupported — "
+            "resync from a batch read_snapshot/read_changes"
+        )
+    files = manifest["files"]
     if not files:
         raise ValueError(f"latest snapshot at {table} references no files")
     # the NEWEST file carries the full schema (evolution is additive-only,

@@ -4976,7 +4976,7 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
         p = q.lastProgress
         return p["stateOperators"][0]["numRowsTotal"] if p else 0
 
-    def wait_until(pred, timeout=90):
+    def wait_until(pred, timeout=120):
         deadline = time.time() + timeout
         while time.time() < deadline:
             if pred():
@@ -5001,7 +5001,9 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
     assert sizes[2] >= 2.5 * sizes[0], sizes  # ~linear in stream length
 
     # TTL: claims live for the horizon, then evict — idle state is ZERO
-    ttl = 2000
+    # (6 s horizon: the claim peak must stay observable through polling
+    # even on a loaded machine — 2 s flaked under a full-suite run)
+    ttl = 6000
     srcB = str(tmp_path / "feedB")
     feedB = make_feed(srcB)
     gotB: set = set()
@@ -5027,3 +5029,157 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
         wait_until(lambda: state_rows(qB) == 0)  # and evicts again
     finally:
         qB.stop()
+
+
+def test_column_mapping_rename_drop_evolution(spark, tmp_path):
+    """Delta-style COLUMN MAPPING in the snapshot log: rename and drop
+    are metadata-only commits (zero data movement) — new reads use the
+    new names, time travel surfaces each snapshot under ITS OWN names,
+    the change feed carries the whole window under the latest names,
+    appends and DML speak the new schema, a re-added dropped name never
+    resurrects the old bytes, constraints block DDL on columns they
+    reference, and the streaming legs refuse loudly (resync from batch,
+    the Delta no-schemaTrackingLocation stance)."""
+    import os
+
+    import pytest as _pytest
+
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where,
+        drop_column,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+        rename_column,
+        restore,
+        set_constraint,
+        snapshots,
+    )
+
+    snapstream.register(spark)
+    table = str(tmp_path / "t")
+
+    def rows(rng, lang):
+        return spark.createDataFrame(
+            [(i, 10 * i, lang) for i in rng], "id long, v long, lang string"
+        )
+
+    commit(rows(range(5), "en"), table, stats_cols=["id"])          # snap 0
+    commit(rows(range(5, 8), "de"), table, mode="append",
+           stats_cols=["id"])                                        # snap 1
+    set_constraint(spark, table, "v_pos", "v >= 0")                  # snap 2
+
+    def files_on_disk():
+        return sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(os.path.join(table, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # constrained column: rename and drop both refused
+    with _pytest.raises(ValueError, match="v_pos"):
+        rename_column(spark, table, "v", "val")
+    with _pytest.raises(ValueError, match="v_pos"):
+        drop_column(spark, table, "v")
+
+    # rename lang -> language: METADATA ONLY (no data file moves)
+    before = files_on_disk()
+    rename_column(spark, table, "lang", "language")                  # snap 3
+    assert files_on_disk() == before
+    cur = read_snapshot(spark, table)
+    assert cur.columns == ["id", "v", "language"]
+    assert {(r.id, r.language) for r in cur.collect()} == {
+        (i, "en") for i in range(5)
+    } | {(i, "de") for i in range(5, 8)}
+
+    # time travel: the pre-rename snapshot reads under the OLD name
+    old = read_snapshot(spark, table, snapshot=1)
+    assert old.columns == ["id", "v", "lang"]
+    assert old.filter("lang = 'de'").count() == 3
+
+    # appends speak the NEW schema; the old name is drift and rejected
+    commit(
+        spark.createDataFrame([(100, 1000, "fr")],
+                              "id long, v long, language string"),
+        table, mode="append", stats_cols=["id"],
+    )                                                                # snap 4
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        commit(rows(range(200, 201), "xx"), table, mode="append")
+    assert read_snapshot(spark, table).filter(
+        "language = 'fr'"
+    ).count() == 1
+
+    # the change feed surfaces the WHOLE window under the latest names
+    ch = read_changes(spark, table, since=-1)
+    assert "language" in ch.columns and "lang" not in ch.columns
+    langs = {(r.id, r.language) for r in ch.collect()}
+    assert (0, "en") in langs and (100, "fr") in langs
+
+    # DML under the mapping: copy-on-write delete + merge, new names
+    delete_where(spark, table, "language = 'de'", change_feed=True)  # snap 5
+    assert read_snapshot(spark, table).filter(
+        "language = 'de'"
+    ).count() == 0
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([(0, 7, "es")],
+                              "id long, v long, language string"),
+        key="id", change_feed=True,
+    )                                                                # snap 6
+    got = {
+        (r.id, r.v, r.language)
+        for r in read_snapshot(spark, table).collect()
+    }
+    assert (0, 7, "es") in got and (100, 1000, "fr") in got
+    # the recorded cdc sidecars also surface under the latest names
+    ch2 = read_changes(spark, table, since=5)
+    assert {(r.id, r._change_type, r.language) for r in ch2.collect()} >= {
+        (0, "update_postimage", "es")
+    }
+
+    # drop + re-add: the re-added column is NEW — old bytes stay buried
+    drop_column(spark, table, "language")                            # snap 7
+    assert read_snapshot(spark, table).columns == ["id", "v"]
+    commit(
+        spark.createDataFrame([(300, 3, "zz")],
+                              "id long, v long, language string"),
+        table, mode="append", allow_added_columns=True,
+    )                                                                # snap 8
+    readd = {
+        (r.id, r.language) for r in read_snapshot(spark, table).collect()
+    }
+    assert (300, "zz") in readd
+    assert all(lg is None for i, lg in readd if i != 300), readd
+    # ... while time travel still reads the dropped values
+    assert read_snapshot(spark, table, snapshot=6).filter(
+        "language = 'es'"
+    ).count() == 1
+
+    # constraints survive the whole history: violating append still dies
+    from event_stream_spark.sources.snaplog import ConstraintViolation
+
+    with _pytest.raises(ConstraintViolation):
+        commit(
+            spark.createDataFrame([(9, -1, "xx")],
+                                  "id long, v long, language string"),
+            table, mode="append",
+        )
+
+    # streaming legs refuse a mapped table loudly
+    with _pytest.raises(Exception, match="column mapping"):
+        (
+            spark.readStream.format("snaptable")
+            .option("table_path", table)
+            .load()
+        )
+
+    # restore across the rename: the old logical schema comes back with
+    # the old data, and a fresh read uses it
+    restore(spark, table, 1)                                         # snap 9
+    back = read_snapshot(spark, table)
+    assert back.columns == ["id", "v", "lang"]
+    assert back.filter("lang = 'de'").count() == 3
+    assert len(snapshots(table)) == 10  # nothing rewrote history
