@@ -141,6 +141,106 @@ def shard_checksum(arr) -> int:
     return ck
 
 
+def export_token_shards_bpe(
+    spark: SparkSession,
+    sf: str,
+    out_dir: str,
+    *,
+    rounds: int | None = None,
+    chaos_flag: str | None = None,
+) -> dict[str, int]:
+    """The LEARNED-VOCAB twin of :func:`export_token_shards`: the same
+    ``{lang}-{shard}.npy`` trainer layout, but token ids come from the
+    corpus-trained BPE merge table (``bpe.bpe_merges``) instead of the
+    md5 hash vocab — uint32, with the symbol→id table persisted next to
+    the shards as ``vocab.json``.  Returns the vocab.
+
+    The hash-vocab export stays the driver-witnessed oracle twin (its
+    ids are SQL-expressible); this one reconciles against the engine's
+    own BPE lane instead: per-stratum manifest token counts equal
+    ``bpe_tokenize``'s per-doc counts and ``bpe_fertility``'s per-lang
+    totals, and shards round-trip through the merge table back to the
+    exact word stream (tested).
+
+    Scale shape: identical to the hash export — one shuffle on the
+    stratum key, merges ride the closure as literals, vocab is distinct
+    final symbols (Heaps'-law-small: one collect of the vocab relation,
+    then broadcast in the closure)."""
+    import json
+
+    from event_stream_spark.datapipe.bpe import (
+        BPE_EOW,
+        BPE_ROUNDS,
+        BPE_SEP,
+        bpe_merges,
+    )
+    from event_stream_spark.datapipe.text import word_rows
+
+    rounds = BPE_ROUNDS if rounds is None else rounds
+    merges = [(l, r) for _rnd, l, r, _cnt in bpe_merges(spark, sf, rounds)]
+
+    # vocab = distinct final symbols across the corpus, ids by sort order
+    w = word_rows(t(spark, sf, "documents"))
+    s = F.array_join(
+        F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW))), BPE_SEP
+    )
+    for left, right in merges:
+        s = F.replace(s, F.lit(left + BPE_SEP + right), F.lit(left + right))
+    sym_rows = (
+        w.select(F.explode(F.split(s, r"\|")).alias("sym"))
+        .distinct()
+        .collect()  # vocab-sized (Heaps'-law), not corpus-sized
+    )
+    vocab = {r.sym: i for i, r in enumerate(sorted(sym_rows, key=lambda r: r.sym))}
+    if len(vocab) >= 1 << 32:
+        raise ValueError("vocab exceeds uint32")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "vocab.json"), "w") as fh:
+        json.dump(vocab, fh)
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % SHARDS).alias("shard"), "text"
+    )
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import re
+        import uuid
+
+        import numpy as np
+
+        from event_stream_spark.chaos import claim_once
+
+        ws = re.compile(r"\s+", re.ASCII)  # the word_rows contract
+        pdf = pdf.sort_values("doc_id")
+        ids: list[int] = []
+        for text in pdf["text"]:
+            for wd in (x for x in ws.split((text or "").lower()) if x):
+                sym = BPE_SEP.join(list(wd) + [BPE_EOW])
+                for left, right in merges:
+                    # str.replace is the same greedy non-overlapping
+                    # left-to-right scan as F.replace / DuckDB replace
+                    sym = sym.replace(left + BPE_SEP + right, left + right)
+                ids.extend(vocab[p] for p in sym.split(BPE_SEP))
+        arr = np.asarray(ids, dtype=np.uint32)
+        lang, shard = pdf["lang"].iloc[0], int(pdf["shard"].iloc[0])
+        path = os.path.join(out_dir, f"{lang}-{shard}.npy")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, path)
+        claim_once(chaos_flag)
+        return pd.DataFrame(
+            {"lang": [lang], "shard": [shard], "n_tokens": [len(arr)]}
+        )
+
+    (
+        d.groupBy("lang", "shard")
+        .applyInPandas(write, "lang string, shard int, n_tokens long")
+        .collect()  # manifest rows only — one per stratum
+    )
+    return vocab
+
+
 def token_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest of the exported shards recomputed FROM THE FILES: each
     ``.npy`` parses in its executor and reports token count plus the

@@ -3296,3 +3296,89 @@ def test_shard_checksum_exact_at_uint64_wrapping_sizes():
         % _CK_MOD
     )
     assert shard_checksum(mixed) == exact_mixed
+
+
+def test_bpe_token_shards_roundtrip_and_reconcile(spark, tmp_path):
+    """Learned-vocab token shards: the BPE export writes the same trainer
+    layout as the hash-vocab export (uint32 + vocab.json), its shards
+    ROUND-TRIP through the learned merges back to the exact word stream,
+    and its manifest token counts reconcile with bpe_tokenize per
+    stratum and with bpe_fertility per language."""
+    import json
+    import os
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.datapipe.bpe import (
+        BPE_EOW,
+        bpe_fertility,
+        bpe_tokenize,
+    )
+    from event_stream_spark.datapipe.export import export_token_shards_bpe
+    from event_stream_spark.datapipe.packing import SHARDS
+    from event_stream_spark.queries import t
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "bpe_shards")
+    vocab = export_token_shards_bpe(spark, sf, out)
+    assert vocab == json.load(open(os.path.join(out, "vocab.json")))
+    inv = {i: s for s, i in vocab.items()}
+
+    names = sorted(f for f in os.listdir(out) if f.endswith(".npy"))
+    assert names
+    arrays = {}
+    for n in names:
+        arr = np.load(os.path.join(out, n))
+        assert arr.dtype == np.uint32
+        assert arr.size == 0 or int(arr.max()) < len(vocab)
+        lang, shard = n[:-4].rsplit("-", 1)
+        arrays[(lang, int(shard))] = arr
+
+    # per-stratum counts == bpe_tokenize's per-doc counts, aggregated
+    docs = t(spark, sf, "documents")
+    tok = bpe_tokenize(spark, sf).join(
+        docs.select(
+            "doc_id", "lang", (F.col("doc_id") % SHARDS).alias("shard")
+        ),
+        "doc_id",
+    )
+    expected = {
+        (r.lang, r.shard): r.total
+        for r in tok.groupBy("lang", "shard")
+        .agg(F.sum("n_bpe_tokens").alias("total"))
+        .collect()
+    }
+    assert {k: len(a) for k, a in arrays.items()} == {
+        k: int(v) for k, v in expected.items()
+    }
+
+    # ... and with bpe_fertility's per-language totals
+    fert = {r.lang: r.n_tokens for r in bpe_fertility(spark, sf).collect()}
+    by_lang: dict[str, int] = {}
+    for (lang, _shard), a in arrays.items():
+        by_lang[lang] = by_lang.get(lang, 0) + len(a)
+    assert by_lang == {k: int(v) for k, v in fert.items()}
+
+    # round-trip one stratum: ids -> symbols -> the exact word stream
+    ws = re.compile(r"\s+", re.ASCII)
+    (lang, shard), arr = max(arrays.items(), key=lambda kv: len(kv[1]))
+    syms = [inv[i] for i in arr.tolist()]
+    joined = "".join(syms)
+    assert joined.endswith(BPE_EOW)
+    got_words = joined[: -len(BPE_EOW)].split(BPE_EOW)
+    rows = (
+        docs.filter(
+            (F.col("lang") == lang) & (F.col("doc_id") % SHARDS == shard)
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    want_words = [
+        w
+        for r in rows
+        for w in ws.split((r.text or "").lower())
+        if w
+    ]
+    assert got_words == want_words
