@@ -1,0 +1,274 @@
+"""Driver-witnessable proofs for the round-8 lakehouse features:
+COLUMN MAPPING (rename/drop as metadata commits) and INCREMENTAL
+JOIN-VIEW MAINTENANCE over dual change feeds.
+
+Like ``snapchanges.py``, each entry replays a deterministic DML script
+derived from the sf dir's ``documents`` table (marker-guarded fixture
+build; rebuilds produce byte-identical logical history) and returns a
+relation a DuckDB replay of the same algebra must hash-match.
+
+Reference parity: the reference has no lakehouse layer; these extend
+its exactly-once sink composition (es-kafka KafkaBlockSink.kt:16-38)
+with the schema-evolution and maintained-view consumer stories.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_RENAME_TAG = "v1"
+_JOIN_TAG = "v1"
+
+
+def _dir(sf: str, kind: str, tag: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"es_{kind}_{tag}_{key}")
+
+
+# ---------------------------------------------------------------------------
+# snap_rename — column mapping through a rename/drop/re-add script
+# ---------------------------------------------------------------------------
+
+
+def _build_rename(spark: SparkSession, sf: str) -> str:
+    """Script (snapshots 0-5):
+
+    * 0 — append ``% 3 == 0`` as (doc_id, val, lang);
+    * 1 — append ``% 3 == 1``;
+    * 2 — ``rename_column(val -> chars)`` — METADATA ONLY;
+    * 3 — append ``% 3 == 2`` under the NEW name, chars = val + 5;
+    * 4 — ``drop_column(lang)``;
+    * 5 — append ``% 9 == 2`` keys (shifted by 10M — disjoint) RE-ADDING
+      ``lang`` with fresh values — the dropped bytes must NOT resurface.
+    """
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+
+    table = _dir(sf, "snaprename", _RENAME_TAG)
+    marker = os.path.join(table, "_built")
+    if os.path.exists(marker) and snaplog.snapshots(table) == list(range(6)):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    base = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("val"), "lang"
+    )
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 == 0), table, stats_cols=["doc_id"]
+    )
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 == 1), table, mode="append",
+        stats_cols=["doc_id"],
+    )
+    snaplog.rename_column(spark, table, "val", "chars")
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 == 2).select(
+            "doc_id", (F.col("val") + 5).alias("chars"), "lang"
+        ),
+        table, mode="append", stats_cols=["doc_id"],
+    )
+    snaplog.drop_column(spark, table, "lang")
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 9 == 2).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.col("val").alias("chars"),
+            F.concat(F.lit("re-"), F.col("lang")).alias("lang"),
+        ),
+        table, mode="append", allow_added_columns=True,
+    )
+    with open(marker, "w") as fh:
+        fh.write(_RENAME_TAG)
+    return table
+
+
+def snap_rename(spark: SparkSession, sf: str) -> DataFrame:
+    """Final state of the rename/drop/re-add script, each row joined to
+    the PRE-RENAME snapshot 1 via time travel UNDER ITS OLD NAME — one
+    relation proving: new reads use the new names, old snapshots keep
+    theirs, the re-added ``lang`` is NULL for every pre-drop row (the
+    dropped bytes stayed buried), and appends under both eras landed."""
+    from event_stream_spark.sources import snaplog
+
+    table = _build_rename(spark, sf)
+    cur = snaplog.read_snapshot(spark, table)
+    t1 = snaplog.read_snapshot(spark, table, snapshot=1).select(
+        "doc_id", F.col("val").alias("val_t1")  # the OLD logical name
+    )
+    return (
+        cur.join(t1, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("chars").cast("long").alias("chars"),
+            "lang",
+            F.col("val_t1").cast("long").alias("val_t1"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNAP_RENAME_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS val, lang FROM documents
+),
+cur AS (
+    SELECT doc_id, val AS chars, CAST(NULL AS VARCHAR) AS lang
+    FROM base WHERE doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT doc_id, val + 5, CAST(NULL AS VARCHAR)
+    FROM base WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 10000000, val, 're-' || lang
+    FROM base WHERE doc_id % 9 = 2
+),
+t1 AS (SELECT doc_id, val FROM base WHERE doc_id % 3 IN (0, 1))
+SELECT c.doc_id, CAST(c.chars AS BIGINT) AS chars, c.lang,
+       CAST(t1.val AS BIGINT) AS val_t1
+FROM cur c LEFT JOIN t1 USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# snap_join_view — IVM of fact ⋈ dim from both tables' change feeds
+# ---------------------------------------------------------------------------
+
+
+def _build_join_view(spark: SparkSession, sf: str) -> str:
+    """Two scripted tables plus an incrementally maintained join view.
+
+    fact (id, fk, v): snap 0 appends ``% 3 == 0``; snap 1 appends
+    ``% 3 == 1`` PLUS a re-append of ``% 30 == 0`` (multiplicity 2);
+    snap 2 DV-deletes ``id % 10 = 7``.
+    dim (pk, attr): snap 0 appends pk = distinct(doc_id % 7) with
+    attr 'a'||pk; snap 1 merge-updates even pks to 'b'||pk; snap 2
+    deletes pk = 3 (removing its join partners).
+
+    The view applies each table's change feed ONE COMMIT PER BATCH,
+    interleaved (f0, d0, f1, d1, f2, d2) through
+    ``cdfjoin.apply_cdf_join_batch`` — the exact product-rule deltas the
+    streaming maintainer runs, minus the engine scheduling, so the
+    result is deterministic and oracle-checkable."""
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.streaming.cdfjoin import apply_cdf_join_batch
+
+    root = _dir(sf, "snapjoinview", _JOIN_TAG)
+    marker = os.path.join(root, "_built")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    fact = os.path.join(root, "fact")
+    dim = os.path.join(root, "dim")
+    view = os.path.join(root, "view")
+    os.makedirs(view)
+
+    base = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 7).alias("fk"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    snaplog.commit(base.filter(F.col("id") % 3 == 0), fact)
+    snaplog.commit(
+        base.filter(F.col("id") % 3 == 1).unionByName(
+            base.filter(F.col("id") % 30 == 0)
+        ),
+        fact, mode="append",
+    )
+    snaplog.delete_where_dv(spark, fact, "id % 10 = 7", change_feed=True)
+
+    pks = base.select(F.col("fk").alias("pk")).distinct()
+    snaplog.commit(
+        pks.select("pk", F.concat(F.lit("a"), F.col("pk")).alias("attr")),
+        dim,
+    )
+    snaplog.merge_upsert(
+        spark, dim,
+        pks.filter(F.col("pk") % 2 == 0).select(
+            "pk", F.concat(F.lit("b"), F.col("pk")).alias("attr")
+        ),
+        key="pk", change_feed=True,
+    )
+    snaplog.delete_where(spark, dim, "pk = 3", change_feed=True)
+
+    def tagged(table: str, v: int, side: str) -> DataFrame:
+        ch = snaplog.read_changes(spark, table, since=v - 1, until=v)
+        if side == "f":
+            return ch.select(
+                F.lit("f").alias("_side"), "id", "fk", "v",
+                F.lit(None).cast("long").alias("pk"),
+                F.lit(None).cast("string").alias("attr"),
+                "_change_type",
+            )
+        return ch.select(
+            F.lit("d").alias("_side"),
+            F.lit(None).cast("long").alias("id"),
+            F.lit(None).cast("long").alias("fk"),
+            F.lit(None).cast("long").alias("v"),
+            "pk", "attr", "_change_type",
+        )
+
+    kw = dict(
+        fact_key="fk", dim_key="pk",
+        fact_cols=["id", "fk", "v"], dim_cols=["pk", "attr"],
+    )
+    batch_id = 0
+    for v in range(3):  # interleave: both sides advance per round
+        for side, table in (("f", fact), ("d", dim)):
+            apply_cdf_join_batch(
+                tagged(table, v, side), batch_id, view, **kw
+            )
+            batch_id += 1
+    with open(marker, "w") as fh:
+        fh.write(_JOIN_TAG)
+    return root
+
+
+def snap_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """The maintained join view after the dual-feed DML script — the IVM
+    invariant (view ≡ batch join of the final states, with bag
+    multiplicities) as a driver-green relation."""
+    from event_stream_spark.streaming.cdfjoin import read_join_view
+
+    root = _build_join_view(spark, sf)
+    v = read_join_view(spark, os.path.join(root, "view"))
+    return v.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("fk").cast("long").alias("fk"),
+        F.col("v").cast("long").alias("v"),
+        F.col("pk").cast("long").alias("pk"),
+        "attr",
+        F.col("m").cast("long").alias("m"),
+    ).orderBy("id", "pk")
+
+
+SNAP_JOIN_VIEW_SQL = """
+WITH base AS (
+    SELECT doc_id AS id, doc_id % 7 AS fk,
+           CAST(n_chars AS BIGINT) AS v
+    FROM documents
+),
+fact AS (
+    SELECT id, fk, v FROM base WHERE id % 3 = 0
+    UNION ALL
+    SELECT id, fk, v FROM base WHERE id % 3 = 1
+    UNION ALL
+    SELECT id, fk, v FROM base WHERE id % 30 = 0
+),
+live AS (SELECT * FROM fact WHERE id % 10 <> 7),
+dim AS (
+    SELECT pk,
+           CASE WHEN pk % 2 = 0 THEN 'b' || pk ELSE 'a' || pk END AS attr
+    FROM (SELECT DISTINCT fk AS pk FROM base)
+    WHERE pk <> 3
+)
+SELECT CAST(f.id AS BIGINT) AS id, CAST(f.fk AS BIGINT) AS fk, f.v,
+       CAST(d.pk AS BIGINT) AS pk, d.attr, COUNT(*)::BIGINT AS m
+FROM live f JOIN dim d ON f.fk = d.pk
+GROUP BY f.id, f.fk, f.v, d.pk, d.attr
+ORDER BY id, pk
+"""
