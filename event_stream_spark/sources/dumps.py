@@ -31,12 +31,28 @@ from pyspark.sql.types import StructType
 
 
 def write_jsonl_zst(
-    rows: list[dict], path: str, *, shards: int = 4
+    rows: list[dict], path: str, *, shards: int = 4, compress: str = "auto"
 ) -> list[str]:
-    """Write ``rows`` as ``shards`` ``.jsonl.zst`` files (store-mode zstd
-    frames; round-robin by position for determinism).  Fixture/round-trip
-    helper — a distributed writer would map partitions the same way."""
-    from event_stream_spark.sources.zstdcodec import zstd_store_frame
+    """Write ``rows`` as ``shards`` ``.jsonl.zst`` files (round-robin by
+    position for determinism).  Fixture/round-trip helper — a distributed
+    writer would map partitions the same way.
+
+    ``compress``: ``"auto"`` uses the fast backend (zstandard / CLI) when
+    one is present and falls back to store-mode frames (bulk fixture
+    writes must stay cheap without libzstd); ``"pure"`` forces this
+    package's real compressor (``zstdenc.zstd_compress``); ``"store"``
+    forces store-mode frames."""
+    from event_stream_spark.sources.zstdcodec import (
+        _fast_backend, zstd_store_frame,
+    )
+    from event_stream_spark.sources.zstdenc import zstd_compress_fast
+
+    if compress == "pure":
+        from event_stream_spark.sources.zstdenc import zstd_compress as _enc
+    elif compress == "store" or _fast_backend()[0] == "pure":
+        _enc = zstd_store_frame
+    else:
+        _enc = zstd_compress_fast
 
     os.makedirs(path, exist_ok=True)
     out = []
@@ -48,7 +64,7 @@ def write_jsonl_zst(
         ).encode()
         p = os.path.join(path, f"shard-{s:05d}.jsonl.zst")
         with open(p, "wb") as fh:
-            fh.write(zstd_store_frame(payload))
+            fh.write(_enc(payload))
         out.append(p)
     return out
 

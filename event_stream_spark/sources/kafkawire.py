@@ -188,9 +188,9 @@ def _codec_compress(codec: str, payload: bytes, *, v1: bool = False) -> bytes:
     if codec == "zstd":
         if v1:  # Kafka only ever pairs zstd with RecordBatch v2 (KIP-110)
             raise NotImplementedError("zstd in a v1 message set")
-        from event_stream_spark.sources.zstdcodec import zstd_store_frame
+        from event_stream_spark.sources.zstdenc import zstd_compress
 
-        return zstd_store_frame(payload)
+        return zstd_compress(payload)
     raise NotImplementedError(f"codec {codec!r}")
 
 
@@ -374,10 +374,10 @@ def encode_record_batch(
     the records section: "gzip" (type 1, deterministic mtime=0 stream),
     "snappy" (type 2, raw block — v2 drops the xerial framing v1 used),
     "lz4" (type 3, frame format), or "zstd" (type 4) — all implemented
-    from the public format specs (``kafkacodecs``/``zstdcodec``).  The
-    zstd writer emits spec-compliant STORE-mode frames (raw blocks +
-    checksum — the stored-zip trade); the reader decodes real
-    entropy-coded frames from any conformant producer."""
+    from the public format specs (``kafkacodecs``/``zstdcodec``/
+    ``zstdenc``).  The zstd writer emits real LZ77 + entropy-coded
+    frames (``zstdenc.zstd_compress``); the reader decodes frames from
+    any conformant producer."""
     if codec not in _CODEC_IDS:
         raise NotImplementedError(
             f"codec {codec!r} (none/gzip/snappy/lz4)"

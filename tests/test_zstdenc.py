@@ -1,0 +1,305 @@
+"""zstd COMPRESSOR (zstdenc) — round-trip, entropy-path, and framing tests.
+
+The oracle is the pure decoder in ``zstdcodec``, itself pinned against
+committed frames produced by the reference ``zstd`` CLI (see
+test_zstdcodec.py) — so "encoder output decodes correctly under it" is a
+real conformance statement, not a self-licking loop.  When a ``zstd``
+CLI is present, frames are additionally decoded by it byte-for-byte.
+"""
+from __future__ import annotations
+
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from event_stream_spark.sources.zstdcodec import (
+    ZstdError,
+    zstd_decompress,
+    zstd_store_frame,
+)
+from event_stream_spark.sources.zstdenc import (
+    _encode_sequences,
+    _huf_literals,
+    _limited_lengths,
+    zstd_compress,
+    zstd_compress_fast,
+)
+
+_CLI = shutil.which("zstd")
+
+
+def _cases() -> dict:
+    r = random.Random(7)
+    return {
+        "empty": b"",
+        "one_byte": b"x",
+        "tiny": b"hello hello hello hello world",
+        "rle_run": b"\x00" * 5000,
+        "json_repetitive": b'{"k": "value", "n": 1}\n' * 4000,
+        "random_incompressible": r.randbytes(100_000),
+        "byte_runs": b"".join(
+            bytes([random.Random(i).randrange(256)])
+            * random.Random(i + 1).randrange(1, 50)
+            for i in range(2000)
+        ),
+        "multi_block": b"abcdefgh" * 40_000,  # 320 KB → 3 blocks
+        "cross_block_match": b"A" * 131072 + b"unique tail" + b"A" * 131072,
+        "exactly_one_block": random.Random(3).randbytes(131072),
+        "high_bytes": bytes(
+            random.Random(5).choices(range(120, 256), k=50_000)
+        ),
+        "utf8_text": ("palabras repetidas otra vez " * 4000).encode(),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_roundtrip(name):
+    data = _cases()[name]
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+
+
+def test_compressible_input_actually_compresses():
+    data = b'{"k": "value", "n": 1}\n' * 4000
+    frame = zstd_compress(data)
+    assert len(frame) < len(data) // 20
+    assert len(frame) < len(zstd_store_frame(data)) // 20
+
+
+def test_entropy_skewed_text_near_entropy_bound():
+    """Small-alphabet LZ-resistant text must engage the Huffman literal
+    path (the flat-literals alternative), not drown in 4-gram noise
+    matches: the distribution's entropy bound is ~2.9x, and anything
+    under 2.5x means the literals went out raw."""
+    r = random.Random(42)
+    data = bytes(
+        r.choices(
+            b"abcde XYZ.", weights=[30, 20, 15, 10, 8, 25, 3, 2, 1, 1],
+            k=200_000,
+        )
+    )
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+    assert len(data) / len(frame) > 2.5
+
+
+def test_huffman_one_stream_and_four_stream():
+    r = random.Random(9)
+    small = bytes(r.choices(b"abcdefgh", weights=range(1, 9), k=900))
+    sec1 = _huf_literals(small)
+    assert sec1 is not None and len(sec1) < len(small)
+    big = bytes(r.choices(b"abcdefgh", weights=range(1, 9), k=60_000))
+    sec4 = _huf_literals(big)
+    assert sec4 is not None and len(sec4) < len(big)
+    # both paths round-trip inside full frames
+    for data in (small, big):
+        assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_huffman_wide_alphabets_use_fse_weights():
+    """Byte values >128 exceed the direct 4-bit weight header; the tree
+    description must switch to FSE-compressed weights (header byte
+    <128) and still entropy-code the literals."""
+    r = random.Random(11)
+    data = bytes(r.choices(range(100, 256), weights=[1 + (i % 13) for i in range(156)], k=20_000))
+    sec = _huf_literals(data)
+    assert sec is not None and len(sec) < len(data)
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_fse_weights_section_matches_direct_table():
+    """For every generated tree, the FSE-weights rendering must decode
+    to the exact same Huffman table as direct weights would."""
+    from event_stream_spark.sources.zstdcodec import (
+        _huf_from_weights,
+        _huf_read_tree,
+    )
+    from event_stream_spark.sources.zstdenc import _fse_weights_section
+
+    r = random.Random(1)
+    checked = 0
+    for trial in range(60):
+        nsym = r.randrange(2, 256)
+        syms = random.Random(trial).sample(range(256), nsym)
+        items = [(s, r.randrange(1, 1000)) for s in syms]
+        lengths = _limited_lengths(items, 11)
+        mb = max(lengths.values())
+        weights = {s: mb + 1 - L for s, L in lengths.items()}
+        wlist = [weights.get(s, 0) for s in range(max(weights))]
+        sec = _fse_weights_section(wlist)
+        if sec is None:
+            continue
+        table, used = _huf_read_tree(bytes(sec))
+        assert used == len(sec)
+        ref = _huf_from_weights(wlist)
+        assert (table.max_bits, table.symbol, table.nbits) == (
+            ref.max_bits, ref.symbol, ref.nbits,
+        ), trial
+        checked += 1
+    assert checked > 30
+
+
+def test_package_merge_kraft_equality():
+    r = random.Random(13)
+    for trial in range(20):
+        n = r.randrange(2, 120)
+        items = [(s, r.randrange(1, 10_000)) for s in range(n)]
+        lengths = _limited_lengths(items, 11)
+        assert set(lengths) == {s for s, _ in items}
+        assert all(1 <= L <= 11 for L in lengths.values())
+        assert sum(2 ** (11 - L) for L in lengths.values()) == 2**11
+
+
+def test_sequences_section_roundtrip_against_decoder():
+    """Drive _encode_sequences straight into the decoder's sequence
+    parser: every (ll, offset_val, ml) triple must survive, across all
+    three channels' code ranges."""
+    from event_stream_spark.sources.zstdcodec import (
+        _decode_sequences,
+        _FrameCtx,
+    )
+
+    r = random.Random(17)
+    for trial in range(30):
+        n = r.randrange(1, 400)
+        seqs = [
+            (
+                r.choice([0, 1, 5, 17, 70, 4000, 70_000]),
+                r.randrange(4, 1 << r.randrange(3, 28)) | 4,
+                r.choice([3, 4, 9, 40, 130, 9000, 100_000]),
+            )
+            for _ in range(n)
+        ]
+        blob = _encode_sequences(seqs)
+        got, _ = _decode_sequences(blob, _FrameCtx())
+        assert got == seqs, f"trial {trial}"
+
+
+def test_fuzz_roundtrip_structured():
+    def gen(seed):
+        rr = random.Random(seed)
+        kind = seed % 6
+        n = rr.randrange(0, 120_000)
+        if kind == 0:
+            return rr.randbytes(n)
+        if kind == 1:
+            words = [rr.randbytes(rr.randrange(2, 12)) for _ in range(20)]
+            out = bytearray()
+            while len(out) < n:
+                out += rr.choice(words)
+            return bytes(out)
+        if kind == 2:
+            return bytes(rr.choices(range(rr.randrange(2, 40)), k=n))
+        if kind == 3:
+            base = rr.randbytes(rr.randrange(1, 2000))
+            return (base * (n // max(len(base), 1) + 1))[:n]
+        if kind == 4:
+            return b"".join(
+                bytes([rr.randrange(256)]) * rr.randrange(1, 300)
+                for _ in range(n // 100 + 1)
+            )
+        return (b"line %d with some entropy\n" % seed) * (n // 26 + 1)
+
+    for seed in range(36):
+        data = gen(seed)
+        assert zstd_decompress(zstd_compress(data)) == data, f"seed {seed}"
+
+
+def test_frame_content_size_field_all_classes():
+    for n in (0, 255, 256, 300, 65_791, 65_792, 200_000):
+        data = bytes(n)
+        frame = zstd_compress(data)
+        assert zstd_decompress(frame) == data
+        (magic,) = struct.unpack_from("<I", frame, 0)
+        assert magic == 0xFD2FB528
+        fhd = frame[4]
+        assert fhd & 0x20  # single-segment
+        assert fhd & 0x04  # checksum
+
+
+def test_checksum_detects_corruption():
+    data = b"the payload that must not silently corrupt " * 100
+    frame = bytearray(zstd_compress(data))
+    # flip a bit inside the blocks region (past header, before checksum)
+    frame[len(frame) // 2] ^= 0x40
+    with pytest.raises(ZstdError):
+        zstd_decompress(bytes(frame))
+
+
+def test_no_checksum_variant():
+    data = b"abc" * 1000
+    frame = zstd_compress(data, checksum=False)
+    assert not frame[4] & 0x04
+    assert zstd_decompress(frame) == data
+
+
+def test_compress_fast_falls_back_and_roundtrips():
+    data = b"fallback contract " * 500
+    frame = zstd_compress_fast(data)
+    assert zstd_decompress(frame) == data
+
+
+def test_kafka_produce_batches_are_really_compressed():
+    from event_stream_spark.sources.kafkawire import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    records = [
+        (i, 1000 + i, None, b'{"height": %d, "txs": ["%s"]}' % (i, b"ab" * 30))
+        for i in range(200)
+    ]
+    blob = encode_record_batch(records, codec="zstd")
+    plain = encode_record_batch(records, codec="none")
+    assert len(blob) < len(plain) // 3
+    got = [(r[0], r[3]) for r in decode_record_batches(blob)]
+    assert got == [(r[0], r[3]) for r in records]
+
+
+def test_write_jsonl_zst_pure_mode_compresses(tmp_path):
+    from event_stream_spark.sources.dumps import write_jsonl_zst
+
+    rows = [{"doc_id": i, "text": "lorem ipsum " * 20} for i in range(400)]
+    paths = write_jsonl_zst(rows, str(tmp_path / "d"), shards=2, compress="pure")
+    total_comp = 0
+    total_raw = 0
+    for p in paths:
+        with open(p, "rb") as fh:
+            frame = fh.read()
+        raw = zstd_decompress(frame)
+        total_comp += len(frame)
+        total_raw += len(raw)
+        for line in raw.splitlines():
+            assert line.startswith(b"{")
+    assert total_comp < total_raw // 5
+
+
+@pytest.mark.skipif(_CLI is None, reason="no zstd CLI in this environment")
+def test_cli_decodes_our_frames():
+    for name, data in _cases().items():
+        frame = zstd_compress(data)
+        proc = subprocess.run(
+            [_CLI, "-d", "-c", "-q"],
+            input=frame,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        assert proc.returncode == 0, (name, proc.stderr[-200:])
+        assert proc.stdout == data, name
+
+
+@pytest.mark.skipif(_CLI is None, reason="no zstd CLI in this environment")
+def test_cli_roundtrip_sweep():
+    r = random.Random(23)
+    for trial in range(12):
+        data = bytes(
+            r.choices(b"abcdefgh {}:,0123456789", k=r.randrange(0, 50_000))
+        )
+        frame = zstd_compress(data)
+        proc = subprocess.run(
+            [_CLI, "-d", "-c", "-q"], input=frame, stdout=subprocess.PIPE
+        )
+        assert proc.returncode == 0 and proc.stdout == data
