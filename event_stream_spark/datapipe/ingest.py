@@ -81,6 +81,71 @@ INGEST_JSONL_ZST_SQL = """
 """
 
 
+def _zstc_dir(sf: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"es_zstc_{_BUILD_TAG}_{key}")
+
+
+def _build_compressed(spark: SparkSession, sf: str) -> str:
+    # same fixture stance as _build, but through the REAL compressor
+    # (zstdenc.zstd_compress: LZ77 + FSE sequences + Huffman literals)
+    # on a 1-in-5 doc subset to bound the pure-Python compress cost
+    from event_stream_spark.sources.dumps import write_jsonl_zst
+
+    path = _zstc_dir(sf)
+    marker = os.path.join(path, "_built")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        r.asDict()
+        for r in t(spark, sf, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    write_jsonl_zst(rows, path, shards=_SHARDS, compress="pure")
+    with open(marker, "w") as fh:
+        fh.write(_BUILD_TAG)
+    return path
+
+
+def ingest_zst_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-witnessed proof of the REAL zstd compressor: a 1-in-5
+    documents subset is written as entropy-coded RFC 8878 frames by
+    ``zstdenc.zstd_compress`` (LZ77 + predefined-FSE sequences + Huffman
+    literals), read back through the distributed reader, and md5-matched
+    against the original parquet — any corruption anywhere in the
+    compress → frame → distributed-decode → JSON loop reds the hash.
+
+    Provenance: the reference produces compressed Kafka topics through a
+    native client (es-kafka KafkaBlockSink.kt:16-38); this witnesses our
+    from-scratch compress direction at the same fidelity bar."""
+    from event_stream_spark.sources.dumps import read_jsonl_zst
+
+    path = _build_compressed(spark, sf)
+    df = read_jsonl_zst(
+        spark,
+        os.path.join(path, "*.jsonl.zst"),
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    return (
+        df.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INGEST_ZST_CODEC_SQL = """
+    SELECT doc_id, lang, md5(text) AS content_md5
+    FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+"""
+
+
 _WARC_SHARDS = 3
 
 

@@ -33,10 +33,26 @@ def snap_append_writer(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     change_feed: bool = False,
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
+    compact_zorder_by: list[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function appending each microbatch to ``table``
-    as one snapshot commit, idempotent on (app_id, batch_id) replay."""
-    from event_stream_spark.sources.snaplog import commit
+    as one snapshot commit, idempotent on (app_id, batch_id) replay.
+
+    ``compact_every=N`` runs the maintenance compaction
+    (``snaplog.compact``) inline after every Nth batch: streaming ingest
+    accretes one file set per microbatch, and at 100 TB the small-file
+    tax (per-file open cost, manifest growth, stats dilution) compounds
+    until reads are metadata-bound — this bounds live file count at
+    roughly ``files_per_batch * N + compact_target_files``.  The
+    compaction commit is row-identical and ``data_change=False``, so CDF
+    consumers skip it (no synthetic churn), and it is safe under replay:
+    a re-run batch skips its append (txn ledger) and at worst re-compacts
+    an already-compacted layout.  ``compact_zorder_by`` makes each pass a
+    clustering rewrite (OPTIMIZE ZORDER) so file-level min/max stats stay
+    tight on the named dimensions as the table grows."""
+    from event_stream_spark.sources.snaplog import commit, compact
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cdc = (
@@ -53,6 +69,15 @@ def snap_append_writer(
             cdc=cdc,
             txn=(app_id, batch_id),
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact(
+                batch_df.sparkSession,
+                table,
+                target_files=compact_target_files,
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+                zorder_by=compact_zorder_by,
+            )
 
     return write
 

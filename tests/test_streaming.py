@@ -3989,6 +3989,89 @@ def test_stream_into_snaptable_exactly_once(spark, tmp_path):
     assert ins.agg(F.countDistinct("k")).collect()[0][0] == 80
 
 
+def test_snapsink_auto_compaction_bounds_files(spark, tmp_path):
+    """compact_every=N in the streaming sink bounds live file count while
+    staying row-identical, CDF-neutral (compaction commits are
+    data_change=False — the change feed carries ONLY real inserts), and
+    replay-safe across a checkpoint crash that lands on a compaction
+    batch.  Without it, streaming ingest accretes one file set per
+    microbatch forever — the 100 TB small-file tax this knob pays down."""
+    import glob
+    import os
+    import time
+
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        read_changes,
+        snap_count,
+        snapshots,
+    )
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+
+    def arrive(lo, hi):
+        spark.createDataFrame(
+            [(i, f"row{i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one arrival = one batch
+            .parquet(src)
+        )
+        q = stream_into_snaptable(
+            stream, table, ckpt, app_id="ingest",
+            trigger_available_now=False, change_feed=True,
+            compact_every=3, compact_target_files=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            for _ in range(200):
+                if not spark.streams.active:
+                    break
+                time.sleep(0.1)
+
+    for w in range(6):
+        arrive(w * 10, w * 10 + 10)
+    run_once()
+    assert snap_count(table) == 60
+    # batches 0..5 ran; compaction fired after batches 2 and 5 → the
+    # live manifest holds the compacted layout, not 6 accreted file sets
+    live = _read_manifest(table, snapshots(table)[-1])["files"]
+    assert len(live) <= 2
+    # CDF carries exactly the 60 real inserts — zero compaction churn
+    ch = read_changes(spark, table, since=-1)
+    assert ch.filter("_change_type = 'insert'").count() == 60
+    assert ch.filter("_change_type != 'insert'").count() == 0
+
+    # crash AFTER the batch-5 append+compact but BEFORE its checkpoint
+    # marker: the replayed batch must skip the append (txn ledger) and a
+    # re-run compaction must stay row-identical
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "[0-9]*")))
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    assert snap_count(table) == 60
+    ch = read_changes(spark, table, since=-1)
+    assert ch.filter("_change_type = 'insert'").count() == 60
+    got = {
+        (r["k"], r["v"])
+        for r in ch.filter("_change_type = 'insert'").collect()
+    }
+    assert got == {(i, f"row{i}") for i in range(60)}
+
+
 def test_lakehouse_loop_stream_in_cdf_out(spark, tmp_path):
     """The full lakehouse loop: a file stream ingests into a snapshot
     table exactly-once (snapsink, change_feed recorded), and a second
