@@ -544,10 +544,51 @@ def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
     return n
 
 
+def _to_offset_vals(seqs_raw: list, rep: list) -> list:
+    """Convert raw (ll, offset, ml) triples to (ll, Offset_Value, ml),
+    emitting repeat-offset codes (values 1-3) when the offset hits the
+    frame's repeat history — on structured text (jsonl records with a
+    fixed skeleton) most matches reuse the last offset, and a repeat
+    code costs 0-1 extra bits instead of ~log2(offset).  ``rep`` is
+    mutated to mirror ``zstdcodec._execute``'s update algebra exactly;
+    the caller owns transactionality (pass a copy if the block may fall
+    back to a rendering that drops these sequences)."""
+    out = []
+    for ll, off, ml in seqs_raw:
+        if ll > 0:
+            if off == rep[0]:
+                ov = 1
+            elif off == rep[1]:
+                ov = 2
+            elif off == rep[2]:
+                ov = 3
+            else:
+                ov = off + 3
+        else:
+            if off == rep[1]:
+                ov = 1
+            elif off == rep[2]:
+                ov = 2
+            else:  # the ll==0 value-3 slot means rep[0]-1; not worth it
+                ov = off + 3
+        if ov > 3:
+            rep[:] = [off, rep[0], rep[1]]
+        else:
+            idx = ov - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep[:] = [off, rep[0], rep[2]]
+            elif idx == 2:
+                rep[:] = [off, rep[0], rep[1]]
+            # idx == 0: history unchanged
+        out.append((ll, ov, ml))
+    return out
+
+
 def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
     """Greedy parse of ``data[base:end]``; ``table`` maps a 4-byte hash
     to its most recent position frame-wide, so matches may reach into
-    earlier blocks.  Returns (sequences, literals) for this block."""
+    earlier blocks.  Returns raw (ll, offset, ml) sequences and the
+    block's literals."""
     seqs: list = []
     lits = bytearray()
     i = base
@@ -569,7 +610,7 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
                 i += 1
                 continue
             lits += data[anchor:i]
-            seqs.append((i - anchor, (i - cand) + 3, mlen))
+            seqs.append((i - anchor, i - cand, mlen))
             # seed a couple of in-match positions so long repeats keep
             # finding fresh (closer) candidates
             if mlen > 8:
@@ -617,6 +658,7 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
         out += (1).to_bytes(3, "little")  # last raw block, size 0
     else:
         table: dict = {}
+        rep = [1, 4, 8]  # frame-level repeat-offset history
         pos = 0
         while pos < n:
             chunk_end = min(pos + _BLOCK_MAX, n)
@@ -626,8 +668,11 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
                 out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
                 out.append(chunk[0])
             else:
-                seqs, lits = _lz_parse(data, pos, chunk_end, table)
+                seqs_raw, lits = _lz_parse(data, pos, chunk_end, table)
+                new_rep = list(rep)
+                seqs = _to_offset_vals(seqs_raw, new_rep)
                 body = _literals_section(lits) + _encode_sequences(seqs)
+                used_seqs = True
                 if seqs:
                     # alternative rendering: the whole chunk as Huffman
                     # literals with zero sequences — wins when the "LZ"
@@ -635,11 +680,16 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
                     flat = _huf_literals(chunk)
                     if flat is not None and len(flat) + 1 < len(body):
                         body = flat + b"\x00"
+                        used_seqs = False
                 if len(body) < len(chunk):
                     out += ((len(body) << 3) | (2 << 1) | last).to_bytes(
                         3, "little"
                     )
                     out += body
+                    if used_seqs:
+                        # the decoder will replay these sequences; its
+                        # repeat history moves with them
+                        rep = new_rep
                 else:
                     out += ((len(chunk) << 3) | last).to_bytes(3, "little")
                     out += chunk

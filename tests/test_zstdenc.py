@@ -178,6 +178,48 @@ def test_sequences_section_roundtrip_against_decoder():
         assert got == seqs, f"trial {trial}"
 
 
+def test_repeat_offset_algebra_matches_decoder_execute():
+    """_to_offset_vals must be the exact inverse of _execute's repeat
+    history: expanding (literals, converted sequences) through the
+    decoder's executor reproduces the same bytes as direct expansion of
+    the raw (ll, offset, ml) triples — across ll==0 cases, reused
+    offsets, and history rotation."""
+    from event_stream_spark.sources.zstdcodec import _execute, _FrameCtx
+    from event_stream_spark.sources.zstdenc import _to_offset_vals
+
+    r = random.Random(31)
+    for trial in range(50):
+        # build a self-consistent stream: literals + matches into history
+        lits = bytearray()
+        out_ref = bytearray(b"seed-bytes-0123456789")
+        raw = []
+        lit_pool = bytes(r.choices(b"xyzw", k=4000))
+        lp = 0
+        offsets = []
+        for _ in range(r.randrange(1, 40)):
+            ll = r.choice([0, 0, 1, 3, 17])
+            chunk = lit_pool[lp : lp + ll]
+            lp += ll
+            lits += chunk
+            out_ref += chunk
+            if offsets and r.random() < 0.6:
+                off = r.choice(offsets[-3:])  # exercise the rep slots
+            else:
+                off = r.randrange(1, len(out_ref))
+            ml = r.randrange(3, 40)
+            start = len(out_ref) - off
+            for k in range(ml):
+                out_ref.append(out_ref[start + k])
+            raw.append((ll, off, ml))
+            offsets.append(off)
+        seqs = _to_offset_vals(list(raw), [1, 4, 8])
+        assert any(ov <= 3 for _, ov, _ in seqs) or len(raw) < 3
+        ctx = _FrameCtx()
+        got = bytearray(b"seed-bytes-0123456789")
+        _execute(bytes(lits), seqs, ctx, got)
+        assert got == out_ref, f"trial {trial}"
+
+
 def test_fuzz_roundtrip_structured():
     def gen(seed):
         rr = random.Random(seed)
