@@ -834,8 +834,10 @@ def q32(spark, sf):
 def fuzzy_match_q(spark, sf):
     """Entity resolution: every 100th customer name probed against the full
     customer master for edit-distance ≤ 1 matches (``operators/fuzzy.py``,
-    PassJoin segment blocking — candidates from an equi-join on verbatim
-    segments, never |probe|×|master| levenshtein).
+    deletion-neighborhood blocking — candidates from an equi-join on
+    ≤k-deletion strings, never |probe|×|master| levenshtein; serial-number
+    name shapes like ``Customer#000…`` stay output-sensitive where segment
+    blocking would mega-bucket on the constant prefix).
 
     The DuckDB oracle IS the brute-force all-pairs levenshtein join, so the
     hash-match doubles as a completeness proof for the blocking.

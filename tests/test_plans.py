@@ -489,8 +489,7 @@ def test_q32_star_schema_broadcasts_dims(spark):
 def test_fuzzy_match_broadcasts_probe_keys(spark):
     """fuzzy_match with broadcast_probes=True: the probe key set broadcasts —
     the master is never shuffled for candidate generation, and no
-    nested-loop join appears (the short-master completeness path is
-    length-blocked into hash joins)."""
+    nested-loop join appears."""
     from event_stream_spark.queries import fuzzy_match_q
 
     p = plan(fuzzy_match_q(spark, SF_CORRECT))
@@ -499,10 +498,11 @@ def test_fuzzy_match_broadcasts_probe_keys(spark):
 
 
 def test_fuzzy_match_big_probe_has_no_forced_broadcast(spark):
-    """Default broadcast_probes=None must not force the probe-key broadcast:
-    the only hint in the analyzed plan is the provably-bounded short-text
-    relation, so a huge probe batch can degrade to sort-merge instead of
-    OOMing the driver (hint hygiene, VERDICT r3 item 2)."""
+    """Default broadcast_probes=None must not force the probe-key broadcast
+    (hint hygiene, VERDICT r3 item 2): deletion blocking carries no hints
+    at all by default; PassJoin blocking's only hint is the
+    provably-bounded short-text relation.  Either way a huge probe batch
+    can degrade to sort-merge instead of OOMing the driver."""
     from event_stream_spark.operators.fuzzy import fuzzy_match
     from event_stream_spark.queries import t
 
@@ -515,9 +515,41 @@ def test_fuzzy_match_big_probe_has_no_forced_broadcast(spark):
     forced = fuzzy_match(
         c, c, text="c_name", key="c_custkey", k=1, broadcast_probes=True
     )
-    assert hints(free) == 1  # short-master bounded-domain broadcast only
-    assert hints(forced) == 2  # + the explicit probe-key broadcast
+    assert hints(free) == 0  # deletion blocking: no hint unless asserted
+    assert hints(forced) == 1  # the explicit probe-neighborhood broadcast
     assert "Cartesian" not in plan(free) and "NestedLoop" not in plan(free)
+    free_pj = fuzzy_match(
+        c, c, text="c_name", key="c_custkey", k=1, blocking="passjoin"
+    )
+    forced_pj = fuzzy_match(
+        c, c, text="c_name", key="c_custkey", k=1,
+        broadcast_probes=True, blocking="passjoin",
+    )
+    assert hints(free_pj) == 1  # short-master bounded-domain broadcast only
+    assert hints(forced_pj) == 2  # + the explicit probe-key broadcast
+    assert "Cartesian" not in plan(free_pj) and "NestedLoop" not in plan(free_pj)
+
+
+def test_fuzzy_match_deletion_blocking_is_hash_join_on_delstr(spark):
+    """The deletion-neighborhood path: candidates come from ONE equi-join
+    on the neighborhood string (codegen transform/explode, no UDF, no
+    nested loop), so a corpus of serial-number-shaped keys cannot create
+    a constant-segment mega-bucket — the failure that made PassJoin
+    quadratic on TPC-H names at sf1 (15+ min → ~10 s)."""
+    from event_stream_spark.operators.fuzzy import fuzzy_match
+    from event_stream_spark.queries import t
+
+    c = t(spark, SF_CORRECT, "customer").select("c_custkey", "c_name")
+    p = plan(
+        fuzzy_match(
+            c, c.limit(50), text="c_name", key="c_custkey",
+            k=1, broadcast_probes=True,
+        )
+    )
+    assert "BroadcastHashJoin" in p
+    assert "delstr" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_corpus_shuffle_rank_is_bucket_partitioned(spark):

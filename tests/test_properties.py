@@ -192,10 +192,11 @@ def _lev(a: str, b: str) -> int:
 
 def test_fuzzy_match_exhaustive_small_domain(spark):
     """Completeness proof over an EXHAUSTIVE domain: every string of length
-    0..3 over {a, b} as both master and probe, k in {1, 2} — the PassJoin
-    blocking plus the short-string path must reproduce the brute-force
-    levenshtein pair set exactly (the ADVICE-r3 short-string omission class
-    cannot hide in an exhaustive sweep)."""
+    0..3 over {a, b} as both master and probe, k in {1, 2}, under BOTH
+    blocking schemes — deletion neighborhoods (the default for k ≤ 2) and
+    PassJoin segments + the short-string path — each must reproduce the
+    brute-force levenshtein pair set exactly (the ADVICE-r3 short-string
+    omission class cannot hide in an exhaustive sweep)."""
     from itertools import product
 
     from event_stream_spark.operators.fuzzy import fuzzy_match
@@ -206,17 +207,20 @@ def test_fuzzy_match_exhaustive_small_domain(spark):
     rows = list(enumerate(strings))
     df = spark.createDataFrame(rows, "id long, s string")
     for k in (1, 2):
-        got = sorted(
-            (r.p_key, r.m_key, r.dist)
-            for r in fuzzy_match(df, df, text="s", key="id", k=k).collect()
-        )
         want = sorted(
             (pi, mi, _lev(ps, ms))
             for pi, ps in rows
             for mi, ms in rows
             if pi != mi and _lev(ps, ms) <= k
         )
-        assert got == want, f"k={k}"
+        for blocking in ("deletion", "passjoin"):
+            got = sorted(
+                (r.p_key, r.m_key, r.dist)
+                for r in fuzzy_match(
+                    df, df, text="s", key="id", k=k, blocking=blocking
+                ).collect()
+            )
+            assert got == want, f"k={k} blocking={blocking}"
 
 
 # --- retrieval / graph family vs independent pure-python references ------
