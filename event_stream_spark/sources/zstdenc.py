@@ -595,10 +595,18 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
     anchor = base
     last_start = end - _MIN_MATCH
     get = table.get
+    # the table key is the exact little-endian u32 at each position,
+    # maintained as a rolling register (one byte index + shifts per step
+    # instead of a bytes slice — measured ~2x on the whole parse); exact
+    # keys also mean a candidate always matches its 4 bytes, no re-check
+    kv = int.from_bytes(data[i : i + 4], "little") if i <= last_start else 0
+    fresh = True  # kv is valid for position i
     while i <= last_start:
-        key = data[i : i + _MIN_MATCH]
-        cand = get(key)
-        table[key] = i
+        if not fresh:
+            kv = int.from_bytes(data[i : i + 4], "little")
+            fresh = True
+        cand = get(kv)
+        table[kv] = i
         if cand is not None and i - cand <= _MAX_OFFSET:
             mlen = _MIN_MATCH + _match_len(
                 data, cand + _MIN_MATCH, i + _MIN_MATCH, end - i - _MIN_MATCH
@@ -608,6 +616,8 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
                 # than 4 literals on entropy-skewed text (small alphabets
                 # collide on 4-grams constantly) — skip it
                 i += 1
+                if i <= last_start:
+                    kv = (kv >> 8) | (data[i + 3] << 24)
                 continue
             lits += data[anchor:i]
             seqs.append((i - anchor, i - cand, mlen))
@@ -616,14 +626,17 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
             if mlen > 8:
                 mid = i + (mlen >> 1)
                 if mid <= last_start:
-                    table[data[mid : mid + _MIN_MATCH]] = mid
+                    table[int.from_bytes(data[mid : mid + 4], "little")] = mid
             i += mlen
             if i - _MIN_MATCH <= last_start and i - _MIN_MATCH > cand:
                 tail = i - _MIN_MATCH
-                table[data[tail : tail + _MIN_MATCH]] = tail
+                table[int.from_bytes(data[tail : tail + 4], "little")] = tail
             anchor = i
+            fresh = False
         else:
             i += 1
+            if i <= last_start:
+                kv = (kv >> 8) | (data[i + 3] << 24)
     lits += data[anchor:end]
     return seqs, bytes(lits)
 

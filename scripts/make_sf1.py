@@ -8,11 +8,14 @@ dimensions, exactly TPC-H's scaling model):
 
 - fact/dim keys shift by replica * (max_key + 1) consistently across
   tables (orders.o_custkey moves with customer.c_custkey, etc.);
-- ``documents``: replica k > 0 suffixes every token with ``r{k}`` — ten
-  corpora of the ORIGINAL's internal duplicate/near-dup structure with
-  no cross-replica similarity (replicating text verbatim would make
-  every doc a 10-way exact dup and quadratically explode the dedup
-  lanes — the wrong scaling model for a 10x-bigger crawl);
+- ``documents``: replica k > 0 applies a character substitution cipher
+  (rotate a-z/A-Z/0-9 by k) — ten corpora of the ORIGINAL's internal
+  duplicate/near-dup structure (a bijection preserves all substring
+  equalities) with no cross-replica similarity down to the char-gram
+  level (replicating text verbatim — or salting only at token
+  boundaries — leaves cross-replica grams equal and quadratically
+  explodes the dedup/LCS lanes — the wrong scaling model for a
+  10x-bigger crawl);
 - ``embeddings``: replica k permutes the 64 dims with seed k — norms
   and within-replica geometry intact, cross-replica clusters broken
   (verbatim copies would 10x the exact-dup vector count);
@@ -35,7 +38,7 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/es_sf1_v1")
 REPLICAS = 10
-_TAG = "v1"
+_TAG = "v2"
 
 #: key columns shifted per replica, grouped by the entity whose max
 #: defines the stride (so foreign keys move with their parents)
@@ -71,11 +74,31 @@ def _shift_map(table_name: str, strides: dict[str, int]) -> dict[str, int]:
 
 
 def _salt_texts(texts: list, k: int) -> tuple[list, list]:
+    """Per-replica character substitution cipher (rotate within a-z, A-Z,
+    0-9 by k).
+
+    A bijection on the alphabet preserves EVERY within-replica substring
+    equality and inequality — the replica's internal dup/near-dup
+    structure is carried over exactly — while making any cross-replica
+    character-gram containing a letter or digit unequal by construction.
+    The earlier token-SUFFIX salt failed that goal for char-gram lanes:
+    20-char grams inside long tokens carry no salt, so gram document
+    frequencies merged across replicas (measured: 84M lcs_pairs
+    nominations at sf1 vs 670k at sf0.1, a 125x blowup that filled the
+    sandbox disk with shuffle spill; with the cipher, cross-replica gram
+    equality is structurally impossible outside all-punctuation runs)."""
+    import string
+
+    r = k % 26
+    d = k % 10
+    lo, up, dg = string.ascii_lowercase, string.ascii_uppercase, string.digits
+    tr = str.maketrans(
+        lo + up + dg,
+        lo[r:] + lo[:r] + up[r:] + up[:r] + dg[d:] + dg[:d],
+    )
     salted, n_chars = [], []
-    suffix = f"r{k}"
     for t in texts:
-        t = t or ""
-        s = " ".join(w + suffix for w in t.split())
+        s = (t or "").translate(tr)
         salted.append(s)
         n_chars.append(len(s))
     return salted, n_chars
