@@ -45,7 +45,9 @@ _CK_MOD = (1 << 61) - 1
 
 
 def _shard_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_tokshards_{_BUILD_TAG}_{key}")
 
 

@@ -26,7 +26,9 @@ _SHARDS = 4
 
 
 def _dump_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_jsonlzst_{_BUILD_TAG}_{key}")
 
 
@@ -82,7 +84,9 @@ INGEST_JSONL_ZST_SQL = """
 
 
 def _zstc_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_zstc_{_BUILD_TAG}_{key}")
 
 
@@ -150,7 +154,9 @@ _WARC_SHARDS = 3
 
 
 def _warc_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_warc_{_BUILD_TAG}_{key}")
 
 
@@ -220,7 +226,9 @@ INGEST_WARC_SQL = """
 
 
 def _wds_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_wds_{_BUILD_TAG}_{key}")
 
 

@@ -36,7 +36,9 @@ _BUILD_TAG = "v1"
 
 
 def _table_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_snapchanges_{_BUILD_TAG}_{key}")
 
 
@@ -139,7 +141,9 @@ _RESTORE_TAG = "v1"
 
 
 def _restore_table_dir(sf: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_snaprestore_{_RESTORE_TAG}_{key}")
 
 

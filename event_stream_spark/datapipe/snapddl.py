@@ -26,7 +26,9 @@ _JOIN_TAG = "v1"
 
 
 def _dir(sf: str, kind: str, tag: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    from event_stream_spark.datapipe.fixutil import fixture_key
+
+    key = fixture_key(sf)
     return os.path.join("/tmp", f"es_{kind}_{tag}_{key}")
 
 
