@@ -1213,13 +1213,33 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     g = _char_grams(spark, sf)
-    # phase 1: rare cross-doc grams nominate candidate pairs
+    dfreq = g.groupBy("g").agg(F.countDistinct("doc_id").alias("_nd"))
     rare = (
-        g.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= LCS_MAX_GRAM_DOCS))
-        .select("g")
+        dfreq.filter(
+            (F.col("_nd") >= 2) & (F.col("_nd") <= LCS_MAX_GRAM_DOCS)
+        ).select("g")
     )
+    # phase 2a: position matches on NOMINATION-BAND grams (2 ≤ df ≤ cap).
+    # Any pair sharing such a gram is nominated by construction, so no
+    # candidate join is needed — this is a direct gram-keyed self-join
+    # whose output is Σ_g occ², i.e. exactly the matches that exist
+    # (measured at sf1: ~18M rows, vs 919M for the former
+    # candidates × all-grams-of-a formulation, whose shuffle spill
+    # filled the sandbox disk)
+    low = g.join(rare, "g")
+    m1 = (
+        low.select(F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g")
+        .join(
+            low.select(F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g"),
+            "g",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ia", (F.col("ia") - F.col("jb")).alias("diag"))
+    )
+    # phase 2b: >-cap BOILERPLATE grams never nominate, but must still
+    # extend runs of nominated pairs (the lcs_len-exactness contract) —
+    # only these few grams pay the candidates × occurrences join
+    high = dfreq.filter(F.col("_nd") > LCS_MAX_GRAM_DOCS).select("g")
     rocc = g.join(rare, "g").select("doc_id", "g").distinct()
     cand = (
         rocc.select(F.col("doc_id").alias("a"), "g")
@@ -1228,14 +1248,19 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    # phase 2: ALL gram occurrences of just the nominated pairs
-    a = g.select(F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g")
-    b = g.select(F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g")
-    m = (
-        cand.join(a, "a")
-        .join(b, ["b", "g"])
+    hi = g.join(high, "g")
+    m2 = (
+        cand.join(
+            hi.select(F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g"),
+            "a",
+        )
+        .join(
+            hi.select(F.col("doc_id").alias("b"), F.col("pos").alias("jb"), "g"),
+            ["b", "g"],
+        )
         .select("a", "b", "ia", (F.col("ia") - F.col("jb")).alias("diag"))
     )
+    m = m1.unionByName(m2)
     w = Window.partitionBy("a", "b", "diag").orderBy("ia")
     runs = (
         m.select(
