@@ -597,8 +597,8 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
     get = table.get
     # the table key is the exact little-endian u32 at each position,
     # maintained as a rolling register (one byte index + shifts per step
-    # instead of a bytes slice — measured ~2x on the whole parse); exact
-    # keys also mean a candidate always matches its 4 bytes, no re-check
+    # instead of a bytes-slice allocation); exact keys mean a candidate
+    # always matches its 4 bytes, no re-check
     kv = int.from_bytes(data[i : i + 4], "little") if i <= last_start else 0
     fresh = True  # kv is valid for position i
     while i <= last_start:
