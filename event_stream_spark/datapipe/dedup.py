@@ -247,6 +247,171 @@ DEDUP_CLUSTERS_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# one-permutation hashing (OPH) minhash — K× less hash work per shingle
+# ---------------------------------------------------------------------------
+
+_OPH_K = 16
+_OPH_BANDS = 4
+_OPH_ROWS = 4
+#: densification offset: a bin borrowed from distance t carries +t·C, so
+#: borrowed values from different distances can never collide with
+#: genuine minima (h < 2^32 < C) or with each other
+_OPH_C = 1 << 33
+
+
+def minhash_oph_pairs(
+    spark: SparkSession, sf: str, *, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs via ONE-permutation minhash (Li, Owen, Zhang, NIPS
+    2012) with rotation densification (Shrivastava & Li, ICML 2014).
+
+    The classic signature (``minhash_lsh_pairs``) computes K universal
+    hashes per shingle — at 10¹⁰ docs × ~10² shingles the K× multiply-mod
+    term IS the dedup CPU bill.  OPH computes ONE hash per shingle and
+    uses it as both the bin selector (h mod K) and the permutation value:
+    the signature is the per-bin minimum, i.e. one conditional-min
+    aggregate instead of K hash passes.  Bins left empty (short docs)
+    borrow the nearest non-empty bin to the right, circularly, at
+    ``+t·_OPH_C`` per borrowed distance — the Shrivastava–Li rotation
+    scheme, which restores the collision-probability estimate unbiasedly.
+
+    Banding, bucket join, and EXACT-jaccard verification are identical to
+    the classic path, so precision is exact by construction; only recall
+    depends on the sketch.  The DuckDB oracle replays every hash, bin,
+    densification offset, and band key bit-for-bit.
+    """
+    from event_stream_spark.datapipe.text import doc_shingles
+
+    k = _OPH_K
+    shg = doc_shingles(spark, sf, 3)
+    base = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = shg.select("doc_id", base.alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") % k == j, F.col("h"))).alias(f"s{j}")
+            for j in range(k)
+        ]
+    )
+    dense = mins.select(
+        "doc_id",
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"s{(j + t) % k}") + F.lit(t * _OPH_C)
+                    for t in range(k)
+                ]
+            ).alias(f"d{j}")
+            for j in range(k)
+        ],
+    )
+    bands = dense.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"d{b * _OPH_ROWS + r}").cast("string")
+                            for r in range(_OPH_ROWS)
+                        ],
+                    )
+                    for b in range(_OPH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    e1 = bands.alias("e1")
+    e2 = bands.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.band_id") == F.col("e2.band_id"))
+            & (F.col("e1.band_key") == F.col("e2.band_key"))
+            & (F.col("e1.doc_id") < F.col("e2.doc_id")),
+        )
+        .select(F.col("e1.doc_id").alias("a"), F.col("e2.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, shg, threshold)
+
+
+def dedup_minhash_oph(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_oph_pairs(spark, sf, threshold=0.5)
+
+
+# the oracle twin, generated from the SAME constants so the two engines
+# cannot drift: conditional-min bins, rotation densification, band keys
+_OPH_MINS_SQL = ",\n               ".join(
+    f"min(CASE WHEN h % {_OPH_K} = {j} THEN h END) AS s{j}"
+    for j in range(_OPH_K)
+)
+_OPH_DENSE_SQL = ",\n               ".join(
+    "coalesce("
+    + ", ".join(
+        f"s{(j + t) % _OPH_K} + {t * _OPH_C}" for t in range(_OPH_K)
+    )
+    + f") AS d{j}"
+    for j in range(_OPH_K)
+)
+_OPH_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(
+        f"d{b * _OPH_ROWS + r}::VARCHAR" for r in range(_OPH_ROWS)
+    )
+    + " AS band_key FROM dense"
+    for b in range(_OPH_BANDS)
+)
+
+DEDUP_MINHASH_OPH_SQL = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+              FROM documents)
+        WHERE len(ws) >= 3
+    ),
+    hrows AS (
+        SELECT doc_id,
+               unnest(list_transform(shg,
+                 x -> ('0x' || substring(md5(x), 1, 8))::BIGINT)) AS h
+        FROM docs
+    ),
+    mins AS (
+        SELECT doc_id, {_OPH_MINS_SQL}
+        FROM hrows GROUP BY doc_id
+    ),
+    dense AS (
+        SELECT doc_id, {_OPH_DENSE_SQL}
+        FROM mins
+    ),
+    bands AS (
+        {_OPH_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+        FROM bands e1 JOIN bands e2
+          ON e1.band_id = e2.band_id AND e1.band_key = e2.band_key
+         AND e1.doc_id < e2.doc_id
+    ),
+    pairs AS (
+        SELECT a, b,
+               round(len(list_intersect(da.shg, db.shg))::DOUBLE /
+                     (len(da.shg) + len(db.shg) - len(list_intersect(da.shg, db.shg))), 6) AS jacc
+        FROM cand
+        JOIN docs da ON da.doc_id = a
+        JOIN docs db ON db.doc_id = b
+        WHERE jacc >= 0.5
+    )
+    SELECT a, b, jacc FROM pairs ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,52 @@ def test_minhash_finds_near_dup(spark, dup_corpus):
     assert all(a != 4 and b != 4 for (a, b) in pairs if (a, b) != (4, 5))
 
 
+def test_minhash_oph_finds_near_dups(spark, dup_corpus):
+    """One-permutation minhash: finds the planted exact dup and near-dup
+    with the same exact-jaccard verification contract as the classic
+    K-hash path (precision is structural; only recall rides the sketch)."""
+    from event_stream_spark.datapipe import minhash_oph_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["jacc"]
+        for r in minhash_oph_pairs(spark, dup_corpus, threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert all(j >= 0.4 for j in pairs.values())
+
+
+def test_oph_densification_algebra(spark):
+    """Rotation densification: an empty bin borrows the nearest non-empty
+    bin to its RIGHT circularly at +t*C per borrowed distance — checked
+    directly on crafted sparse bins."""
+    from event_stream_spark.datapipe.dedup import _OPH_C, _OPH_K
+
+    from pyspark.sql import functions as F
+
+    # only bins 3 and 10 occupied
+    vals = {3: 111, 10: 222}
+    row = [(0, *[vals.get(j) for j in range(_OPH_K)])]
+    cols = ", ".join(f"s{j} long" for j in range(_OPH_K))
+    df = spark.createDataFrame(row, f"doc_id long, {cols}")
+    dense = df.select(
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"s{(j + t) % _OPH_K}") + F.lit(t * _OPH_C)
+                    for t in range(_OPH_K)
+                ]
+            ).alias(f"d{j}")
+            for j in range(_OPH_K)
+        ]
+    ).collect()[0]
+    # bin 0 borrows bin 3 at distance 3; bin 4 borrows bin 10 at 6;
+    # bin 11 wraps to bin 3 at distance 8
+    assert dense["d3"] == 111 and dense["d10"] == 222
+    assert dense["d0"] == 111 + 3 * _OPH_C
+    assert dense["d4"] == 222 + 6 * _OPH_C
+    assert dense["d11"] == 111 + 8 * _OPH_C
+
+
 def test_simhash_near_pairs(spark, dup_corpus):
     from event_stream_spark.datapipe import simhash_near_pairs
 
