@@ -274,3 +274,122 @@ FROM live f JOIN dim d ON f.fk = d.pk
 GROUP BY f.id, f.fk, f.v, d.pk, d.attr
 ORDER BY id, pk
 """
+
+
+# ---------------------------------------------------------------------------
+# snap_branch — branch / diverge / merge, with conflict detection witnessed
+# ---------------------------------------------------------------------------
+
+_BRANCH_TAG = "v1"
+
+
+def _build_branch(spark: SparkSession, sf: str) -> str:
+    """Deterministic branch-and-merge script:
+
+    * main snap 0 — append ``doc_id % 3 == 0`` as (doc_id, val);
+    * branch "exp" cut at snap 0; ON THE BRANCH: ``delete_where
+      (doc_id % 9 == 0)`` (copy-on-write rewrite of the base file),
+      then append ``% 3 == 1`` with val + 5000;
+    * main moves independently: append ``% 3 == 2`` with val + 7000;
+    * ``merge_branch(exp)`` — three-way merge lands the branch's delete
+      AND appends onto the moved main;
+    * (blocked) — a second branch "bad" ALSO cut at snap 0 that deletes
+      from the same base file must raise MergeConflict after the first
+      merge rewrote it; the fixture refuses to publish otherwise.
+    """
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources.snapbranch import (
+        MergeConflict,
+        create_branch,
+        merge_branch,
+    )
+
+    table = _dir(sf, "snapbranch", _BRANCH_TAG)
+    marker = os.path.join(table, "_built")
+    if os.path.exists(marker) and snaplog.snapshots(table) == [0, 1, 2]:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(table + "@exp", ignore_errors=True)
+    shutil.rmtree(table + "@bad", ignore_errors=True)
+    base = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("val")
+    )
+    snaplog.commit(base.filter(F.col("doc_id") % 3 == 0), table)
+    bt = create_branch(table, "exp")
+    create_branch(table, "bad")
+    snaplog.delete_where(spark, bt, "doc_id % 9 = 0")
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 == 1).withColumn(
+            "val", F.col("val") + 5000
+        ),
+        bt,
+    )
+    snaplog.commit(
+        base.filter(F.col("doc_id") % 3 == 2).withColumn(
+            "val", F.col("val") + 7000
+        ),
+        table,
+    )
+    merge_branch(spark, table, "exp")
+    snaplog.delete_where(spark, table + "@bad", "doc_id % 9 = 3")
+    try:
+        merge_branch(spark, table, "bad")
+    except MergeConflict:
+        pass  # required: the base file was rewritten by the first merge
+    else:
+        raise RuntimeError(
+            "merge conflict did NOT fire — snap_branch refuses to publish "
+            "a green-looking history"
+        )
+    with open(marker, "w") as fh:
+        fh.write(_BRANCH_TAG)
+    return table
+
+
+def snap_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-witnessed branch/merge proof: the post-merge main state —
+    branch-deleted keys absent, branch appends present (+5000), main's
+    independent appends present (+7000) — with the pre-merge main head
+    joined per key so the hash also pins what main looked like BEFORE the
+    merge (the isolation claim).  The conflicting second merge must have
+    raised for this relation to exist at all."""
+    from event_stream_spark.sources import snaplog
+
+    table = _build_branch(spark, sf)
+    cur = snaplog.read_snapshot(spark, table)
+    pre = snaplog.read_snapshot(spark, table, snapshot=1).select(
+        "doc_id", F.col("val").alias("val_pre_merge")
+    )
+    return (
+        cur.join(pre, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("val").cast("long").alias("val"),
+            F.col("val_pre_merge").cast("long").alias("val_pre_merge"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNAP_BRANCH_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS val FROM documents
+),
+merged AS (
+    SELECT doc_id, val FROM base WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+    UNION ALL
+    SELECT doc_id, val + 5000 FROM base WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, val + 7000 FROM base WHERE doc_id % 3 = 2
+),
+pre AS (
+    SELECT doc_id, val FROM base WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, val + 7000 FROM base WHERE doc_id % 3 = 2
+)
+SELECT m.doc_id, CAST(m.val AS BIGINT) AS val,
+       CAST(p.val AS BIGINT) AS val_pre_merge
+FROM merged m LEFT JOIN pre p USING (doc_id)
+ORDER BY m.doc_id
+"""

@@ -1,0 +1,217 @@
+"""Data branches over the snapshot log — create, commit, merge.
+
+The Nessie/"Git for data" workflow a training-data pipeline actually
+runs: cut a branch of the corpus table, apply an experimental policy
+(new dedup threshold, different quality cut) with ordinary commits/DML
+on the branch, compare against main, and MERGE when green — main readers
+never observe in-flight experiments.
+
+Built on primitives this log already has:
+
+- ``create_branch`` is a SHALLOW CLONE into ``<table>@<name>`` (zero
+  data copied) whose manifest 0 records the base snapshot — the merge
+  base, exactly a git merge-base;
+- branch commits are ordinary ``snaplog.commit``/DML against the branch
+  path (copy-on-write into the branch's directory: main never sees
+  them);
+- ``merge_branch`` is a three-way FILE-LEVEL merge: the branch's (adds,
+  removes, in-place DV/entry modifications, schema and constraint
+  changes) since base are replayed onto main's head in one atomic
+  commit, conflict-checked the way Delta/Iceberg reconcile concurrent
+  snapshots — a file removed or modified by the branch must be
+  unchanged on main since base, and schema/constraints may change on at
+  most one side (or identically on both).
+
+Merged data files are HARD-LINKED from the branch directory into a
+``data/m{snapshot}-…`` dir under main before the merge commit publishes,
+so dropping a merged branch afterwards can never strand main (the same
+reason clone promotion uses a rewriting compact).  ``read_changes``
+across a merge commit derives insert/delete chunks from the manifest
+diff (the merge records no explicit cdc), so CDF consumers see the
+branch's net effect as ordinary changes.
+
+Provenance: the reference has no table format at all (it streams to
+sinks — es-core BlockSink.kt); branching extends this repo's §2.12
+lakehouse surface alongside time travel, RESTORE, and SHALLOW CLONE.
+"""
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from event_stream_spark.sources.snaplog import (
+    _metadata_commit,
+    _read_manifest,
+    clone,
+    snapshots,
+)
+
+
+class MergeConflict(RuntimeError):
+    """The branch and main both changed the same file/schema since base."""
+
+
+def branch_table(table: str, name: str) -> str:
+    if "@" in name or "/" in name:
+        raise ValueError(f"invalid branch name {name!r}")
+    return f"{table}@{name}"
+
+
+def create_branch(table: str, name: str, *, snapshot: int | None = None) -> str:
+    """Cut branch ``name`` at ``snapshot`` (default: main's head).
+    Returns the branch table path; commit/DML against it as usual."""
+    bt = branch_table(table, name)
+    clone(table, bt, snapshot=snapshot)
+    return bt
+
+
+def list_branches(table: str) -> list[str]:
+    parent = os.path.dirname(os.path.abspath(table)) or "."
+    stem = os.path.basename(os.path.abspath(table)) + "@"
+    if not os.path.isdir(parent):
+        return []
+    from event_stream_spark.sources.snaplog import _LOG
+
+    return sorted(
+        d[len(stem):]
+        for d in os.listdir(parent)
+        if d.startswith(stem)
+        and os.path.isdir(os.path.join(parent, d, _LOG))
+    )
+
+
+def drop_branch(table: str, name: str) -> None:
+    """Delete the branch directory.  Safe after merge (merged files were
+    hard-linked into main) and safe before merge (main never references
+    branch-directory files until a merge publishes)."""
+    import shutil
+
+    shutil.rmtree(branch_table(table, name))
+
+
+def _relink_into_main(table: str, merge_dir: str, entry: dict, bt: str) -> dict:
+    """Hard-link an entry's file (and DV sidecar) into ``merge_dir`` if it
+    lives under the branch directory; return the rewritten entry."""
+    e = dict(entry)
+    bt_abs = os.path.abspath(bt) + os.sep
+    for key in ("path",):
+        p = os.path.abspath(e[key])
+        if p.startswith(bt_abs):
+            os.makedirs(merge_dir, exist_ok=True)
+            dst = os.path.join(merge_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.link(p, dst)
+            e[key] = dst
+    dv = e.get("dv")
+    if dv:
+        p = os.path.abspath(dv["path"])
+        if p.startswith(bt_abs):
+            os.makedirs(merge_dir, exist_ok=True)
+            dst = os.path.join(merge_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.link(p, dst)
+            e["dv"] = {**dv, "path": dst}
+    return e
+
+
+def merge_branch(
+    spark: SparkSession, table: str, name: str, *, max_retries: int = 5
+) -> int:
+    """Three-way merge of branch ``name`` into ``table``'s head; returns
+    the merge commit's snapshot id.  Raises :class:`MergeConflict` when
+    the branch and main changed the same file entry (or both diverged
+    the schema / constraint set) since the branch base."""
+    bt = branch_table(table, name)
+    bids = snapshots(bt)
+    if not bids:
+        raise ValueError(f"no such branch {name!r} on {table!r}")
+    bm = _read_manifest(bt, bids[-1])
+    origin = _read_manifest(bt, 0).get("cloned_from") or {}
+    if os.path.abspath(origin.get("table", "")) != os.path.abspath(table):
+        raise ValueError(f"{bt!r} is not a branch of {table!r}")
+    base = _read_manifest(table, origin["snapshot"])
+
+    base_files = {e["path"]: e for e in base["files"]}
+    branch_files = {e["path"]: e for e in bm["files"]}
+
+    added = [e for p, e in branch_files.items() if p not in base_files]
+    removed = {p for p in base_files if p not in branch_files}
+    modified = {
+        p
+        for p, e in branch_files.items()
+        if p in base_files and e != base_files[p]
+    }
+
+    schema_changed = bm["columns"] != base["columns"]
+    cons_changed = (bm.get("constraints") or {}) != (
+        base.get("constraints") or {}
+    )
+
+    for _ in range(max_retries):
+        head_id = snapshots(table)[-1]
+        head = _read_manifest(table, head_id)
+        head_files = {e["path"]: e for e in head["files"]}
+
+        conflicts = []
+        for p in sorted(removed | modified):
+            if p not in head_files:
+                conflicts.append(f"{p}: removed or rewritten on main")
+            elif head_files[p] != base_files[p]:
+                conflicts.append(f"{p}: modified on both sides")
+        if schema_changed and head["columns"] != base["columns"] and (
+            head["columns"] != bm["columns"]
+        ):
+            conflicts.append("<schema>: diverged on both sides")
+        if cons_changed and (head.get("constraints") or {}) != (
+            base.get("constraints") or {}
+        ) and (head.get("constraints") or {}) != (bm.get("constraints") or {}):
+            conflicts.append("<constraints>: diverged on both sides")
+        if conflicts:
+            raise MergeConflict(
+                f"cannot merge branch {name!r} into {table!r}:\n  "
+                + "\n  ".join(conflicts)
+            )
+
+        # standard c{version}-{token} naming: the CDF reader derives a
+        # file's creation commit from its directory, and merged files are
+        # first referenced at the merge commit (head_id + 1 — pinned via
+        # expected_parent, so a contention retry re-plans the whole diff)
+        merge_dir = os.path.join(
+            table, "data", f"c{head_id + 1:012d}-{uuid.uuid4().hex[:12]}"
+        )
+        drop = removed | modified
+        incoming = [
+            _relink_into_main(table, merge_dir, branch_files[p], bt)
+            for p in sorted(modified)
+        ] + [_relink_into_main(table, merge_dir, e, bt) for e in added]
+
+        def mutate(m: dict) -> None:
+            kept = [e for e in m["files"] if e["path"] not in drop]
+            m["files"] = kept + incoming
+            if schema_changed:
+                m["columns"] = bm["columns"]
+            if cons_changed:
+                if bm.get("constraints"):
+                    m["constraints"] = bm["constraints"]
+                else:
+                    m.pop("constraints", None)
+            m["op"] = "merge_branch"
+            # a merge lands the branch's net data effect on main — the
+            # change feed must surface it (manifest-diff fallback derives
+            # the insert/delete chunks)
+            m["data_change"] = True
+            m["merged_branch"] = {
+                "name": name,
+                "branch_snapshot": bids[-1],
+                "base_snapshot": origin["snapshot"],
+            }
+
+        from event_stream_spark.sources.snaplog import CommitConflict
+
+        try:
+            return _metadata_commit(table, mutate, expected_parent=head_id)
+        except CommitConflict:
+            continue  # head moved: re-diff against the new head and retry
+    raise RuntimeError(f"merge contention: {max_retries} retries exhausted")

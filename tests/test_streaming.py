@@ -2066,6 +2066,101 @@ def test_snapshot_table_dml_roundtrip(spark, tmp_path):
     assert snapshots(table) == [0, 1, 2, 3, 4]
 
 
+def test_snapshot_branch_merge_lifecycle(spark, tmp_path):
+    """Data branches: commits on a branch are invisible to main; a
+    three-way merge lands the branch's net effect (appends AND a
+    copy-on-write delete) onto a main that moved independently; the
+    change feed surfaces merged rows; time travel still sees pre-merge
+    states; dropping the merged branch strands nothing (merged files are
+    hard-linked into main before the merge commit publishes)."""
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        drop_branch,
+        list_branches,
+        merge_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where,
+        read_changes,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+    commit(df(10, 20), table)
+
+    bt = create_branch(table, "exp")
+    assert list_branches(table) == ["exp"]
+    # branch-only work: delete some base rows, append new ones
+    delete_where(spark, bt, "k < 3")
+    commit(df(100, 110), bt)
+    assert {r.k for r in read_snapshot(spark, bt).collect()} == (
+        set(range(3, 20)) | set(range(100, 110))
+    )
+    # main is untouched by branch commits...
+    assert {r.k for r in read_snapshot(spark, table).collect()} == set(range(20))
+    # ...and moves independently (no overlap with the branch's rewrites)
+    commit(df(200, 205), table)
+    pre_merge_head = snapshots(table)[-1]
+
+    m = merge_branch(spark, table, "exp")
+    got = {r.k for r in read_snapshot(spark, table).collect()}
+    assert got == set(range(3, 20)) | set(range(100, 110)) | set(range(200, 205))
+    # time travel: pre-merge main intact
+    pre = {r.k for r in read_snapshot(spark, table, snapshot=pre_merge_head).collect()}
+    assert pre == set(range(20)) | set(range(200, 205))
+    # the change feed carries the merge's net effect as ordinary changes
+    ch = read_changes(spark, table, since=m - 1, until=m)
+    ins = {r.k for r in ch.filter("_change_type = 'insert'").collect()}
+    assert set(range(100, 110)) <= ins
+    dels = {r.k for r in ch.filter("_change_type = 'delete'").collect()}
+    assert {0, 1, 2} <= dels
+    # dropping the merged branch must not strand main's merged files
+    drop_branch(table, "exp")
+    assert list_branches(table) == []
+    assert {r.k for r in read_snapshot(spark, table).collect()} == got
+
+
+def test_snapshot_branch_merge_conflicts(spark, tmp_path):
+    """Merge conflict detection: a file rewritten on BOTH sides since the
+    base refuses to merge; schema diverging on both sides refuses; a
+    branch-only constraint merges and is enforced on main afterwards."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snapbranch import (
+        MergeConflict,
+        create_branch,
+        merge_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        ConstraintViolation,
+        commit,
+        delete_where,
+        set_constraint,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+
+    create_branch(table, "exp")
+    delete_where(spark, table + "@exp", "k = 1")  # branch rewrites the file
+    delete_where(spark, table, "k = 7")  # main rewrites the SAME file
+    with _pytest.raises(MergeConflict, match="removed or rewritten|modified"):
+        merge_branch(spark, table, "exp")
+
+    # branch-only constraint change merges cleanly and binds main
+    create_branch(table, "cons")
+    set_constraint(spark, table + "@cons", "k_nonneg", "k >= 0")
+    merge_branch(spark, table, "cons")
+    with _pytest.raises(ConstraintViolation):
+        commit(spark.createDataFrame([(-5,)], "k long"), table)
+    commit(df(20, 22), table)  # conforming rows still land
+
+
 def test_snaptable_stream_tails_commits(spark, tmp_path):
     """format("snaptable"): a consumer tails a snapshot table — history in
     the first batch, later commits as deltas after a checkpointed restart,
