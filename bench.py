@@ -143,11 +143,30 @@ def main() -> None:
     # dominate at sf0.1 (measured 3-4× on first execution).  Warming at a
     # smaller SF does NOT work: AQE picks different physical plans per scale,
     # so the compiled code differs.
+    def _release_persisted() -> None:
+        """Unpersist RDDs left behind by the previous query.
+
+        Registry entries that build iterative state (the suffix-doubling
+        loop's localCheckpoint pieces, the range-partitioned rank seeds)
+        must keep those blocks alive while their RESULT DataFrame is
+        consumed — so they cannot unpersist before returning, and each
+        completed query strands a few MEMORY_AND_DISK blocks.  In
+        production every job is its own application and the blocks die
+        with it; in this one-session 140+-query harness they accumulate
+        until the storage pool starves execution (measured at sf1:
+        suffix_lrs_full alone runs in ~97 s but OOMed after 140
+        co-resident queries).  Releasing AFTER each materialization
+        charges every query its own build cost and nothing else."""
+        sc = spark.sparkContext
+        for rdd in list(sc._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
     for name in sorted(queries):
         try:
             queries[name](spark, sf_dir).toPandas()
         except Exception:
             pass  # a warm-up failure will resurface, timed, below
+        _release_persisted()
 
     # two timed executions per query, report the min — local[32] timings for
     # sub-second multi-stage jobs jitter ±2× (GC, task scheduling); min-of-N
@@ -170,8 +189,10 @@ def main() -> None:
                 df.toPandas()
             except Exception as exc:  # one broken query must not zero the run
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                _release_persisted()
                 continue
             elapsed = round(time.perf_counter() - start, 6)
+            _release_persisted()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 

@@ -1229,6 +1229,15 @@ def q36(spark, sf):
     rule), not the row count.  The oracle runs the IDENTICAL SQL text in
     DuckDB — both engines speak standard WITH RECURSIVE.
     """
+    # the engine's runaway-recursion valve defaults to 1M TOTAL rows
+    # across iterations — an sf1 orders table legitimately produces more
+    # (the chain relation is ~|orders| x avg chain length).  Scale the
+    # valve with the input instead of disabling it: still finite, still
+    # a backstop against a broken gap rule.
+    rows = t(spark, sf, "orders").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, rows * 20))
+    )
     t(spark, sf, "orders").createOrReplaceTempView("q36_orders")
     return spark.sql(_Q36_BODY.format(orders="q36_orders"))
 
