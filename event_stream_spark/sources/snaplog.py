@@ -1153,6 +1153,25 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
             if f.get("dv"):
                 live_dv.add(f["dv"]["path"])
         live_cdc.update(m.get("cdc") or [])
+    # DATA BRANCHES reference this table's files by this table's paths
+    # (snapbranch: a branch is a shallow clone + divergent commits) —
+    # every snapshot of every live branch pins its files here, or a main
+    # vacuum would silently hole the branch.  Branch directories prune
+    # their own garbage with their own vacuum.
+    parent = os.path.dirname(os.path.abspath(table)) or "."
+    stem = os.path.basename(os.path.abspath(table)) + "@"
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            bdir = os.path.join(parent, d)
+            if d.startswith(stem) and os.path.isdir(
+                os.path.join(bdir, _LOG)
+            ):
+                for bn in snapshots(bdir):
+                    bm = _read_manifest(bdir, bn)
+                    for f in bm["files"]:
+                        live.add(f["path"])
+                        if f.get("dv"):
+                            live_dv.add(f["dv"]["path"])
     removed: list[str] = []
     now = time.time()
     data_root = os.path.join(table, "data")

@@ -2124,6 +2124,34 @@ def test_snapshot_branch_merge_lifecycle(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, table).collect()} == got
 
 
+def test_vacuum_spares_branch_referenced_files(spark, tmp_path):
+    """vacuum on MAIN must treat files referenced by any live branch as
+    live: after main compacts (orphaning its pre-compact files from its
+    own manifests), a vacuum(keep_last=1, ttl=0) may not delete the files
+    the branch still reads; dropping the branch then frees them."""
+    from event_stream_spark.sources.snapbranch import create_branch, drop_branch
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        compact,
+        read_snapshot,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+    bt = create_branch(table, "exp")
+    # main rewrites everything: its old files become main-unreachable
+    compact(spark, table, target_files=1)
+    removed = vacuum(table, keep_last=1, tmp_ttl_s=0.0)
+    assert removed == []  # the branch still references the originals
+    assert {r.k for r in read_snapshot(spark, bt).collect()} == set(range(10))
+    drop_branch(table, "exp")
+    removed = vacuum(table, keep_last=1, tmp_ttl_s=0.0)
+    assert removed  # now truly dead
+    assert {r.k for r in read_snapshot(spark, table).collect()} == set(range(10))
+
+
 def test_snapshot_branch_merge_conflicts(spark, tmp_path):
     """Merge conflict detection: a file rewritten on BOTH sides since the
     base refuses to merge; schema diverging on both sides refuses; a
