@@ -219,9 +219,11 @@ def main() -> None:
     # line still gets the per-query map.
     print(json.dumps(out))
     # durable full record beside the script (the stdout capture is lossy);
-    # subset runs (bisection or --isolated child chunks) must not clobber
-    # the full-registry record
-    if not only:
+    # subset runs (bisection or --isolated child chunks) and runs at a
+    # NON-DEFAULT sf dir (e.g. the synthetic-sf1 sweep, which records to
+    # BENCH_SF1.json by hand) must not clobber the sf0.1 record
+    default_dir = os.path.realpath("/root/testdata/sf0.1")
+    if not only and os.path.realpath(sf_dir) == default_dir:
         try:
             path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_LOCAL.json")

@@ -1,6 +1,7 @@
 """Driver-witnessable proofs for the round-8 lakehouse features:
-COLUMN MAPPING (rename/drop as metadata commits) and INCREMENTAL
-JOIN-VIEW MAINTENANCE over dual change feeds.
+COLUMN MAPPING (rename/drop as metadata commits), INCREMENTAL
+JOIN-VIEW MAINTENANCE over dual change feeds, and DATA BRANCHES
+(create/diverge/three-way merge with conflict detection).
 
 Like ``snapchanges.py``, each entry replays a deterministic DML script
 derived from the sf dir's ``documents`` table (marker-guarded fixture
