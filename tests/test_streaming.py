@@ -2124,6 +2124,46 @@ def test_snapshot_branch_merge_lifecycle(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, table).collect()} == got
 
 
+def test_concurrent_branch_merges_serialize(spark, tmp_path):
+    """Two non-conflicting branches merged CONCURRENTLY: the loser of the
+    snapshot-claim race re-diffs against the new head and retries
+    (expected_parent + CommitConflict), so both merges land and the final
+    state is base ∪ A ∪ B with exactly two merge commits."""
+    import threading
+
+    from event_stream_spark.sources.snapbranch import create_branch, merge_branch
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+    for name, lo in (("a", 100), ("b", 200)):
+        bt = create_branch(table, name)
+        commit(df(lo, lo + 5), bt)
+
+    errs: list = []
+
+    def do_merge(name):
+        try:
+            merge_branch(spark, table, name)
+        except Exception as exc:  # surfaces in the main thread
+            errs.append((name, exc))
+
+    ts = [threading.Thread(target=do_merge, args=(n,)) for n in ("a", "b")]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    got = {r.k for r in read_snapshot(spark, table).collect()}
+    assert got == set(range(10)) | set(range(100, 105)) | set(range(200, 205))
+    assert len(snapshots(table)) == 3  # base + two serialized merges
+
+
 def test_vacuum_spares_branch_referenced_files(spark, tmp_path):
     """vacuum on MAIN must treat files referenced by any live branch as
     live: after main compacts (orphaning its pre-compact files from its
