@@ -619,6 +619,25 @@ def _lz_parse(data: bytes, base: int, end: int, table: dict) -> tuple:
                 if i <= last_start:
                     kv = (kv >> 8) | (data[i + 3] << 24)
                 continue
+            # one-step LAZY matching (the classic zstd heuristic): if the
+            # NEXT position starts a strictly longer match, emitting one
+            # literal and taking it wins — greedy otherwise truncates the
+            # long match to whatever tail survives the short one
+            if i + 1 <= last_start:
+                kv1 = (kv >> 8) | (data[i + 4] << 24) if i + 4 < end else None
+                cand1 = get(kv1) if kv1 is not None else None
+                if cand1 is not None and (i + 1) - cand1 <= _MAX_OFFSET:
+                    mlen1 = _MIN_MATCH + _match_len(
+                        data,
+                        cand1 + _MIN_MATCH,
+                        i + 1 + _MIN_MATCH,
+                        end - i - 1 - _MIN_MATCH,
+                    )
+                    if mlen1 > mlen + 1:
+                        i += 1
+                        kv = kv1
+                        table[kv] = i
+                        cand, mlen = cand1, mlen1
             lits += data[anchor:i]
             seqs.append((i - anchor, i - cand, mlen))
             # seed a couple of in-match positions so long repeats keep
