@@ -2124,6 +2124,54 @@ def test_snapshot_branch_merge_lifecycle(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, table).collect()} == got
 
 
+def test_stream_into_branch_then_merge(spark, tmp_path):
+    """Composition: a streaming query ingests exactly-once INTO A BRANCH
+    (a branch is just a table path, so snapsink composes unchanged);
+    main never observes the stream until merge_branch lands its net
+    effect atomically — the 'experiment on live data' loop."""
+    import time
+
+    from event_stream_spark.sources.snapbranch import create_branch, merge_branch
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        read_snapshot,
+        snap_count,
+    )
+    from event_stream_spark.streaming.snapsink import stream_into_snaptable
+
+    table = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+    commit(
+        spark.createDataFrame([(i, f"base{i}") for i in range(10)], schema),
+        table,
+    )
+    bt = create_branch(table, "ingest")
+
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(100, 120)], schema
+    ).coalesce(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_into_snaptable(
+        stream, bt, ckpt, app_id="exp", trigger_available_now=False
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        for _ in range(200):
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+
+    assert snap_count(bt) == 30
+    assert snap_count(table) == 10  # main blind to the stream
+    merge_branch(spark, table, "ingest")
+    got = {r.k for r in read_snapshot(spark, table).collect()}
+    assert got == set(range(10)) | set(range(100, 120))
+
+
 def test_concurrent_branch_merges_serialize(spark, tmp_path):
     """Two non-conflicting branches merged CONCURRENTLY: the loser of the
     snapshot-claim race re-diffs against the new head and retries
