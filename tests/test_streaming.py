@@ -2124,6 +2124,37 @@ def test_snapshot_branch_merge_lifecycle(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, table).collect()} == got
 
 
+def test_branch_merge_carries_deletion_vectors(spark, tmp_path):
+    """A branch-side delete_where_dv MODIFIES a base entry in place (same
+    parquet path, new DV sidecar in the branch dir).  merge_branch must
+    treat it as a modification — conflict-checked against main, the DV
+    sidecar hard-linked into main — so merged main hides exactly the
+    branch-deleted rows, and dropping the branch cannot strand the DV."""
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        drop_branch,
+        merge_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where_dv,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+    bt = create_branch(table, "dv")
+    delete_where_dv(spark, bt, "k % 3 = 0")
+    assert {r.k for r in read_snapshot(spark, bt).collect()} == {
+        k for k in range(10) if k % 3
+    }
+    merge_branch(spark, table, "dv")
+    drop_branch(table, "dv")
+    got = {r.k for r in read_snapshot(spark, table).collect()}
+    assert got == {k for k in range(10) if k % 3}
+
+
 def test_stream_into_branch_then_merge(spark, tmp_path):
     """Composition: a streaming query ingests exactly-once INTO A BRANCH
     (a branch is just a table path, so snapsink composes unchanged);
