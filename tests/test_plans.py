@@ -1234,3 +1234,19 @@ def test_robots_eval_rfc_semantics(spark):
             assert not r["allowed"], (doc_id, path)
         else:
             assert r["allowed"], (doc_id, path)  # no match -> allowed
+
+
+def test_minhash_oph_plan_is_one_hash_pass_plus_band_join(spark):
+    """dedup_minhash_oph: the signature is ONE conditional-min aggregate
+    over single-hashed shingles (no K-hash projection), candidates come
+    from a (band_id, band_key) equi-join — no Cartesian/nested-loop, no
+    Python evaluation anywhere in the plan."""
+    from event_stream_spark.datapipe import minhash_oph_pairs
+
+    p = plan(minhash_oph_pairs(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "band_key" in p
+    # densification is pure projection (coalesce chains), codegen'd:
+    # exactly one min-aggregate family feeds it
+    assert p.count("partial_min") <= 16 or "min(" in p

@@ -345,3 +345,14 @@ def test_cli_roundtrip_sweep():
             [_CLI, "-d", "-c", "-q"], input=frame, stdout=subprocess.PIPE
         )
         assert proc.returncode == 0 and proc.stdout == data
+
+
+def test_hypothesis_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(max_size=4096))
+    def prop(data):
+        assert zstd_decompress(zstd_compress(data)) == data
+
+    prop()
