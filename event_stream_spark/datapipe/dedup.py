@@ -265,15 +265,21 @@ def minhash_oph_pairs(
     """Near-dup pairs via ONE-permutation minhash (Li, Owen, Zhang, NIPS
     2012) with rotation densification (Shrivastava & Li, ICML 2014).
 
-    The classic signature (``minhash_lsh_pairs``) computes K universal
-    hashes per shingle — at 10¹⁰ docs × ~10² shingles the K× multiply-mod
-    term IS the dedup CPU bill.  OPH computes ONE hash per shingle and
-    uses it as both the bin selector (h mod K) and the permutation value:
-    the signature is the per-bin minimum, i.e. one conditional-min
-    aggregate instead of K hash passes.  Bins left empty (short docs)
-    borrow the nearest non-empty bin to the right, circularly, at
-    ``+t·_OPH_C`` per borrowed distance — the Shrivastava–Li rotation
-    scheme, which restores the collision-probability estimate unbiasedly.
+    OPH computes ONE hash per shingle and uses it as both the bin
+    selector (h mod K) and the permutation value: the signature is the
+    per-bin minimum — one conditional-min aggregate instead of K hash
+    passes.  Bins left empty (short docs) borrow the nearest non-empty
+    bin to the right, circularly, at ``+t·_OPH_C`` per borrowed
+    distance — the Shrivastava–Li rotation scheme, which restores the
+    collision-probability estimate unbiasedly.
+
+    Honest cost note: the classic path here (``minhash_lsh_pairs``)
+    already amortizes one md5 across K=16 cheap universal hashes, so at
+    this K the measured walls are comparable (sf1: 52 ms classic vs
+    76 ms OPH — the md5 dominates both).  OPH's arithmetic saving
+    materializes at large K (128-perm signatures) or when each minhash
+    would otherwise need an independent strong hash — and it is the
+    standard modern formulation, so the engine should speak it.
 
     Banding, bucket join, and EXACT-jaccard verification are identical to
     the classic path, so precision is exact by construction; only recall
