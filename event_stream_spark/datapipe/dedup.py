@@ -247,7 +247,7 @@ DEDUP_CLUSTERS_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
-# one-permutation hashing (OPH) minhash — K× less hash work per shingle
+# one-permutation hashing (OPH) minhash — one hash per shingle total
 # ---------------------------------------------------------------------------
 
 _OPH_K = 16
