@@ -138,6 +138,22 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="--query: print the formatted physical plan instead of running",
     )
+    # snapshot-table administration (the lakehouse maintenance verbs)
+    p.add_argument(
+        "--table",
+        default=None,
+        help="snapshot-log table path for --table-admin",
+    )
+    p.add_argument(
+        "--table-admin",
+        default=None,
+        metavar="VERB[:ARG]",
+        help=(
+            "history | count | compact[:target_files] | vacuum[:keep_last]"
+            " | restore:SNAPSHOT | branch:NAME | merge:NAME | drop-branch:NAME"
+            " | branches"
+        ),
+    )
     return p
 
 
@@ -189,6 +205,46 @@ def _registry() -> dict:
     return reg
 
 
+def _table_admin(spark, table: str, verb_arg: str) -> None:
+    """Lakehouse maintenance as CLI verbs — what an operator runs against
+    a snapshot-log table without writing Python (history/compact/vacuum/
+    restore/time-travel are ``snaplog``; branch verbs are ``snapbranch``)."""
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources import snapbranch
+
+    verb, _, arg = verb_arg.partition(":")
+    if verb == "history":
+        for h in snaplog.history(table):
+            print(h)
+    elif verb == "count":
+        print(snaplog.snap_count(table))
+    elif verb == "compact":
+        n = snaplog.compact(spark, table, target_files=int(arg or 4))
+        print(f"compacted -> snapshot {n}")
+    elif verb == "vacuum":
+        removed = snaplog.vacuum(table, keep_last=int(arg or 1))
+        print(f"removed {len(removed)} files")
+    elif verb == "restore":
+        if not arg:
+            raise SystemExit("restore needs :SNAPSHOT")
+        n = snaplog.restore(spark, table, int(arg))
+        print(f"restored -> snapshot {n}")
+    elif verb == "branch":
+        bt = snapbranch.create_branch(table, arg)
+        print(f"branch at {bt}")
+    elif verb == "merge":
+        n = snapbranch.merge_branch(spark, table, arg)
+        print(f"merged {arg!r} -> snapshot {n}")
+    elif verb == "drop-branch":
+        snapbranch.drop_branch(table, arg)
+        print(f"dropped {arg!r}")
+    elif verb == "branches":
+        for b in snapbranch.list_branches(table):
+            print(b)
+    else:
+        raise SystemExit(f"unknown --table-admin verb {verb!r}")
+
+
 def run(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
 
@@ -198,6 +254,12 @@ def run(argv: list[str] | None = None) -> None:
         return
 
     from event_stream_spark.session import get_spark
+
+    if args.table_admin:
+        if not args.table:
+            raise SystemExit("--table-admin requires --table")
+        _table_admin(get_spark("event-stream-cli"), args.table, args.table_admin)
+        return
 
     if args.query:
         reg = _registry()

@@ -1710,6 +1710,50 @@ def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
         assert any(k[1] == w for k in latest)
 
 
+def test_cli_table_admin_verbs(spark, tmp_path, capsys):
+    """--table-admin drives the lakehouse maintenance loop end-to-end:
+    history/count, branch + merge + branches + drop-branch, compact,
+    restore, vacuum — an operator's whole session without Python."""
+    from event_stream_spark.cli import run
+    from event_stream_spark.sources.snaplog import commit, snap_count
+
+    table = str(tmp_path / "tbl")
+    commit(spark.range(0, 10).withColumnRenamed("id", "k"), table)
+
+    run(["--table", table, "--table-admin", "count"])
+    assert capsys.readouterr().out.strip() == "10"
+
+    run(["--table", table, "--table-admin", "branch:exp"])
+    capsys.readouterr()
+    commit(
+        spark.range(100, 105).withColumnRenamed("id", "k"), table + "@exp"
+    )
+    run(["--table", table, "--table-admin", "branches"])
+    assert capsys.readouterr().out.split() == ["exp"]
+    run(["--table", table, "--table-admin", "merge:exp"])
+    assert "merged" in capsys.readouterr().out
+    assert snap_count(table) == 15
+    run(["--table", table, "--table-admin", "drop-branch:exp"])
+    capsys.readouterr()
+
+    run(["--table", table, "--table-admin", "compact:1"])
+    run(["--table", table, "--table-admin", "history"])
+    hist = capsys.readouterr().out
+    assert "merge_branch" in hist
+    run(["--table", table, "--table-admin", "restore:1"])
+    capsys.readouterr()
+    assert snap_count(table) == 15
+    run(["--table", table, "--table-admin", "vacuum:1"])
+    assert "removed" in capsys.readouterr().out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run(["--table", table, "--table-admin", "frobnicate"])
+    with _pytest.raises(SystemExit):
+        run(["--table-admin", "count"])
+
+
 def test_cli_query_mode(spark, tmp_path, capsys):
     """--query runs any registry entry against --sf-dir: parquet out has the
     query's schema/rows; --list-queries enumerates the registry."""
