@@ -150,8 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="VERB[:ARG]",
         help=(
             "history | count | compact[:target_files] | vacuum[:keep_last]"
-            " | restore:SNAPSHOT | branch:NAME | merge:NAME | drop-branch:NAME"
-            " | branches"
+            " | restore:SNAPSHOT | branch:NAME | merge:NAME | rebase:NAME"
+            " | drop-branch:NAME | branches"
         ),
     )
     return p
@@ -235,6 +235,9 @@ def _table_admin(spark, table: str, verb_arg: str) -> None:
     elif verb == "merge":
         n = snapbranch.merge_branch(spark, table, arg)
         print(f"merged {arg!r} -> snapshot {n}")
+    elif verb == "rebase":
+        n = snapbranch.rebase_branch(spark, table, arg)
+        print(f"rebased {arg!r} -> branch snapshot {n}")
     elif verb == "drop-branch":
         snapbranch.drop_branch(table, arg)
         print(f"dropped {arg!r}")

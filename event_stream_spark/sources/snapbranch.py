@@ -116,6 +116,92 @@ def _relink_into_main(table: str, merge_dir: str, entry: dict, bt: str) -> dict:
     return e
 
 
+def _branch_origin(bt: str, bids: list) -> dict:
+    """The branch's current merge base: the most recent manifest carrying
+    ``cloned_from`` (a rebase stamps a fresh one; ordinary data commits
+    build fresh manifests without it; manifest 0 — the clone — always
+    has it)."""
+    for n in reversed(bids):
+        m = _read_manifest(bt, n)
+        if m.get("cloned_from"):
+            return m["cloned_from"]
+    return {}
+
+
+def rebase_branch(
+    spark: SparkSession, table: str, name: str
+) -> int:
+    """Re-point branch ``name``'s merge base to main's current head by
+    applying MAIN's net changes since the old base onto the branch — the
+    other half of the git workflow: a long-lived branch whose base went
+    stale (main compacted, or rewrote files the branch also touched in a
+    conflicting way) rebases to pick up main's state, resolves nothing
+    silently (same conflict rules as merge, sides swapped), and becomes
+    cleanly mergeable again.  Returns the branch's rebase snapshot id.
+
+    After a successful rebase the branch's recorded base is main's head,
+    so a subsequent ``merge_branch`` diffs only the branch's own work."""
+    bt = branch_table(table, name)
+    bids = snapshots(bt)
+    if not bids:
+        raise ValueError(f"no such branch {name!r} on {table!r}")
+    origin = _branch_origin(bt, bids)
+    if os.path.abspath(origin.get("table", "")) != os.path.abspath(table):
+        raise ValueError(f"{bt!r} is not a branch of {table!r}")
+    base = _read_manifest(table, origin["snapshot"])
+    head_id = snapshots(table)[-1]
+    head = _read_manifest(table, head_id)
+    bm = _read_manifest(bt, bids[-1])
+
+    base_files = {e["path"]: e for e in base["files"]}
+    head_files = {e["path"]: e for e in head["files"]}
+    branch_files = {e["path"]: e for e in bm["files"]}
+
+    # main's net change since base
+    m_added = [e for p, e in head_files.items() if p not in base_files]
+    m_removed = {p for p in base_files if p not in head_files}
+    m_modified = {
+        p
+        for p, e in head_files.items()
+        if p in base_files and e != base_files[p]
+    }
+    # conflict rules (merge's, sides swapped): a file main removed or
+    # modified must be untouched on the BRANCH since base
+    conflicts = []
+    for p in sorted(m_removed | m_modified):
+        if p not in branch_files:
+            conflicts.append(f"{p}: removed or rewritten on the branch")
+        elif branch_files[p] != base_files[p]:
+            conflicts.append(f"{p}: modified on both sides")
+    if head["columns"] != base["columns"] and bm["columns"] != base[
+        "columns"
+    ] and head["columns"] != bm["columns"]:
+        conflicts.append("<schema>: diverged on both sides")
+    if conflicts:
+        raise MergeConflict(
+            f"cannot rebase branch {name!r} onto {table!r}:\n  "
+            + "\n  ".join(conflicts)
+        )
+
+    drop = m_removed | m_modified
+    incoming = [head_files[p] for p in sorted(m_modified)] + m_added
+
+    def mutate(m: dict) -> None:
+        kept = [e for e in m["files"] if e["path"] not in drop]
+        m["files"] = kept + incoming
+        if head["columns"] != base["columns"]:
+            m["columns"] = head["columns"]
+        m["op"] = "rebase_branch"
+        m["data_change"] = True
+        m["cloned_from"] = {"table": table, "snapshot": head_id}
+
+    # the base pointer moves WITH the rebase commit (cloned_from stamped
+    # into its manifest); ordinary data commits build fresh manifests
+    # without it, so readers resolve the base by scanning back to the
+    # most recent manifest that carries one (_branch_origin)
+    return _metadata_commit(bt, mutate)
+
+
 def merge_branch(
     spark: SparkSession, table: str, name: str, *, max_retries: int = 5
 ) -> int:
@@ -128,7 +214,7 @@ def merge_branch(
     if not bids:
         raise ValueError(f"no such branch {name!r} on {table!r}")
     bm = _read_manifest(bt, bids[-1])
-    origin = _read_manifest(bt, 0).get("cloned_from") or {}
+    origin = _branch_origin(bt, bids)
     if os.path.abspath(origin.get("table", "")) != os.path.abspath(table):
         raise ValueError(f"{bt!r} is not a branch of {table!r}")
     base = _read_manifest(table, origin["snapshot"])

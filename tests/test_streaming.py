@@ -2247,6 +2247,61 @@ def test_stream_into_branch_then_merge(spark, tmp_path):
     assert got == set(range(10)) | set(range(100, 120))
 
 
+def test_branch_rebase_then_merge(spark, tmp_path):
+    """rebase_branch re-points a stale branch onto main's moved head:
+    main's net changes since the old base (an append AND a copy-on-write
+    delete) apply to the branch; post-rebase branch commits work; a
+    later merge diffs only the branch's own work against the NEW base
+    (the base pointer is found by scanning back to the rebase manifest).
+    A rebase where both sides touched the same file refuses."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snapbranch import (
+        MergeConflict,
+        create_branch,
+        merge_branch,
+        rebase_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    commit(df(0, 10), table)
+    bt = create_branch(table, "exp")
+    commit(df(100, 105), bt)
+    # main moves: an append and a base-file rewrite
+    commit(df(200, 205), table)
+    delete_where(spark, table, "k = 1")
+
+    rebase_branch(spark, table, "exp")
+    got = {r.k for r in read_snapshot(spark, bt).collect()}
+    assert got == (set(range(10)) - {1}) | set(range(100, 105)) | set(
+        range(200, 205)
+    )
+    # post-rebase branch commit (drops cloned_from from the head
+    # manifest — merge must scan back to the rebase commit for the base)
+    commit(df(300, 305), bt)
+    # main moves again, disjointly
+    commit(df(400, 405), table)
+    merge_branch(spark, table, "exp")
+    got = {r.k for r in read_snapshot(spark, table).collect()}
+    assert got == (set(range(10)) - {1}) | set(range(100, 105)) | set(
+        range(200, 205)
+    ) | set(range(300, 305)) | set(range(400, 405))
+
+    # both-sides-touched refuses to rebase
+    commit(df(0, 10), str(tmp_path / "t2"))
+    create_branch(str(tmp_path / "t2"), "b")
+    delete_where(spark, str(tmp_path / "t2") + "@b", "k = 2")
+    delete_where(spark, str(tmp_path / "t2"), "k = 7")
+    with _pytest.raises(MergeConflict):
+        rebase_branch(spark, str(tmp_path / "t2"), "b")
+
+
 def test_concurrent_branch_merges_serialize(spark, tmp_path):
     """Two non-conflicting branches merged CONCURRENTLY: the loser of the
     snapshot-claim race re-diffs against the new head and retries
