@@ -85,11 +85,26 @@ def run_isolated(chunk_size: int = 16) -> None:
     print(json.dumps(out))
 
 
+def _calibrate() -> float:
+    """Fixed single-thread CPU workload, timed — a machine-speed probe
+    recorded alongside the query timings.  Round-over-round comparisons
+    on this box carry ±15-20% environmental noise (measured r9: three
+    same-code full runs spanned 7.38-9.04 s); dividing totals by the
+    calibration ratio separates plan regressions from the host simply
+    running slower that day."""
+    start = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     if "--isolated" in sys.argv[1:]:
         return run_isolated()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    calib = _calibrate()
 
     from event_stream_spark.session import get_spark
 
@@ -156,8 +171,18 @@ def main() -> None:
         until the storage pool starves execution (measured at sf1:
         suffix_lrs_full alone runs in ~97 s but OOMed after 140
         co-resident queries).  Releasing AFTER each materialization
-        charges every query its own build cost and nothing else."""
+        charges every query its own build cost and nothing else.
+
+        Guarded by a cheap Scala-side isEmpty (~0.6 ms measured): py4j's
+        Java-collection iteration protocol costs ~27 ms per call EVEN ON
+        AN EMPTY MAP (iterator-proxy round-trips), and the proxy churn
+        bleeds py4j-cleanup work into the next timed region — the r8
+        bench showed a uniform ~15-20 ms inflation on cheap queries from
+        exactly this.  Only the handful of RDD-persisting entries (the
+        suffix trio) pay the full iteration now."""
         sc = spark.sparkContext
+        if sc._jsc.sc().getPersistentRDDs().isEmpty():
+            return
         for rdd in list(sc._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
@@ -209,6 +234,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": sf,
+        "calib_s": calib,
     }
     if errors:
         out["errors"] = errors
@@ -271,6 +297,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "calib_s": calib,
         "slowest": {k: round(v, 4) for k, v in slowest.items()},
     }
     print(json.dumps(summary))

@@ -29,8 +29,16 @@ TABLES = (
 
 def _session_key(spark: SparkSession) -> str:
     """Cache key that cannot alias across stop/start cycles (``id()`` can be
-    reused after GC; applicationId is unique per session)."""
-    return spark.sparkContext.applicationId
+    reused after GC; applicationId is unique per app) and distinguishes
+    ``newSession()`` clones within an app (clones share the applicationId
+    but have their own catalog and SQLConf — a cached DataFrame or a conf
+    pin must not leak across them; q36's valve-scoped clone relies on
+    this).  The JVM identity hash is stable for the session's lifetime,
+    and any cached entry keeps its session alive via the DataFrame
+    reference, so the hash cannot be recycled while a cache row exists."""
+    return (
+        f"{spark.sparkContext.applicationId}:{spark._jsparkSession.hashCode()}"
+    )
 
 
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -564,6 +572,57 @@ def q27(spark, sf):
             "overlap_us"
         ),
     ).orderBy("p_id", "e_id")
+
+
+def q27_agg(spark, sf):
+    """Aggregate form of the interval-overlap join: per purchase window,
+    how many error windows were in flight and for how many total
+    microseconds.  Same bin-blocked range join as q27, but the pair set is
+    reduced BEFORE materialization — this is the shape a 100 TB run uses.
+
+    Scale shape: q27's pair output grows ~quadratically with interval
+    density in a fixed time domain (sf1 already materializes 11M pairs —
+    85% of its wall is output hashing, not the join; at 100x the pair set
+    is ~1e10 rows and unbenchable).  Aggregating on p_id caps the result
+    at |purchases| rows at ANY density, and Catalyst pushes a partial
+    aggregate above the join residual inside the same stage, so nothing
+    wider than (p_id, count, sum) ever crosses the second shuffle.  The
+    pair-form q27 stays in the registry as the correctness witness for
+    the operator's per-pair semantics.
+    """
+    from event_stream_spark.operators.rangejoin import interval_overlap_join
+
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        us.alias("p_start"),
+        (us + 600_000_000).alias("p_end"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        us.alias("e_start"),
+        (us + 120_000_000).alias("e_end"),
+    )
+    j = interval_overlap_join(
+        purch,
+        err,
+        left_start="p_start",
+        left_end="p_end",
+        right_start="e_start",
+        right_end="e_end",
+        bin_width_us=600_000_000,
+    )
+    return (
+        j.groupBy("p_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least("p_end", "e_end") - F.greatest("p_start", "e_start")
+            ).alias("overlap_us_total"),
+        )
+        .orderBy("p_id")
+    )
 
 
 def q28(spark, sf):
@@ -1234,12 +1293,22 @@ def q36(spark, sf):
     # (the chain relation is ~|orders| x avg chain length).  Scale the
     # valve with the input instead of disabling it: still finite, still
     # a backstop against a broken gap rule.
+    #
+    # The override lives in a CLONED session (shared SparkContext,
+    # isolated SQLConf): the DataFrame is lazy, so the valve must hold at
+    # materialization time — a try/finally around sql() would restore it
+    # before the recursion ever runs, and setting it on the shared
+    # session would weaken the runaway backstop for every later
+    # recursive query in the same process (the bench runs the whole
+    # registry in one session).  The returned DataFrame pins its clone
+    # alive; nothing else ever sees the raised limit.
     rows = t(spark, sf, "orders").count()
-    spark.conf.set(
+    scoped = spark.newSession()
+    scoped.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, rows * 20))
     )
-    t(spark, sf, "orders").createOrReplaceTempView("q36_orders")
-    return spark.sql(_Q36_BODY.format(orders="q36_orders"))
+    t(scoped, sf, "orders").createOrReplaceTempView("q36_orders")
+    return scoped.sql(_Q36_BODY.format(orders="q36_orders"))
 
 
 def q37(spark, sf):
@@ -1335,6 +1404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25": q25,
     "q26": q26,
     "q27": q27,
+    "q27_agg": q27_agg,
     "q28": q28,
     "q29": q29,
     "q30": q30,
@@ -1576,6 +1646,25 @@ ORACLE_SQL: dict[str, str] = {
                LEAST(p_end, e_end) - GREATEST(p_start, e_start) AS overlap_us
         FROM p JOIN e ON p_start <= e_end AND e_start <= p_end
         ORDER BY p_id, e_id
+    """,
+    # aggregate witnessed form: result bounded at |purchases| rows at any
+    # interval density (q27's pair form is the per-pair correctness
+    # witness).  CASTs pin DuckDB's COUNT/SUM (BIGINT/HUGEINT) to the
+    # Spark long.
+    "q27_agg": """
+        WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_start,
+                          epoch_us(ts) + 600000000 AS p_end
+                   FROM events WHERE event_type = 'purchase'),
+             e AS (SELECT event_id AS e_id, epoch_us(ts) AS e_start,
+                          epoch_us(ts) + 120000000 AS e_end
+                   FROM events WHERE event_type = 'error')
+        SELECT p_id,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+               CAST(SUM(LEAST(p_end, e_end) - GREATEST(p_start, e_start))
+                    AS BIGINT) AS overlap_us_total
+        FROM p JOIN e ON p_start <= e_end AND e_start <= p_end
+        GROUP BY p_id
+        ORDER BY p_id
     """,
     "q28": """
         SELECT l_returnflag,

@@ -58,6 +58,8 @@ API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC = 3
@@ -65,6 +67,11 @@ ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_DUPLICATE_SEQUENCE = 46
 ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
+
+#: fetch request isolation levels (KIP-98)
+READ_UNCOMMITTED = 0
+READ_COMMITTED = 1
 
 TS_LATEST = -1
 TS_EARLIEST = -2
@@ -365,6 +372,7 @@ def encode_record_batch(
     *,
     codec: str = "none",
     producer: tuple[int, int, int] | None = None,
+    transactional: bool = False,
 ) -> bytes:
     """``(offset, timestamp_ms, key, value)`` entries → ONE RecordBatch v2
     (no transactional state, no headers).  ``producer=(pid, epoch,
@@ -402,8 +410,11 @@ def encode_record_batch(
     if codec != "none":
         recs = _codec_compress(codec, bytes(recs))
     pid, epoch, base_seq = producer if producer is not None else (-1, -1, -1)
+    if transactional and producer is None:
+        raise KafkaWireError("a transactional batch needs producer identity")
+    attrs = _CODEC_IDS[codec] | (0x10 if transactional else 0)
     post_crc = (
-        _i16(_CODEC_IDS[codec])  # attrs: compression type, CREATE_TIME
+        _i16(attrs)  # attrs: compression type, CREATE_TIME, txn bit 4
         + _i32(records[-1][0] - base_off)  # lastOffsetDelta
         + _i64(base_ts) + _i64(max_ts)
         + _i64(pid) + _i16(epoch) + _i32(base_seq)
@@ -497,6 +508,15 @@ def batch_producer_meta(mset: bytes) -> tuple[int, int, int, int] | None:
     return pid, epoch, base_seq, count
 
 
+def batch_is_transactional(mset: bytes) -> bool:
+    """The KIP-98 transactional bit (attributes bit 4) of the first
+    RecordBatch v2 in ``mset``.  Attributes sit at fixed offset 21:
+    baseOffset(8) + batchLength(4) + leaderEpoch(4) + magic(1) + crc(4)."""
+    if len(mset) < 23 or mset[16] != 2:
+        return False
+    return bool(struct.unpack_from(">h", mset, 21)[0] & 0x10)
+
+
 def decode_any_record_set(
     data: bytes,
 ) -> list[tuple[int, int, bytes | None, bytes | None]]:
@@ -533,6 +553,23 @@ class KafkaWireBroker:
         # base offset WITHOUT re-appending
         self._next_pid = 1000
         self._producers: dict[tuple[str, int], dict[int, tuple[int, int, int, int]]] = {}
+        # KIP-98 transactional state:
+        # transactional.id → (pid, epoch) — InitProducerId(txn_id) reuses
+        # the pid and BUMPS the epoch, fencing the previous incarnation
+        # and aborting its in-flight transaction (exactly the real
+        # coordinator's recovery contract)
+        self._txn_pids: dict[str, tuple[int, int]] = {}
+        # pid → partitions registered via AddPartitionsToTxn
+        self._txn_parts: dict[int, set[tuple[str, int]]] = {}
+        # (topic, p) → pid → first offset of the OPEN transaction — the
+        # partition's LSO is the min of these (or the high watermark)
+        self._txn_open: dict[tuple[str, int], dict[int, int]] = {}
+        # (topic, p) → pid → [(first, last)] record ranges of the open txn
+        self._txn_ranges: dict[tuple[str, int], dict[int, list[tuple[int, int]]]] = {}
+        # (topic, p) → offsets of ABORTED records (never served under
+        # read_committed) and of CONTROL markers (never served as data)
+        self._aborted: dict[tuple[str, int], set[int]] = {}
+        self._ctrl: dict[tuple[str, int], set[int]] = {}
         self._lock = threading.Lock()
         self._stopped = threading.Event()
         self._socks: list[socket.socket] = []
@@ -600,16 +637,21 @@ class KafkaWireBroker:
         c.string()  # client_id
         self.requests[api_key] = self.requests.get(api_key, 0) + 1
         if api_key == API_VERSIONS:
-            body = _i16(ERR_NONE) + _i32(6) + b"".join(
+            body = _i16(ERR_NONE) + _i32(8) + b"".join(
                 _i16(k) + _i16(lo) + _i16(hi)
                 for k, lo, hi in [
                     (API_PRODUCE, 0, 3), (API_FETCH, 0, 4),
-                    (API_LIST_OFFSETS, 0, 1), (API_METADATA, 0, 0),
+                    (API_LIST_OFFSETS, 0, 2), (API_METADATA, 0, 0),
                     (API_VERSIONS, 0, 0), (API_INIT_PRODUCER_ID, 0, 0),
+                    (API_ADD_PARTITIONS_TO_TXN, 0, 0), (API_END_TXN, 0, 0),
                 ]
             )
         elif api_key == API_INIT_PRODUCER_ID:
             body = self._init_producer_id(c)
+        elif api_key == API_ADD_PARTITIONS_TO_TXN:
+            body = self._add_partitions_to_txn(c)
+        elif api_key == API_END_TXN:
+            body = self._end_txn(c)
         elif api_key == API_METADATA:
             body = self._metadata(c)
         elif api_key == API_PRODUCE:
@@ -647,13 +689,107 @@ class KafkaWireBroker:
         return brokers + bytes(topics)
 
     def _init_producer_id(self, c: _Cursor) -> bytes:
-        c.string()  # transactional_id (nullable; transactions unsupported)
+        txn_id = c.string()  # transactional_id (nullable)
         c.i32()  # transaction_timeout_ms
         with self._lock:
-            pid = self._next_pid
-            self._next_pid += 1
+            if txn_id is None:
+                pid = self._next_pid
+                self._next_pid += 1
+                epoch = 0
+            else:
+                cur = self._txn_pids.get(txn_id)
+                if cur is None:
+                    pid, epoch = self._next_pid, 0
+                    self._next_pid += 1
+                else:
+                    # same transactional.id re-initializing: keep the pid,
+                    # BUMP the epoch (fences the previous incarnation) and
+                    # abort whatever transaction it left open — a producer
+                    # that crashed between produce and EndTxn can never
+                    # leak its records to read_committed consumers
+                    pid, epoch = cur[0], cur[1] + 1
+                    self._abort_open_txn(pid)
+                self._txn_pids[txn_id] = (pid, epoch)
         # v0: throttle_time, error, producer_id, producer_epoch
-        return _i32(0) + _i16(ERR_NONE) + _i64(pid) + _i16(0)
+        return _i32(0) + _i16(ERR_NONE) + _i64(pid) + _i16(epoch)
+
+    def _abort_open_txn(self, pid: int) -> None:
+        """Write ABORT markers for ``pid``'s open transaction on every
+        partition it produced to.  Must be called under self._lock."""
+        for tp, open_pids in list(self._txn_open.items()):
+            if pid not in open_pids:
+                continue
+            for first, last in self._txn_ranges.get(tp, {}).get(pid, []):
+                self._aborted.setdefault(tp, set()).update(
+                    range(first, last + 1)
+                )
+            self._append_marker(tp)
+            del open_pids[pid]
+            self._txn_ranges.get(tp, {}).pop(pid, None)
+        self._txn_parts.pop(pid, None)
+
+    def _append_marker(self, tp: tuple[str, int]) -> None:
+        """Append a control-marker slot: it occupies a real offset (the
+        consumer-visible offset arithmetic matches real Kafka, where
+        COMMIT/ABORT markers live in the log) but is never served as
+        data.  Must be called under self._lock."""
+        import time as _time
+
+        plog = self._partition(*tp)
+        plog.append((int(_time.time() * 1000), None, None))
+        self._ctrl.setdefault(tp, set()).add(len(plog) - 1)
+
+    def _txn_auth(self, c: _Cursor) -> tuple[str, int, int, int]:
+        """Parse (txn_id, pid, epoch) and validate against coordinator
+        state; returns (txn_id, pid, epoch, error_code)."""
+        txn_id = c.string() or ""
+        pid = c.i64()
+        epoch = c.i16()
+        cur = self._txn_pids.get(txn_id)
+        if cur is None or cur[0] != pid:
+            return txn_id, pid, epoch, ERR_INVALID_TXN_STATE
+        if cur[1] != epoch:
+            return txn_id, pid, epoch, ERR_INVALID_PRODUCER_EPOCH
+        return txn_id, pid, epoch, ERR_NONE
+
+    def _add_partitions_to_txn(self, c: _Cursor) -> bytes:
+        with self._lock:
+            _txn_id, pid, _epoch, err = self._txn_auth(c)
+            n_topics = c.i32()
+            topics = bytearray(_i32(n_topics))
+            for _ in range(n_topics):
+                name = c.string()
+                n_parts = c.i32()
+                parts = bytearray(_i32(n_parts))
+                for _ in range(n_parts):
+                    p = c.i32()
+                    if err == ERR_NONE:
+                        self._txn_parts.setdefault(pid, set()).add((name, p))
+                    parts += _i32(p) + _i16(err)
+                topics += _string(name) + bytes(parts)
+        return _i32(0) + bytes(topics)
+
+    def _end_txn(self, c: _Cursor) -> bytes:
+        with self._lock:
+            _txn_id, pid, _epoch, err = self._txn_auth(c)
+            committed = bool(c.i8())
+            if err == ERR_NONE:
+                for tp in sorted(self._txn_parts.get(pid, ())):
+                    open_pids = self._txn_open.get(tp, {})
+                    if pid not in open_pids:
+                        continue  # registered but never produced
+                    if not committed:
+                        for first, last in self._txn_ranges.get(tp, {}).get(
+                            pid, []
+                        ):
+                            self._aborted.setdefault(tp, set()).update(
+                                range(first, last + 1)
+                            )
+                    self._append_marker(tp)
+                    del open_pids[pid]
+                    self._txn_ranges.get(tp, {}).pop(pid, None)
+                self._txn_parts.pop(pid, None)
+        return _i32(0) + _i16(err)
 
     def _check_producer(
         self, name: str, pidx: int, mset: bytes
@@ -701,8 +837,16 @@ class KafkaWireBroker:
             for _ in range(n_parts):
                 pid = c.i32()
                 mset = c.bytes() or b""
+                txn_batch = batch_is_transactional(mset)
                 with self._lock:
                     err, cached, update = self._check_producer(name, pid, mset)
+                    if err == ERR_NONE and txn_batch:
+                        # a transactional batch must come from a pid that
+                        # registered this partition (AddPartitionsToTxn)
+                        meta = batch_producer_meta(mset)
+                        prod = meta[0] if meta else -1
+                        if (name, pid) not in self._txn_parts.get(prod, ()):
+                            err = ERR_INVALID_TXN_STATE
                     if err == ERR_NONE and cached is None:
                         plog = self._partition(name, pid)
                         base = len(plog)
@@ -710,13 +854,24 @@ class KafkaWireBroker:
                         # message sets; sniff the magic byte so either
                         # decodes (brokers do the same for down-converted
                         # producers)
+                        n_recs = 0
                         for _off, ts, key, value in decode_any_record_set(mset):
                             plog.append((ts, key, value))
+                            n_recs += 1
                         if update is not None:
                             prod_id, epoch, base_seq, count = update
                             self._producers[(name, pid)][prod_id] = (
                                 epoch, base_seq, base_seq + count, base
                             )
+                        if txn_batch and n_recs:
+                            prod = batch_producer_meta(mset)[0]
+                            tp = (name, pid)
+                            self._txn_open.setdefault(tp, {}).setdefault(
+                                prod, base
+                            )
+                            self._txn_ranges.setdefault(tp, {}).setdefault(
+                                prod, []
+                            ).append((base, base + n_recs - 1))
                     else:
                         base = cached if cached is not None else -1
                 parts += _i32(pid) + _i16(err) + _i64(base)
@@ -734,8 +889,9 @@ class KafkaWireBroker:
         c.i32()  # min_bytes
         if version >= 3:
             c.i32()  # max_bytes (response-level cap)
+        isolation = READ_UNCOMMITTED
         if version >= 4:
-            c.i8()  # isolation_level
+            isolation = c.i8()  # isolation_level (KIP-98)
         n_topics = c.i32()
         topics = bytearray(_i32(n_topics))
         for _ in range(n_topics):
@@ -747,9 +903,28 @@ class KafkaWireBroker:
                 max_bytes = c.i32()
                 with self._lock:
                     plog = list(self._partition(name, pid))
+                    tp = (name, pid)
+                    ctrl = set(self._ctrl.get(tp, ()))
+                    aborted = set(self._aborted.get(tp, ()))
+                    lso = min(
+                        self._txn_open.get(tp, {}).values(),
+                        default=len(plog),
+                    )
                 hw = len(plog)
+                # read_committed: nothing past the LAST STABLE OFFSET (the
+                # first offset of any still-open transaction) is served,
+                # and aborted transactions' records are skipped — the
+                # client-visible semantics of Kafka's aborted_transactions
+                # + control-batch protocol, enforced broker-side here.
+                # Control-marker slots are never data under EITHER level
+                # (real consumers drop control batches too).
+                end = lso if isolation == READ_COMMITTED else hw
                 records, size = [], 0
-                for o in range(max(0, off), hw):
+                for o in range(max(0, off), end):
+                    if o in ctrl:
+                        continue
+                    if isolation == READ_COMMITTED and o in aborted:
+                        continue
                     ts, key, value = plog[o]
                     records.append((o, ts, key, value))
                     size += 26 + len(key or b"") + len(value or b"")
@@ -764,8 +939,11 @@ class KafkaWireBroker:
                 )
                 parts += _i32(pid) + _i16(ERR_NONE) + _i64(hw)
                 if version >= 4:
-                    # last_stable_offset + empty aborted_transactions
-                    parts += _i64(hw) + _i32(0)
+                    # last_stable_offset + aborted_transactions (empty:
+                    # the broker already filtered aborted records above,
+                    # so clients need not skip by pid — a declared
+                    # simplification of the client half of KIP-98)
+                    parts += _i64(lso) + _i32(0)
                 parts += _bytes(mset)
             topics += _string(name) + bytes(parts)
         head = _i32(0) if version >= 1 else b""  # throttle_time_ms
@@ -773,6 +951,9 @@ class KafkaWireBroker:
 
     def _list_offsets(self, c: _Cursor, version: int) -> bytes:
         c.i32()  # replica_id
+        isolation = READ_UNCOMMITTED
+        if version >= 2:
+            isolation = c.i8()  # isolation_level (v2+, KIP-98)
         n_topics = c.i32()
         topics = bytearray(_i32(n_topics))
         for _ in range(n_topics):
@@ -785,6 +966,15 @@ class KafkaWireBroker:
                 if version == 0:
                     c.i32()  # max_num_offsets
                 hw = self.high_watermark(name, pid)
+                if isolation == READ_COMMITTED:
+                    # the "latest" a committed consumer may plan to is the
+                    # LAST STABLE OFFSET — open-transaction records past
+                    # it would otherwise be acked-but-never-served
+                    with self._lock:
+                        hw = min(
+                            self._txn_open.get((name, pid), {}).values(),
+                            default=hw,
+                        )
                 offset = hw if ts == TS_LATEST else 0
                 if version == 0:
                     parts += (
@@ -893,20 +1083,65 @@ class KafkaWireClient:
             topics[name] = {"error": err, "partitions": parts}
         return {"brokers": brokers, "topics": topics}
 
-    def init_producer_id(self) -> tuple[int, int]:
+    def init_producer_id(
+        self, transactional_id: str | None = None
+    ) -> tuple[int, int]:
         """InitProducerId v0 → (producer_id, producer_epoch) — the
-        identity an idempotent producer stamps into every batch."""
-        c = self._request(API_INIT_PRODUCER_ID, 0, _string(None) + _i32(60000))
+        identity an idempotent producer stamps into every batch.  With a
+        ``transactional_id`` the broker keeps the pid stable across
+        re-initializations and BUMPS the epoch, fencing the previous
+        incarnation and aborting its in-flight transaction."""
+        c = self._request(
+            API_INIT_PRODUCER_ID, 0, _string(transactional_id) + _i32(60000)
+        )
         c.i32()  # throttle_time_ms
         err = c.i16()
         if err:
             raise KafkaWireError(f"InitProducerId error {err}")
         return c.i64(), c.i16()
 
+    def add_partitions_to_txn(
+        self, transactional_id: str, pid: int, epoch: int,
+        topic: str, partitions: list[int],
+    ) -> None:
+        """AddPartitionsToTxn v0: register partitions with the ongoing
+        transaction so EndTxn knows where to write markers."""
+        body = (
+            _string(transactional_id) + _i64(pid) + _i16(epoch)
+            + _i32(1) + _string(topic)
+            + _i32(len(partitions))
+            + b"".join(_i32(p) for p in partitions)
+        )
+        c = self._request(API_ADD_PARTITIONS_TO_TXN, 0, body)
+        c.i32()  # throttle_time_ms
+        for _ in range(c.i32()):
+            c.string()
+            for _p in range(c.i32()):
+                c.i32()
+                err = c.i16()
+                if err:
+                    raise KafkaWireError(f"AddPartitionsToTxn error {err}")
+
+    def end_txn(
+        self, transactional_id: str, pid: int, epoch: int, *, commit: bool
+    ) -> None:
+        """EndTxn v0: commit or abort the ongoing transaction — the broker
+        writes COMMIT/ABORT markers to every registered partition."""
+        body = (
+            _string(transactional_id) + _i64(pid) + _i16(epoch)
+            + _i8(1 if commit else 0)
+        )
+        c = self._request(API_END_TXN, 0, body)
+        c.i32()  # throttle_time_ms
+        err = c.i16()
+        if err:
+            raise KafkaWireError(f"EndTxn error {err}")
+
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None, int]],
                 *, version: int = 3, codec: str = "none",
-                producer: tuple[int, int, int] | None = None) -> int:
+                producer: tuple[int, int, int] | None = None,
+                transactional_id: str | None = None) -> int:
         """``(key, value, timestamp_ms)`` records → base offset assigned.
         ``version>=3`` (default — what current brokers speak) sends
         RecordBatch v2; lower versions the v1 message set (compressed
@@ -915,15 +1150,19 @@ class KafkaWireClient:
         stamps idempotent-producer identity (RecordBatch v2 only)."""
         entries = [(i, ts, key, value) for i, (key, value, ts) in enumerate(records)]
         if version >= 3:
-            mset = encode_record_batch(entries, codec=codec, producer=producer)
+            mset = encode_record_batch(
+                entries, codec=codec, producer=producer,
+                transactional=transactional_id is not None,
+            )
         else:
-            if producer is not None:
+            if producer is not None or transactional_id is not None:
                 raise KafkaWireError(
-                    "idempotent produce needs RecordBatch v2 (version >= 3)"
+                    "idempotent/transactional produce needs RecordBatch v2 "
+                    "(version >= 3)"
                 )
             mset = encode_message_set(entries, codec=codec)
         body = (
-            (_string(None) if version >= 3 else b"")  # transactional_id
+            (_string(transactional_id) if version >= 3 else b"")
             + _i16(1) + _i32(10000)  # acks=1, timeout
             + _i32(1) + _string(topic)
             + _i32(1) + _i32(partition) + _bytes(mset)
@@ -939,16 +1178,21 @@ class KafkaWireClient:
         return c.i64()
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 20, *, version: int = 4
+              max_bytes: int = 1 << 20, *, version: int = 4,
+              isolation: int = READ_UNCOMMITTED,
               ) -> tuple[int, list[tuple[int, int, bytes | None, bytes | None]]]:
         """→ (high_watermark, [(offset, timestamp, key, value), …]).
         ``version>=4`` (default) reads RecordBatch v2 responses; lower
         versions the v1 message set.  Decode sniffs the magic byte, so a
-        mixed-format log reads correctly either way."""
+        mixed-format log reads correctly either way.
+        ``isolation=READ_COMMITTED`` (v4+) serves only rows of committed
+        transactions, capped at the last stable offset."""
+        if isolation == READ_COMMITTED and version < 4:
+            raise KafkaWireError("read_committed needs fetch version >= 4")
         body = (
             _i32(-1) + _i32(0) + _i32(0)
             + (_i32(max_bytes) if version >= 3 else b"")
-            + (_i8(0) if version >= 4 else b"")  # isolation: READ_UNCOMMITTED
+            + (_i8(isolation) if version >= 4 else b"")
             + _i32(1) + _string(topic)
             + _i32(1) + _i32(partition) + _i64(offset) + _i32(max_bytes)
         )
@@ -969,12 +1213,18 @@ class KafkaWireClient:
         mset = c.bytes() or b""
         return hw, decode_any_record_set(mset)
 
-    def list_offsets(self, topic: str, partition: int, ts: int = TS_LATEST) -> int:
+    def list_offsets(self, topic: str, partition: int, ts: int = TS_LATEST,
+                     *, isolation: int = READ_UNCOMMITTED) -> int:
+        """Latest/earliest offset; ``isolation=READ_COMMITTED`` returns
+        the LAST STABLE OFFSET for "latest" (ListOffsets v2 semantics)."""
+        version = 2 if isolation != READ_UNCOMMITTED else 1
         body = (
-            _i32(-1) + _i32(1) + _string(topic)
+            _i32(-1)
+            + (_i8(isolation) if version >= 2 else b"")
+            + _i32(1) + _string(topic)
             + _i32(1) + _i32(partition) + _i64(ts)
         )
-        c = self._request(API_LIST_OFFSETS, 1, body)
+        c = self._request(API_LIST_OFFSETS, version, body)
         c.i32()  # topic count
         c.string()
         c.i32()  # partition count
@@ -1042,6 +1292,79 @@ class IdempotentProducer:
         raise last  # type: ignore[misc]
 
 
+class TransactionalProducer:
+    """KIP-98 TRANSACTIONAL producer over :class:`KafkaWireClient` — the
+    full exactly-once produce contract the reference's sink relies on its
+    native client for (es-kafka KafkaBlockSink.kt:16-38 is at-least-once;
+    Kafka's own transactions are what upgrade it).  Composes idempotence
+    (per-partition sequences, inherited behavior) with atomic multi-batch
+    visibility:
+
+    - construction = ``initTransactions()``: InitProducerId with the
+      ``transactional.id`` — the broker keeps the pid stable, bumps the
+      epoch (fencing any previous incarnation), and ABORTS a transaction
+      that incarnation left open, so a producer that crashed between
+      produce and EndTxn can never leak records to read_committed
+      consumers;
+    - ``send`` registers the partition (AddPartitionsToTxn, once per txn)
+      and produces with the transactional bit + idempotent sequence;
+    - ``commit()`` / ``abort()`` = EndTxn: the broker writes COMMIT/ABORT
+      markers to every registered partition; only then do the records
+      become visible to (or permanently hidden from) read_committed
+      fetches.
+    """
+
+    def __init__(self, client: KafkaWireClient, topic: str,
+                 transactional_id: str, *, codec: str = "none",
+                 retries: int = 3):
+        self.client = client
+        self.topic = topic
+        self.txn_id = transactional_id
+        self.codec = codec
+        self.retries = retries
+        self.pid, self.epoch = client.init_producer_id(transactional_id)
+        self._seq: dict[int, int] = {}
+        self._in_txn: set[int] = set()  # partitions registered this txn
+
+    def send(self, partition: int,
+             records: list[tuple[bytes | None, bytes | None, int]]) -> int:
+        """Produce one batch inside the current transaction; returns its
+        base offset.  Transport retries reuse the sequence (idempotent),
+        so a lost ack can never double-write even inside the txn."""
+        if not records:
+            raise ValueError("empty batch")
+        if partition not in self._in_txn:
+            self.client.add_partitions_to_txn(
+                self.txn_id, self.pid, self.epoch, self.topic, [partition]
+            )
+            self._in_txn.add(partition)
+        seq = self._seq.get(partition, 0)
+        last: Exception | None = None
+        for _ in range(self.retries + 1):
+            try:
+                off = self.client.produce(
+                    self.topic, partition, records,
+                    codec=self.codec,
+                    producer=(self.pid, self.epoch, seq),
+                    transactional_id=self.txn_id,
+                )
+            except (KafkaConnectionError, OSError) as exc:
+                last = exc
+                self.client.close()
+                continue
+            self._seq[partition] = seq + len(records)
+            return off
+        raise last  # type: ignore[misc]
+
+    def commit(self) -> None:
+        self.client.end_txn(self.txn_id, self.pid, self.epoch, commit=True)
+        self._in_txn.clear()
+
+    def abort(self) -> None:
+        self.client.end_txn(self.txn_id, self.pid, self.epoch, commit=False)
+        self._in_txn.clear()
+
+
 # ---------------------------------------------------------------------------
 # Spark streaming source
 # ---------------------------------------------------------------------------
@@ -1054,10 +1377,12 @@ SCHEMA = (
 
 class _FetchRange(InputPartition):
     def __init__(self, host: str, port: int, topic: str, partition: int,
-                 start: int, end: int, fetch_version: int = 4):
+                 start: int, end: int, fetch_version: int = 4,
+                 isolation: int = READ_UNCOMMITTED):
         self.host, self.port = host, port
         self.topic, self.partition = topic, partition
         self.start, self.end = start, end
+        self.isolation = isolation
         self.fetch_version = fetch_version
 
 
@@ -1081,6 +1406,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.max_per_trigger = int(options.get("max_offsets_per_trigger", 0)) or None
         # 4 = RecordBatch v2 (the modern default); 2 = message-set v1
         self.fetch_version = int(options.get("fetch_version", 4))
+        # "read_committed" plans offsets against the LSO and fetches only
+        # committed-transaction records (KIP-98); default matches Kafka's
+        # consumer default of read_uncommitted
+        self.isolation = (
+            READ_COMMITTED
+            if options.get("isolation", "").lower() == "read_committed"
+            else READ_UNCOMMITTED
+        )
+        if self.isolation == READ_COMMITTED and self.fetch_version < 4:
+            raise ValueError("read_committed needs fetch_version >= 4")
         self._client: KafkaWireClient | None = None
         self._n_parts: int | None = None
         self._last: dict[str, int] = {}  # last offsets reported to the planner
@@ -1099,7 +1434,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         ts = TS_EARLIEST if self.starting == "earliest" else TS_LATEST
         self._last = {
-            str(p): self._c().list_offsets(self.topic, p, ts)
+            str(p): self._c().list_offsets(
+                self.topic, p, ts, isolation=self.isolation
+            )
             for p in range(self._partitions())
         }
         return dict(self._last)
@@ -1109,7 +1446,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         the planner checkpoints whatever this returns as the batch end, so
         clamping later would silently skip the gap (an offset is an ack)."""
         for p in range(self._partitions()):
-            head = self._c().list_offsets(self.topic, p, TS_LATEST)
+            head = self._c().list_offsets(
+                self.topic, p, TS_LATEST, isolation=self.isolation
+            )
             prev = self._last.get(str(p), 0)
             if self.max_per_trigger is not None:
                 head = min(head, prev + self.max_per_trigger)
@@ -1123,7 +1462,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             if hi > lo:
                 out.append(_FetchRange(
                     self.host, self.port, self.topic, int(p_str), lo, hi,
-                    self.fetch_version,
+                    self.fetch_version, self.isolation,
                 ))
         return out
 
@@ -1135,6 +1474,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 _hw, records = client.fetch(
                     partition.topic, partition.partition, offset,
                     version=getattr(partition, "fetch_version", 4),
+                    isolation=getattr(
+                        partition, "isolation", READ_UNCOMMITTED
+                    ),
                 )
                 if not records:
                     return  # log truncated below the requested span

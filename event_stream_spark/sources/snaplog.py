@@ -339,6 +339,7 @@ def commit(
     data_change: bool = True,
     cdc: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as a new snapshot; returns the snapshot id.
 
@@ -406,6 +407,15 @@ def commit(
     against the file list at any scale."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
+    _RESERVED_META = {
+        "snapshot", "op", "ts", "columns", "files", "data_change", "cdc",
+        "txn", "constraints", "column_mapping", "physical", "physical_used",
+    }
+    if extra_meta and _RESERVED_META & set(extra_meta):
+        raise ValueError(
+            f"extra_meta may not override reserved manifest keys: "
+            f"{sorted(_RESERVED_META & set(extra_meta))}"
+        )
     if cdc is not None and "_change_type" not in cdc.columns:
         raise ValueError("cdc relation must carry a _change_type column")
     if carry_entries and mode != "overwrite":
@@ -595,6 +605,10 @@ def commit(
                 if mapping_on
                 else {}
             ),
+            # caller-supplied attribution (e.g. a row-level branch merge
+            # stamps merged_branch so history/CDF can attribute the
+            # commit) — reserved keys rejected above
+            **(extra_meta or {}),
         }
         # content first, visibility second: the fsync'd temp file carries
         # the full manifest before os.link atomically claims the id — a
@@ -988,6 +1002,54 @@ def drop_constraint(table: str, name: str) -> int:
     return _metadata_commit(table, mutate)
 
 
+def _size_bytes(text: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10m', '10MB', '-1')."""
+    s = text.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def entries_stats(entries: list[dict]) -> dict:
+    """Manifest-derived table statistics over ``entries``' files: recorded
+    row counts, DV-deleted rows, on-disk bytes, and the LIVE estimates
+    (bytes scaled by the live-row fraction).  Pure manifest/inode reads —
+    no Spark job, no file scan — which is the whole point: first-run plans
+    can be informed by the same numbers steady-state plans learn at
+    runtime."""
+    rows = sum(e["rows"] for e in entries)
+    deleted = sum(len(_dv_read(e)) for e in entries)
+    size = sum(
+        os.path.getsize(e["path"])
+        for e in entries
+        if os.path.exists(e["path"])
+    )
+    live_rows = rows - deleted
+    live_bytes = int(size * (live_rows / rows)) if rows else 0
+    return {
+        "rows": rows,
+        "live_rows": live_rows,
+        "deleted_rows": deleted,
+        "bytes": size,
+        "live_bytes": live_bytes,
+        "files": len(entries),
+    }
+
+
+def table_stats(table: str, *, snapshot: int | None = None) -> dict:
+    """Statistics for a snapshot (default latest) from its manifest alone —
+    see :func:`entries_stats`."""
+    ids = snapshots(table)
+    if not ids:
+        raise ValueError(f"no snapshots committed at {table}")
+    n = ids[-1] if snapshot is None else snapshot
+    return entries_stats(_read_manifest(table, n)["files"])
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -996,6 +1058,7 @@ def read_snapshot(
     as_of_ts: float | None = None,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
+    plan_stats: bool = False,
 ) -> DataFrame:
     """DataFrame over exactly one snapshot's file set (default: latest).
 
@@ -1013,7 +1076,19 @@ def read_snapshot(
     the bloom keeps ~fp_rate of the files.  Both predicates are NOT
     applied to the surviving rows; callers add their own ``filter`` (which
     then also prunes row groups in the kept files).  An empty table (no
-    commits) raises ValueError."""
+    commits) raises ValueError.
+
+    ``plan_stats=True`` makes the read COST-INFORMED on the first run:
+    when the manifest's LIVE size (file bytes scaled by the surviving
+    row fraction after deletion vectors, over the PRUNED entry set) fits
+    under ``spark.sql.autoBroadcastJoinThreshold``, the returned frame
+    carries a broadcast hint, so a join against it plans
+    BroadcastHashJoin immediately.  This closes the stats-less-first-run
+    gap: Spark's static estimate is the RAW parquet bytes — a table whose
+    rows are mostly DV-deleted (post-purge, pre-compaction) or mostly
+    pruned looks 10-100x its live size and plans a SortMergeJoin that AQE
+    can only repair after a shuffle has already been written.  The
+    manifest knows better before any job runs."""
     ids = snapshots(table)
     if not ids:
         raise ValueError(f"no snapshots committed at {table}")
@@ -1064,7 +1139,16 @@ def read_snapshot(
     # table's snapshot surfaces under ITS OWN logical names (time travel
     # to a pre-rename snapshot reads under the pre-rename name)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    return _logical_projection(_apply_dv(spark, df, entries), m)
+    out = _logical_projection(_apply_dv(spark, df, entries), m)
+    if plan_stats:
+        from pyspark.sql import functions as F
+
+        threshold = _size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if threshold > 0 and entries_stats(entries)["live_bytes"] <= threshold:
+            out = F.broadcast(out)
+    return out
 
 
 def snapshot_as_of(table: str, ts: float) -> int:
@@ -1360,7 +1444,12 @@ def _change_chunks(table: str, since: int, until: int) -> list[dict]:
 
 
 def read_changes(
-    spark: SparkSession, table: str, *, since: int, until: int | None = None
+    spark: SparkSession,
+    table: str,
+    *,
+    since: int,
+    until: int | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED: every row-level change committed AFTER snapshot
     ``since`` up to ``until`` (default latest), as the Delta CDF relation —
@@ -1384,10 +1473,21 @@ def read_changes(
       per-position deletes — O(changed files), never O(table).  All three
       shapes are file-targeted scans unioned lazily; nothing is collected.
 
+    ``branch=`` tails a BRANCH's feed instead of main's (the branch is its
+    own snapshot log, so offsets are branch snapshot ids; a consumer can
+    follow an experiment's changes without the experiment ever touching
+    main).  After the branch merges, the merge commit appears on MAIN's
+    feed — as the writer-recorded row change set for a row-level merge,
+    or the manifest's file-level delta for a file-level one.
+
     Design point: Delta Lake's ``table_changes`` / ``readChangeFeed``
     (public protocol, CDC files + ``dataChange`` flag on actions)."""
     from pyspark.sql import functions as F
 
+    if branch is not None:
+        from event_stream_spark.sources.snapbranch import branch_table
+
+        table = branch_table(table, branch)
     ids = snapshots(table)
     # since=-1 = "from the beginning" (snapshot 0's rows surface as
     # inserts) — the same convention the snapcdf stream's initial offset

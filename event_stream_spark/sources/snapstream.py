@@ -53,6 +53,21 @@ _ARROW_TO_DDL = {
 }
 
 
+def _resolve_table(options: dict) -> str:
+    """``table_path`` plus the optional ``branch`` option: a branch is its
+    own snapshot log at ``<table>@<branch>``, so every reader (snaptable
+    rows, snapcdf changes) can tail a branch by name — offsets are then
+    BRANCH snapshot ids, and main's feed is untouched until a merge
+    publishes there."""
+    table = options["table_path"]
+    branch = options.get("branch")
+    if branch:
+        from event_stream_spark.sources.snapbranch import branch_table
+
+        table = branch_table(table, branch)
+    return table
+
+
 def _table_ddl(table: str) -> str:
     """Spark DDL schema from the latest snapshot's first parquet footer."""
     import pyarrow.parquet as pq
@@ -188,7 +203,7 @@ def _read_snap_file(partition: "SnapFile", arrow_fields=None):
 
 class SnapTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema):
-        self.table = options["table_path"]
+        self.table = _resolve_table(options)
         self.columns = schema.fieldNames()
         self.arrow_fields = _arrow_schema(schema)
         # deliver history from this snapshot id EXCLUSIVE; default -1 = all
@@ -280,7 +295,7 @@ class SnapTableBatchReader(DataSourceReader):
     travel) — one partition per data file."""
 
     def __init__(self, options: dict, schema):
-        self.table = options["table_path"]
+        self.table = _resolve_table(options)
         self.columns = schema.fieldNames()
         self.arrow_fields = _arrow_schema(schema)
         self.snapshot = (
@@ -315,7 +330,7 @@ class SnapTableDataSource(DataSource):
         return "snaptable"
 
     def schema(self) -> str:
-        return _table_ddl(self.options["table_path"])
+        return _table_ddl(_resolve_table(self.options))
 
     def reader(self, schema) -> DataSourceReader:
         return SnapTableBatchReader(self.options, schema)
@@ -350,7 +365,7 @@ class SnapCDFStreamReader(DataSourceStreamReader):
     applying deltas where the plain-rows stream would have to resync."""
 
     def __init__(self, options: dict, schema):
-        self.table = options["table_path"]
+        self.table = _resolve_table(options)
         self.columns = schema.fieldNames()
         self.arrow_fields = _arrow_schema(schema)
         self.start_after = int(options.get("starting_snapshot", -1))
@@ -434,7 +449,7 @@ class SnapCDFDataSource(DataSource):
         return "snapcdf"
 
     def schema(self) -> str:
-        base = _table_ddl(self.options["table_path"])
+        base = _table_ddl(_resolve_table(self.options))
         return (
             base + ", `_change_type` string, `_commit_version` bigint,"
             " `_commit_timestamp` double"

@@ -703,3 +703,197 @@ def test_idempotent_produce_composes_with_splay_ack_round_trip(
     finally:
         client.close()
         broker.close()
+
+
+def test_transactional_produce_atomic_visibility_and_abort():
+    """KIP-98 transactions on the wire: records produced inside a
+    transaction are invisible to read_committed fetches (capped at the
+    last stable offset) until EndTxn commits; an aborted transaction's
+    records NEVER become visible to read_committed but remain readable
+    under read_uncommitted (Kafka's exact consumer contract); control
+    markers occupy real offsets but are never served as data; an
+    unregistered transactional produce and a stale-epoch EndTxn fail
+    loudly."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+        KafkaWireError,
+        TransactionalProducer,
+    )
+
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        prod = TransactionalProducer(client, "t", "txn-app-1")
+        recs = [(b"k%d" % i, b"v%d" % i, 1000 + i) for i in range(3)]
+        assert prod.send(0, recs) == 0
+
+        # in flight: uncommitted view sees the rows, committed view none
+        _, unc = client.fetch("t", 0, 0)
+        assert [r[2] for r in unc] == [b"k0", b"k1", b"k2"]
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert com == []
+        assert client.list_offsets("t", 0, isolation=READ_COMMITTED) == 0
+
+        prod.commit()
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert [r[2] for r in com] == [b"k0", b"k1", b"k2"]
+        # the COMMIT marker occupies offset 3: hw=4, but it is not data
+        assert broker.high_watermark("t", 0) == 4
+        assert len(com) == 3
+        assert client.list_offsets("t", 0, isolation=READ_COMMITTED) == 4
+
+        # second txn, aborted: rows never reach read_committed
+        assert prod.send(0, [(b"bad", b"x", 2000)]) == 4
+        prod.abort()
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert [r[2] for r in com] == [b"k0", b"k1", b"k2"]
+        _, unc = client.fetch("t", 0, 0)
+        assert [r[2] for r in unc] == [b"k0", b"k1", b"k2", b"bad"]
+
+        # a third, committed txn lands normally after the abort
+        assert prod.send(0, [(b"k3", b"v3", 3000)]) == 6
+        prod.commit()
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert [r[2] for r in com] == [b"k0", b"k1", b"k2", b"k3"]
+
+        # transactional batch without AddPartitionsToTxn → INVALID_TXN_STATE
+        # (correct next sequence, so the failure isolates the txn check —
+        # EndTxn cleared the registration, making the partition foreign)
+        with _pytest.raises(KafkaWireError, match="48"):
+            client.produce(
+                "t", 0, [(b"x", b"y", 1)],
+                producer=(prod.pid, prod.epoch, prod._seq.get(0, 0)),
+                transactional_id="txn-app-1",
+            )
+        # stale epoch EndTxn → fenced
+        with _pytest.raises(KafkaWireError, match="47"):
+            client.end_txn("txn-app-1", prod.pid, prod.epoch - 1, commit=True)
+        # unknown transactional id → invalid state
+        with _pytest.raises(KafkaWireError, match="48"):
+            client.end_txn("nope", prod.pid, prod.epoch, commit=True)
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_transactional_crash_between_produce_and_endtxn_fenced():
+    """The crash-recovery contract: a producer that dies between produce
+    and EndTxn leaves an OPEN transaction — read_committed consumers are
+    blocked at the LSO, never served the orphan rows; re-initializing the
+    same transactional.id bumps the epoch, ABORTS the orphan transaction
+    (its rows stay invisible forever), and fences the dead incarnation's
+    further produces and EndTxn."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+        KafkaWireError,
+        TransactionalProducer,
+    )
+
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        dead = TransactionalProducer(client, "t", "app")
+        dead.send(0, [(b"orphan", b"x", 1000)])
+        # crash here: no EndTxn.  committed consumers see nothing
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert com == []
+        assert client.list_offsets("t", 0, isolation=READ_COMMITTED) == 0
+
+        # recovery: same transactional.id re-initializes
+        revived = TransactionalProducer(client, "t", "app")
+        assert revived.pid == dead.pid and revived.epoch == dead.epoch + 1
+        # the orphan txn was aborted on re-init: LSO advanced past it
+        assert client.list_offsets("t", 0, isolation=READ_COMMITTED) == 2
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert com == []
+
+        # the new incarnation produces and commits normally
+        revived.send(0, [(b"good", b"y", 2000)])
+        revived.commit()
+        _, com = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert [r[2] for r in com] == [b"good"]
+
+        # the dead incarnation is fenced everywhere
+        with _pytest.raises(KafkaWireError, match="47"):
+            client.add_partitions_to_txn("app", dead.pid, dead.epoch, "t", [0])
+        with _pytest.raises(KafkaWireError, match="47"):
+            client.end_txn("app", dead.pid, dead.epoch, commit=True)
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_transactional_produce_composes_with_splay_read_committed(
+    spark, tmp_path
+):
+    """End-to-end KIP-98 exactly-once: blocks produced in transactions —
+    one committed, one 'crashed' before EndTxn (aborted on recovery) —
+    through the kafkawire Spark source in read_committed isolation into
+    the kafka-fed splay sink.  The sink receives exactly the committed
+    heights: the orphan transaction's records never reach a file."""
+    import json
+    import os
+
+    from event_stream_spark.sinks.splay import write_kafka_fed_splay_batch
+    from event_stream_spark.sources import kafkawire
+    from event_stream_spark.sources.kafkawire import (
+        KafkaWireBroker,
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    kafkawire.register(spark)
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        def block(h):
+            key = f"chain-1.{h}".encode()
+            val = json.dumps(
+                {"height": h, "block": None, "historical": True}
+            ).encode()
+            return (key, val, 1000 + h)
+
+        prod = TransactionalProducer(client, "blocks", "splay-writer")
+        prod.send(0, [block(h) for h in range(100, 105)])
+        prod.commit()
+        # second batch: crash between produce and EndTxn
+        prod.send(0, [block(h) for h in range(105, 110)])
+        # recovery aborts the in-flight txn
+        TransactionalProducer(client, "blocks", "splay-writer")
+
+        stream = (
+            spark.readStream.format("kafkawire")
+            .option("bootstrap", f"{broker.host}:{broker.port}")
+            .option("topic", "blocks")
+            .option("isolation", "read_committed")
+            .load()
+        )
+        out = str(tmp_path / "splay")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: write_kafka_fed_splay_batch(b, out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        heights = set()
+        for root, _dirs, names in os.walk(out):
+            for name in names:
+                with open(os.path.join(root, name)) as fh:
+                    heights.add(json.load(fh)["height"])
+        # exactly the committed transaction's heights: the crashed txn's
+        # records (105-109) never reached a file
+        assert heights == set(range(100, 105))
+    finally:
+        client.close()
+        broker.close()

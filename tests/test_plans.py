@@ -1247,6 +1247,68 @@ def test_minhash_oph_plan_is_one_hash_pass_plus_band_join(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "band_key" in p
-    # densification is pure projection (coalesce chains), codegen'd:
-    # exactly one min-aggregate family feeds it
-    assert p.count("partial_min") <= 16 or "min(" in p
+    # densification is pure projection (coalesce chains), codegen'd: the
+    # signature is a single 16-bin min-aggregate family, instantiated once
+    # per scan instance of the self-join (two sides -> 2 x 16 partials).
+    # Both conjuncts are load-bearing: the functions=[partial_min literal
+    # pins that the signature aggregate IS a map-side partial min (not a
+    # post-shuffle one), and the 32 bound caps the bin-min partials at
+    # 16 x the two self-join scan instances — a K-hash projection would
+    # blow past it.  (The r8 form `<= 16 or "min(" in p` was vacuous: the
+    # second disjunct held whenever any min appeared.)
+    assert "functions=[partial_min" in p
+    assert p.count("partial_min") <= 32
+
+
+def test_manifest_stats_flip_smj_to_broadcast_first_run(spark, tmp_path):
+    """Cost-informed first run (read_snapshot plan_stats=True): a table
+    whose RAW parquet bytes exceed autoBroadcastJoinThreshold but whose
+    LIVE size (after DV deletions, known to the manifest) fits under it
+    plans BroadcastHashJoin immediately — no prior run, no AQE repair.
+    The control (plan_stats=False) shows Spark's static raw-bytes
+    estimate planning a SortMergeJoin for the identical join."""
+    from pyspark.sql import functions as F
+
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where_dv,
+        read_snapshot,
+        table_stats,
+    )
+
+    table = str(tmp_path / "tbl")
+    # ~50k rows of random-ish strings: raw parquet comfortably > 64KB
+    commit(
+        spark.range(50_000).selectExpr(
+            "id AS k", "repeat(sha2(cast(id as string), 256), 4) AS pad"
+        ),
+        table,
+    )
+    # DV-delete ~99.8%: live size collapses, raw bytes don't move
+    delete_where_dv(spark, table, "k >= 100")
+    st = table_stats(table)
+    assert st["live_rows"] == 100 and st["deleted_rows"] == 49_900
+    assert st["live_bytes"] < st["bytes"] // 100
+
+    big = spark.range(200_000).selectExpr("id AS k", "id * 2 AS w")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold sits between live and raw size: the manifest knows the
+        # side fits, Spark's static estimate says it doesn't
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(st["bytes"] // 10)
+        )
+        assert st["live_bytes"] <= st["bytes"] // 10 < st["bytes"]
+
+        control = big.join(
+            read_snapshot(spark, table), "k"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in control
+
+        hinted = big.join(
+            read_snapshot(spark, table, plan_stats=True), "k"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hinted
+        assert "SortMergeJoin" not in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -2407,6 +2407,173 @@ def test_snapshot_branch_merge_conflicts(spark, tmp_path):
     commit(df(20, 22), table)  # conforming rows still land
 
 
+def test_branch_merge_row_level_resolution(spark, tmp_path):
+    """Row-level three-way merge (merge_branch resolve='rows'): file-level
+    granularity false-positives when both sides touch one hot file — row
+    resolution merges disjoint-key changes cleanly, refuses only true
+    same-key divergence (with sample keys in the error), resolves it under
+    prefer='ours'/'theirs', records a writer CDF change set, and carries
+    untouched files verbatim (file-targeted publication)."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snapbranch import (
+        MergeConflict,
+        create_branch,
+        drop_branch,
+        merge_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        commit,
+        delete_where,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+        snapshots,
+    )
+
+    table = str(tmp_path / "tbl")
+    rows = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "id * 10 AS v"
+    )
+    commit(rows(0, 10), table, stats_cols=["k"])
+    commit(rows(10, 20), table, stats_cols=["k"])
+
+    # ---- disjoint keys in the SAME file: file-level refuses, rows merge
+    create_branch(table, "exp")
+    bt = table + "@exp"
+    delete_where(spark, bt, "k = 1")          # branch rewrites file 0
+    merge_upsert(                              # ...and updates k=2 in it
+        spark, bt, spark.createDataFrame([(2, 999)], "k long, v long"),
+        key="k", stats_cols=["k"],
+    )
+    # main rewrites the SAME file (stats recorded so the later row-merge
+    # can target files by key range)
+    delete_where(spark, table, "k = 7", stats_cols=["k"])
+    with _pytest.raises(MergeConflict):        # file granularity: conflict
+        merge_branch(spark, table, "exp")
+    m = merge_branch(spark, table, "exp", resolve="rows", key="k")
+    got = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+    want = {(k, k * 10) for k in range(20)} - {(1, 10), (7, 70), (2, 20)}
+    assert got == want | {(2, 999)}
+    # merge attribution + writer-recorded CDF
+    man = _read_manifest(table, m)
+    assert man["merged_branch"]["mode"] == "rows"
+    ch = read_changes(spark, table, since=m - 1, until=m)
+    assert {r.k for r in ch.filter("_change_type = 'delete'").collect()} == {1}
+    assert {
+        (r.k, r.v)
+        for r in ch.filter("_change_type = 'update_postimage'").collect()
+    } == {(2, 999)}
+    # file-targeted: the second commit's file (k 10..19, untouched by the
+    # delta span) is carried verbatim into the merge manifest
+    pre_paths = {e["path"] for e in _read_manifest(table, m - 1)["files"]}
+    post_paths = {e["path"] for e in man["files"]}
+    assert any(
+        p in post_paths for p in pre_paths
+    ), "expected at least one untouched file carried verbatim"
+    drop_branch(table, "exp")
+
+    # ---- same-key divergence: refuses with the key named; prefer resolves
+    create_branch(table, "dup")
+    upd = lambda v: spark.createDataFrame([(5, v)], "k long, v long")  # noqa: E731
+    merge_upsert(spark, table + "@dup", upd(111), key="k", stats_cols=["k"])
+    merge_upsert(spark, table, upd(222), key="k", stats_cols=["k"])
+    with _pytest.raises(MergeConflict, match="divergent"):
+        merge_branch(spark, table, "dup", resolve="rows", key="k")
+    # ours: main's value wins, branch change dropped — merge is a no-op
+    head_before = snapshots(table)[-1]
+    merge_branch(spark, table, "dup", resolve="rows", key="k", prefer="ours")
+    assert read_snapshot(spark, table).filter("k = 5").first().v == 222
+    assert snapshots(table)[-1] == head_before  # empty delta: no commit
+    # theirs: branch value wins
+    merge_branch(spark, table, "dup", resolve="rows", key="k", prefer="theirs")
+    assert read_snapshot(spark, table).filter("k = 5").first().v == 111
+    drop_branch(table, "dup")
+
+
+def test_branch_change_feed_stream_and_batch(spark, tmp_path):
+    """Branch-aware change feeds: format("snapcdf").option("branch", ...)
+    tails a BRANCH's feed (offsets = branch snapshot ids) through its
+    commit/rebase lifecycle without main's feed moving; after the merge,
+    main's CDF window covering the merge commit equals the batch diff of
+    the pre/post-merge snapshots; read_changes(branch=) is the batch twin
+    of the same branch feed."""
+    from event_stream_spark.sources import snapstream
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        merge_branch,
+        rebase_branch,
+    )
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        read_changes,
+        read_snapshot,
+        snapshots,
+    )
+
+    snapstream.register(spark)
+    table = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    rows = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "id * 10 AS v"
+    )
+    commit(rows(0, 10), table)
+    create_branch(table, "exp")
+    bt = table + "@exp"
+    commit(rows(100, 105), bt)  # branch-only commit
+
+    def drain_branch():
+        q = (
+            spark.readStream.format("snapcdf")
+            .option("table_path", table)
+            .option("branch", "exp")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain_branch()
+    got = spark.read.parquet(out)
+    # branch feed: clone snapshot (base rows) + the branch's own commit
+    assert {r.k for r in got.filter("_change_type = 'insert'").collect()} == (
+        set(range(10)) | set(range(100, 105))
+    )
+    # batch twin over the same log
+    batch = read_changes(spark, table, since=-1, branch="exp")
+    assert sorted(r.k for r in batch.collect()) == sorted(
+        r.k for r in got.collect()
+    )
+
+    # main moves; rebase restamps the branch base; the SAME checkpointed
+    # branch consumer keeps tailing across the rebase commit
+    commit(rows(200, 202), table)
+    rebase_branch(spark, table, "exp")
+    drain_branch()
+    after = spark.read.parquet(out)
+    assert {
+        r.k for r in after.filter("_change_type = 'insert'").collect()
+    } >= set(range(200, 202))  # the rebase applied main's net changes
+
+    # merge: main's CDF window over the merge commit == batch state diff
+    pre_merge = snapshots(table)[-1]
+    m = merge_branch(spark, table, "exp")
+    ch = read_changes(spark, table, since=pre_merge, until=m)
+    ins = {r.k for r in ch.filter("_change_type = 'insert'").collect()}
+    dels = {r.k for r in ch.filter("_change_type = 'delete'").collect()}
+    pre_state = {
+        r.k for r in read_snapshot(spark, table, snapshot=pre_merge).collect()
+    }
+    post_state = {r.k for r in read_snapshot(spark, table).collect()}
+    assert post_state == (pre_state | ins) - (dels - ins)
+    assert set(range(100, 105)) <= ins  # the branch's net effect surfaced
+
+
 def test_snaptable_stream_tails_commits(spark, tmp_path):
     """format("snaptable"): a consumer tails a snapshot table — history in
     the first batch, later commits as deltas after a checkpointed restart,
