@@ -14,16 +14,23 @@ Scope — honest and deliberate:
   entire bit layout is structural (4-bit allocations, 6-bit
   scalefactors with the CLOSED-FORM table ``sf[i] = 2·2^(-i/3)``,
   12×32 linearly-quantized subband samples) — no large tabulated data.
-- **Layer II/III sample decode stays declared-unsupported**
-  (``NotImplementedError``): Layer II's bit-allocation tables
-  (ISO 11172-3 B.2a-d) and Layer III's Huffman tables are pages of
-  tabulated constants; transcribing them from memory would produce
-  silently wrong audio, which is worse than an explicit gap.  The
-  round-7 re-evaluation confirmed the gap must stay: this container
-  ships no reference encoder (no ffmpeg/twolame/lame) and no Layer II
-  fixture, so transcribed tables could not be ground-truthed against a
-  real encoded stream — unverifiable tables don't ship.  Their frame
-  geometry/duration remains fully handled by the frame walk.
+- **Layer II** (round-9) is decoded and encoded end-to-end with the
+  B.2a/B.2b allocation tables (structural: three class rows + the
+  grouped 3/5/9-level codewords) and the CLOSED-FORM requantizer
+  ``s = (2c+1-n)/n`` — which collapses the spec's B.4 C/D two-step
+  exactly (for n = 2^k-1 it equals Layer I's constants; for grouped
+  classes it reproduces 4/3, 8/5, 16/9 with D=1/2), so no tabulated
+  dequant constants were transcribed.  Pinned by encode→decode
+  round-trip + spectral parity, the Layer I scheme; the low-rate
+  B.2c/B.2d tables (<=48 kbps/ch) stay declared-unsupported, and
+  bit-exactness vs a reference codec is NOT claimed (this container
+  ships no twolame/ffmpeg to ground-truth against — same honesty bound
+  as the filterbank note below).
+- **Layer III sample decode stays declared-unsupported**
+  (``NotImplementedError``): its Huffman tables are pages of tabulated
+  constants; transcribing them from memory would produce silently wrong
+  audio, which is worse than an explicit gap.  Frame geometry/duration
+  remains fully handled by the frame walk.
 - The polyphase filterbank is a 32-band, 512-tap cosine-modulated
   pseudo-QMF (Vaidyanathan's near-perfect-reconstruction formulation,
   theta_k = (-1)^k * pi/4) with a Kaiser-designed prototype
@@ -320,3 +327,313 @@ def layer1_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         [synthesis_frames(sub[c]) for c in range(channels)], axis=1
     )
     return rate, channels, pcm[_DELAY:]
+
+
+# ---------------------------------------------------------------------------
+# Layer II frame codec (round-9)
+# ---------------------------------------------------------------------------
+
+_L2_BITRATES = {  # kbps → header index (MPEG1 Layer II)
+    32: 1, 48: 2, 56: 3, 64: 4, 80: 5, 96: 6, 112: 7, 128: 8,
+    160: 9, 192: 10, 224: 11, 256: 12, 320: 13, 384: 14,
+}
+
+#: ISO 11172-3 Annex B.2 quantization-class rows.  Each row is
+#: (allocation_field_bits, levels_per_class) — class 0 is always "no
+#: samples".  The 3/5/9-level classes GROUP three samples into one
+#: 5/7/10-bit codeword; every other class is 2^k-1 levels at k bits.
+_L2_ROW_A = (4, (0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383, 32767, 65535))
+_L2_ROW_B = (4, (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                 4095, 8191, 65535))
+_L2_ROW_C = (3, (0, 3, 5, 7, 9, 15, 31, 65535))
+_L2_ROW_D = (2, (0, 3, 5, 65535))
+
+
+def _l2_table(rate: int, kbps_per_ch: int):
+    """(sblimit, per-subband row list) — ISO 11172-3 2.4.2.3 selection.
+    B.2a (sblimit 27) for 48 kHz and for 44.1/32 kHz up to 80 kbps/ch;
+    B.2b (sblimit 30) for 44.1/32 kHz above that.  The low-rate B.2c/d
+    tables (<=48 kbps/ch) are declared-unsupported — this codec exists
+    for fixture transcoding and pipeline decode of mainstream streams,
+    and a wrong low-rate table would be silently nonconformant."""
+    if kbps_per_ch <= 48:
+        raise NotImplementedError(
+            "Layer II <=48 kbps/ch uses the B.2c/B.2d tables "
+            "(declared-unsupported; see module docblock)"
+        )
+    if rate == 48000 or kbps_per_ch <= 80:
+        sblimit = 27
+    else:
+        sblimit = 30
+    rows = (
+        [_L2_ROW_A] * 3 + [_L2_ROW_B] * 8 + [_L2_ROW_C] * 12
+        + [_L2_ROW_D] * (sblimit - 23)
+    )
+    return sblimit, rows
+
+
+def _l2_codeword(levels: int) -> tuple[bool, int]:
+    """(grouped, bits of one codeword).  Grouped classes pack a triplet."""
+    if levels == 3:
+        return True, 5
+    if levels == 5:
+        return True, 7
+    if levels == 9:
+        return True, 10
+    return False, levels.bit_length()
+
+
+def layer2_encode(
+    pcm: np.ndarray,
+    rate: int,
+    channels: int = 1,
+    bitrate_kbps: int = 384,
+) -> bytes:
+    """Float PCM in [-1, 1] → MPEG-1 Layer II stream (ISO 11172-3).
+
+    Frame = 1152 samples = 12 granules x 3 subband vectors.  Allocation
+    is uniform-by-cost: the largest quantization class per subband whose
+    triplet cost fits a global cap, the cap lowered until the frame
+    budget holds (deterministic, no psychoacoustic model — this is the
+    fixture/transport encoder, exactly Layer I's stance).  scfsi is
+    always 0 (three scalefactors per subband) — valid and table-free.
+    Verification: decode round-trip + spectral parity (the Layer I
+    scheme); bit-exactness vs a reference encoder is NOT claimed (none
+    exists in this environment — the honest bound documented in the
+    module docblock)."""
+    if rate not in _L1_RATES:
+        raise ValueError(f"Layer II encoder supports rates {sorted(_L1_RATES)}")
+    if bitrate_kbps not in _L2_BITRATES:
+        raise ValueError(f"bitrate {bitrate_kbps} not a Layer II rate")
+    sblimit, rows = _l2_table(rate, bitrate_kbps // channels)
+    pcm = np.asarray(pcm, dtype=np.float64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.shape[1] != channels:
+        raise ValueError("channel count mismatch")
+    pcm = np.concatenate([pcm, np.zeros((_DELAY, channels))])
+    n_pad = (-pcm.shape[0]) % 1152
+    pcm = np.concatenate([pcm, np.zeros((n_pad, channels))])
+    sub = np.stack([analysis_frames(pcm[:, c]) for c in range(channels)])
+    nframes = sub.shape[1] // 36
+
+    slots = 144 * bitrate_kbps * 1000 // rate
+    if slots * rate != 144 * bitrate_kbps * 1000:
+        raise ValueError("rate/bitrate pair needs padding (unsupported)")
+    frame_bits = slots * 8
+
+    # uniform-by-cost allocation under the frame budget
+    alloc_bits = channels * sum(r[0] for r in rows)
+    chosen: list[int] | None = None
+    for cap in range(48, 4, -1):  # triplet-cost ceiling in bits
+        idxs, sample_bits = [], 0
+        for bw, levels in rows:
+            best, cost = 0, 0
+            for i in range(len(levels) - 1, 0, -1):
+                g, cb = _l2_codeword(levels[i])
+                c3 = cb if g else 3 * cb
+                if c3 <= cap:
+                    best, cost = i, c3
+                    break
+            idxs.append(best)
+            sample_bits += 12 * cost * channels
+        used = sum(1 for i in idxs if i) * channels
+        total = 32 + alloc_bits + 2 * used + 18 * used + sample_bits
+        if total <= frame_bits and all(idxs):
+            chosen = idxs
+            break
+    if chosen is None:
+        raise ValueError(
+            "bitrate too low for all-subband Layer II allocation "
+            "(raise bitrate_kbps)"
+        )
+
+    header = (
+        (0xFFF << 20) | (0b11 << 19) | (0b10 << 17) | (1 << 16)
+        | (_L2_BITRATES[bitrate_kbps] << 12) | (_L1_RATES[rate] << 10)
+        | ((0b11 if channels == 1 else 0b00) << 6)
+    )
+    out = bytearray()
+    for f in range(nframes):
+        S = sub[:, f * 36:(f + 1) * 36, :]  # (ch, 36, 32)
+        w = _BitWriter()
+        w.write(header, 32)
+        for sb in range(sblimit):
+            for _c in range(channels):
+                w.write(chosen[sb], rows[sb][0])
+        for sb in range(sblimit):
+            for _c in range(channels):
+                w.write(0, 2)  # scfsi 0: three scalefactors
+        # per-part scalefactors: part p covers samples 12p..12p+11
+        sf_idx = np.zeros((channels, sblimit, 3), dtype=np.int64)
+        for c in range(channels):
+            for sb in range(sblimit):
+                for p in range(3):
+                    peak = np.abs(S[c, 12 * p:12 * (p + 1), sb]).max()
+                    covered = np.nonzero(SCALEFACTORS >= peak + 1e-12)[0]
+                    sf_idx[c, sb, p] = covered[-1] if len(covered) else 0
+        for sb in range(sblimit):
+            for c in range(channels):
+                for p in range(3):
+                    w.write(int(sf_idx[c, sb, p]), 6)
+        for gr in range(12):
+            p = gr // 4
+            for sb in range(sblimit):
+                levels = rows[sb][1][chosen[sb]]
+                grouped, cb = _l2_codeword(levels)
+                for c in range(channels):
+                    sf = SCALEFACTORS[sf_idx[c, sb, p]]
+                    codes = []
+                    for i in range(3):
+                        frac = S[c, gr * 3 + i, sb] / sf
+                        q = int((frac + 1.0) * levels / 2.0)
+                        codes.append(min(max(q, 0), levels - 1))
+                    if grouped:
+                        w.write(
+                            codes[0] + levels * codes[1]
+                            + levels * levels * codes[2],
+                            cb,
+                        )
+                    else:
+                        for q in codes:
+                            w.write(q, cb)
+        out += w.pad_to(slots)
+    return bytes(out)
+
+
+def layer2_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """MPEG-1 Layer II stream → (sample_rate, channels, float PCM).
+    Requantization is the closed form ``s = (2c + 1 - n) / n`` — exactly
+    the spec's C/D two-step collapsed (for n = 2^k - 1 it equals Layer
+    I's ``2^k/(2^k-1) · (s''' + 2^(1-k))``; for the grouped 3/5/9-level
+    classes it reproduces the B.4 constants 4/3, 8/5, 16/9 with D=1/2).
+    Joint (intensity) stereo applies shared samples with per-channel
+    scalefactors below the bound, like the Layer I path."""
+    pos = _id3v2_size(data)
+    rate = channels = None
+    allS: list[np.ndarray] = []
+    while pos + 4 <= len(data):
+        hdr = _mpa_frame(data, pos)
+        if hdr is None:
+            pos += 1
+            continue
+        fbytes, _samples, frate, fbr, layer, _ver, fch = hdr
+        if layer != 2:
+            raise NotImplementedError(
+                f"Layer {layer} in a Layer II decode call"
+            )
+        if pos + fbytes > len(data):
+            break
+        if rate is None:
+            rate, channels = frate, fch
+        sblimit, rows = _l2_table(frate, fbr // fch)
+        mode = (data[pos + 3] >> 6) & 0x03
+        bound = sblimit
+        if mode == 0b01:
+            bound = min(sblimit, (((data[pos + 3] >> 4) & 0x03) + 1) * 4)
+        r = _BitReader(data, pos + 4)
+        if not (data[pos + 1] & 0x01):
+            r.read(16)  # CRC16
+        nch = fch
+        alloc = np.zeros((nch, sblimit), dtype=np.int64)
+        for sb in range(sblimit):
+            if sb < bound:
+                for c in range(nch):
+                    alloc[c, sb] = r.read(rows[sb][0])
+            else:
+                a = r.read(rows[sb][0])
+                alloc[:, sb] = a
+        scfsi = np.zeros((nch, sblimit), dtype=np.int64)
+        for sb in range(sblimit):
+            for c in range(nch):
+                if alloc[c, sb]:
+                    scfsi[c, sb] = r.read(2)
+        sf = np.zeros((nch, sblimit, 3), dtype=np.int64)
+        for sb in range(sblimit):
+            for c in range(nch):
+                if not alloc[c, sb]:
+                    continue
+                mode_bits = scfsi[c, sb]
+                if mode_bits == 0:
+                    sf[c, sb] = [r.read(6) for _ in range(3)]
+                elif mode_bits == 1:
+                    a, b = r.read(6), r.read(6)
+                    sf[c, sb] = [a, a, b]
+                elif mode_bits == 2:
+                    a = r.read(6)
+                    sf[c, sb] = [a, a, a]
+                else:
+                    a, b = r.read(6), r.read(6)
+                    sf[c, sb] = [a, b, b]
+        S = np.zeros((nch, 36, 32))
+        for gr in range(12):
+            p = gr // 4
+            for sb in range(sblimit):
+                if sb < bound:
+                    for c in range(nch):
+                        a = alloc[c, sb]
+                        if not a:
+                            continue
+                        levels = rows[sb][1][a]
+                        grouped, cb = _l2_codeword(levels)
+                        if grouped:
+                            g = r.read(cb)
+                            codes = [g % levels, (g // levels) % levels,
+                                     g // (levels * levels)]
+                        else:
+                            codes = [r.read(cb) for _ in range(3)]
+                        scale = SCALEFACTORS[sf[c, sb, p]]
+                        for i, q in enumerate(codes):
+                            S[c, gr * 3 + i, sb] = (
+                                (2 * q + 1 - levels) / levels * scale
+                            )
+                else:  # intensity: shared samples, per-channel scalefactors
+                    a = alloc[0, sb]
+                    if not a:
+                        continue
+                    levels = rows[sb][1][a]
+                    grouped, cb = _l2_codeword(levels)
+                    if grouped:
+                        g = r.read(cb)
+                        codes = [g % levels, (g // levels) % levels,
+                                 g // (levels * levels)]
+                    else:
+                        codes = [r.read(cb) for _ in range(3)]
+                    for i, q in enumerate(codes):
+                        base = (2 * q + 1 - levels) / levels
+                        for c in range(nch):
+                            S[c, gr * 3 + i, sb] = (
+                                base * SCALEFACTORS[sf[c, sb, p]]
+                            )
+        allS.append(S)
+        pos += fbytes
+    if rate is None or not allS:
+        raise ValueError("no Layer II frames found")
+    sub = np.concatenate(allS, axis=1)
+    pcm = np.stack(
+        [synthesis_frames(sub[c]) for c in range(channels)], axis=1
+    )
+    return rate, channels, pcm[_DELAY:]
+
+
+def mpeg_audio_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Layer-dispatching MPEG-1 audio sample decode: Layer I and II
+    decode end-to-end; Layer III raises (declared gap — its Huffman
+    tables cannot be ground-truthed here; frame geometry still fully
+    handled by ``multimodal.mp3_frame_profile``)."""
+    pos = _id3v2_size(data)
+    while pos + 4 <= len(data):
+        hdr = _mpa_frame(data, pos)
+        if hdr is not None:
+            layer = hdr[4]
+            if layer == 1:
+                return layer1_decode(data)
+            if layer == 2:
+                return layer2_decode(data)
+            raise NotImplementedError(
+                "Layer III sample decode unsupported (frame geometry via "
+                "mp3_frame_profile; see mpegaudio docblock)"
+            )
+        pos += 1
+    raise ValueError("no MPEG audio frames found")

@@ -2,7 +2,7 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The container has no image/audio/video codec libraries, so the SAMPLE
-decodes that require large tabulated spec data (MPEG audio Layer II/III,
+decodes that require large tabulated spec data (MPEG audio Layer III,
 mp4/h264) are STUBBED (NotImplementedError as marked, real container
 metadata around them) — but every format whose spec is implementable with
 stdlib+numpy decodes for REAL end-to-end:
@@ -19,7 +19,8 @@ stdlib+numpy decodes for REAL end-to-end:
 - audio: RIFF/WAVE PCM — container walk, raw-sample numpy math
   (``parse_wav``/``audio_pcm_stats``) — and MPEG-1 Layer I subband
   sample decode + encode (``datapipe.mpegaudio``: near-PR pseudo-QMF
-  filterbank, closed-form scalefactors; Layer II/III stay metadata-only
+  filterbank, closed-form scalefactors; Layer II decodes too (r9, B.2a/b
+  tables + closed-form requantizer); Layer III stays metadata-only
   for the tabulated-data reason above);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
   with per-frame luma (``parse_y4m``/``video_frame_stats``).
@@ -660,7 +661,7 @@ AUDIO_STATS_SCHEMA = (
 def audio_pcm_stats(df: DataFrame) -> DataFrame:
     """mapInPandas decode → feature stage for audio, REAL end-to-end for
     PCM WAV and MPEG-1 Layer I (``datapipe.mpegaudio`` — full subband
-    sample decode; Layer II/III remain frame-walk metadata only, see
+    sample decode; Layer III remains frame-walk metadata only, see
     that module's scope note): container walk + sample math give
     duration, RMS level and peak amplitude.
 
@@ -680,16 +681,16 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
                 ):
                     try:
                         from event_stream_spark.datapipe.mpegaudio import (
-                            layer1_decode,
+                            mpeg_audio_decode,
                         )
 
-                        mrate, _mch, mpcm = layer1_decode(b)
+                        mrate, _mch, mpcm = mpeg_audio_decode(b)
                         parsed = (
                             mrate, mpcm.shape[1], 16, mpcm.shape[0],
                             mpcm.reshape(-1),
                         )
                     except (NotImplementedError, ValueError):
-                        parsed = None  # Layer II/III or not MPEG audio
+                        parsed = None  # Layer III or not MPEG audio
                 if parsed is None:
                     continue
                 rate, ch, bits, frames, pcm = parsed
