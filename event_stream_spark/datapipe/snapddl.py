@@ -394,3 +394,153 @@ SELECT m.doc_id, CAST(m.val AS BIGINT) AS val,
 FROM merged m LEFT JOIN pre p USING (doc_id)
 ORDER BY m.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# snap_merge_rows — row-level three-way branch merge, divergence refusal
+# witnessed (round-9)
+# ---------------------------------------------------------------------------
+
+_MERGE_ROWS_TAG = "v1"
+
+
+def _build_merge_rows(spark: SparkSession, sf: str) -> str:
+    """Deterministic row-level-merge script over key-disjoint mod-20
+    residues (disjoint BY CONSTRUCTION, so the clean merge is provably
+    conflict-free at row granularity while file granularity refuses):
+
+    * main snap 0 — evens of documents as (doc_id, val), doc_id stats;
+    * branch "rows" cut at 0; ON THE BRANCH: ``merge_upsert`` val+1000
+      where ``doc_id % 20 == 0``, then ``delete_where`` of
+      ``doc_id % 20 == 2``;
+    * main moves independently: ``merge_upsert`` val+2000 where
+      ``doc_id % 20 == 4`` — both sides have now rewritten base files,
+      so the FILE-level merge must refuse (asserted);
+    * ``merge_branch(resolve='rows', key='doc_id')`` applies the branch's
+      row delta onto main's head in one commit with a writer-recorded
+      CDF;
+    * (blocked) — branch "dup", also cut at 0, updates ``% 20 == 4`` to
+      val+9000: true same-key divergence with main's +2000, so the
+      row-level merge must ALSO refuse; the fixture refuses to publish
+      unless both refusals fire.
+    """
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources.snapbranch import (
+        MergeConflict,
+        create_branch,
+        merge_branch,
+    )
+
+    table = _dir(sf, "snapmergerows", _MERGE_ROWS_TAG)
+    marker = os.path.join(table, "_built")
+    if os.path.exists(marker) and snaplog.snapshots(table) == [0, 1, 2]:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(table + "@rows", ignore_errors=True)
+    shutil.rmtree(table + "@dup", ignore_errors=True)
+    base = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.col("n_chars").cast("long").alias("val"))
+    )
+    snaplog.commit(base, table, stats_cols=["doc_id"])
+    bt = create_branch(table, "rows")
+    create_branch(table, "dup")
+    snaplog.merge_upsert(
+        spark, bt,
+        base.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "val", F.col("val") + 1000
+        ),
+        key="doc_id", stats_cols=["doc_id"],
+    )
+    snaplog.delete_where(spark, bt, "doc_id % 20 = 2", stats_cols=["doc_id"])
+    snaplog.merge_upsert(
+        spark, table,
+        base.filter(F.col("doc_id") % 20 == 4).withColumn(
+            "val", F.col("val") + 2000
+        ),
+        key="doc_id", stats_cols=["doc_id"],
+    )
+    try:
+        merge_branch(spark, table, "rows")
+    except MergeConflict:
+        pass  # required: both sides rewrote base files
+    else:
+        raise RuntimeError(
+            "file-level merge did NOT conflict — snap_merge_rows refuses "
+            "to publish a fixture that never exercised the rows path"
+        )
+    merge_branch(spark, table, "rows", resolve="rows", key="doc_id")
+    snaplog.merge_upsert(
+        spark, table + "@dup",
+        base.filter(F.col("doc_id") % 20 == 4).withColumn(
+            "val", F.col("val") + 9000
+        ),
+        key="doc_id", stats_cols=["doc_id"],
+    )
+    try:
+        merge_branch(spark, table, "dup", resolve="rows", key="doc_id")
+    except MergeConflict:
+        pass  # required: same-key divergence (+9000 vs +2000)
+    else:
+        raise RuntimeError(
+            "row-level divergence did NOT refuse — snap_merge_rows "
+            "refuses to publish a green-looking history"
+        )
+    with open(marker, "w") as fh:
+        fh.write(_MERGE_ROWS_TAG)
+    return table
+
+
+def snap_merge_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-witnessed row-level merge proof: the post-merge state FULL
+    OUTER JOINed with the merge commit's writer-recorded CDF — branch
+    updates (+1000) carry 'update_postimage', branch deletes surface as
+    'delete' rows with NULL final value, main's own +2000 update is
+    intact and absent from the merge's change set, untouched evens ride
+    through unchanged.  Both refusals (file-level conflict, row-level
+    divergence) must have fired for this relation to exist."""
+    from event_stream_spark.sources import snaplog
+
+    table = _build_merge_rows(spark, sf)
+    m = snaplog.snapshots(table)[-1]
+    cur = snaplog.read_snapshot(spark, table)
+    ch = (
+        snaplog.read_changes(spark, table, since=m - 1, until=m)
+        .filter(F.col("_change_type").isin("update_postimage", "delete"))
+        .select("doc_id", F.col("_change_type").alias("change"))
+    )
+    return (
+        cur.join(ch, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("val").cast("long").alias("val"),
+            "change",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNAP_MERGE_ROWS_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS val FROM documents
+    WHERE doc_id % 2 = 0
+),
+post AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 20 = 0 THEN val + 1000
+                WHEN doc_id % 20 = 4 THEN val + 2000
+                ELSE val END AS val
+    FROM base WHERE doc_id % 20 <> 2
+),
+chg AS (
+    SELECT doc_id, 'update_postimage' AS change FROM base
+    WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id, 'delete' AS change FROM base WHERE doc_id % 20 = 2
+)
+SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id, p.val AS val, c.change
+FROM post p FULL OUTER JOIN chg c ON p.doc_id = c.doc_id
+ORDER BY doc_id
+"""
