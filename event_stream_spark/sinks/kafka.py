@@ -56,3 +56,78 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def write_kafka_wire_txn_batch(
+    records: DataFrame,
+    host: str,
+    port: int,
+    topic: str,
+    *,
+    txn_prefix: str,
+    codec: str = "none",
+    batch_rows: int = 500,
+    _crash_before_commit: bool = False,
+) -> None:
+    """Write one (key, value) batch through the wire-protocol transport
+    as KIP-98 TRANSACTIONS — one transactional producer PER SPARK
+    PARTITION (``transactional.id = f"{txn_prefix}-p{partition}"``), all
+    records of a task produced inside a single transaction committed at
+    task end.  This is the Flink-KafkaSink shape: executor tasks dial the
+    broker themselves (nothing moves through the driver), and per-task
+    transactional ids make crash recovery self-fencing.
+
+    Guarantee: ATOMIC PER-TASK VISIBILITY.  A task that dies between
+    produce and EndTxn leaves an open transaction that read_committed
+    consumers never see; its retry (or the next batch run) re-initializes
+    the same transactional.id, which fences the dead incarnation and
+    aborts its orphan — consumers observe each task's output exactly once
+    or not at all, never partially.  Cross-RESTART exactly-once (a whole
+    replayed microbatch) still composes with the K6 offset-log contract,
+    exactly as for the idempotent producer (the reference's own sink is
+    at-least-once; KafkaBlockSink.kt:16-38).
+
+    ``_crash_before_commit`` is the chaos hook: produce everything, then
+    die without EndTxn (test/validation use only).
+
+    Scale shape: O(1) driver work; per-task one connection, one txn,
+    ``batch_rows``-sized produce calls; Kafka partition = spark partition
+    id mod the topic's partition count."""
+    from event_stream_spark.sources.kafkawire import (
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    def _sink(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        client = KafkaWireClient(host, port)
+        try:
+            md = client.metadata(topic)
+            kparts = len(md["topics"][topic]["partitions"])
+            prod = TransactionalProducer(
+                client, topic, f"{txn_prefix}-p{pid}", codec=codec
+            )
+            target = pid % kparts
+            buf: list = []
+            wrote = False
+            for row in rows:
+                key = bytes(row.key) if row.key is not None else None
+                value = bytes(row.value) if row.value is not None else None
+                buf.append((key, value, 0))
+                if len(buf) >= batch_rows:
+                    prod.send(target, buf)
+                    buf, wrote = [], True
+            if buf:
+                prod.send(target, buf)
+                wrote = True
+            if _crash_before_commit:
+                raise RuntimeError("injected crash between produce and EndTxn")
+            if wrote:
+                prod.commit()
+        finally:
+            client.close()
+
+    records.select("key", "value").foreachPartition(_sink)

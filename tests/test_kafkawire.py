@@ -897,3 +897,52 @@ def test_transactional_produce_composes_with_splay_read_committed(
     finally:
         client.close()
         broker.close()
+
+
+def test_txn_sink_atomic_per_task_visibility(spark):
+    """Distributed transactional sink (write_kafka_wire_txn_batch): a run
+    that dies between produce and EndTxn leaves read_committed consumers
+    seeing NOTHING; the recovery run (same per-partition transactional
+    ids) fences and aborts the orphans, and consumers end with exactly
+    one copy of every record — no partials, no duplicates."""
+    import pytest as _pytest
+
+    from event_stream_spark.sinks.kafka import write_kafka_wire_txn_batch
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker(num_partitions=2)
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        df = spark.range(40).selectExpr(
+            "CAST(CAST(id AS STRING) AS BINARY) AS key",
+            "CAST(CAST(id * 2 AS STRING) AS BINARY) AS value",
+        ).repartition(2)
+
+        # attempt 1 crashes after produce, before EndTxn
+        with _pytest.raises(Exception, match="injected crash"):
+            write_kafka_wire_txn_batch(
+                df, broker.host, broker.port, "t",
+                txn_prefix="sink", _crash_before_commit=True,
+            )
+        committed = []
+        for p in range(2):
+            _, recs = client.fetch("t", p, 0, isolation=READ_COMMITTED)
+            committed += recs
+        assert committed == []  # the crashed run is invisible
+
+        # recovery: same txn ids fence + abort the orphans, then commit
+        write_kafka_wire_txn_batch(
+            df, broker.host, broker.port, "t", txn_prefix="sink"
+        )
+        keys = []
+        for p in range(2):
+            _, recs = client.fetch("t", p, 0, isolation=READ_COMMITTED)
+            keys += [int(r[2]) for r in recs]
+        assert sorted(keys) == list(range(40))  # exactly once, no partials
+    finally:
+        client.close()
+        broker.close()
