@@ -985,7 +985,9 @@ class KafkaWireBroker:
                         _i32(pid) + _i16(ERR_NONE) + _i64(-1) + _i64(offset)
                     )
             topics += _string(name) + bytes(parts)
-        return bytes(topics)
+        # v2+ responses lead with throttle_time_ms (KIP-219 shape)
+        head = _i32(0) if version >= 2 else b""
+        return head + bytes(topics)
 
     def close(self) -> None:
         self._stopped.set()
@@ -1225,6 +1227,8 @@ class KafkaWireClient:
             + _i32(1) + _i32(partition) + _i64(ts)
         )
         c = self._request(API_LIST_OFFSETS, version, body)
+        if version >= 2:
+            c.i32()  # throttle_time_ms
         c.i32()  # topic count
         c.string()
         c.i32()  # partition count

@@ -439,9 +439,20 @@ def merge_branch_rows(
         raise ValueError(f"key column {key!r} not in branch columns {cols}")
 
     def _packed(df, alias):
+        # null-fill columns the frame lacks (base predates an additive
+        # evolution both sides made identically — the rows merge must
+        # still compare the full current schema)
+        have = set(df.columns)
+        typed = dict(bm["columns"])
         return df.select(
             F.col(key).alias("_k"),
-            F.struct(*[F.col(c) for c in cols]).alias(alias),
+            F.struct(
+                *[
+                    F.col(c) if c in have
+                    else F.lit(None).cast(typed[c]).alias(c)
+                    for c in cols
+                ]
+            ).alias(alias),
         )
 
     for _ in range(max_retries):
