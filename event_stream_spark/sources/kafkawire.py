@@ -1526,10 +1526,14 @@ def kafka_wire_block_source(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     drop_corrupt: bool = False,
+    isolation: str | None = None,
 ):
     """S9 over the real wire: stream the topic through the kafkawire
     source and decode with the same fixed-schema path as the stock reader
-    (KafkaBlockSource.kt:15-30 parity, transport included)."""
+    (KafkaBlockSource.kt:15-30 parity, transport included).
+    ``isolation="read_committed"`` consumes only committed transactions
+    (KIP-98) — pair it with the transactional sink for end-to-end
+    exactly-once block delivery."""
     from event_stream_spark.sources.kafka import decode_kafka_records
 
     register(spark)
@@ -1543,4 +1547,6 @@ def kafka_wire_block_source(
         reader = reader.option(
             "max_offsets_per_trigger", str(max_offsets_per_trigger)
         )
+    if isolation is not None:
+        reader = reader.option("isolation", isolation)
     return decode_kafka_records(reader.load(), drop_corrupt=drop_corrupt)

@@ -1188,6 +1188,14 @@ def history(table: str) -> list[dict]:
                 "n_files": len(m["files"]),
                 "rows": rows,
                 "row_delta": rows - prev_rows,
+                # merge attribution rides into the audit surface: both the
+                # file-level merge (op="merge_branch") and the row-level
+                # one (op="overwrite" + extra_meta) stamp merged_branch
+                **(
+                    {"merged_branch": m["merged_branch"]}
+                    if m.get("merged_branch")
+                    else {}
+                ),
             }
         )
         prev_rows = rows
