@@ -162,23 +162,31 @@ def _ctable(kind: str) -> _FseCTable:
 
 
 def _channel_plan(
-    kind: str, hist: dict
-) -> tuple[int, bytes, "_FseCTable | None"]:
+    kind: str, hist: dict, prev: tuple | None = None
+) -> tuple[int, bytes, "_FseCTable | None", tuple]:
     """Pick the cheapest RFC 8878 compression mode for one sequence-code
     channel given its code histogram: RLE (one distinct code → 1 header
-    byte, zero state bits), FSE_Compressed (histogram-fitted table when
-    its entropy + table bytes beat the predefined distribution by a
-    margin), else Predefined.  Returns (mode_bits, header_bytes, ctable);
-    ctable None means RLE (no state machine).  Real corpora with skewed
-    match-length histograms leave ~15% ratio on the table under
-    predefined-only coding — this is where the CLI's edge over the r8
-    encoder came from."""
+    byte, zero state bits), Repeat (reuse the previous sequence-bearing
+    block's table — zero header bytes, legal whenever that table codes
+    every symbol present), FSE_Compressed (histogram-fitted table when
+    its entropy + table bytes beat the alternatives by a margin), else
+    Predefined.  ``prev`` is the DECODER-VISIBLE previous table for this
+    channel — ("fse", norm, log, ctable) | ("rle", sym) | ("pred",) —
+    exactly mirroring the decoder's frame context (which only advances on
+    compressed blocks with sequences).  Returns (mode_bits, header_bytes,
+    ctable, table_desc); ctable None means a constant channel with no
+    state machine.  Real corpora with skewed match-length histograms
+    leave ~15% ratio on the table under predefined-only coding — this is
+    where the CLI's edge over the r8 encoder came from."""
     import math
 
     from .zstdcodec import _MAX_LOG
 
     if len(hist) == 1:
-        return 1, bytes([next(iter(hist))]), None
+        sym = next(iter(hist))
+        if prev is not None and prev[0] == "rle" and prev[1] == sym:
+            return 3, b"", None, prev  # repeat the RLE symbol: 0 bytes
+        return 1, bytes([sym]), None, ("rle", sym)
     pnorm, plog = _PREDEF[kind]
     pred_bits = 0.0
     for s, c in hist.items():
@@ -188,6 +196,17 @@ def _channel_plan(
             pred_bits = float("inf")  # predefined cannot code this symbol
             break
         pred_bits += c * (plog - math.log2(eff))
+    rep_bits = float("inf")
+    if prev is not None and prev[0] == "fse":
+        _tag, rnorm, rlog, _rct = prev
+        rep_bits = 0.0
+        for s, c in hist.items():
+            rc = rnorm[s] if s < len(rnorm) else 0
+            eff = 1 if rc == -1 else rc
+            if eff <= 0:
+                rep_bits = float("inf")
+                break
+            rep_bits += c * (rlog - math.log2(eff))
     best: tuple | None = None
     for log in range(5, _MAX_LOG[kind] + 1):
         if (1 << log) < 2 * len(hist):
@@ -204,13 +223,25 @@ def _channel_plan(
             best = (bits, norm, log, table)
     # 16-bit margin absorbs the entropy estimate's error vs the true
     # tANS state-transition cost — never flip modes for a wash
-    if best is not None and best[0] + 16 < pred_bits:
+    base = min(pred_bits, rep_bits)
+    if best is not None and best[0] + 16 < base:
         _, norm, log, table = best
-        return 2, table, _FseCTable(norm, log)
-    return 0, b"", _ctable(kind)
+        ct = _FseCTable(norm, log)
+        return 2, table, ct, ("fse", norm, log, ct)
+    if rep_bits < pred_bits:
+        return 3, b"", prev[3], prev
+    return 0, b"", _ctable(kind), ("pred",)
 
 
-def _encode_sequences(seqs: list) -> bytes:
+def _encode_sequences(
+    seqs: list, ctx: dict | None = None
+) -> tuple[bytes, dict]:
+    """Sequences section bytes plus the DECODER-VISIBLE table context
+    after this section (kind → table_desc) — the caller mirrors it into
+    its frame state only when the block is actually EMITTED as a
+    compressed block with sequences, exactly when the decoder's frame
+    context advances."""
+    ctx = ctx or {}
     out = bytearray()
     n = len(seqs)
     if n < 128:
@@ -222,7 +253,7 @@ def _encode_sequences(seqs: list) -> bytes:
         out.append(255)
         out += struct.pack("<H", n - 0x7F00)
     if n == 0:
-        return bytes(out)
+        return bytes(out), dict(ctx)
     codes = []
     for ll, ofv, ml in seqs:
         llc = bisect_right(_LL_BASE, ll) - 1
@@ -250,9 +281,15 @@ def _encode_sequences(seqs: list) -> bytes:
         ll_hist[llc] = ll_hist.get(llc, 0) + 1
         of_hist[ofc] = of_hist.get(ofc, 0) + 1
         ml_hist[mlc] = ml_hist.get(mlc, 0) + 1
-    ll_mode, ll_hdr, ll_ct = _channel_plan("ll", ll_hist)
-    of_mode, of_hdr, of_ct = _channel_plan("of", of_hist)
-    ml_mode, ml_hdr, ml_ct = _channel_plan("ml", ml_hist)
+    ll_mode, ll_hdr, ll_ct, ll_desc = _channel_plan(
+        "ll", ll_hist, ctx.get("ll")
+    )
+    of_mode, of_hdr, of_ct, of_desc = _channel_plan(
+        "of", of_hist, ctx.get("of")
+    )
+    ml_mode, ml_hdr, ml_ct, ml_desc = _channel_plan(
+        "ml", ml_hist, ctx.get("ml")
+    )
     out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     # table / RLE-symbol headers in ll, of, ml order (§3.1.1.3.2.1)
     out += ll_hdr + of_hdr + ml_hdr
@@ -288,7 +325,7 @@ def _encode_sequences(seqs: list) -> bytes:
     if ll_ct:
         w.add(ll_s, ll_ct.log)
     out += w.close()
-    return bytes(out)
+    return bytes(out), {"ll": ll_desc, "of": of_desc, "ml": ml_desc}
 
 
 # --------------------------------------------------------------------------
@@ -762,6 +799,7 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
     else:
         table: dict = {}
         rep = [1, 4, 8]  # frame-level repeat-offset history
+        seq_ctx: dict = {}  # decoder-visible sequence tables (Repeat_Mode)
         pos = 0
         while pos < n:
             chunk_end = min(pos + _BLOCK_MAX, n)
@@ -774,7 +812,8 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
                 seqs_raw, lits = _lz_parse(data, pos, chunk_end, table)
                 new_rep = list(rep)
                 seqs = _to_offset_vals(seqs_raw, new_rep)
-                body = _literals_section(lits) + _encode_sequences(seqs)
+                seq_bytes, new_ctx = _encode_sequences(seqs, seq_ctx)
+                body = _literals_section(lits) + seq_bytes
                 used_seqs = True
                 if seqs:
                     # alternative rendering: the whole chunk as Huffman
@@ -791,8 +830,12 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
                     out += body
                     if used_seqs:
                         # the decoder will replay these sequences; its
-                        # repeat history moves with them
+                        # repeat-offset history AND sequence-table context
+                        # move with them (both stay put when the block is
+                        # emitted raw/flat instead)
                         rep = new_rep
+                        if seqs:
+                            seq_ctx = new_ctx
                 else:
                     out += ((len(chunk) << 3) | last).to_bytes(3, "little")
                     out += chunk

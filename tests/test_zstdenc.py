@@ -173,7 +173,7 @@ def test_sequences_section_roundtrip_against_decoder():
             )
             for _ in range(n)
         ]
-        blob = _encode_sequences(seqs)
+        blob, _ctx = _encode_sequences(seqs)
         got, _ = _decode_sequences(blob, _FrameCtx())
         assert got == seqs, f"trial {trial}"
 
@@ -402,13 +402,28 @@ def test_channel_plan_modes():
     from event_stream_spark.sources.zstdenc import _channel_plan
 
     # constant code → RLE, 1 header byte, no state machine
-    mode, hdr, ct = _channel_plan("ml", {7: 500})
+    mode, hdr, ct, desc = _channel_plan("ml", {7: 500})
     assert mode == 1 and hdr == bytes([7]) and ct is None
 
+    # ...and repeating the SAME constant in the next block costs 0 bytes
+    mode, hdr, ct, _d = _channel_plan("ml", {7: 200}, desc)
+    assert mode == 3 and hdr == b"" and ct is None
+
     # heavy skew over a few codes, many sequences → dynamic FSE wins
-    mode, hdr, ct = _channel_plan("ml", {7: 3000, 8: 900, 20: 80, 31: 20})
+    mode, hdr, ct, desc = _channel_plan("ml", {7: 3000, 8: 900, 20: 80, 31: 20})
     assert mode == 2 and len(hdr) > 0 and ct is not None
 
+    # a similar next block REPEATS the fitted table: 0 header bytes,
+    # same state machine
+    mode, hdr, ct2, _d = _channel_plan(
+        "ml", {7: 2800, 8: 1000, 20: 70, 31: 25}, desc
+    )
+    assert mode == 3 and hdr == b"" and ct2 is desc[3]
+
+    # a block whose symbols the previous table cannot code falls back
+    mode, hdr, ct3, _d = _channel_plan("ml", {40: 500, 41: 400}, desc)
+    assert mode in (0, 2)
+
     # a handful of sequences → table bytes outweigh entropy gain
-    mode, hdr, ct = _channel_plan("ll", {0: 2, 3: 1, 5: 1})
+    mode, hdr, ct, _d = _channel_plan("ll", {0: 2, 3: 1, 5: 1})
     assert mode == 0 and hdr == b"" and ct is not None
