@@ -2342,6 +2342,55 @@ def test_concurrent_branch_merges_serialize(spark, tmp_path):
     assert len(snapshots(table)) == 3  # base + two serialized merges
 
 
+def test_concurrent_row_merges_serialize(spark, tmp_path):
+    """Two key-disjoint ROW-LEVEL merges racing: the loser of the
+    snapshot claim re-reads the new head and re-merges against it
+    (expected_snapshot + CommitConflict inside merge_branch_rows), so
+    both land and the final state carries BOTH branches' updates."""
+    import threading
+
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        merge_branch_rows,
+    )
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        merge_upsert,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    rows = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "id AS v"
+    )
+    commit(rows(0, 20), table, stats_cols=["k"])
+    for name, keys in (("a", (1, 3)), ("b", (12, 14))):
+        bt = create_branch(table, name)
+        upd = spark.createDataFrame(
+            [(k, k + 1000) for k in keys], "k long, v long"
+        )
+        merge_upsert(spark, bt, upd, key="k", stats_cols=["k"])
+
+    errs: list = []
+
+    def do_merge(name):
+        try:
+            merge_branch_rows(spark, table, name, key="k")
+        except Exception as exc:
+            errs.append((name, exc))
+
+    ts = [threading.Thread(target=do_merge, args=(n,)) for n in ("a", "b")]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    got = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+    want = {(k, k) for k in range(20) if k not in (1, 3, 12, 14)}
+    want |= {(k, k + 1000) for k in (1, 3, 12, 14)}
+    assert got == want
+
+
 def test_vacuum_spares_branch_referenced_files(spark, tmp_path):
     """vacuum on MAIN must treat files referenced by any live branch as
     live: after main compacts (orphaning its pre-compact files from its
