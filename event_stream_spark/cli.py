@@ -235,6 +235,17 @@ def _table_admin(spark, table: str, verb_arg: str) -> None:
     elif verb == "merge":
         n = snapbranch.merge_branch(spark, table, arg)
         print(f"merged {arg!r} -> snapshot {n}")
+    elif verb == "merge-rows":
+        # BRANCH,KEY[,ours|theirs] — row-level three-way merge for
+        # key-identified tables (file-level conflicts resolved by rows)
+        parts = [p for p in arg.split(",") if p]
+        if len(parts) < 2:
+            raise SystemExit("merge-rows needs :BRANCH,KEY[,ours|theirs]")
+        prefer = parts[2] if len(parts) > 2 else None
+        n = snapbranch.merge_branch_rows(
+            spark, table, parts[0], key=parts[1], prefer=prefer
+        )
+        print(f"row-merged {parts[0]!r} by {parts[1]!r} -> snapshot {n}")
     elif verb == "rebase":
         n = snapbranch.rebase_branch(spark, table, arg)
         print(f"rebased {arg!r} -> branch snapshot {n}")

@@ -254,6 +254,8 @@ def merge_branch(
     refuses only on true same-key divergence (or resolves it per
     ``prefer``).  Schema/constraint divergence never falls through — that
     is a contract conflict no row merge can reconcile."""
+    if resolve not in ("refuse", "rows"):
+        raise ValueError(f"resolve must be 'refuse'|'rows', got {resolve!r}")
     bt = branch_table(table, name)
     bids = snapshots(bt)
     if not bids:

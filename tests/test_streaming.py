@@ -1736,6 +1736,32 @@ def test_cli_table_admin_verbs(spark, tmp_path, capsys):
     run(["--table", table, "--table-admin", "drop-branch:exp"])
     capsys.readouterr()
 
+    # row-level merge verb: branch and main update the same file on
+    # disjoint keys; merge-rows lands the branch's update
+    from event_stream_spark.sources.snaplog import merge_upsert, read_snapshot
+
+    run(["--table", table, "--table-admin", "branch:rows"])
+    capsys.readouterr()
+    merge_upsert(
+        spark, table + "@rows",
+        spark.createDataFrame([(1, 101)], "k long, v long"),
+        key="k",
+    )
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([(2, 202)], "k long, v long"),
+        key="k",
+    )
+    run(["--table", table, "--table-admin", "merge-rows:rows,k"])
+    assert "row-merged" in capsys.readouterr().out
+    got = {
+        (r.k, r.v)
+        for r in read_snapshot(spark, table).filter("k IN (1, 2)").collect()
+    }
+    assert got == {(1, 101), (2, 202)}
+    run(["--table", table, "--table-admin", "drop-branch:rows"])
+    capsys.readouterr()
+
     run(["--table", table, "--table-admin", "compact:1"])
     run(["--table", table, "--table-admin", "history"])
     hist = capsys.readouterr().out
