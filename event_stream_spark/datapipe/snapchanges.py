@@ -245,3 +245,55 @@ SELECT doc_id, CAST(val AS BIGINT), CAST(NULL AS BIGINT)
 FROM base WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
 ORDER BY doc_id
 """
+
+
+def snap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-witnessed manifest statistics (round-9): per snapshot of the
+    snapchanges fixture, the row counts the MANIFESTS ALONE report —
+    recorded rows, DV-deleted rows, live rows — cross-checked against the
+    oracle recomputing the same script's state arithmetic in SQL.  This
+    is the layer ``read_snapshot(plan_stats=True)`` trusts for first-run
+    broadcast decisions (zero Spark jobs, zero file scans), so its
+    correctness deserves a driver witness, not just a plan gate: a wrong
+    live count silently mis-plans joins at 100 TB.
+
+    Snapshot 3 is the interesting row: the DV delete leaves recorded rows
+    UNCHANGED while deleted_rows goes positive — exactly the divergence
+    between Spark's static raw-size estimate and the manifest's live
+    view."""
+    from event_stream_spark.sources.snaplog import (
+        _read_manifest,
+        entries_stats,
+        snapshots,
+    )
+
+    table = _build(spark, sf)
+    rows = []
+    for n in snapshots(table):
+        st = entries_stats(_read_manifest(table, n)["files"])
+        rows.append((n, st["rows"], st["live_rows"], st["deleted_rows"]))
+    return spark.createDataFrame(
+        rows, "snapshot long, rows long, live_rows long, deleted_rows long"
+    ).orderBy("snapshot")
+
+
+SNAP_STATS_SQL = """
+WITH d AS (SELECT doc_id FROM documents),
+s0 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM d WHERE doc_id % 3 = 0),
+s1 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM d WHERE doc_id % 3 IN (0, 1)),
+state2 AS (
+    SELECT doc_id FROM d
+    WHERE doc_id % 3 IN (0, 1) OR (doc_id % 3 = 2 AND doc_id % 2 = 0)
+),
+s2 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM state2),
+dv AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM state2 WHERE doc_id % 10 = 7)
+SELECT 0 AS snapshot, s0.n AS rows, s0.n AS live_rows,
+       CAST(0 AS BIGINT) AS deleted_rows FROM s0
+UNION ALL
+SELECT 1, s1.n, s1.n, CAST(0 AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, s2.n, s2.n, CAST(0 AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, s2.n, s2.n - dv.n, dv.n FROM s2, dv
+ORDER BY snapshot
+"""
