@@ -68,6 +68,7 @@ def write_kafka_wire_txn_batch(
     codec: str = "none",
     batch_rows: int = 500,
     _crash_before_commit: bool = False,
+    chaos_flag: str | None = None,
 ) -> None:
     """Write one (key, value) batch through the wire-protocol transport
     as KIP-98 TRANSACTIONS — one transactional producer PER SPARK
@@ -125,6 +126,12 @@ def write_kafka_wire_txn_batch(
                 wrote = True
             if _crash_before_commit:
                 raise RuntimeError("injected crash between produce and EndTxn")
+            # task-retry chaos seam: dies AFTER produce, BEFORE EndTxn —
+            # the retried attempt's InitProducerId fences this incarnation
+            # and aborts its open transaction (see scripts/chaos_sinks.py)
+            from event_stream_spark.chaos import claim_once
+
+            claim_once(chaos_flag)
             if wrote:
                 prod.commit()
         finally:
