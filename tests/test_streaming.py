@@ -5583,6 +5583,7 @@ def test_task_retry_chaos_sinks():
     result = json.loads(last[-1])
     assert result == {
         "ok": True, "splay_files": 40, "shard_files": 20, "snap_rows": 1000,
+        "txn_sink_records": 64,
     }
 
 
