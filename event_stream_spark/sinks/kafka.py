@@ -67,7 +67,9 @@ def write_kafka_wire_txn_batch(
     txn_prefix: str,
     codec: str = "none",
     batch_rows: int = 500,
+    batch_id: str | None = None,
     _crash_before_commit: bool = False,
+    _crash_after_commit: bool = False,
     chaos_flag: str | None = None,
 ) -> None:
     """Write one (key, value) batch through the wire-protocol transport
@@ -78,40 +80,80 @@ def write_kafka_wire_txn_batch(
     broker themselves (nothing moves through the driver), and per-task
     transactional ids make crash recovery self-fencing.
 
-    Guarantee: ATOMIC PER-TASK VISIBILITY.  A task that dies between
-    produce and EndTxn leaves an open transaction that read_committed
-    consumers never see; its retry (or the next batch run) re-initializes
-    the same transactional.id, which fences the dead incarnation and
-    aborts its orphan — consumers observe each task's output exactly once
-    or not at all, never partially.  Cross-RESTART exactly-once (a whole
-    replayed microbatch) still composes with the K6 offset-log contract,
-    exactly as for the idempotent producer (the reference's own sink is
-    at-least-once; KafkaBlockSink.kt:16-38).
+    Guarantee: ATOMIC PER-TASK VISIBILITY, scoped precisely.  A task that
+    dies BEFORE EndTxn leaves an open transaction read_committed
+    consumers never see; its retry re-initializes the same
+    transactional.id, which fences the dead incarnation and aborts its
+    orphan — so pre-commit crashes can never surface partial or duplicate
+    output.  A task that dies AFTER its EndTxn succeeded broker-side
+    (lost ack, post-commit executor death) is still retried by Spark, and
+    fencing alone cannot detect the prior success — without ``batch_id``
+    the retry re-produces the rows in a fresh committed transaction
+    (duplicates under read_committed; this is exactly Kafka's own
+    producer-restart gap).  Pass ``batch_id`` (e.g. the foreachBatch
+    epoch id) to close it: the task then writes an ATTEMPT MARKER into
+    ``{topic}.__attempts`` inside the SAME transaction (atomic with the
+    data — the Flink resumeTransaction pattern), and a retried attempt
+    first scans that topic read_committed; a visible marker for
+    (transactional.id, batch_id) proves the prior attempt committed, and
+    the retry produces nothing.  With ``batch_id`` the sink is
+    exactly-once across BOTH crash windows; cross-RESTART replay of a
+    whole microbatch additionally composes with the K6 offset-log
+    contract (the reference's own sink is at-least-once;
+    KafkaBlockSink.kt:16-38).
 
-    ``_crash_before_commit`` is the chaos hook: produce everything, then
-    die without EndTxn (test/validation use only).
+    ``_crash_before_commit`` / ``_crash_after_commit`` are the chaos
+    hooks for the two windows (test/validation use only).
 
     Scale shape: O(1) driver work; per-task one connection, one txn,
     ``batch_rows``-sized produce calls; Kafka partition = spark partition
-    id mod the topic's partition count."""
+    id mod the topic's partition count.  The marker scan is O(committed
+    markers on one partition) — one tiny record per (task, batch), and a
+    real deployment would bound it with topic retention/compaction keyed
+    on transactional.id."""
     from event_stream_spark.sources.kafkawire import (
         KafkaWireClient,
         TransactionalProducer,
     )
 
+    marker_topic = f"{topic}.__attempts"
+
     def _sink(rows) -> None:
         from pyspark import TaskContext
+        from event_stream_spark.sources.kafkawire import READ_COMMITTED
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        txn_id = f"{txn_prefix}-p{pid}"
         client = KafkaWireClient(host, port)
         try:
             md = client.metadata(topic)
             kparts = len(md["topics"][topic]["partitions"])
+            # fences any prior incarnation and ABORTS its open txn — must
+            # happen BEFORE the marker scan, so a pre-commit crash's
+            # un-committed marker is already invisible when we look
             prod = TransactionalProducer(
-                client, topic, f"{txn_prefix}-p{pid}", codec=codec
+                client, topic, txn_id, codec=codec
             )
             target = pid % kparts
+            if batch_id is not None:
+                mkey = txn_id.encode()
+                mval = batch_id.encode()
+                off = 0
+                done = False
+                while not done:
+                    _hw, recs = client.fetch(
+                        marker_topic, target, off,
+                        isolation=READ_COMMITTED,
+                    )
+                    if not recs:
+                        break  # no committed data remains past `off`
+                    for o, _ts, k, v in recs:
+                        off = o + 1
+                        if k == mkey and v == mval:
+                            done = True
+                if done:
+                    return  # a prior attempt of THIS batch committed
             buf: list = []
             wrote = False
             for row in rows:
@@ -133,7 +175,17 @@ def write_kafka_wire_txn_batch(
 
             claim_once(chaos_flag)
             if wrote:
+                if batch_id is not None:
+                    # atomic with the data: visible iff the txn committed
+                    prod.send_to(
+                        marker_topic, target,
+                        [(txn_id.encode(), batch_id.encode(), 0)],
+                    )
                 prod.commit()
+                if _crash_after_commit:
+                    raise RuntimeError(
+                        "injected crash after EndTxn commit succeeded"
+                    )
         finally:
             client.close()
 

@@ -845,7 +845,27 @@ class KafkaWireBroker:
                         # registered this partition (AddPartitionsToTxn)
                         meta = batch_producer_meta(mset)
                         prod = meta[0] if meta else -1
-                        if (name, pid) not in self._txn_parts.get(prod, ()):
+                        bepoch = meta[1] if meta else -1
+                        # coordinator-side fence: validate the batch epoch
+                        # against the COORDINATOR's current epoch for this
+                        # pid, not just the per-partition producer state —
+                        # else a fenced zombie could append into the new
+                        # incarnation's open txn on a partition the new
+                        # incarnation registered but has not produced to
+                        # yet, and the retry's EndTxn would commit the
+                        # zombie's records (real brokers reject stale-epoch
+                        # transactional writes unconditionally)
+                        coord_epoch = next(
+                            (
+                                e
+                                for (p, e) in self._txn_pids.values()
+                                if p == prod
+                            ),
+                            None,
+                        )
+                        if coord_epoch is not None and bepoch < coord_epoch:
+                            err = ERR_INVALID_PRODUCER_EPOCH
+                        elif (name, pid) not in self._txn_parts.get(prod, ()):
                             err = ERR_INVALID_TXN_STATE
                     if err == ERR_NONE and cached is None:
                         plog = self._partition(name, pid)
@@ -1327,27 +1347,37 @@ class TransactionalProducer:
         self.codec = codec
         self.retries = retries
         self.pid, self.epoch = client.init_producer_id(transactional_id)
-        self._seq: dict[int, int] = {}
-        self._in_txn: set[int] = set()  # partitions registered this txn
+        # both keyed by (topic, partition): a transaction may span topics
+        # (e.g. data + the sink's attempt-marker topic, committed
+        # atomically — the Flink resumeTransaction shape)
+        self._seq: dict[tuple[str, int], int] = {}
+        self._in_txn: set[tuple[str, int]] = set()
 
     def send(self, partition: int,
              records: list[tuple[bytes | None, bytes | None, int]]) -> int:
         """Produce one batch inside the current transaction; returns its
         base offset.  Transport retries reuse the sequence (idempotent),
         so a lost ack can never double-write even inside the txn."""
+        return self.send_to(self.topic, partition, records)
+
+    def send_to(self, topic: str, partition: int,
+                records: list[tuple[bytes | None, bytes | None, int]]) -> int:
+        """`send` with an explicit topic — all sends before `commit()`
+        belong to ONE transaction regardless of topic."""
         if not records:
             raise ValueError("empty batch")
-        if partition not in self._in_txn:
+        tp = (topic, partition)
+        if tp not in self._in_txn:
             self.client.add_partitions_to_txn(
-                self.txn_id, self.pid, self.epoch, self.topic, [partition]
+                self.txn_id, self.pid, self.epoch, topic, [partition]
             )
-            self._in_txn.add(partition)
-        seq = self._seq.get(partition, 0)
+            self._in_txn.add(tp)
+        seq = self._seq.get(tp, 0)
         last: Exception | None = None
         for _ in range(self.retries + 1):
             try:
                 off = self.client.produce(
-                    self.topic, partition, records,
+                    topic, partition, records,
                     codec=self.codec,
                     producer=(self.pid, self.epoch, seq),
                     transactional_id=self.txn_id,
@@ -1356,7 +1386,7 @@ class TransactionalProducer:
                 last = exc
                 self.client.close()
                 continue
-            self._seq[partition] = seq + len(records)
+            self._seq[tp] = seq + len(records)
             return off
         raise last  # type: ignore[misc]
 

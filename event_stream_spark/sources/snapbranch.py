@@ -504,6 +504,16 @@ def merge_branch_rows(
         upserts = delta.filter(r.isNotNull()).select("_rrow.*")
         del_keys = delta.filter(r.isNull()).select(F.col("_k").alias(key))
         all_keys = upserts.select(key).unionByName(del_keys).distinct()
+        # the merge key is a primary key (same contract as merge_upsert):
+        # a NULL key can neither full_outer-join its three versions nor be
+        # replaced by the left_anti below (null never equi-joins), so a
+        # null-key upsert would duplicate and a null-key delete would
+        # silently no-op — refuse loudly instead
+        if all_keys.filter(F.col(key).isNull()).limit(1).count():
+            raise ValueError(
+                f"row-level merge of branch {name!r}: delta contains a "
+                f"NULL {key!r} — the merge key must be non-null"
+            )
 
         # file-targeted publication (merge_upsert's range targeting): only
         # head files whose key stats overlap the delta span are rewritten

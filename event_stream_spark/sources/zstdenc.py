@@ -230,6 +230,15 @@ def _channel_plan(
         return 2, table, ct, ("fse", norm, log, ct)
     if rep_bits < pred_bits:
         return 3, b"", prev[3], prev
+    if math.isinf(pred_bits):
+        # the histogram holds a symbol the predefined distribution gives
+        # zero weight, no repeat table covers it, and every dynamic-FSE
+        # normalization attempt failed — emitting predefined here would
+        # produce a frame the decoder cannot reproduce; fail loudly
+        raise ZstdError(
+            f"{kind} channel: symbol outside the predefined table and no "
+            "dynamic/repeat table is usable"
+        )
     return 0, b"", _ctable(kind), ("pred",)
 
 

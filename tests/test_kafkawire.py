@@ -766,7 +766,7 @@ def test_transactional_produce_atomic_visibility_and_abort():
         with _pytest.raises(KafkaWireError, match="48"):
             client.produce(
                 "t", 0, [(b"x", b"y", 1)],
-                producer=(prod.pid, prod.epoch, prod._seq.get(0, 0)),
+                producer=(prod.pid, prod.epoch, prod._seq.get(("t", 0), 0)),
                 transactional_id="txn-app-1",
             )
         # stale epoch EndTxn → fenced
@@ -943,6 +943,105 @@ def test_txn_sink_atomic_per_task_visibility(spark):
             _, recs = client.fetch("t", p, 0, isolation=READ_COMMITTED)
             keys += [int(r[2]) for r in recs]
         assert sorted(keys) == list(range(40))  # exactly once, no partials
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_txn_zombie_epoch_cannot_produce_into_retry_txn():
+    """ADVICE r10 (high): a fenced zombie producer (stale epoch) must not
+    append into the retry's open transaction on a partition the retry
+    registered but has not yet produced to — the broker must validate the
+    batch epoch against COORDINATOR state, not only per-partition
+    producer state, else the retry's EndTxn commits the zombie's rows."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        zombie = TransactionalProducer(client, "t", "task-1")  # epoch 0
+        # overlapping attempt (speculative execution): same txn id —
+        # InitProducerId bumps the epoch and fences the zombie
+        retry = TransactionalProducer(client, "t", "task-1")   # epoch 1
+        assert retry.pid == zombie.pid and retry.epoch == zombie.epoch + 1
+        # retry registers partition 0 but has NOT produced to it yet —
+        # exactly the window the advisory reproduced
+        client.add_partitions_to_txn(
+            "task-1", retry.pid, retry.epoch, "t", [0]
+        )
+        with _pytest.raises(KafkaWireError, match="47"):
+            client.produce(
+                "t", 0, [(b"Z", b"ZOMBIE", 0)],
+                producer=(zombie.pid, zombie.epoch, 0),
+                transactional_id="task-1",
+            )
+        retry._in_txn.add(("t", 0))  # already registered above
+        retry.send(0, [(b"k", b"b0", 0)])
+        retry.commit()
+        _, recs = client.fetch("t", 0, 0, isolation=READ_COMMITTED)
+        assert [r[3] for r in recs] == [b"b0"]  # no zombie rows committed
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_txn_sink_post_commit_retry_is_deduplicated(spark):
+    """ADVICE r10 (medium): a task that dies AFTER its EndTxn succeeded
+    broker-side is retried by Spark; with ``batch_id`` the retry finds
+    the committed attempt marker (written atomically with the data) and
+    produces nothing — exactly-once across both crash windows.  A new
+    batch_id under the same transactional ids still appends normally."""
+    import pytest as _pytest
+
+    from event_stream_spark.sinks.kafka import write_kafka_wire_txn_batch
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker(num_partitions=2)
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        df = spark.range(20).selectExpr(
+            "CAST(CAST(id AS STRING) AS BINARY) AS key",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        ).repartition(2)
+
+        # attempt 1 commits broker-side, then dies before reporting
+        with _pytest.raises(Exception, match="after EndTxn"):
+            write_kafka_wire_txn_batch(
+                df, broker.host, broker.port, "t", txn_prefix="s",
+                batch_id="b0", _crash_after_commit=True,
+            )
+        # the retry of the SAME batch: marker scan skips the re-produce
+        write_kafka_wire_txn_batch(
+            df, broker.host, broker.port, "t", txn_prefix="s",
+            batch_id="b0",
+        )
+        keys = []
+        for p in range(2):
+            _, recs = client.fetch("t", p, 0, isolation=READ_COMMITTED)
+            keys += [int(r[2]) for r in recs]
+        assert sorted(keys) == list(range(20))  # once, not twice
+
+        # a different batch under the same txn ids is NOT suppressed
+        write_kafka_wire_txn_batch(
+            df, broker.host, broker.port, "t", txn_prefix="s",
+            batch_id="b1",
+        )
+        keys = []
+        for p in range(2):
+            _, recs = client.fetch("t", p, 0, isolation=READ_COMMITTED)
+            keys += [int(r[2]) for r in recs]
+        assert sorted(keys) == sorted(list(range(20)) * 2)
     finally:
         client.close()
         broker.close()

@@ -5850,3 +5850,35 @@ def test_column_mapping_rename_drop_evolution(spark, tmp_path):
     assert back.columns == ["id", "v", "lang"]
     assert back.filter("lang = 'de'").count() == 3
     assert len(snapshots(table)) == 10  # nothing rewrote history
+
+
+def test_row_merge_rejects_null_merge_key(spark, tmp_path):
+    """ADVICE r10 (low): a NULL merge key can neither full_outer-join its
+    three versions nor be replaced by the anti-join (null never
+    equi-joins), so a null-key upsert would silently duplicate —
+    merge_branch_rows must refuse up front instead."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        merge_branch_rows,
+    )
+    from event_stream_spark.sources.snaplog import commit, read_snapshot
+
+    table = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).selectExpr("id AS k", "id AS v"),
+        table,
+        stats_cols=["k"],
+    )
+    bt = create_branch(table, "nulls")
+    commit(
+        spark.createDataFrame([(None, 999)], "k long, v long"),
+        bt,
+        mode="append",
+        stats_cols=["k"],
+    )
+    with _pytest.raises(ValueError, match="NULL 'k'"):
+        merge_branch_rows(spark, table, "nulls", key="k")
+    # main is untouched: no partial merge, no duplicate
+    assert read_snapshot(spark, table).count() == 5

@@ -427,3 +427,28 @@ def test_channel_plan_modes():
     # a handful of sequences → table bytes outweigh entropy gain
     mode, hdr, ct, _d = _channel_plan("ll", {0: 2, 3: 1, 5: 1})
     assert mode == 0 and hdr == b"" and ct is not None
+
+
+def test_channel_plan_raises_when_no_mode_can_code(monkeypatch):
+    """ADVICE r10 (low): when the histogram holds a symbol the predefined
+    distribution gives zero weight AND every dynamic-FSE normalization
+    fails AND no repeat table covers it, _channel_plan must raise — the
+    old fallback emitted Predefined_Mode, producing a frame the decoder
+    cannot reproduce."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources import zstdenc
+    from event_stream_spark.sources.zstdenc import _channel_plan
+    from event_stream_spark.sources.zstdcodec import ZstdError
+
+    # ml code 43 is outside the predefined ML table (52 entries, but give
+    # a symbol with zero predefined weight); force the dynamic loop dry
+    def _boom(hist, log):
+        raise ZstdError("forced normalization failure")
+
+    monkeypatch.setattr(zstdenc, "_fse_normalize", _boom)
+    pnorm, _plog = zstdenc._PREDEF["ml"]
+    zero_syms = [s for s, c in enumerate(pnorm) if c == 0]
+    sym = zero_syms[0] if zero_syms else len(pnorm)
+    with _pytest.raises(ZstdError, match="predefined"):
+        _channel_plan("ml", {sym: 500, 0: 400})
