@@ -13,9 +13,15 @@ This module closes both with the standard recipe: data files are immutable
 and manifest files are the ONLY source of truth.
 
 - every commit writes its data files under a fresh ``data/c<N>-<token>/``
-  directory, then publishes ``_log/<N>.json`` listing the snapshot's FULL
-  file set (previous files + new ones for ``append``; just the new ones for
-  ``overwrite``);
+  directory, then publishes ``_log/<N>.json`` — an O(delta) record
+  (``files_delta``: entries added/removed/mutated vs snapshot N-1) when
+  that is smaller than the snapshot's full file set, the full list
+  otherwise (snapshot 0, overwrites).  Every ``SNAP_CHECKPOINT_EVERY``-th
+  commit additionally writes a self-contained ``_log/<N>.ckpt.json``
+  checkpoint (the Delta log-checkpoint / Iceberg manifest-list design
+  point), so readers resolve any snapshot from one anchor plus a bounded
+  delta tail — commit bytes scale with the CHANGE and resolve cost with
+  the checkpoint cadence, not with the table's file count;
 - the manifest CONTENT is written to a temp file first, then ``os.link``ed
   onto the final ``_log/<N>.json`` name — the link is the filesystem's
   atomic claim on snapshot id N, and the manifest is fully readable the
@@ -40,13 +46,24 @@ pruning only helps after a task already opened the file).
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_log"
+
+# Full-state checkpoint cadence (the Delta checkpoint-every-10 /
+# Iceberg manifest-list design point): ordinary commits persist O(delta)
+# manifests; every K-th commit ALSO writes a self-contained checkpoint so
+# a cold reader resolves any snapshot from at most one checkpoint plus
+# < K delta tails.  At 100 TB (~800k files) this is the difference
+# between an ~800k-entry JSON written per commit and re-parsed per read
+# versus a few entries per commit and an O(files) write only every K.
+SNAP_CHECKPOINT_EVERY = 20
 
 
 def _log_dir(table: str) -> str:
@@ -55,6 +72,11 @@ def _log_dir(table: str) -> str:
 
 def _manifest_path(table: str, n: int) -> str:
     return os.path.join(_log_dir(table), f"{n:012d}.json")
+
+
+def _ckpt_path(table: str, n: int) -> str:
+    # ".ckpt.json" keeps snapshots() blind to it (int("...ckpt") fails)
+    return os.path.join(_log_dir(table), f"{n:012d}.ckpt.json")
 
 
 def snapshots(table: str) -> list[int]:
@@ -72,9 +94,166 @@ def snapshots(table: str) -> list[int]:
     return sorted(ids)
 
 
-def _read_manifest(table: str, n: int) -> dict:
+# Resolved-manifest cache: manifests are IMMUTABLE once linked (the
+# os.link claim publishes final content), so a (path, inode, mtime, size)
+# key can never serve stale state — it only guards against a table
+# directory being deleted and re-created at the same path.  The cache
+# holds RESOLVED manifests (full file lists); _read_manifest hands out
+# deep copies because callers mutate their view (e.g. _metadata_commit).
+_MANIFEST_CACHE: OrderedDict[tuple, dict] = OrderedDict()
+_MANIFEST_CACHE_MAX = 256
+
+
+def _stat_key(path: str) -> tuple:
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+def _load_raw(table: str, n: int) -> dict:
+    """The on-disk manifest record, verbatim: either a FULL manifest
+    (has ``files``) or a delta record (has ``files_delta``)."""
     with open(_manifest_path(table, n)) as fh:
         return json.load(fh)
+
+
+def _apply_delta(prev_files: list[dict], d: dict) -> list[dict]:
+    """Reconstruct a snapshot's file list from its predecessor's:
+    kept entries stay in predecessor order (mutated ones — e.g. a grown
+    DV sidecar — replaced in place), added entries append at the end —
+    exactly the shape commit() builds (``prev + entries``)."""
+    removed = set(d.get("remove", ()))
+    mutated = {e["path"]: e for e in d.get("mutate", ())}
+    files = [
+        mutated.get(e["path"], e)
+        for e in prev_files
+        if e["path"] not in removed
+    ]
+    return files + list(d.get("add", ()))
+
+
+def _resolve_manifest(table: str, n: int) -> dict:
+    """Resolve snapshot ``n``'s LOGICAL manifest (full ``files`` list)
+    from the delta-encoded log: walk back to the nearest anchor — a
+    cached resolution, a checkpoint, or a full on-disk manifest — then
+    apply the delta tail forward.  Cold cost is bounded by the
+    checkpoint cadence; warm cost is one cache hit."""
+    path = _manifest_path(table, n)
+    key = _stat_key(path)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        _MANIFEST_CACHE.move_to_end(key)
+        return hit
+    top = _load_raw(table, n)
+    if "files" in top:
+        resolved = top
+    else:
+        deltas = [top["files_delta"]]
+        base_files: list[dict] | None = None
+        m = n - 1
+        while True:
+            mp = _manifest_path(table, m)
+            mk = _stat_key(mp) if os.path.exists(mp) else None
+            if mk is not None:
+                c = _MANIFEST_CACHE.get(mk)
+                if c is not None:
+                    base_files = c["files"]
+                    break
+            ck = _ckpt_path(table, m)
+            if os.path.exists(ck):
+                with open(ck) as fh:
+                    base_files = json.load(fh)["files"]
+                break
+            if mk is None:
+                raise FileNotFoundError(
+                    f"cannot resolve snapshot {n} of {table!r}: manifest "
+                    f"{m} is gone and no checkpoint covers the tail"
+                )
+            raw = _load_raw(table, m)
+            if "files" in raw:
+                base_files = raw["files"]
+                break
+            deltas.append(raw["files_delta"])
+            m -= 1
+        files = base_files
+        for d in reversed(deltas):
+            files = _apply_delta(files, d)
+        resolved = {k: v for k, v in top.items() if k != "files_delta"}
+        resolved["files"] = files
+    _MANIFEST_CACHE[key] = resolved
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.popitem(last=False)
+    return resolved
+
+
+def _read_manifest(table: str, n: int) -> dict:
+    return copy.deepcopy(_resolve_manifest(table, n))
+
+
+def _encode_manifest(table: str, n: int, manifest: dict) -> dict:
+    """On-disk record for a logical manifest: an O(delta) ``files_delta``
+    against snapshot n-1 when the file list is expressible as (kept
+    entries in predecessor order, some mutated in place, new entries
+    appended) AND that is smaller than the full list; the full manifest
+    otherwise.  The faithfulness guard reconstructs and compares, so a
+    caller that e.g. reorders carried entries silently gets a full
+    manifest instead of a corrupted delta — correctness never depends on
+    writer discipline."""
+    files = manifest["files"]
+    if n == 0:
+        return manifest  # the chain anchor is always self-contained
+    try:
+        prev = _resolve_manifest(table, n - 1)["files"]
+    except FileNotFoundError:
+        return manifest
+    prev_by_path = {e["path"]: e for e in prev}
+    add, mutate, kept = [], [], set()
+    for e in files:
+        pe = prev_by_path.get(e["path"])
+        if pe is None:
+            add.append(e)
+        else:
+            kept.add(e["path"])
+            if pe != e:
+                mutate.append(e)
+    remove = [p for p in prev_by_path if p not in kept]
+    if len(add) + len(mutate) + len(remove) >= len(files):
+        return manifest  # delta would not be smaller (e.g. overwrite)
+    d = {
+        "base": n - 1,
+        **({"remove": remove} if remove else {}),
+        **({"mutate": mutate} if mutate else {}),
+        **({"add": add} if add else {}),
+    }
+    if _apply_delta(prev, d) != files:
+        return manifest  # unexpressible (reordered carry): stay full
+    out = {k: v for k, v in manifest.items() if k != "files"}
+    out["files_delta"] = d
+    return out
+
+
+def _maybe_checkpoint(
+    table: str, n: int, resolved: dict, *, force: bool = False
+) -> None:
+    """Write the self-contained checkpoint for snapshot ``n`` (crash-safe
+    and best-effort: readers that never see it just walk a longer delta
+    tail).  Called on the cadence by commit paths and forced by vacuum
+    before it drops the manifests a kept delta tail would need."""
+    if not force and (n == 0 or n % SNAP_CHECKPOINT_EVERY):
+        return
+    ck = _ckpt_path(table, n)
+    if os.path.exists(ck):
+        return
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(_log_dir(table), f".tmp-ck{token}-{n}.json")
+    with open(tmp, "w") as fh:
+        json.dump(resolved, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, ck)
+    except FileExistsError:
+        pass  # a concurrent writer checkpointed the same snapshot
+    os.remove(tmp)
 
 
 def _row_count(path: str) -> int:
@@ -611,11 +790,14 @@ def commit(
             **(extra_meta or {}),
         }
         # content first, visibility second: the fsync'd temp file carries
-        # the full manifest before os.link atomically claims the id — a
-        # reader can never observe a partial manifest
+        # the full record before os.link atomically claims the id — a
+        # reader can never observe a partial manifest.  What lands on
+        # disk is the O(delta) encoding (vs snapshot nxt-1) whenever that
+        # is smaller than the full file list — commit bytes scale with
+        # the CHANGE, not the table.
         tmp = os.path.join(_log_dir(table), f".tmp-{token}-{nxt}.json")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_encode_manifest(table, nxt, manifest), fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -638,6 +820,7 @@ def commit(
                 ) from None
             continue
         os.remove(tmp)
+        _maybe_checkpoint(table, nxt, manifest)
         return nxt
     raise RuntimeError(f"snapshot commit contention: {max_retries} retries exhausted")
 
@@ -673,7 +856,7 @@ def _metadata_commit(
         token = uuid.uuid4().hex[:12]
         tmp = os.path.join(_log_dir(table), f".tmp-{token}-{nxt}.json")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(_encode_manifest(table, nxt, manifest), fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -682,6 +865,7 @@ def _metadata_commit(
             os.remove(tmp)
             continue
         os.remove(tmp)
+        _maybe_checkpoint(table, nxt, manifest)
         return nxt
     raise RuntimeError(f"metadata commit contention: {max_retries} retries")
 
@@ -1235,6 +1419,18 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
 
     ids = snapshots(table)
     keep_ids = ids[-keep_last:] if keep_last else []
+    # the delta-encoded log resolves a snapshot by walking back to an
+    # anchor; dropping manifests below the retention horizon would strand
+    # a kept delta tail — so the OLDEST kept snapshot is checkpointed
+    # first (self-contained), making every kept id resolvable forever
+    if keep_ids and ids[0] != keep_ids[0]:
+        oldest = keep_ids[0]
+        if "files" not in _load_raw(table, oldest) and not os.path.exists(
+            _ckpt_path(table, oldest)
+        ):
+            _maybe_checkpoint(
+                table, oldest, _resolve_manifest(table, oldest), force=True
+            )
     live: set[str] = set()
     live_dv: set[str] = set()
     live_cdc: set[str] = set()
@@ -1314,6 +1510,9 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
     for n in ids:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))
+            ck = _ckpt_path(table, n)
+            if os.path.exists(ck):
+                os.remove(ck)
     # sweep manifest temp files from writers killed mid-commit — but only
     # STALE ones: a live committer is inside its open→link→remove window
     # for milliseconds, so an age threshold cleanly separates the two
@@ -1332,6 +1531,11 @@ def added_files(table: str, n: int) -> list[str]:
     ids = snapshots(table)
     if n not in ids:
         raise ValueError(f"snapshot {n} not in {ids}")
+    raw = _load_raw(table, n)
+    if n > 0 and raw.get("op") != "overwrite" and "files_delta" in raw:
+        # O(delta) fast path: an append/metadata delta record carries
+        # exactly the first-referenced entries — no resolution, no diff
+        return [e["path"] for e in raw["files_delta"].get("add", ())]
     cur = _read_manifest(table, n)
     if n == 0 or cur["op"] == "overwrite":
         return [f["path"] for f in cur["files"]]

@@ -5882,3 +5882,107 @@ def test_row_merge_rejects_null_merge_key(spark, tmp_path):
         merge_branch_rows(spark, table, "nulls", key="k")
     # main is untouched: no partial merge, no duplicate
     assert read_snapshot(spark, table).count() == 5
+
+
+def test_snapshot_log_delta_manifests_and_checkpoints(spark, tmp_path):
+    """VERDICT r10 #1 (metadata scaling): commits persist O(delta)
+    manifest records, every K-th commit writes a self-contained
+    checkpoint, readers resolve any snapshot from one anchor plus a
+    bounded delta tail, DML deltas stay O(touched files), and vacuum
+    checkpoints the retention edge so dropping old manifests never
+    strands a kept tail."""
+    import os
+
+    from event_stream_spark.sources import snaplog
+    from event_stream_spark.sources.snaplog import (
+        SNAP_CHECKPOINT_EVERY,
+        _ckpt_path,
+        _load_raw,
+        _manifest_path,
+        added_files,
+        commit,
+        merge_upsert,
+        read_snapshot,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    n_commits = SNAP_CHECKPOINT_EVERY + 5
+    for i in range(n_commits):
+        commit(
+            spark.range(i * 10, i * 10 + 10)
+            .repartition(2)
+            .selectExpr("id AS k", "id AS v"),
+            table,
+            stats_cols=["k"],
+        )
+    head = n_commits - 1
+
+    # every append after snapshot 0 is a DELTA record on disk
+    raw = _load_raw(table, head)
+    assert "files_delta" in raw and "files" not in raw
+    assert len(raw["files_delta"]["add"]) == 2  # this commit's two files
+    assert "remove" not in raw["files_delta"]
+
+    # the cadence checkpoint exists and is self-contained (full files)
+    ck = _ckpt_path(table, SNAP_CHECKPOINT_EVERY)
+    assert os.path.exists(ck)
+    # commit bytes ∝ delta: a late delta record is a small fraction of
+    # the full state the checkpoint carries
+    assert os.path.getsize(_manifest_path(table, head)) * 5 < os.path.getsize(ck)
+    # ... and does not grow with table size: last delta ≈ first delta
+    assert (
+        os.path.getsize(_manifest_path(table, head))
+        < 2 * os.path.getsize(_manifest_path(table, 1))
+    )
+
+    # resolution is correct for head AND time travel across deltas
+    assert read_snapshot(spark, table).count() == n_commits * 10
+    assert read_snapshot(spark, table, snapshot=10).count() == 110
+    # added_files uses the O(delta) fast path and agrees with the diff
+    assert len(added_files(table, head)) == 2
+
+    # bounded resolve: a COLD resolve of head touches at most the delta
+    # tail back to the nearest checkpoint, never the whole log
+    snaplog._MANIFEST_CACHE.clear()
+    loads = []
+    orig = snaplog._load_raw
+
+    def counting(t, n):
+        loads.append(n)
+        return orig(t, n)
+
+    snaplog._load_raw = counting
+    try:
+        assert read_snapshot(spark, table).count() == n_commits * 10
+    finally:
+        snaplog._load_raw = orig
+    assert len(loads) <= head - SNAP_CHECKPOINT_EVERY + 1, loads
+
+    # a DML rewrite stays O(touched): one file rewritten → one remove,
+    # one add (plus nothing else), not a restatement of ~50 entries
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(5, 9999)], "k long, v long"),
+        key="k",
+        stats_cols=["k"],
+    )
+    raw = _load_raw(table, head + 1)
+    d = raw["files_delta"]
+    # O(touched files): the key's stats-overlapping files (both part
+    # files of commit 0 — hash partitioning spans the range) rewritten
+    # into one, everything else carried implicitly — never a
+    # restatement of the ~50 untouched entries
+    n_delta = len(d.get("remove", [])) + len(d.get("add", []))
+    assert n_delta <= 6, d
+
+    # vacuum checkpoints the retention edge, then drops old manifests +
+    # stale checkpoints; a cold reader still resolves every kept id
+    vacuum(table, keep_last=3, tmp_ttl_s=0.0)
+    assert not os.path.exists(ck)  # pre-horizon checkpoint swept
+    snaplog._MANIFEST_CACHE.clear()
+    df = read_snapshot(spark, table)
+    assert df.count() == n_commits * 10
+    assert {r.v for r in df.where("k = 5").collect()} == {9999}
+    assert read_snapshot(spark, table, snapshot=head).count() == n_commits * 10
