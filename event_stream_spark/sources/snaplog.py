@@ -144,8 +144,14 @@ def _resolve_manifest(table: str, n: int) -> dict:
         _MANIFEST_CACHE.move_to_end(key)
         return hit
     top = _load_raw(table, n)
+    own_ck = _ckpt_path(table, n)
     if "files" in top:
         resolved = top
+    elif os.path.exists(own_ck):
+        # n's own checkpoint (vacuum writes one at the retention edge
+        # before dropping predecessors): self-contained, no walk needed
+        with open(own_ck) as fh:
+            resolved = json.load(fh)
     else:
         deltas = [top["files_delta"]]
         base_files: list[dict] | None = None

@@ -19,6 +19,10 @@ Covered sinks:
 - transactional Kafka sink (KIP-98: a task dying between produce and
   EndTxn is fenced by its retry's InitProducerId, its open transaction
   aborted — read_committed consumers end with exactly one copy)
+- vacuum racing branch merges (the hard-linked merge files' TTL guard:
+  an aggressive vacuum loop runs through eight diverge→merge→drop
+  cycles with the relink→commit window widened and one divergent
+  commit hit by a task retry — no merge may lose a referenced file)
 
 Prints one JSON line and exits 0 on success.
 """
@@ -174,6 +178,104 @@ def main() -> None:
     finally:
         client.close()
         broker.close()
+
+    # ---- 5. vacuum racing branch merges (and branch/clone divergence) ----
+    # r9's most serious advisory was the vacuum-TTL hole on hard-linked
+    # merge files: a merge links branch files into main's merge dir, and
+    # until the metadata commit publishes they are UNREFERENCED by any
+    # main manifest — only the fresh-mtime stamp (_link_fresh's os.utime)
+    # keeps a concurrent vacuum(ttl)'s TTL guard protecting them.  This
+    # proof runs an aggressive vacuum loop (keep_last=1, ttl=2s) through
+    # eight create-branch → diverge → merge → drop cycles, with the
+    # relink→commit window artificially widened (0.25 s per linked file)
+    # and one divergent branch commit additionally hit by a task-retry
+    # fault.  Every merge must land with all referenced files present.
+    import threading
+    import time as _time
+
+    import event_stream_spark.sources.snapbranch as _sb
+    from event_stream_spark.sources.snaplog import _read_manifest, vacuum
+    from event_stream_spark.sources.snapbranch import (
+        create_branch,
+        drop_branch,
+        merge_branch,
+    )
+
+    table5 = os.path.join(work, "tbl5")
+    snap_commit(
+        spark.range(0, 400).selectExpr("id AS k", "id AS v").repartition(4),
+        table5,
+        stats_cols=["k"],
+    )
+    stop = threading.Event()
+    vac_n = [0]
+    vac_err: list = []
+
+    def vac_loop():
+        while not stop.is_set():
+            try:
+                vacuum(table5, keep_last=1, tmp_ttl_s=2.0)
+                vac_n[0] += 1
+            except Exception as exc:  # noqa: BLE001 — any failure fails the proof
+                vac_err.append(repr(exc))
+                break
+
+    vac_t = threading.Thread(target=vac_loop)
+    vac_t.start()
+
+    _orig_link = _sb._link_fresh
+
+    def _slow_link(src, dst):
+        _orig_link(src, dst)
+        _time.sleep(0.25)  # widen the unreferenced-but-linked window
+
+    _sb._link_fresh = _slow_link
+    flag5 = arm("vacmerge")
+
+    def fail_once5(batches):
+        from event_stream_spark.chaos import claim_once
+
+        out_rows = list(batches)
+        claim_once(flag5)
+        yield from out_rows
+
+    expect = 400
+    try:
+        for i in range(8):
+            name = f"b{i}"
+            bt = create_branch(table5, name)
+            div = (
+                spark.range(1000 * (i + 1), 1000 * (i + 1) + 50)
+                .selectExpr("id AS k", "id AS v")
+                .repartition(2)
+            )
+            if i == 0:  # one divergence also survives a task retry
+                div = div.mapInPandas(fail_once5, "k long, v long")
+            snap_commit(div, bt, stats_cols=["k"])
+            merge_branch(spark, table5, name)
+            drop_branch(table5, name)
+            expect += 50
+            from event_stream_spark.sources.snaplog import snapshots as _snaps
+
+            head_m = _read_manifest(table5, _snaps(table5)[-1])
+            missing = [
+                e["path"]
+                for e in head_m["files"]
+                if not os.path.exists(e["path"])
+            ]
+            assert not missing, (
+                f"merge {name} lost files to the racing vacuum: {missing}"
+            )
+            got = read_snapshot(spark, table5).count()
+            assert got == expect, f"after merge {name}: {got} != {expect}"
+    finally:
+        _sb._link_fresh = _orig_link
+        stop.set()
+        vac_t.join()
+    fired(flag5)
+    assert not vac_err, f"vacuum loop died mid-race: {vac_err}"
+    assert vac_n[0] > 0, "vacuum never actually ran during the merges"
+    results["vacuum_merge_rows"] = expect
 
     spark.stop()
     print(json.dumps({"ok": True, **results}))

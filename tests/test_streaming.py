@@ -5583,7 +5583,7 @@ def test_task_retry_chaos_sinks():
     result = json.loads(last[-1])
     assert result == {
         "ok": True, "splay_files": 40, "shard_files": 20, "snap_rows": 1000,
-        "txn_sink_records": 64,
+        "txn_sink_records": 64, "vacuum_merge_rows": 800,
     }
 
 
@@ -5986,3 +5986,11 @@ def test_snapshot_log_delta_manifests_and_checkpoints(spark, tmp_path):
     assert df.count() == n_commits * 10
     assert {r.v for r in df.where("k = 5").collect()} == {9999}
     assert read_snapshot(spark, table, snapshot=head).count() == n_commits * 10
+
+    # keep_last=1 with a DELTA-encoded head: once every predecessor
+    # manifest is dropped, the head's ONLY anchor is the edge checkpoint
+    # vacuum wrote for it — a cold reader must resolve from that alone
+    vacuum(table, keep_last=1, tmp_ttl_s=0.0)
+    assert os.path.exists(_ckpt_path(table, head + 1))
+    snaplog._MANIFEST_CACHE.clear()
+    assert read_snapshot(spark, table).count() == n_commits * 10
