@@ -56,6 +56,9 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
@@ -68,6 +71,7 @@ ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_DUPLICATE_SEQUENCE = 46
 ERR_INVALID_PRODUCER_EPOCH = 47
 ERR_INVALID_TXN_STATE = 48
+ERR_ILLEGAL_GENERATION = 22
 
 #: fetch request isolation levels (KIP-98)
 READ_UNCOMMITTED = 0
@@ -559,6 +563,12 @@ class KafkaWireBroker:
         # and aborting its in-flight transaction (exactly the real
         # coordinator's recovery contract)
         self._txn_pids: dict[str, tuple[int, int]] = {}
+        # CONSUMER-GROUP offsets (the group coordinator's __consumer_offsets
+        # ledger): group_id → (topic, partition) → (offset, metadata).
+        # Classic manual-assignment path only (generation -1 / empty
+        # member — Kafka's "simple consumer" contract); there is no
+        # rebalance protocol because single-member groups never rebalance.
+        self._group_offsets: dict[str, dict[tuple[str, int], tuple[int, str | None]]] = {}
         # pid → partitions registered via AddPartitionsToTxn
         self._txn_parts: dict[int, set[tuple[str, int]]] = {}
         # (topic, p) → pid → first offset of the OPEN transaction — the
@@ -637,15 +647,23 @@ class KafkaWireBroker:
         c.string()  # client_id
         self.requests[api_key] = self.requests.get(api_key, 0) + 1
         if api_key == API_VERSIONS:
-            body = _i16(ERR_NONE) + _i32(8) + b"".join(
+            body = _i16(ERR_NONE) + _i32(11) + b"".join(
                 _i16(k) + _i16(lo) + _i16(hi)
                 for k, lo, hi in [
                     (API_PRODUCE, 0, 3), (API_FETCH, 0, 4),
                     (API_LIST_OFFSETS, 0, 2), (API_METADATA, 0, 0),
                     (API_VERSIONS, 0, 0), (API_INIT_PRODUCER_ID, 0, 0),
                     (API_ADD_PARTITIONS_TO_TXN, 0, 0), (API_END_TXN, 0, 0),
+                    (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
+                    (API_FIND_COORDINATOR, 0, 0),
                 ]
             )
+        elif api_key == API_FIND_COORDINATOR:
+            body = self._find_coordinator(c)
+        elif api_key == API_OFFSET_COMMIT:
+            body = self._offset_commit(c)
+        elif api_key == API_OFFSET_FETCH:
+            body = self._offset_fetch(c)
         elif api_key == API_INIT_PRODUCER_ID:
             body = self._init_producer_id(c)
         elif api_key == API_ADD_PARTITIONS_TO_TXN:
@@ -687,6 +705,71 @@ class KafkaWireBroker:
                 + _i32(self.num_partitions) + parts
             )
         return brokers + bytes(topics)
+
+    def _find_coordinator(self, c: _Cursor) -> bytes:
+        """FindCoordinator v0: a single-node broker is every group's
+        coordinator — the API exists so a client written against the
+        real protocol (lookup, THEN commit/fetch against the returned
+        node) composes without special-casing."""
+        c.string()  # coordinator_key (group id)
+        return (
+            _i16(ERR_NONE) + _i32(0) + _string(self.host) + _i32(self.port)
+        )
+
+    def _offset_commit(self, c: _Cursor) -> bytes:
+        """OffsetCommit v2 (classic group path).  Only the
+        manual-assignment contract is spoken: generation -1 + empty
+        member (Kafka's own simple-consumer rule); a coordinated-group
+        generation is refused with ILLEGAL_GENERATION rather than
+        silently accepted, since there is no rebalance protocol here."""
+        group = c.string() or ""
+        generation = c.i32()
+        member = c.string() or ""
+        c.i64()  # retention_time_ms
+        simple = generation == -1 and member == ""
+        n_topics = c.i32()
+        topics = bytearray(_i32(n_topics))
+        with self._lock:
+            ledger = self._group_offsets.setdefault(group, {})
+            for _ in range(n_topics):
+                name = c.string()
+                n_parts = c.i32()
+                parts = bytearray(_i32(n_parts))
+                for _ in range(n_parts):
+                    pidx = c.i32()
+                    off = c.i64()
+                    meta = c.string()
+                    if simple:
+                        ledger[(name, pidx)] = (off, meta)
+                        err = ERR_NONE
+                    else:
+                        err = ERR_ILLEGAL_GENERATION
+                    parts += _i32(pidx) + _i16(err)
+                topics += _string(name) + bytes(parts)
+        return bytes(topics)
+
+    def _offset_fetch(self, c: _Cursor) -> bytes:
+        """OffsetFetch v1 (offsets read from the coordinator's ledger —
+        v0 read ZooKeeper, which never existed here).  Unknown
+        partitions return offset -1 (the consumer falls back to its
+        auto.offset.reset policy), matching the real broker."""
+        group = c.string() or ""
+        n_topics = c.i32()
+        topics = bytearray(_i32(n_topics))
+        with self._lock:
+            ledger = self._group_offsets.get(group, {})
+            for _ in range(n_topics):
+                name = c.string()
+                n_parts = c.i32()
+                parts = bytearray(_i32(n_parts))
+                for _ in range(n_parts):
+                    pidx = c.i32()
+                    off, meta = ledger.get((name, pidx), (-1, None))
+                    parts += (
+                        _i32(pidx) + _i64(off) + _string(meta) + _i16(ERR_NONE)
+                    )
+                topics += _string(name) + bytes(parts)
+        return bytes(topics)
 
     def _init_producer_id(self, c: _Cursor) -> bytes:
         txn_id = c.string()  # transactional_id (nullable)
@@ -1259,10 +1342,121 @@ class KafkaWireClient:
         c.i64()  # timestamp
         return c.i64()
 
+    def find_coordinator(self, group: str) -> tuple[int, str, int]:
+        """FindCoordinator v0 → (node_id, host, port) of the group's
+        coordinator (this broker — single node)."""
+        c = self._request(API_FIND_COORDINATOR, 0, _string(group))
+        err = c.i16()
+        if err:
+            raise KafkaWireError(f"FindCoordinator error {err}")
+        return c.i32(), c.string() or "", c.i32()
+
+    def offset_commit(
+        self, group: str, offsets: dict[tuple[str, int], int],
+        *, metadata: str | None = None,
+    ) -> None:
+        """OffsetCommit v2, manual-assignment contract (generation -1,
+        empty member): durably record ``{(topic, partition): offset}``
+        for the group — the K6 per-record ack lands here
+        (es-kafka stream/Extensions.kt:10-17: ack = commit offset+1)."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (topic, p), off in offsets.items():
+            by_topic.setdefault(topic, []).append((p, off))
+        body = bytearray(
+            _string(group) + _i32(-1) + _string("") + _i64(-1)
+            + _i32(len(by_topic))
+        )
+        for topic, parts in by_topic.items():
+            body += _string(topic) + _i32(len(parts))
+            for p, off in parts:
+                body += _i32(p) + _i64(off) + _string(metadata)
+        c = self._request(API_OFFSET_COMMIT, 2, bytes(body))
+        for _ in range(c.i32()):
+            c.string()
+            for _p in range(c.i32()):
+                c.i32()
+                err = c.i16()
+                if err:
+                    raise KafkaWireError(f"OffsetCommit error {err}")
+
+    def offset_fetch(
+        self, group: str, parts: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], int]:
+        """OffsetFetch v1 → committed offset per (topic, partition);
+        -1 where the group never committed (auto.offset.reset applies)."""
+        by_topic: dict[str, list[int]] = {}
+        for topic, p in parts:
+            by_topic.setdefault(topic, []).append(p)
+        body = bytearray(_string(group) + _i32(len(by_topic)))
+        for topic, ps in by_topic.items():
+            body += _string(topic) + _i32(len(ps))
+            for p in ps:
+                body += _i32(p)
+        c = self._request(API_OFFSET_FETCH, 1, bytes(body))
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(c.i32()):
+            topic = c.string() or ""
+            for _p in range(c.i32()):
+                p = c.i32()
+                off = c.i64()
+                c.string()  # metadata
+                err = c.i16()
+                if err:
+                    raise KafkaWireError(f"OffsetFetch error {err}")
+                out[(topic, p)] = off
+        return out
+
     def close(self) -> None:
         if self._sock is not None:
             self._sock.close()
             self._sock = None
+
+
+class GroupConsumer:
+    """The reference's K6 ack contract for an EXTERNAL consumer of this
+    broker (es-kafka stream/Extensions.kt:10-17: ``ack(record)`` =
+    commit ``record.offset + 1`` to the consumer group), spoken on the
+    wire: FindCoordinator → OffsetFetch resumes from the group's
+    committed position (earliest when none) → fetch → per-record
+    ``ack`` commits durably.  Manual assignment, classic group path —
+    single-member groups never rebalance, so no join/sync protocol is
+    needed (Kafka's own simple-consumer rule: generation -1, empty
+    member).  ``isolation=READ_COMMITTED`` composes: an aborted
+    transaction's records are neither delivered nor acked, and the
+    committed position can never land inside an open transaction
+    because fetch stops at the LSO."""
+
+    def __init__(self, client: KafkaWireClient, group: str, topic: str,
+                 partition: int, *, isolation: int = READ_UNCOMMITTED):
+        self.client = client
+        self.group = group
+        self.topic = topic
+        self.partition = partition
+        self.isolation = isolation
+        client.find_coordinator(group)  # protocol-faithful lookup
+        committed = client.offset_fetch(group, [(topic, partition)])[
+            (topic, partition)
+        ]
+        self._pos = committed if committed >= 0 else 0
+
+    def poll(self, max_bytes: int = 1 << 20) -> list[tuple]:
+        """Next records from the in-memory position (advances on
+        delivery; durability comes only from :meth:`ack`)."""
+        _hw, recs = self.client.fetch(
+            self.topic, self.partition, self._pos,
+            max_bytes, isolation=self.isolation,
+        )
+        if recs:
+            self._pos = recs[-1][0] + 1
+        return recs
+
+    def ack(self, offset: int) -> None:
+        """Per-record ack: commit ``offset + 1`` — a consumer restarted
+        from the group resumes AFTER the last acked record, re-seeing
+        only unacked ones (at-least-once, the reference's contract)."""
+        self.client.offset_commit(
+            self.group, {(self.topic, self.partition): offset + 1}
+        )
 
 
 class IdempotentProducer:

@@ -1045,3 +1045,163 @@ def test_txn_sink_post_commit_retry_is_deduplicated(spark):
     finally:
         client.close()
         broker.close()
+
+
+def test_group_offsets_round_trip_across_reconnect():
+    """VERDICT r10 #4: FindCoordinator + OffsetCommit/OffsetFetch on the
+    wire — committed group offsets survive the client reconnecting, the
+    unknown-group fetch returns -1, and a coordinated-group generation is
+    refused (no rebalance protocol: manual assignment only)."""
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker(num_partitions=2)
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        node, host, port = client.find_coordinator("g1")
+        assert (host, port) == (broker.host, broker.port)
+        assert client.offset_fetch("g1", [("t", 0), ("t", 1)]) == {
+            ("t", 0): -1, ("t", 1): -1,
+        }
+        client.offset_commit("g1", {("t", 0): 7, ("t", 1): 3})
+        client.close()
+
+        fresh = KafkaWireClient(broker.host, broker.port)
+        try:
+            assert fresh.offset_fetch("g1", [("t", 0), ("t", 1)]) == {
+                ("t", 0): 7, ("t", 1): 3,
+            }
+            # groups are isolated ledgers
+            assert fresh.offset_fetch("g2", [("t", 0)]) == {("t", 0): -1}
+            # re-commit moves the offset (the ack ratchet)
+            fresh.offset_commit("g1", {("t", 0): 9})
+            assert fresh.offset_fetch("g1", [("t", 0)])[("t", 0)] == 9
+        finally:
+            fresh.close()
+
+        # a coordinated generation is ILLEGAL_GENERATION, not silently ok
+        from event_stream_spark.sources.kafkawire import (
+            API_OFFSET_COMMIT,
+            KafkaWireError,
+            _i32,
+            _i64,
+            _string,
+        )
+
+        c2 = KafkaWireClient(broker.host, broker.port)
+        try:
+            body = (
+                _string("g1") + _i32(5) + _string("member-1") + _i64(-1)
+                + _i32(1) + _string("t") + _i32(1)
+                + _i32(0) + _i64(11) + _string(None)
+            )
+            cur = c2._request(API_OFFSET_COMMIT, 2, body)
+            cur.i32()  # topic count
+            cur.string()
+            cur.i32()  # partition count
+            cur.i32()  # partition id
+            assert cur.i16() == 22  # ILLEGAL_GENERATION
+            assert c2.offset_fetch("g1", [("t", 0)])[("t", 0)] == 9
+        finally:
+            c2.close()
+    finally:
+        client.close()
+        broker.close()
+
+
+def test_group_consumer_resume_equals_checkpoint_resume(spark, tmp_path):
+    """VERDICT r10 #4 (done-condition): the K6 ack contract spoken by an
+    EXTERNAL consumer of our broker — per-record ack = group offset
+    commit — resumes from the committed offset exactly like the Spark
+    source resumes from its checkpoint, on the SAME transactional feed
+    in read_committed (aborted rows invisible to both)."""
+    import json
+
+    from event_stream_spark.sources import kafkawire
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        GroupConsumer,
+        KafkaWireBroker,
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    kafkawire.register(spark)
+    broker = KafkaWireBroker()
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        prod = TransactionalProducer(client, "t", "feed")
+
+        def send(lo, hi):
+            prod.send(0, [
+                (b"k%d" % i, b"v%d" % i, 1000 + i) for i in range(lo, hi)
+            ])
+
+        send(0, 5)
+        prod.commit()
+        send(100, 103)
+        prod.abort()  # these three must be invisible to BOTH consumers
+        send(5, 10)
+        prod.commit()
+
+        def spark_increment():
+            stream = (
+                spark.readStream.format("kafkawire")
+                .option("bootstrap", f"{broker.host}:{broker.port}")
+                .option("topic", "t")
+                .option("isolation", "read_committed")
+                .load()
+            )
+            out: list = []
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, _i: out.extend(
+                        (bytes(r.key), bytes(r.value))
+                        for r in b.collect()
+                    )
+                )
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(out)
+
+        def group_drain():
+            # fresh client+consumer each call = a restarted process
+            c = KafkaWireClient(broker.host, broker.port)
+            try:
+                gc = GroupConsumer(
+                    c, "ack-group", "t", 0, isolation=READ_COMMITTED
+                )
+                got = []
+                while True:
+                    recs = gc.poll()
+                    if not recs:
+                        return sorted(got)
+                    for off, _ts, k, v in recs:
+                        got.append((k, v))
+                        gc.ack(off)  # the per-record K6 ack
+            finally:
+                c.close()
+
+        want1 = sorted((b"k%d" % i, b"v%d" % i) for i in range(10))
+        assert spark_increment() == want1
+        assert group_drain() == want1
+
+        # feed grows; both resume — checkpoint vs committed offsets —
+        # and each sees exactly the new committed rows, once
+        send(10, 14)
+        prod.commit()
+        want2 = sorted((b"k%d" % i, b"v%d" % i) for i in range(10, 14))
+        assert spark_increment() == want2
+        assert group_drain() == want2
+        # nothing left: the ack ratchet holds across another restart
+        assert group_drain() == []
+    finally:
+        client.close()
+        broker.close()
