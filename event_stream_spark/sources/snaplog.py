@@ -373,6 +373,79 @@ def _file_bloom(path: str, cols: list[str]) -> dict:
     return out
 
 
+# Per-file KMV (bottom-k minimum values) distinct-count sketches — the
+# Iceberg puffin theta-sketch design point, reduced to its core: k
+# smallest 64-bit value hashes per (file, column).  Unlike per-file NDV
+# numbers (which cannot be summed across files) KMV sketches MERGE
+# exactly (union → bottom-k), so a manifest-level NDV estimate for any
+# snapshot costs O(files · k) driver work with no data scan — that is
+# what feeds Catalyst CBO join reordering (sources/snapcatalog.py).
+SNAP_KMV_K = 128
+_KMV_SPACE = 1 << 64
+
+
+def _kmv_hash(value) -> int:
+    """64-bit value hash, same canonicalization as the blooms (so int 7
+    and str '7' don't alias, while 7.0 == 7 hash identically)."""
+    import hashlib
+
+    if isinstance(value, bool):
+        value = int(value)
+    elif isinstance(value, float) and value.is_integer():
+        value = int(value)
+    tag = "i" if isinstance(value, int) else "s"
+    return int.from_bytes(
+        hashlib.md5(f"{tag}|{value}".encode()).digest()[:8], "big"
+    )
+
+
+def _file_kmv(path: str, cols: list[str], k: int = SNAP_KMV_K) -> dict:
+    """Per-file KMV sketch for ``cols`` (int/string columns — same type
+    discipline as the blooms).  A sketch with fewer than k hashes is the
+    COMPLETE distinct-hash set of the file (exact), which the merge
+    rule exploits."""
+    import pyarrow.parquet as pq
+
+    available = set(pq.ParquetFile(path).schema_arrow.names)
+    want = [c for c in cols if c in available]
+    if not want:
+        return {}
+    tbl = pq.read_table(path, columns=want)
+    out: dict[str, dict] = {}
+    for col in want:
+        hashes: set[int] = set()
+        ok = True
+        for v in tbl.column(col).to_pylist():
+            if v is None:
+                continue
+            if not isinstance(v, (int, str)) or isinstance(v, bool):
+                ok = False
+                break
+            hashes.add(_kmv_hash(v))
+        if ok:
+            out[col] = {"k": k, "mins": sorted(hashes)[:k]}
+    return out
+
+
+def kmv_ndv(sketches: list[dict]) -> int | None:
+    """Merged NDV estimate from per-file KMV sketches (same k): union →
+    bottom-k; a union smaller than k means every contributing sketch was
+    complete, so the count is EXACT; else the standard KMV estimator
+    (k-1) / R_k with R_k the k-th smallest hash normalized to [0, 1)."""
+    if not sketches:
+        return None
+    k = sketches[0]["k"]
+    merged: set[int] = set()
+    for s in sketches:
+        if s["k"] != k:
+            return None
+        merged.update(s["mins"])
+    if len(merged) < k:
+        return len(merged)
+    kth = sorted(merged)[k - 1]
+    return max(k, int(round((k - 1) * _KMV_SPACE / (kth + 1))))
+
+
 def _bloom_may_contain(bloom: dict, value) -> bool:
     """Probe one manifest bloom entry; True = the file MAY hold the value
     (false positives possible, false negatives impossible)."""
@@ -517,6 +590,7 @@ def commit(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
     expected_snapshot: int | None = None,
     allow_added_columns: bool = False,
     max_retries: int = 20,
@@ -537,7 +611,11 @@ def commit(
     skipping; ``bloom_cols`` additionally records a per-file bloom bitmap
     for those (int/string) columns, enabling ``prune_eq`` POINT-lookup
     skipping that min/max ranges cannot express once a key column is
-    unsorted across files.
+    unsorted across files.  ``ndv_cols`` records a per-file KMV
+    distinct-count sketch (mergeable across files — the Iceberg puffin
+    theta-sketch design point), which :func:`snapcatalog.snapshot_table`
+    merges into catalog column statistics so Catalyst CBO can reorder
+    joins over snapshots without ever scanning them.
 
     ``expected_snapshot`` makes the commit TRANSACTIONAL: it asserts the
     table is still at that snapshot when the claim lands.  If another
@@ -752,6 +830,11 @@ def commit(
                 **(
                     {"bloom": _keyed(_file_bloom, p, bloom_cols)}
                     if bloom_cols
+                    else {}
+                ),
+                **(
+                    {"ndv": _keyed(_file_kmv, p, ndv_cols)}
+                    if ndv_cols
                     else {}
                 ),
             }

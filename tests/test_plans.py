@@ -1312,3 +1312,88 @@ def test_manifest_stats_flip_smj_to_broadcast_first_run(spark, tmp_path):
         assert "SortMergeJoin" not in hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_manifest_stats_drive_cbo_join_reorder(spark, tmp_path):
+    """VERDICT r10 #5: manifest stats surfaced into the SESSION CATALOG
+    (rowCount / sizeInBytes / min-max / KMV NDV) change a 3-table join's
+    ORDER under Catalyst CostBasedJoinReorder — no hint, no scan, no
+    decision code of ours.  Stats-absent twin tables over the very same
+    parquet directories keep the written order, isolating the cause to
+    the statistics alone."""
+    import glob
+    import os
+    import re
+
+    from event_stream_spark.sources.snaplog import _read_manifest, commit
+    from event_stream_spark.sources.snapcatalog import (
+        manifest_column_stats,
+        snapshot_table,
+    )
+
+    specs = [
+        ("cbo_big", 100_000, "a", "ja"),
+        ("cbo_mid", 5_000, "b", "jb"),
+        ("cbo_small", 100, "c", "jc"),
+    ]
+    tables = {}
+    try:
+        for nm, n, pk, fk in specs:
+            t = str(tmp_path / nm)
+            commit(
+                spark.range(n)
+                .selectExpr(f"id AS {pk}", f"id % 100 AS {fk}")
+                .coalesce(4),
+                t,
+                stats_cols=[pk, fk],
+                ndv_cols=[pk, fk],
+            )
+            tables[nm] = t
+            snapshot_table(spark, t, nm)
+            # stats-absent twin over the SAME linked data directory
+            view = glob.glob(os.path.join(t, "_catalog", f"{nm}-s*"))[0]
+            spark.sql(f"DROP TABLE IF EXISTS {nm}_raw")
+            spark.sql(
+                f"CREATE TABLE {nm}_raw ({pk} bigint, {fk} bigint) "
+                f"USING parquet LOCATION '{os.path.abspath(view)}'"
+            )
+
+        # the manifest-only stats are right: FK NDV exact (under KMV k),
+        # PK NDV within the KMV error band, min/max exact
+        st = manifest_column_stats(_read_manifest(tables["cbo_big"], 0))
+        assert st["ja"]["ndv"] == 100
+        # KMV k=128 → ~9% std error; ±30% (3.4σ) bounds any draw, and
+        # join ORDERING needs only order-of-magnitude NDV
+        assert abs(st["a"]["ndv"] - 100_000) <= 30_000
+        assert (st["a"]["min"], st["a"]["max"]) == (0, 99_999)
+        # ... and landed in the catalog
+        desc = "\n".join(
+            map(str, spark.sql("DESC EXTENDED cbo_big").collect())
+        )
+        assert "100000 rows" in desc
+
+        def order(q):
+            s = spark.newSession()
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            plan = s.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            seen = []
+            for m in re.findall(r"spark_catalog\.default\.(\w+)", plan):
+                if m not in seen:
+                    seen.append(m)
+            return seen
+
+        # deliberately bad given order: big x mid first (fk-fk, est 5M
+        # rows) although big x small then x mid is far cheaper
+        q = (
+            "SELECT * FROM {b} JOIN {m} ON {b}.ja = {m}.jb "
+            "JOIN {s} ON {b}.ja = {s}.jc"
+        )
+        raw = order(q.format(b="cbo_big_raw", m="cbo_mid_raw", s="cbo_small_raw"))
+        assert raw == ["cbo_big_raw", "cbo_mid_raw", "cbo_small_raw"]
+        with_stats = order(q.format(b="cbo_big", m="cbo_mid", s="cbo_small"))
+        assert with_stats == ["cbo_big", "cbo_small", "cbo_mid"], with_stats
+    finally:
+        for nm, _n, _pk, _fk in specs:
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")
+            spark.sql(f"DROP TABLE IF EXISTS {nm}_raw")
