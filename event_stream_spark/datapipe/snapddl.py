@@ -544,3 +544,97 @@ SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id, p.val AS val, c.change
 FROM post p FULL OUTER JOIN chg c ON p.doc_id = c.doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# snap_ckpt — a checkpointed delta-encoded log resolved cold
+# ---------------------------------------------------------------------------
+
+_CKPT_TAG = "v1"
+
+
+def _build_ckpt(spark: SparkSession, sf: str) -> str:
+    """Checkpointed-log script: ``SNAP_CHECKPOINT_EVERY + 4`` appends
+    (slice i = ``doc_id % n == i`` of documents), one deletion-vector
+    delete of a single document (a manifest-only commit whose delta
+    record MUTATES one entry), then ``vacuum(keep_last=2)`` — which
+    drops every pre-horizon manifest AND the cadence checkpoint, leaving
+    the edge checkpoint as the kept tail's only anchor.  Refuses to
+    publish unless the negative cases actually fired: the head manifest
+    must be delta-encoded on disk, the cadence checkpoint must have
+    existed before vacuum, and the post-vacuum log must contain exactly
+    the two kept manifests plus the edge checkpoint."""
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+
+    table = _dir(sf, "snapckpt", _CKPT_TAG)
+    marker = os.path.join(table, "_built")
+    n_slices = snaplog.SNAP_CHECKPOINT_EVERY + 4
+    keep = [n_slices - 1, n_slices]
+    if os.path.exists(marker) and snaplog.snapshots(table) == keep:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    base = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("val")
+    )
+    for i in range(n_slices):
+        snaplog.commit(
+            base.filter(F.col("doc_id") % n_slices == i),
+            table,
+            mode="append",
+            stats_cols=["doc_id"],
+        )
+    snaplog.delete_where_dv(spark, table, "doc_id = 3")
+    head_raw = snaplog._load_raw(table, n_slices)
+    ok = (
+        "files_delta" in head_raw
+        and len(head_raw["files_delta"].get("mutate", [])) == 1
+        and os.path.exists(
+            snaplog._ckpt_path(table, snaplog.SNAP_CHECKPOINT_EVERY)
+        )
+    )
+    snaplog.vacuum(table, keep_last=2, tmp_ttl_s=0.0)
+    ok = (
+        ok
+        and snaplog.snapshots(table) == keep
+        and os.path.exists(snaplog._ckpt_path(table, keep[0]))
+        and not os.path.exists(
+            snaplog._ckpt_path(table, snaplog.SNAP_CHECKPOINT_EVERY)
+        )
+    )
+    if not ok:
+        shutil.rmtree(table, ignore_errors=True)
+        raise RuntimeError(
+            "snap_ckpt fixture proved nothing: the delta/checkpoint "
+            "machinery was not on the resolution path"
+        )
+    with open(marker, "w") as fh:
+        fh.write(_CKPT_TAG)
+    return table
+
+
+def snap_ckpt(spark: SparkSession, sf: str) -> DataFrame:
+    """Final state of the checkpointed-log script, resolved COLD (the
+    manifest cache is cleared first): the kept delta tail must
+    reconstruct through vacuum's edge checkpoint alone — commits were
+    O(delta) records, never full file-list restatements."""
+    from event_stream_spark.sources import snaplog
+
+    table = _build_ckpt(spark, sf)
+    snaplog._MANIFEST_CACHE.clear()
+    return (
+        snaplog.read_snapshot(spark, table)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("val").cast("long").alias("val"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNAP_CKPT_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS val
+FROM documents
+WHERE doc_id <> 3
+ORDER BY doc_id
+"""
