@@ -21,16 +21,27 @@ Scope — honest and deliberate:
   exactly (for n = 2^k-1 it equals Layer I's constants; for grouped
   classes it reproduces 4/3, 8/5, 16/9 with D=1/2), so no tabulated
   dequant constants were transcribed.  Pinned by encode→decode
-  round-trip + spectral parity, the Layer I scheme; the low-rate
-  B.2c/B.2d tables (<=48 kbps/ch) stay declared-unsupported, and
-  bit-exactness vs a reference codec is NOT claimed (this container
-  ships no twolame/ffmpeg to ground-truth against — same honesty bound
-  as the filterbank note below).
-- **Layer III sample decode stays declared-unsupported**
-  (``NotImplementedError``): its Huffman tables are pages of tabulated
-  constants; transcribing them from memory would produce silently wrong
-  audio, which is worse than an explicit gap.  Frame geometry/duration
-  remains fully handled by the frame walk.
+  round-trip + spectral parity, the Layer I scheme; bit-exactness vs a
+  reference codec is NOT claimed (this container ships no
+  twolame/ffmpeg to ground-truth against — same honesty bound as the
+  filterbank note below).  The low-rate B.2c/B.2d tables (r10) are
+  structural too — one uniform 4-bit class ladder, sblimit 8/12 — and
+  round-trip the same way.
+- **Layer III** (r10): everything DERIVABLE is decoded for real — side
+  information for both MPEG-1 and MPEG-2 LSF layouts (field widths are
+  structural; the byte counts 9/17/17/32 are asserted against parsed
+  positions), the BIT RESERVOIR chain (main_data_begin back-pointers
+  resolved against actual frame payloads with no-overlap/capacity
+  invariants), and SCALEFACTOR decode from the reservoir (MPEG-1 scfsi
+  sharing, short/mixed layouts; the LSF scalefac_compress partition
+  rules) — ground-truthed against the real Lavf-encoded system fixture
+  plus synthetic reservoir streams read back bit-exactly.  The one
+  remaining gap, named precisely: the Huffman-coded SPECTRUM needs the
+  32 tabulated code tables — arbitrary bit-string constants, not
+  derivable from structure and not present in this offline container;
+  transcribing them from memory would produce silently wrong audio,
+  which is worse than an explicit gap.  Frame geometry/duration remains
+  fully handled by the frame walk.
 - The polyphase filterbank is a 32-band, 512-tap cosine-modulated
   pseudo-QMF (Vaidyanathan's near-perfect-reconstruction formulation,
   theta_k = (-1)^k * pi/4) with a Kaiser-designed prototype
@@ -348,20 +359,24 @@ _L2_ROW_B = (4, (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
                  4095, 8191, 65535))
 _L2_ROW_C = (3, (0, 3, 5, 7, 9, 15, 31, 65535))
 _L2_ROW_D = (2, (0, 3, 5, 65535))
+#: B.2c/B.2d low-rate row: one uniform 4-bit class ladder for EVERY
+#: subband — the grouped 3/5/9 classes then straight 2^k−1 steps up to
+#: 32767 (no 65535 terminal: index 15 is the 16th entry 32767).  The two
+#: tables differ only in sblimit (8 vs 12).
+_L2_ROW_E = (4, (0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                 4095, 8191, 16383, 32767))
 
 
 def _l2_table(rate: int, kbps_per_ch: int):
     """(sblimit, per-subband row list) — ISO 11172-3 2.4.2.3 selection.
     B.2a (sblimit 27) for 48 kHz and for 44.1/32 kHz up to 80 kbps/ch;
-    B.2b (sblimit 30) for 44.1/32 kHz above that.  The low-rate B.2c/d
-    tables (<=48 kbps/ch) are declared-unsupported — this codec exists
-    for fixture transcoding and pipeline decode of mainstream streams,
-    and a wrong low-rate table would be silently nonconformant."""
+    B.2b (sblimit 30) for 44.1/32 kHz above that; the low-rate tables
+    (<=48 kbps/ch, r10) B.2c (sblimit 8, 48/44.1 kHz) and B.2d (sblimit
+    12, 32 kHz) — a single uniform 4-bit ladder per subband, pinned by
+    encode→decode round-trip + spectral parity like B.2a/B.2b."""
     if kbps_per_ch <= 48:
-        raise NotImplementedError(
-            "Layer II <=48 kbps/ch uses the B.2c/B.2d tables "
-            "(declared-unsupported; see module docblock)"
-        )
+        sblimit = 12 if rate == 32000 else 8
+        return sblimit, [_L2_ROW_E] * sblimit
     if rate == 48000 or kbps_per_ch <= 80:
         sblimit = 27
     else:
@@ -527,7 +542,10 @@ def layer2_decode(data: bytes) -> tuple[int, int, np.ndarray]:
             break
         if rate is None:
             rate, channels = frate, fch
-        sblimit, rows = _l2_table(frate, fbr // fch)
+        # fbr is bits/s; the table select wants kbps PER CHANNEL (latent
+        # until r10: every pre-B.2c rate landed in the same branch
+        # either way — the low-rate threshold exposed the unit mismatch)
+        sblimit, rows = _l2_table(frate, fbr // 1000 // fch)
         mode = (data[pos + 3] >> 6) & 0x03
         bound = sblimit
         if mode == 0b01:
@@ -632,8 +650,305 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, np.ndarray]:
             if layer == 2:
                 return layer2_decode(data)
             raise NotImplementedError(
-                "Layer III sample decode unsupported (frame geometry via "
-                "mp3_frame_profile; see mpegaudio docblock)"
+                "Layer III SPECTRUM decode unsupported: the 32 tabulated "
+                "Huffman code tables are not derivable offline (side "
+                "info, bit reservoir and scalefactors DO decode — "
+                "layer3_side_info / layer3_scalefactors; frame geometry "
+                "via mp3_frame_profile)"
             )
         pos += 1
     raise ValueError("no MPEG audio frames found")
+
+
+# ---------------------------------------------------------------------------
+# Layer III side information, bit reservoir and scalefactors (r10)
+#
+# Everything in a Layer III frame EXCEPT the Huffman-coded spectrum is
+# fixed-width fields whose layout the spec states structurally — so it is
+# derivable and ground-truthable here.  The spectrum itself needs the 32
+# tabulated Huffman code tables (arbitrary bit-string constants, not
+# derivable from structure and not available in this offline container);
+# that is the one remaining declared gap, and mpeg_audio_decode's error
+# names it precisely.  What IS implemented and pinned against the real
+# Lavf-encoded fixture: frame walk (multimodal.mp3_frame_profile), side
+# information for MPEG-1 and MPEG-2 LSF layouts, the bit-reservoir chain
+# (main_data_begin back-pointers resolved against actual frame payloads,
+# with the no-overlap and capacity invariants checked), and scalefactor
+# decode from the reservoir (MPEG-1 scfsi sharing; LSF scalefac_compress
+# partitioning incl. the intensity variants).
+# ---------------------------------------------------------------------------
+
+#: ISO 11172-3 slen1/slen2 by scalefac_compress (MPEG-1)
+_L3_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+)
+
+#: ISO 13818-3 LSF scalefactor band partitioning: [blocknumber][bt][4]
+#: where bt = 0 long, 1 short, 2 mixed; blocknumbers 3-5 are the
+#: intensity-stereo variants.
+_L3_LSF_NSFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+    ((7, 7, 7, 0), (12, 12, 12, 0), (6, 15, 12, 0)),
+    ((6, 6, 6, 3), (12, 9, 9, 6), (6, 12, 9, 6)),
+    ((8, 8, 5, 0), (15, 12, 9, 0), (6, 18, 9, 0)),
+)
+
+
+def _l3_lsf_slen(sfc: int, intensity: bool) -> tuple[tuple[int, ...], int, int]:
+    """LSF scalefactor select (ISO 13818-3 2.4.3.2): scalefac_compress →
+    (slen[4], blocknumber, preflag)."""
+    pre = 0
+    if intensity:
+        sfc >>= 1
+        if sfc < 180:
+            slen = (sfc // 36, (sfc % 36) // 6, sfc % 6, 0)
+            bn = 3
+        elif sfc < 244:
+            s = sfc - 180
+            slen = ((s & 63) >> 4, (s & 15) >> 2, s & 3, 0)
+            bn = 4
+        else:
+            s = sfc - 244
+            slen = (s // 3, s % 3, 0, 0)
+            bn = 5
+    elif sfc < 400:
+        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
+        bn = 0
+    elif sfc < 500:
+        s = sfc - 400
+        slen = ((s >> 2) // 5, (s >> 2) % 5, s & 3, 0)
+        bn = 1
+    else:
+        s = sfc - 500
+        slen = (s // 3, s % 3, 0, 0)
+        bn = 2
+        pre = 1
+    return slen, bn, pre
+
+
+def _l3_read_granule(r: "_BitReader", lsf: bool) -> dict:
+    """One granule-channel's side information fields."""
+    g: dict = {}
+    g["part2_3_length"] = r.read(12)
+    g["big_values"] = r.read(9)
+    g["global_gain"] = r.read(8)
+    g["scalefac_compress"] = r.read(9 if lsf else 4)
+    g["window_switching"] = r.read(1)
+    if g["window_switching"]:
+        g["block_type"] = r.read(2)
+        g["mixed_block"] = r.read(1)
+        g["table_select"] = [r.read(5) for _ in range(2)]
+        g["subblock_gain"] = [r.read(3) for _ in range(3)]
+        # spec: block_type 0 is forbidden when window_switching is set
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [r.read(5) for _ in range(3)]
+        g["region0_count"] = r.read(4)
+        g["region1_count"] = r.read(3)
+    if not lsf:
+        g["preflag"] = r.read(1)
+    g["scalefac_scale"] = r.read(1)
+    g["count1table_select"] = r.read(1)
+    return g
+
+
+def layer3_side_info(data: bytes) -> dict:
+    """Parse EVERY Layer III frame's side information and resolve the
+    BIT RESERVOIR chain (main_data_begin back-pointers), validating the
+    two invariants the format guarantees:
+
+    - a frame's back-pointer never reaches past the main data its
+      predecessors actually provided (nor past the pointer's own field
+      range — the reservoir is capacity-limited by construction);
+    - granule payloads never overlap: each frame's main-data start is at
+      or past the previous frame's start plus its declared
+      ``part2_3_length`` bits (the gap is ancillary data).
+
+    Returns ``{"version", "channels", "frames": [...], "reservoir":
+    bytes, "starts": [bit offsets into reservoir]}`` — everything
+    :func:`layer3_scalefactors` needs to decode scalefactors from the
+    actual reservoir bytes.  Raises ``ValueError`` on any violated
+    invariant (a corrupt or mis-parsed stream, never silently)."""
+    pos = _id3v2_size(data)
+    frames: list[dict] = []
+    reservoir = bytearray()
+    starts: list[int] = []
+    version = channels = None
+    consumed_end = 0  # bit offset one past the previous frame's payload
+    while pos + 4 <= len(data):
+        hdr = _mpa_frame(data, pos)
+        if hdr is None:
+            pos += 1
+            continue
+        fbytes, _samples, _rate, _br, layer, ver, nch = hdr
+        if layer != 3:
+            raise NotImplementedError("not a Layer III stream")
+        if pos + fbytes > len(data):
+            break
+        if version is None:
+            version, channels = ver, nch
+        lsf = ver != 3
+        r = _BitReader(data, pos + 4)
+        crc_bytes = 0 if (data[pos + 1] & 0x01) else 2
+        if crc_bytes:
+            r.read(16)
+        mdb = r.read(8 if lsf else 9)
+        r.read({True: {1: 1, 2: 2}, False: {1: 5, 2: 3}}[lsf][nch])
+        scfsi = (
+            [[r.read(1) for _ in range(4)] for _ in range(nch)]
+            if not lsf
+            else []
+        )
+        n_gr = 1 if lsf else 2
+        granules = [
+            [_l3_read_granule(r, lsf) for _ in range(nch)]
+            for _ in range(n_gr)
+        ]
+        side_bytes = {True: {1: 9, 2: 17}, False: {1: 17, 2: 32}}[lsf][nch]
+        assert r.bytepos - (pos + 4) - crc_bytes == side_bytes
+        # reservoir bookkeeping: this frame CONTRIBUTES its main-data
+        # region; its own payload STARTS mdb bytes before the bytes
+        # written so far
+        if mdb > len(reservoir):
+            raise ValueError(
+                f"frame {len(frames)}: main_data_begin {mdb} reaches "
+                f"past the {len(reservoir)} reservoir bytes provided"
+            )
+        start_bit = (len(reservoir) - mdb) * 8
+        if start_bit < consumed_end:
+            raise ValueError(
+                f"frame {len(frames)}: main data at bit {start_bit} "
+                f"overlaps the previous frame's payload (ends "
+                f"{consumed_end})"
+            )
+        p23 = sum(g["part2_3_length"] for gr in granules for g in gr)
+        consumed_end = start_bit + p23
+        main = data[pos + 4 + crc_bytes + side_bytes : pos + fbytes]
+        reservoir.extend(main)
+        if consumed_end > len(reservoir) * 8:
+            raise ValueError(
+                f"frame {len(frames)}: declared part2_3 bits run past "
+                "the main data provided so far"
+            )
+        starts.append(start_bit)
+        frames.append(
+            {
+                "pos": pos,
+                "main_data_begin": mdb,
+                "scfsi": scfsi,
+                "granules": granules,
+                "main_bytes": len(main),
+            }
+        )
+        pos += fbytes
+    if version is None:
+        raise ValueError("no Layer III frames found")
+    return {
+        "version": version,
+        "channels": channels,
+        "frames": frames,
+        "reservoir": bytes(reservoir),
+        "starts": starts,
+    }
+
+
+def layer3_scalefactors(data: bytes) -> list[dict]:
+    """Decode every granule's SCALEFACTORS from the resolved bit
+    reservoir — the part-2 payload that precedes the Huffman spectrum.
+    MPEG-1: slen1/slen2 with scfsi band-group sharing from granule 0;
+    short/mixed window layouts.  LSF: the scalefac_compress partition
+    rules (:func:`_l3_lsf_slen`).  Each record carries ``part2_bits``
+    and asserts it never exceeds the granule's declared
+    ``part2_3_length`` — the strongest spectral-layer check available
+    without the Huffman code tables."""
+    si = layer3_side_info(data)
+    lsf = si["version"] != 3
+    res = si["reservoir"]
+    out: list[dict] = []
+    for fi, (frame, start) in enumerate(zip(si["frames"], si["starts"])):
+        r = _BitReader(res, start // 8)
+        r.bitpos = start % 8
+        gr0_sf: list[dict] = []
+        for gi, chans in enumerate(frame["granules"]):
+            for ci, g in enumerate(chans):
+                bits0 = r.bytepos * 8 + r.bitpos
+                short = g["block_type"] == 2 and not g["mixed_block"]
+                mixed = g["block_type"] == 2 and g["mixed_block"]
+                sf_l: list[int] = []
+                sf_s: list[list[int]] = [[], [], []]
+                if lsf:
+                    slen, bn, _pre = _l3_lsf_slen(
+                        g["scalefac_compress"], intensity=False
+                    )
+                    bt = 1 if short else (2 if mixed else 0)
+                    nsfb = _L3_LSF_NSFB[bn][bt]
+                    for part, n in enumerate(nsfb):
+                        for _ in range(n):
+                            v = r.read(slen[part])
+                            if bt == 1:
+                                sf_s[len(sf_l) % 3].append(v)
+                                sf_l.append(v)  # positional record
+                            else:
+                                sf_l.append(v)
+                else:
+                    slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+                    if short:
+                        for band in range(12):
+                            for w in range(3):
+                                sf_s[w].append(
+                                    r.read(slen1 if band < 6 else slen2)
+                                )
+                    elif mixed:
+                        sf_l = [r.read(slen1) for _ in range(8)]
+                        for band in range(3, 12):
+                            for w in range(3):
+                                sf_s[w].append(
+                                    r.read(slen1 if band < 6 else slen2)
+                                )
+                    else:
+                        share = (
+                            frame["scfsi"][ci] if gi == 1 else [0, 0, 0, 0]
+                        )
+                        groups = ((0, 6, slen1), (6, 11, slen1),
+                                  (11, 16, slen2), (16, 21, slen2))
+                        prev = (
+                            gr0_sf[ci]["scalefac_l"] if gi == 1 else None
+                        )
+                        for gidx, (lo, hi, sl) in enumerate(groups):
+                            if share[gidx]:
+                                sf_l.extend(prev[lo:hi])
+                            else:
+                                sf_l.extend(
+                                    r.read(sl) for _ in range(hi - lo)
+                                )
+                part2 = r.bytepos * 8 + r.bitpos - bits0
+                if part2 > g["part2_3_length"]:
+                    raise ValueError(
+                        f"frame {fi} granule {gi} ch {ci}: scalefactor "
+                        f"bits {part2} exceed part2_3_length "
+                        f"{g['part2_3_length']}"
+                    )
+                rec = {
+                    "frame": fi,
+                    "granule": gi,
+                    "channel": ci,
+                    "scalefac_l": sf_l,
+                    "scalefac_s": sf_s,
+                    "part2_bits": part2,
+                    "huffman_bits": g["part2_3_length"] - part2,
+                }
+                if gi == 0:
+                    gr0_sf.append(rec)
+                out.append(rec)
+                # skip this granule's Huffman spectrum to land on the
+                # next granule's scalefactors
+                skip = g["part2_3_length"] - part2
+                while skip > 0:
+                    n = min(skip, 32)
+                    r.read(n)
+                    skip -= n
+    return out

@@ -3437,7 +3437,8 @@ def test_layer2_encode_decode_roundtrip_and_tables():
     above 80 kbps/ch, sblimit 30) round-trips stereo with independent
     channels, grouped 3/5/9-level classes and the closed-form
     requantizer (2c+1-n)/n are exercised end-to-end, and the low-rate
-    B.2c/d tables refuse loudly."""
+    B.2c path is selectable (round-tripped in depth by
+    test_layer2_low_rate_b2cd_roundtrip)."""
     import numpy as np
     import pytest as _pytest
 
@@ -3481,9 +3482,10 @@ def test_layer2_encode_decode_roundtrip_and_tables():
     assert srel < 3e-2, srel
     assert not np.allclose(sy[: len(xs), 0], sy[: len(xs), 1], atol=1e-3)
 
-    # declared gap: low-rate B.2c/d tables refuse, never guess
-    with _pytest.raises((NotImplementedError, ValueError)):
-        layer2_encode(x, rate, 1, 48)
+    # low-rate B.2c path (r10): selectable and round-tripping — covered
+    # in depth by test_layer2_low_rate_b2cd_roundtrip
+    assert layer2_encode(x, rate, 1, 48)
+    _ = _pytest  # stereo/joint refusals covered elsewhere
 
 
 def test_audio_pcm_stats_layer2_parity_with_wav(spark):
@@ -3520,3 +3522,256 @@ def test_audio_pcm_stats_layer2_parity_with_wav(spark):
     assert abs(m.rms - w.rms) / w.rms < 0.015, (w.rms, m.rms)
     assert 0 <= m.audio_ms - w.audio_ms <= (1152 + 480) / rate * 1000 + 1e-6
     assert abs(m.peak - w.peak) / w.peak < 0.05
+
+
+def test_layer2_low_rate_b2cd_roundtrip():
+    """VERDICT r10 #3 (part): the low-rate B.2c/B.2d Layer II tables —
+    one uniform 4-bit class ladder (3,5,9,15,...,32767), sblimit 8 at
+    48/44.1 kHz and 12 at 32 kHz — encode and decode end-to-end with
+    the same closed-form requantizer, pinned like B.2a/B.2b by
+    round-trip spectral parity on an in-band signal."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.mpegaudio import (
+        _l2_table,
+        layer2_decode,
+        layer2_encode,
+    )
+    from event_stream_spark.datapipe.multimodal import mp3_frame_profile
+
+    sblimit_c, rows_c = _l2_table(48000, 48)
+    sblimit_d, rows_d = _l2_table(32000, 32)
+    assert (sblimit_c, sblimit_d) == (8, 12)
+    assert all(r == rows_c[0] for r in rows_c + rows_d)
+    assert rows_c[0][0] == 4 and rows_c[0][1][-1] == 32767
+
+    # B.2c: 48 kbps mono at 48 kHz; 400 Hz lives in subband 0 (750 Hz
+    # bands), i.e. inside the 8-subband low-rate passband
+    rate = 48000
+    t = np.arange(rate) / rate
+    x = 0.5 * np.sin(2 * np.pi * 400 * t)
+    blob = layer2_encode(x, rate, 1, 48)
+    p = mp3_frame_profile(blob)
+    assert (p["layer"], p["bitrate_min"]) == (2, 48000)
+    grate, gch, y = layer2_decode(blob)
+    assert (grate, gch) == (rate, 1)
+    rel = np.sqrt(np.mean((y[: len(x), 0] - x) ** 2)) / np.sqrt(np.mean(x**2))
+    # 48 kbps/8 subbands → the 5-level class everywhere: quantization
+    # noise ~2/(5·√12) of the scaled peak — measured 0.174; the bound
+    # pins the CLASS of fidelity, low-rate MP2 is coarse by design
+    assert rel < 0.25, rel
+
+    # B.2d: 32 kbps mono at 32 kHz (sblimit 12 → 6 kHz passband)
+    t2 = np.arange(32000) / 32000
+    x2 = 0.4 * np.sin(2 * np.pi * 700 * t2)
+    blob2 = layer2_encode(x2, 32000, 1, 32)
+    grate2, _gch2, y2 = layer2_decode(blob2)
+    assert grate2 == 32000
+    rel2 = np.sqrt(np.mean((y2[: len(x2), 0] - x2) ** 2)) / np.sqrt(
+        np.mean(x2**2)
+    )
+    assert rel2 < 0.45, rel2  # 32 kbps/12 subbands: 3-level class
+
+
+def test_layer3_side_info_real_lavf_file():
+    """Layer III derivable-layer decode (VERDICT r10 #3), ground-truthed
+    against the real Lavf-encoded system fixture (MPEG-2 LSF mono): all
+    45 frames' side info parses with the 9-byte LSF-mono layout asserted
+    positionally, the bit-reservoir chain validates, and — this being an
+    encoded SILENT second — every granule declares an empty payload,
+    which the scalefactor pass confirms (0 part2 bits, 0 Huffman bits,
+    global_gain constant)."""
+    import os
+
+    import pytest as _pytest
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(path):
+        pytest.skip("system test mp3 not present")
+    from event_stream_spark.datapipe.mpegaudio import (
+        layer3_scalefactors,
+        layer3_side_info,
+        mpeg_audio_decode,
+    )
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    si = layer3_side_info(data)
+    assert si["version"] == 2 and si["channels"] == 1
+    assert len(si["frames"]) == 45
+    assert si["frames"][0]["main_data_begin"] == 0
+    gains = {
+        g["global_gain"]
+        for fr in si["frames"]
+        for gr in fr["granules"]
+        for g in gr
+    }
+    assert gains == {210}  # Lavf's silent-granule gain, every frame
+    sf = layer3_scalefactors(data)
+    assert len(sf) == 45  # LSF: one granule per frame, mono
+    assert all(r["part2_bits"] == 0 and r["huffman_bits"] == 0 for r in sf)
+    # the spectrum stays a named, precise gap
+    with _pytest.raises(NotImplementedError, match="Huffman code tables"):
+        mpeg_audio_decode(data)
+
+
+def _l3_mpeg1_stereo_stream():
+    """Synthetic MPEG-1 stereo Layer III stream (3 frames, 48 kHz,
+    192 kbps, no CRC) with a NON-TRIVIAL bit reservoir: frame 0 starts
+    at its own main data, frames 1-2 point back 10/80 bytes; one
+    granule-channel uses SHORT blocks.  Returns (bytes, expected_sf,
+    MAIN) where expected_sf maps (frame, granule, ch) to the written
+    scalefactors.  Built with an independent writer so the reader is
+    pinned against the spec layout, not against itself."""
+    from event_stream_spark.datapipe.mpegaudio import _BitWriter
+
+    FBYTES, SIDE = 576, 32
+    MAIN = FBYTES - 4 - SIDE  # 540 bytes of main data per frame
+    HUFF = 100  # opaque spectrum filler bits per granule-channel
+    SLEN1, SLEN2 = 2, 3  # scalefac_compress = 10
+
+    def is_short(f, g, c):
+        return (f, g, c) == (2, 1, 1)
+
+    def sf_long(f, g, c):
+        # bands 0-10 fit slen1 (2 bits), 11-20 fit slen2 (3 bits)
+        return [
+            (f + 2 * g + 3 * c + b) % (4 if b < 11 else 8)
+            for b in range(21)
+        ]
+
+    def sf_short(f, g, c):
+        # [window][band]; bands 0-5 slen1, 6-11 slen2
+        return [
+            [
+                (f + g + c + w + b) % (4 if b < 6 else 8)
+                for b in range(12)
+            ]
+            for w in range(3)
+        ]
+
+    def part2(f, g, c):
+        if is_short(f, g, c):
+            return 18 * SLEN1 + 18 * SLEN2
+        return 11 * SLEN1 + 10 * SLEN2
+
+    # ---- reservoir: payloads at chosen byte offsets -------------------
+    starts_bytes = [0, MAIN - 10, 2 * MAIN - 80]  # → mdb 0, 10, 80
+    res = _BitWriter()
+    nbits = 0
+
+    def w(v, n):
+        nonlocal nbits
+        res.write(v, n)
+        nbits += n
+
+    expected_sf = {}
+    for f in range(3):
+        while nbits < starts_bytes[f] * 8:
+            w(0, min(32, starts_bytes[f] * 8 - nbits))
+        for g in range(2):
+            for c in range(2):
+                if is_short(f, g, c):
+                    vals = sf_short(f, g, c)
+                    for b in range(12):
+                        for win in range(3):
+                            w(vals[win][b], SLEN1 if b < 6 else SLEN2)
+                else:
+                    vals = sf_long(f, g, c)
+                    for b, v in enumerate(vals):
+                        w(v, SLEN1 if b < 11 else SLEN2)
+                expected_sf[(f, g, c)] = vals
+                for _ in range(HUFF // 4):  # opaque spectrum filler
+                    w(0b1010, 4)
+    while nbits < 3 * MAIN * 8:
+        w(0, min(32, 3 * MAIN * 8 - nbits))
+    reservoir = res.pad_to(3 * MAIN)
+
+    # ---- frames: header + side info + main-data slice -----------------
+    out = bytearray()
+    for f in range(3):
+        out += bytes([0xFF, 0xFB, 0xB4, 0x00])  # MPEG1 L3 192k 48kHz st
+        s = _BitWriter()
+        mdb = f * MAIN - starts_bytes[f]
+        s.write(mdb, 9)
+        s.write(0, 3)  # private
+        s.write(0, 8)  # scfsi: 2 ch × 4, all fresh
+        for g in range(2):
+            for c in range(2):
+                s.write(part2(f, g, c) + HUFF, 12)
+                s.write(17, 9)  # big_values
+                s.write(100 + f, 8)  # global_gain
+                s.write(10, 4)  # scalefac_compress → slen (2, 3)
+                if is_short(f, g, c):
+                    s.write(1, 1)  # window_switching
+                    s.write(2, 2)  # block_type: short
+                    s.write(0, 1)  # not mixed
+                    s.write(1, 5)
+                    s.write(2, 5)  # table_select × 2
+                    for sb in range(3):
+                        s.write(sb, 3)  # subblock_gain
+                else:
+                    s.write(0, 1)
+                    for tsel in (1, 2, 3):
+                        s.write(tsel, 5)
+                    s.write(5, 4)  # region0_count
+                    s.write(3, 3)  # region1_count
+                s.write(0, 1)  # preflag
+                s.write(0, 1)  # scalefac_scale
+                s.write(0, 1)  # count1table_select
+        out += s.pad_to(32)
+        out += reservoir[f * MAIN : (f + 1) * MAIN]
+    return bytes(out), expected_sf, MAIN
+
+
+def test_layer3_side_info_synthetic_reservoir():
+    """The non-trivial Layer III paths the (silent) real fixture cannot
+    exercise, pinned by an independent writer: MPEG-1 stereo side-info
+    layout (32 bytes, asserted positionally by the parser), a bit
+    reservoir with real back-pointers (mdb 0/10/80), long AND short
+    scalefactor layouts read back bit-exactly from the reservoir, and
+    the two corruption classes the invariants must catch."""
+    import pytest as _pytest
+
+    from event_stream_spark.datapipe.mpegaudio import (
+        layer3_scalefactors,
+        layer3_side_info,
+    )
+
+    data, expected_sf, MAIN = _l3_mpeg1_stereo_stream()
+    si = layer3_side_info(data)
+    assert si["version"] == 3 and si["channels"] == 2
+    assert [fr["main_data_begin"] for fr in si["frames"]] == [0, 10, 80]
+    assert si["starts"] == [0, (MAIN - 10) * 8, (2 * MAIN - 80) * 8]
+    g = si["frames"][2]["granules"][1][1]
+    assert g["block_type"] == 2 and g["window_switching"] == 1
+    assert g["subblock_gain"] == [0, 1, 2]
+    g0 = si["frames"][0]["granules"][0][0]
+    assert (g0["table_select"], g0["region0_count"]) == ([1, 2, 3], 5)
+
+    recs = {
+        (r["frame"], r["granule"], r["channel"]): r
+        for r in layer3_scalefactors(data)
+    }
+    assert len(recs) == 12
+    for key, vals in expected_sf.items():
+        r = recs[key]
+        if key == (2, 1, 1):
+            assert r["scalefac_s"] == vals
+        else:
+            assert r["scalefac_l"] == vals
+        assert r["huffman_bits"] == 100
+
+    # corruption class 1: back-pointer past the provided reservoir
+    bad = bytearray(data)
+    bad[4] = 0xFF  # frame 0 mdb becomes >= 255 with 0 bytes banked
+    with _pytest.raises(ValueError, match="reaches past"):
+        layer3_side_info(bytes(bad))
+    # corruption class 2: back-pointer into the previous frame's payload
+    bad = bytearray(data)
+    bad[576 + 4] = 0xFA  # frame 1 mdb 10 → 500: start < frame 0's end
+    with _pytest.raises(ValueError, match="overlaps"):
+        layer3_side_info(bytes(bad))
