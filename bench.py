@@ -60,14 +60,18 @@ def run_isolated(chunk_size: int = 16) -> None:
 
     names = list(entry_mod.queries())
     if "--heavy" not in sys.argv[1:]:
-        # same heavy-entry exclusion as the default in-process mode (the
-        # child processes take the SPARK_GRAFT_BENCH_ONLY branch, which
-        # skips it) — keeps --isolated totals comparable to default runs
-        skipped = sorted(HEAVY_EXCLUDE & set(names))
+        # same exclusions as the default in-process mode (the child
+        # processes take the SPARK_GRAFT_BENCH_ONLY branch, which skips
+        # them) — keeps --isolated totals comparable to default runs
+        exclude = set(HEAVY_EXCLUDE)
+        sfg = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        if sfg is not None and sfg >= 1:
+            exclude |= SF1_EXCLUDE
+        skipped = sorted(exclude & set(names))
         if skipped:
-            print(f"# excluded heavy entries (use --heavy): {skipped}",
+            print(f"# excluded entries (use --heavy): {skipped}",
                   file=sys.stderr)
-            names = [n for n in names if n not in HEAVY_EXCLUDE]
+            names = [n for n in names if n not in exclude]
     chunks = [names[i : i + chunk_size] for i in range(0, len(names), chunk_size)]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -136,7 +136,19 @@ def _resolve_manifest(table: str, n: int) -> dict:
     from the delta-encoded log: walk back to the nearest anchor — a
     cached resolution, a checkpoint, or a full on-disk manifest — then
     apply the delta tail forward.  Cold cost is bounded by the
-    checkpoint cadence; warm cost is one cache hit."""
+    checkpoint cadence; warm cost is one cache hit.
+
+    Concurrency: a racing ``vacuum`` writes the retention-edge
+    checkpoint BEFORE dropping pre-horizon manifests, so a walk that
+    loses the race mid-descent (manifest gone underfoot) retries once —
+    the second pass finds the fresh checkpoint and anchors there."""
+    try:
+        return _resolve_manifest_once(table, n)
+    except FileNotFoundError:
+        return _resolve_manifest_once(table, n)
+
+
+def _resolve_manifest_once(table: str, n: int) -> dict:
     path = _manifest_path(table, n)
     key = _stat_key(path)
     hit = _MANIFEST_CACHE.get(key)
@@ -158,7 +170,10 @@ def _resolve_manifest(table: str, n: int) -> dict:
         m = n - 1
         while True:
             mp = _manifest_path(table, m)
-            mk = _stat_key(mp) if os.path.exists(mp) else None
+            try:
+                mk = _stat_key(mp) if os.path.exists(mp) else None
+            except FileNotFoundError:
+                mk = None  # vacuumed between exists() and stat()
             if mk is not None:
                 c = _MANIFEST_CACHE.get(mk)
                 if c is not None:
