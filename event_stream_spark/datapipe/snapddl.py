@@ -638,3 +638,93 @@ FROM documents
 WHERE doc_id <> 3
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# snap_catalog — zero-copy catalog registration (snapcatalog.snapshot_table)
+# ---------------------------------------------------------------------------
+
+_CATALOG_TAG = "v1"
+
+
+def _build_catalog(spark: SparkSession, sf: str) -> tuple[str, str, str]:
+    """Two scripted snaplog tables — facts (3 appends of documents
+    slices, stats + KMV-NDV recorded) and a language dimension — for the
+    catalog-registration witness.  Returns (facts_dir, dim_dir, key)."""
+    from event_stream_spark.datapipe.fixutil import fixture_key
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources import snaplog
+
+    key = fixture_key(sf)
+    facts = _dir(sf, "snapcatf", _CATALOG_TAG)
+    dim = _dir(sf, "snapcatd", _CATALOG_TAG)
+    marker = os.path.join(facts, "_built")
+    if (
+        os.path.exists(marker)
+        and snaplog.snapshots(facts) == [0, 1, 2]
+        and snaplog.snapshots(dim) == [0]
+    ):
+        return facts, dim, key
+    shutil.rmtree(facts, ignore_errors=True)
+    shutil.rmtree(dim, ignore_errors=True)
+    base = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("val")
+    )
+    for i in range(3):
+        snaplog.commit(
+            base.filter(F.col("doc_id") % 3 == i),
+            facts,
+            mode="append",
+            stats_cols=["doc_id", "val"],
+            ndv_cols=["doc_id", "lang"],
+        )
+    snaplog.commit(
+        base.select("lang")
+        .distinct()
+        .withColumn("lang_len", F.length("lang").cast("long")),
+        dim,
+        stats_cols=["lang_len"],
+        ndv_cols=["lang"],
+    )
+    with open(marker, "w") as fh:
+        fh.write(_CATALOG_TAG)
+    return facts, dim, key
+
+
+def snap_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-path witness for ``snapcatalog.snapshot_table``: both
+    scripted tables registered as zero-copy (hard-linked) session-
+    catalog parquet tables with manifest statistics injected (rowCount,
+    sizeInBytes, min/max, merged-KMV NDV), then joined and aggregated
+    THROUGH the catalog — the result must equal the plain algebra the
+    DuckDB oracle replays, proving registration corrupts nothing.  (The
+    join-ORDER effect of the same stats is plan-gated in
+    tests/test_plans.py::test_manifest_stats_drive_cbo_join_reorder.)"""
+    from event_stream_spark.sources.snapcatalog import snapshot_table
+
+    facts, dim, key = _build_catalog(spark, sf)
+    fname, dname = f"snapcat_facts_{key}", f"snapcat_dim_{key}"
+    snapshot_table(spark, facts, fname)
+    snapshot_table(spark, dim, dname)
+    f, d = spark.table(fname), spark.table(dname)
+    return (
+        f.join(d, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("val").alias("sum_chars"),
+            F.max("lang_len").alias("lang_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+SNAP_CATALOG_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+       MAX(CAST(length(lang) AS BIGINT)) AS lang_len
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
