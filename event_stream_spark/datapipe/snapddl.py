@@ -722,7 +722,7 @@ def snap_catalog(spark: SparkSession, sf: str) -> DataFrame:
 SNAP_CATALOG_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
        MAX(CAST(length(lang) AS BIGINT)) AS lang_len
 FROM documents
 GROUP BY lang

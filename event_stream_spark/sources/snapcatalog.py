@@ -165,6 +165,15 @@ def snapshot_table(
             "catalog scan would resurrect deleted rows — compact first"
         )
     view_dir = os.path.join(table, "_catalog", f"{name}-s{n:012d}")
+    # re-registration at a new snapshot: the DROP below un-points the
+    # old catalog table, so its view dir (hard links — no data bytes)
+    # is garbage; sweep it rather than accreting one dir per snapshot
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(os.path.join(table, "_catalog", f"{name}-s*")):
+        if os.path.abspath(old) != os.path.abspath(view_dir):
+            _shutil.rmtree(old, ignore_errors=True)
     os.makedirs(view_dir, exist_ok=True)
     size = 0
     rows = 0

@@ -2976,6 +2976,7 @@ def test_snapshot_string_stats_never_prune(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         read_snapshot,
     )
@@ -3089,6 +3090,7 @@ def test_merge_upsert_is_file_targeted(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         merge_upsert,
         read_snapshot,
@@ -3103,13 +3105,13 @@ def test_merge_upsert_is_file_targeted(spark, tmp_path):
             table, stats_cols=["id"],
         )
     base = snapshots(table)[-1]
-    before = _json.load(open(_manifest_path(table, base)))["files"]
+    before = _read_manifest(table, base)["files"]
     assert len(before) == 3
 
     # update keys 1000-1009: only the middle file overlaps
     upd = spark.range(1000, 1010).selectExpr("id", "id*100 AS v")
     new_id = merge_upsert(spark, table, upd, key="id", stats_cols=["id"])
-    after = _json.load(open(_manifest_path(table, new_id)))["files"]
+    after = _read_manifest(table, new_id)["files"]
     before_paths = {e["path"] for e in before}
     after_paths = {e["path"] for e in after}
 
@@ -3143,6 +3145,7 @@ def test_merge_upsert_without_stats_falls_back_to_full_rewrite(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         merge_upsert,
         read_snapshot,
@@ -3157,14 +3160,12 @@ def test_merge_upsert_without_stats_falls_back_to_full_rewrite(spark, tmp_path):
         )
     before_paths = {
         e["path"]
-        for e in _json.load(
-            open(_manifest_path(table, snapshots(table)[-1]))
-        )["files"]
+        for e in _read_manifest(table, snapshots(table)[-1])["files"]
     }
     upd = spark.createDataFrame([(5, -1)], "id long, v long")
     new_id = merge_upsert(spark, table, upd, key="id")
     after_paths = {
-        e["path"] for e in _json.load(open(_manifest_path(table, new_id)))["files"]
+        e["path"] for e in _read_manifest(table, new_id)["files"]
     }
     assert not (before_paths & after_paths)  # full rewrite, nothing carried
     df = read_snapshot(spark, table)
@@ -3179,6 +3180,7 @@ def test_delete_where_prune_hint_targets_files(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         delete_where,
         read_snapshot,
@@ -3191,14 +3193,12 @@ def test_delete_where_prune_hint_targets_files(spark, tmp_path):
             spark.range(lo, lo + 100).selectExpr("id", "id*2 AS v").coalesce(1),
             table, stats_cols=["id"],
         )
-    before = _json.load(
-        open(_manifest_path(table, snapshots(table)[-1]))
-    )["files"]
+    before = _read_manifest(table, snapshots(table)[-1])["files"]
     new_id = delete_where(
         spark, table, "id >= 1000 AND id < 1010",
         stats_cols=["id"], prune={"id": (1000, 1009)},
     )
-    after = _json.load(open(_manifest_path(table, new_id)))["files"]
+    after = _read_manifest(table, new_id)["files"]
     after_paths = {e["path"] for e in after}
     lo_file = next(e for e in before if e["stats"]["id"][0] == 0)
     hi_file = next(e for e in before if e["stats"]["id"][0] == 2000)
@@ -3800,6 +3800,7 @@ def test_snap_count_metadata_only(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         delete_where_dv,
         read_snapshot,
@@ -3885,6 +3886,7 @@ def test_snapshot_timestamp_travel_and_history(spark, tmp_path):
 
     from event_stream_spark.sources.snaplog import (
         _manifest_path,
+        _read_manifest,
         commit,
         delete_where_dv,
         history,
@@ -5899,6 +5901,7 @@ def test_snapshot_log_delta_manifests_and_checkpoints(spark, tmp_path):
         _ckpt_path,
         _load_raw,
         _manifest_path,
+        _read_manifest,
         added_files,
         commit,
         merge_upsert,
