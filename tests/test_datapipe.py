@@ -3775,3 +3775,29 @@ def test_layer3_side_info_synthetic_reservoir():
     bad[576 + 4] = 0xFA  # frame 1 mdb 10 → 500: start < frame 0's end
     with _pytest.raises(ValueError, match="overlaps"):
         layer3_side_info(bytes(bad))
+
+
+def test_layer3_lsf_partition_table_structure():
+    """Structural self-check of the LSF scalefactor partition table: in
+    every (blocknumber, blocktype) row the band counts must sum to the
+    spec's band totals — 21 long, 36 short (12 bands x 3 windows), 33
+    mixed — and every scalefac_compress value maps to slens that fit the
+    field widths (<= 7 bits), for both the normal and intensity paths.
+    A transcription slip in any row would break these invariants."""
+    from event_stream_spark.datapipe.mpegaudio import (
+        _L3_LSF_NSFB,
+        _l3_lsf_slen,
+    )
+
+    for bn, (long_r, short_r, mixed_r) in enumerate(_L3_LSF_NSFB):
+        assert sum(long_r) == 21, (bn, long_r)
+        assert sum(short_r) == 36, (bn, short_r)
+        assert sum(mixed_r) == 33, (bn, mixed_r)
+    seen_bn = set()
+    for intensity in (False, True):
+        for sfc in range(0, 512):  # the 9-bit LSF scalefac_compress field
+            slen, bn, pre = _l3_lsf_slen(sfc, intensity=intensity)
+            assert all(0 <= s <= 7 for s in slen), (sfc, intensity, slen)
+            assert pre in (0, 1) and (pre == 0 or not intensity)
+            seen_bn.add(bn)
+    assert seen_bn == {0, 1, 2, 3, 4, 5}  # every partition row reachable
