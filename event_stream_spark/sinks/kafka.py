@@ -68,6 +68,7 @@ def write_kafka_wire_txn_batch(
     codec: str = "none",
     batch_rows: int = 500,
     batch_id: str | None = None,
+    marker_wait_s: float = 30.0,
     _crash_before_commit: bool = False,
     _crash_after_commit: bool = False,
     chaos_flag: str | None = None,
@@ -137,21 +138,77 @@ def write_kafka_wire_txn_batch(
             )
             target = pid % kparts
             if batch_id is not None:
+                import time as _time
+
                 mkey = txn_id.encode()
                 mval = batch_id.encode()
                 off = 0
                 done = False
+                waited = 0.0
                 while not done:
-                    _hw, recs = client.fetch(
+                    hw, recs = client.fetch(
                         marker_topic, target, off,
                         isolation=READ_COMMITTED,
                     )
-                    if not recs:
-                        break  # no committed data remains past `off`
-                    for o, _ts, k, v in recs:
-                        off = o + 1
-                        if k == mkey and v == mval:
-                            done = True
+                    if recs:
+                        waited = 0.0
+                        for o, _ts, k, v in recs:
+                            off = o + 1
+                            if k == mkey and v == mval:
+                                done = True
+                        continue
+                    # An empty read_committed fetch is NOT end-of-log:
+                    # the broker stops at the LSO, and the marker
+                    # partition is SHARED across tasks (target = pid %
+                    # kparts), so another task's still-open transaction
+                    # can hold the LSO below OUR committed marker.  Only
+                    # the high watermark proves exhaustion.
+                    if off >= hw:
+                        break  # scanned the whole log: no prior commit
+                    lso = client.list_offsets(
+                        marker_topic, target, isolation=READ_COMMITTED,
+                    )
+                    if off < lso:
+                        # [off, lso) held only control/aborted slots —
+                        # no committed data there; skip past them
+                        off = lso
+                        continue
+                    # cursor at the LSO with hw ahead: an open txn masks
+                    # the tail [lso, hw).  Peek it READ_UNCOMMITTED: a
+                    # committed marker for THIS (txn_id, batch_id) would
+                    # be a physical record there, so if none matches, no
+                    # prior commit can exist — produce immediately (the
+                    # common case: the open txn is a foreign task's and
+                    # our marker was never written).
+                    u_off, masked_match = off, False
+                    while u_off < hw:
+                        _h2, urecs = client.fetch(
+                            marker_topic, target, u_off,
+                        )
+                        if not urecs:
+                            break  # only control slots remain
+                        for o, _ts, k, v in urecs:
+                            u_off = o + 1
+                            if k == mkey and v == mval:
+                                masked_match = True
+                    if not masked_match:
+                        break  # this batch's marker is nowhere in the log
+                    # OUR marker sits in the masked tail and its fate
+                    # (committed vs aborted) is unreadable until the
+                    # foreign open txn resolves (owner commits, or its
+                    # retry's InitProducerId fences + aborts it) — wait,
+                    # never guess; guessing "no prior commit" here is
+                    # exactly the duplicate window.
+                    if waited >= marker_wait_s:
+                        raise RuntimeError(
+                            f"attempt-marker scan blocked {waited:.1f}s "
+                            f"at offset {off} (lso={lso} < hw={hw}) on "
+                            f"{marker_topic}/{target} by an unresolved "
+                            "open transaction; refusing to assume no "
+                            "prior commit (exactly-once guard)"
+                        )
+                    _time.sleep(0.05)
+                    waited += 0.05
                 if done:
                     return  # a prior attempt of THIS batch committed
             buf: list = []

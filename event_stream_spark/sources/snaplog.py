@@ -46,9 +46,9 @@ pruning only helps after a task already opened the file).
 
 from __future__ import annotations
 
-import copy
 import json
 import os
+import threading
 import uuid
 from collections import OrderedDict
 
@@ -98,10 +98,18 @@ def snapshots(table: str) -> list[int]:
 # os.link claim publishes final content), so a (path, inode, mtime, size)
 # key can never serve stale state — it only guards against a table
 # directory being deleted and re-created at the same path.  The cache
-# holds RESOLVED manifests (full file lists); _read_manifest hands out
-# deep copies because callers mutate their view (e.g. _metadata_commit).
+# holds RESOLVED manifests (full file lists) handed out BY REFERENCE:
+# at the design point (~800k file entries / table) a per-read deepcopy
+# is seconds of driver work, so readers treat the dict as frozen and
+# every mutating path makes its own copy of exactly what it changes
+# (``_metadata_commit`` shallow-copies the dict and its callbacks
+# replace values wholesale; ``_relink_into_main`` copies the entry).
+# All cache operations go through ``_MANIFEST_LOCK`` — resolution runs
+# on reader, writer, AND vacuum threads concurrently, and an unlocked
+# get→move_to_end can KeyError against a racing eviction.
 _MANIFEST_CACHE: OrderedDict[tuple, dict] = OrderedDict()
 _MANIFEST_CACHE_MAX = 256
+_MANIFEST_LOCK = threading.Lock()
 
 
 def _stat_key(path: str) -> tuple:
@@ -151,10 +159,11 @@ def _resolve_manifest(table: str, n: int) -> dict:
 def _resolve_manifest_once(table: str, n: int) -> dict:
     path = _manifest_path(table, n)
     key = _stat_key(path)
-    hit = _MANIFEST_CACHE.get(key)
-    if hit is not None:
-        _MANIFEST_CACHE.move_to_end(key)
-        return hit
+    with _MANIFEST_LOCK:
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            _MANIFEST_CACHE.move_to_end(key)
+            return hit
     top = _load_raw(table, n)
     own_ck = _ckpt_path(table, n)
     if "files" in top:
@@ -175,7 +184,8 @@ def _resolve_manifest_once(table: str, n: int) -> dict:
             except FileNotFoundError:
                 mk = None  # vacuumed between exists() and stat()
             if mk is not None:
-                c = _MANIFEST_CACHE.get(mk)
+                with _MANIFEST_LOCK:
+                    c = _MANIFEST_CACHE.get(mk)
                 if c is not None:
                     base_files = c["files"]
                     break
@@ -200,14 +210,19 @@ def _resolve_manifest_once(table: str, n: int) -> dict:
             files = _apply_delta(files, d)
         resolved = {k: v for k, v in top.items() if k != "files_delta"}
         resolved["files"] = files
-    _MANIFEST_CACHE[key] = resolved
-    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.popitem(last=False)
+    with _MANIFEST_LOCK:
+        _MANIFEST_CACHE[key] = resolved
+        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.popitem(last=False)
     return resolved
 
 
 def _read_manifest(table: str, n: int) -> dict:
-    return copy.deepcopy(_resolve_manifest(table, n))
+    """The resolved manifest, SHARED with the cache — treat as frozen.
+    Reads are O(1) beyond cold resolution (no per-call copy of the file
+    list; at ~800k entries a deepcopy was seconds per read).  Mutating
+    paths copy what they change: see the cache comment above."""
+    return _resolve_manifest(table, n)
 
 
 def _encode_manifest(table: str, n: int, manifest: dict) -> dict:

@@ -1047,6 +1047,107 @@ def test_txn_sink_post_commit_retry_is_deduplicated(spark):
         broker.close()
 
 
+def test_txn_sink_marker_scan_not_fooled_by_foreign_open_txn(spark):
+    """ADVICE r11 (medium): the attempt-marker partition is shared across
+    tasks, so ANOTHER task's still-open transaction can hold the LSO
+    below a committed marker; an empty read_committed fetch there must
+    not be read as "no prior commit".  The scan has to wait until the
+    open txn resolves (fence/abort/commit) and then find the marker —
+    re-producing would duplicate under read_committed."""
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from event_stream_spark.sinks.kafka import write_kafka_wire_txn_batch
+    from event_stream_spark.sources.kafkawire import (
+        READ_COMMITTED,
+        KafkaWireBroker,
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    broker = KafkaWireBroker(num_partitions=1)
+    client = KafkaWireClient(broker.host, broker.port)
+    try:
+        df = spark.range(10).selectExpr(
+            "CAST(CAST(id AS STRING) AS BINARY) AS key",
+            "CAST(CAST(id AS STRING) AS BINARY) AS value",
+        ).coalesce(1)
+
+        # a FOREIGN producer opens a txn on the marker partition and
+        # leaves it open: its record sits at offset 0, pinning LSO=0
+        blocker_client = KafkaWireClient(broker.host, broker.port)
+        blocker = TransactionalProducer(
+            blocker_client, "t.__attempts", "foreign-task"
+        )
+        blocker.send_to("t.__attempts", 0, [(b"foreign", b"open", 0)])
+
+        # the sink commits batch b0 (data + marker) but dies post-commit;
+        # its marker lands ABOVE the blocker's open record
+        with _pytest.raises(Exception, match="after EndTxn"):
+            write_kafka_wire_txn_batch(
+                df, broker.host, broker.port, "t", txn_prefix="s",
+                batch_id="b0", _crash_after_commit=True,
+            )
+
+        # sanity: read_committed sees an EMPTY marker log right now
+        _, recs = client.fetch(
+            "t.__attempts", 0, 0, isolation=READ_COMMITTED
+        )
+        assert recs == []
+
+        # resolve the blocker shortly after the retry starts scanning
+        def _resolve():
+            time.sleep(0.4)
+            blocker.abort()
+
+        t = threading.Thread(target=_resolve)
+        t.start()
+        # the retry must WAIT at the LSO, then find the marker and
+        # produce nothing — exactly once despite the masked window
+        write_kafka_wire_txn_batch(
+            df, broker.host, broker.port, "t", txn_prefix="s",
+            batch_id="b0",
+        )
+        t.join()
+        keys = [
+            int(r[2])
+            for r in client.fetch("t", 0, 0, isolation=READ_COMMITTED)[1]
+        ]
+        assert sorted(keys) == list(range(10))  # once, not twice
+
+        # a foreign open txn masking a record that CARRIES OUR MARKER KEY
+        # and never resolves: the scan cannot learn the marker's fate, so
+        # it must FAIL LOUDLY after marker_wait_s, never assume no prior
+        # commit (that assumption is the duplicate window)
+        blocker2 = TransactionalProducer(
+            blocker_client, "t.__attempts", "foreign-task-2"
+        )
+        blocker2.send_to("t.__attempts", 0, [(b"s-p0", b"b1", 0)])
+        with _pytest.raises(Exception, match="refusing to assume"):
+            write_kafka_wire_txn_batch(
+                df, broker.host, broker.port, "t", txn_prefix="s",
+                batch_id="b1", marker_wait_s=0.3,
+            )
+        blocker2.abort()
+        # once the open txn resolves as ABORTED, the masked record is
+        # dead and the retry of b1 produces normally (no suppression)
+        write_kafka_wire_txn_batch(
+            df, broker.host, broker.port, "t", txn_prefix="s",
+            batch_id="b1",
+        )
+        keys = [
+            int(r[2])
+            for r in client.fetch("t", 0, 0, isolation=READ_COMMITTED)[1]
+        ]
+        assert sorted(keys) == sorted(list(range(10)) * 2)
+        blocker_client.close()
+    finally:
+        client.close()
+        broker.close()
+
+
 def test_group_offsets_round_trip_across_reconnect():
     """VERDICT r10 #4: FindCoordinator + OffsetCommit/OffsetFetch on the
     wire — committed group offsets survive the client reconnecting, the
