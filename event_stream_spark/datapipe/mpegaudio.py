@@ -792,6 +792,12 @@ def layer3_side_info(data: bytes) -> dict:
         if version is None:
             version, channels = ver, nch
         lsf = ver != 3
+        # header byte 3: mode (bits 6-7), mode_extension (bits 4-5).
+        # Joint stereo with the intensity bit set changes how channel 1's
+        # LSF scalefac_compress partitions (ISO 13818-3 intensity rules).
+        mode = data[pos + 3] >> 6
+        mode_ext = (data[pos + 3] >> 4) & 0x3
+        intensity = mode == 0b01 and bool(mode_ext & 0x1)
         r = _BitReader(data, pos + 4)
         crc_bytes = 0 if (data[pos + 1] & 0x01) else 2
         if crc_bytes:
@@ -842,6 +848,8 @@ def layer3_side_info(data: bytes) -> dict:
                 "scfsi": scfsi,
                 "granules": granules,
                 "main_bytes": len(main),
+                "intensity_stereo": intensity,
+                "ms_stereo": mode == 0b01 and bool(mode_ext & 0x2),
             }
         )
         pos += fbytes
@@ -881,8 +889,14 @@ def layer3_scalefactors(data: bytes) -> list[dict]:
                 sf_l: list[int] = []
                 sf_s: list[list[int]] = [[], [], []]
                 if lsf:
+                    # ISO 13818-3: under intensity stereo the RIGHT
+                    # channel's scalefac_compress is partitioned by the
+                    # intensity rules (blocknumbers 3-5; LSB is
+                    # intensity_scale) — ADVICE r11 wired this through
+                    # from the header's mode_extension
                     slen, bn, _pre = _l3_lsf_slen(
-                        g["scalefac_compress"], intensity=False
+                        g["scalefac_compress"],
+                        intensity=frame["intensity_stereo"] and ci == 1,
                     )
                     bt = 1 if short else (2 if mixed else 0)
                     nsfb = _L3_LSF_NSFB[bn][bt]

@@ -3801,3 +3801,89 @@ def test_layer3_lsf_partition_table_structure():
             assert pre in (0, 1) and (pre == 0 or not intensity)
             seen_bn.add(bn)
     assert seen_bn == {0, 1, 2, 3, 4, 5}  # every partition row reachable
+
+
+def test_layer3_lsf_intensity_stereo_partition_wired():
+    """ADVICE r11: an LSF JOINT-STEREO frame with the intensity bit set
+    must partition channel 1's scalefactors by the intensity rules
+    (blocknumbers 3-5, scalefac_compress >> 1) — previously dead code.
+    Built with an independent writer: ch0 uses the normal partition
+    (sfc=95 -> slen (1,0,3,3), bn 0), ch1 the intensity one (sfc=100 ->
+    >>1 = 50 -> slen (1,2,2,0), bn 3, 35 part2 bits).  The unwired
+    reader would compute 16 bits for ch1 and misread every value; a
+    mode_ext=0 twin of the same frame must still use the normal rules."""
+    from event_stream_spark.datapipe.mpegaudio import (
+        _BitWriter,
+        layer3_scalefactors,
+        layer3_side_info,
+    )
+
+    FBYTES = 72 * 64000 // 22050  # 208: MPEG2 L3 64 kbps @ 22050
+    SIDE = 17  # LSF stereo
+
+    def build(mode_ext, ch1_part2):
+        hdr = bytes([0xFF, 0xF3, 0x80, 0x40 | (mode_ext << 4)])
+        s = _BitWriter()
+        s.write(0, 8)   # main_data_begin
+        s.write(0, 2)   # private (LSF stereo)
+        for ci, (p23, sfc) in enumerate(((36, 95), (ch1_part2, 100))):
+            s.write(p23, 12)  # part2_3_length = scalefac bits exactly
+            s.write(0, 9)     # big_values
+            s.write(210, 8)   # global_gain
+            s.write(sfc, 9)   # scalefac_compress
+            s.write(0, 1)     # window_switching
+            for _ in range(3):
+                s.write(0, 5)  # table_select
+            s.write(0, 4)     # region0_count
+            s.write(0, 3)     # region1_count
+            s.write(0, 1)     # scalefac_scale
+            s.write(0, 1)     # count1table_select
+        side = s.pad_to(SIDE)
+        m = _BitWriter()
+        # ch0: sfc=95 -> slen (1,0,3,3) over nsfb (6,5,5,5)
+        ch0 = []
+        for slen, n in ((1, 6), (0, 5), (3, 5), (3, 5)):
+            for i in range(n):
+                v = i % (1 << slen) if slen else 0
+                m.write(v, slen)
+                ch0.append(v)
+        if ch1_part2 == 35:
+            # intensity partition: sfc 100 -> >>1 = 50 -> slen (1,2,2,0)
+            # over blocknumber-3 long row (7,7,7,0)
+            ch1 = []
+            for slen, n in ((1, 7), (2, 7), (2, 7), (0, 0)):
+                for i in range(n):
+                    v = (i + 1) % (1 << slen) if slen else 0
+                    m.write(v, slen)
+                    ch1.append(v)
+        else:
+            # normal partition: sfc 100 -> slen (1,1,1,0) over (6,5,5,5)
+            ch1 = []
+            for slen, n in ((1, 6), (1, 5), (1, 5), (0, 5)):
+                for i in range(n):
+                    v = i % (1 << slen) if slen else 0
+                    m.write(v, slen)
+                    ch1.append(v)
+        main = m.pad_to(FBYTES - 4 - SIDE)
+        return hdr + side + main, ch0, ch1
+
+    # intensity on: mode_ext bit0 set
+    data, ch0, ch1 = build(0b01, 35)
+    si = layer3_side_info(data)
+    assert si["frames"][0]["intensity_stereo"] is True
+    assert si["frames"][0]["ms_stereo"] is False
+    recs = layer3_scalefactors(data)
+    assert recs[0]["part2_bits"] == 36 and recs[0]["scalefac_l"] == ch0
+    assert recs[1]["part2_bits"] == 35 and recs[1]["scalefac_l"] == ch1
+
+    # intensity off: same frame, mode_ext=0 -> normal partition for ch1
+    data2, ch0b, ch1b = build(0b00, 16)
+    si2 = layer3_side_info(data2)
+    assert si2["frames"][0]["intensity_stereo"] is False
+    recs2 = layer3_scalefactors(data2)
+    assert recs2[1]["part2_bits"] == 16 and recs2[1]["scalefac_l"] == ch1b
+
+    # ms_stereo flag surfaces independently (mode_ext bit1)
+    data3, _, _ = build(0b10, 16)
+    f3 = layer3_side_info(data3)["frames"][0]
+    assert f3["ms_stereo"] is True and f3["intensity_stereo"] is False
