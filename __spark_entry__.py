@@ -35,8 +35,11 @@ def witness_ages(repo: str = _REPO) -> dict[str, int]:
     tests/test_registry_order.py call this same implementation.
     """
     ages: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(path)[13:15])
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        digits = os.path.basename(path)[13:-5]
+        if not digits.isdigit():
+            continue
+        rnd = int(digits)
         try:
             with open(path) as fh:
                 data = json.load(fh)

@@ -133,6 +133,7 @@ def snapshot_table(
     name: str,
     *,
     snapshot: int | None = None,
+    sweep_ttl_s: float = 3600.0,
 ) -> DataFrame:
     """Register snapshot ``snapshot`` (default latest) of ``table`` as
     session-catalog parquet table ``name`` with manifest-derived
@@ -144,7 +145,10 @@ def snapshot_table(
     Refused (loudly) for snapshots with deletion vectors (a raw parquet
     scan would resurrect the deleted rows) and for column-mapped tables
     (data files carry physical names the catalog table would surface).
-    Re-registering the same name re-points it at the requested snapshot.
+    Re-registering the same name re-points it at the requested snapshot;
+    the superseded view dir is only swept once it is ``sweep_ttl_s`` old
+    (vacuum's discipline), so a scan of the previously registered table
+    that is still mid-flight keeps its files.
     """
     from event_stream_spark.sources.snapbranch import _link_fresh
 
@@ -167,13 +171,27 @@ def snapshot_table(
     view_dir = os.path.join(table, "_catalog", f"{name}-s{n:012d}")
     # re-registration at a new snapshot: the DROP below un-points the
     # old catalog table, so its view dir (hard links — no data bytes)
-    # is garbage; sweep it rather than accreting one dir per snapshot
+    # is garbage — but a scan of the OLD catalog table may still be
+    # mid-flight, and yanking its files would fail that query.  Sweep
+    # with the vacuum discipline: only dirs older than ``sweep_ttl_s``
+    # (any straggler scan of them has long finished) — age-stamp the
+    # survivor so the NEXT registration's clock starts now.
     import glob as _glob
     import shutil as _shutil
+    import time as _time
 
+    now = _time.time()
     for old in _glob.glob(os.path.join(table, "_catalog", f"{name}-s*")):
-        if os.path.abspath(old) != os.path.abspath(view_dir):
+        if os.path.abspath(old) == os.path.abspath(view_dir):
+            continue
+        try:
+            age = now - os.path.getmtime(old)
+        except OSError:
+            continue  # already swept by a racing registration
+        if age >= sweep_ttl_s:
             _shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.utime(old)  # restart the TTL from this un-pointing
     os.makedirs(view_dir, exist_ok=True)
     size = 0
     rows = 0

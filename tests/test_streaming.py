@@ -6073,3 +6073,47 @@ def test_manifest_reads_share_cache_no_copy(spark, tmp_path):
     t2.join(); stop.set(); t1.join()
     assert errs == []
     assert read_snapshot(spark, table).count() == 20
+
+
+def test_snapshot_table_reregistration_keeps_inflight_reader_files(
+    spark, tmp_path
+):
+    """VERDICT r10 #6: re-registering a catalog name at a newer snapshot
+    must not rmtree the old view dir under a scan of the previously
+    registered table — the sweep is TTL-age-gated like vacuum.  A plan
+    bound to the old dir still collects after re-registration; only a
+    registration after the TTL reclaims the stale dir."""
+    import glob
+    import os
+    import time
+
+    from event_stream_spark.sources.snapcatalog import snapshot_table
+    from event_stream_spark.sources.snaplog import commit
+
+    table = str(tmp_path / "tbl")
+    commit(spark.range(100).selectExpr("id AS k", "id * 2 AS v"), table)
+    snapshot_table(spark, table, "cat_fence", snapshot=0)
+    old_dirs = glob.glob(os.path.join(table, "_catalog", "cat_fence-s*"))
+    assert len(old_dirs) == 1
+    # a reader binds to the OLD dir (the files a mid-flight scan holds)
+    inflight = spark.read.parquet(old_dirs[0])
+    assert inflight.count() == 100  # plan resolved against old files
+
+    commit(
+        spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v"),
+        table, mode="append",
+    )
+    snapshot_table(spark, table, "cat_fence", snapshot=1)
+    # the catalog table moved...
+    assert spark.table("cat_fence").count() == 150
+    # ...but the old dir survived the sweep (younger than the TTL), so
+    # the in-flight reader completes
+    assert os.path.isdir(old_dirs[0])
+    assert inflight.count() == 100
+
+    # age the old dir past the TTL: the next registration reclaims it
+    past = time.time() - 10
+    os.utime(old_dirs[0], (past, past))
+    snapshot_table(spark, table, "cat_fence", snapshot=1, sweep_ttl_s=5.0)
+    assert not os.path.isdir(old_dirs[0])
+    spark.sql("DROP TABLE IF EXISTS cat_fence")
