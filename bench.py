@@ -35,6 +35,18 @@ HEAVY_WATCHLIST: set[str] = {"suffix_lrs_full"}
 #: against (three same-code r9 runs spanned 7.38-9.04 s raw while the
 #: probe moved 0.85-2.0 s)
 CALIB_BASELINE_S = 0.85
+#: baseline for the PARALLEL calibration probe (r11): a fixed 32-way
+#: CPU-bound Spark job timed right after warm-up, best observed on this
+#: box (same convention as CALIB_BASELINE_S; measured 0.196-1.04 across
+#: one hour on 2026-08-16).  The r10 forensics showed the single-thread
+#: probe CANNOT see multi-core contention (the sweep ran 1.7x slower
+#: while calib_s got FASTER); regression verdicts must be read against
+#: value * (CALIB_PAR_BASELINE_S / calib_par_s).
+CALIB_PAR_BASELINE_S = 0.195
+#: in-process-vs-isolated ratio above which an entry is flagged as a
+#: co-residency outlier in the artifact (its isolated number IS its
+#: retime; the in-process one is the stress-lane distortion)
+OUTLIER_RATIO = 3.0
 
 
 def _sf_of(sf_dir: str) -> float | None:
@@ -45,24 +57,26 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
-def run_isolated(chunk_size: int = 16) -> None:
-    """Fork a fresh interpreter+JVM per chunk of queries and merge results.
+def isolated_sweep(chunk_size: int = 16) -> dict:
+    """Fork a fresh interpreter+JVM per chunk of queries; merge results.
 
-    Default (in-process) mode runs every registry entry in ONE Spark
-    session; timings there include cross-query co-residency effects
-    (shared JVM heap, code-cache, matview registry) that made the r3-vs-r4
-    driver numbers need forensics.  Isolated mode bounds those effects to
-    a chunk: per-query wall times come from a session that only ever ran
-    its chunk.  JVM startup/warm-up is untimed in both modes, so totals
-    stay comparable (methodology note in README).
-    """
+    The in-process sweep runs every registry entry in ONE Spark session;
+    timings there include cross-query co-residency effects (shared JVM
+    heap, code-cache, matview registry) measured at up to 17x distortion
+    on sf1 entries (r10 forensics).  Isolated mode bounds those effects
+    to a chunk: per-query wall times come from a session that only ever
+    ran its chunk.  The warm-up is DISCARDED in both modes (children
+    time only their post-warm-up passes and report min-of-2), so
+    isolated totals are comparable round-over-round — since r11 this is
+    the HEADLINE lane; the in-process sweep stays recorded as the
+    stress lane."""
     import __spark_entry__ as entry_mod
 
     names = list(entry_mod.queries())
     if "--heavy" not in sys.argv[1:]:
-        # same exclusions as the default in-process mode (the child
-        # processes take the SPARK_GRAFT_BENCH_ONLY branch, which skips
-        # them) — keeps --isolated totals comparable to default runs
+        # same exclusions as the in-process lane (the child processes
+        # take the SPARK_GRAFT_BENCH_ONLY branch, which skips them) —
+        # keeps isolated totals comparable to in-process runs
         exclude = set(HEAVY_EXCLUDE)
         sfg = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
         if sfg is not None and sfg >= 1:
@@ -95,17 +109,22 @@ def run_isolated(chunk_size: int = 16) -> None:
         timings.update(rec.get("queries", {}))
         errors.update(rec.get("errors", {}))
         sf = rec.get("sf", sf)
-    total = round(sum(timings.values()), 4)
     out = {
-        "metric": "qset_total_wall",
-        "value": total,
-        "unit": "sec",
+        "value": round(sum(timings.values()), 4),
         "queries": timings,
         "sf": sf,
-        "isolation": f"fresh JVM per {chunk_size}-query chunk",
+        "isolation": f"fresh JVM per {chunk_size}-query chunk, "
+                     "warm-up discarded",
     }
     if errors:
         out["errors"] = errors
+    return out
+
+
+def run_isolated(chunk_size: int = 16) -> None:
+    """CLI for the isolated lane alone (``--isolated``)."""
+    rec = isolated_sweep(chunk_size)
+    out = {"metric": "qset_total_wall", "unit": "sec", **rec}
     print(json.dumps(out))
 
 
@@ -121,6 +140,24 @@ def _calibrate() -> float:
     for i in range(20_000_000):
         s += i
     return round(time.perf_counter() - start, 4)
+
+
+def _calibrate_parallel(spark, cpus: int) -> float:
+    """Fixed CPU-bound Spark job saturating every executor thread, timed
+    (min of 2) — the MULTI-CORE machine-speed probe.  The r10 artifact
+    proved the single-thread probe insufficient: the sweep ran 1.7x
+    slower while ``calib_s`` got FASTER, i.e. the contention was
+    per-core-share, invisible to one pinned thread.  This probe runs the
+    same 32-way arithmetic the sweep's codegen stages run, so co-tenant
+    load shows up in it proportionally."""
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        spark.range(0, cpus * 12_000_000, 1, cpus).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -229,13 +266,21 @@ def main() -> None:
             pass  # a warm-up failure will resurface, timed, below
         _release_persisted()
 
+    # multi-core contention probe: AFTER warm-up (JIT-hot), BEFORE the
+    # timed passes — the machine state it measures is the one the sweep
+    # runs under
+    calib_par = _calibrate_parallel(spark, cpus) if not only else None
+
     # two timed executions per query, report the min — local[32] timings for
     # sub-second multi-stage jobs jitter ±2× (GC, task scheduling); min-of-N
     # is the standard steady-state estimator and is what a capacity plan
-    # would use
+    # would use.  Per-pass totals are ALSO recorded: the r9 ask for a
+    # same-code multi-run spread inside every artifact.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    pass_totals: list[float] = []
     for _ in range(2):
+        pass_total = 0.0
         for name in sorted(queries):
             try:
                 start = time.perf_counter()
@@ -254,24 +299,74 @@ def main() -> None:
                 continue
             elapsed = round(time.perf_counter() - start, 6)
             _release_persisted()
+            pass_total += elapsed
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+        pass_totals.append(round(pass_total, 4))
 
     sf = _sf_of(sf_dir)
 
     total = round(sum(timings.values()), 4)
+    # isolated lane (r11 headline): fresh JVM per 16-entry chunk, so the
+    # recorded per-entry numbers carry no co-residency distortion.  Runs
+    # in the default full sweep at the default sf dir (the driver's
+    # BENCH_r{N} invocation); the in-process numbers above stay recorded
+    # as the stress lane.  Skipped for subset runs, for non-default sf
+    # dirs (the sf1 sweep pays per-chunk warm-up at 10x data — run
+    # `--isolated` there explicitly), and under SPARK_GRAFT_NO_ISOLATED.
+    iso = None
+    default_sf = os.path.realpath("/root/testdata/sf0.1")
+    if (
+        not only
+        and not os.environ.get("SPARK_GRAFT_NO_ISOLATED")
+        and (
+            os.path.realpath(sf_dir) == default_sf
+            or "--with-isolated" in sys.argv[1:]
+        )
+    ):
+        spark.stop()  # the 32-thread parent JVM must not co-tenant the lane
+        iso = isolated_sweep()
+
+    headline = iso["value"] if iso else total
+    lane = "isolated" if iso else "inprocess"
     out = {
         "metric": "qset_total_wall",
-        "value": total,
+        "value": headline,
+        "lane": lane,
         "unit": "sec",
-        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "queries": (
+            iso["queries"] if iso
+            else {k: round(v, 4) for k, v in timings.items()}
+        ),
         "sf": sf,
         "calib_s": calib,
         "calib_baseline_s": CALIB_BASELINE_S,
-        "value_calib_norm": round(total * CALIB_BASELINE_S / calib, 4),
+        "value_calib_norm": round(headline * CALIB_BASELINE_S / calib, 4),
+        "inprocess": {
+            "value": total,
+            "pass_totals": pass_totals,
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+        },
     }
+    if calib_par is not None:
+        out["calib_par_s"] = calib_par
+        out["calib_par_baseline_s"] = CALIB_PAR_BASELINE_S
+        out["value_par_norm"] = round(
+            headline * CALIB_PAR_BASELINE_S / calib_par, 4
+        )
+    if iso:
+        # every entry's isolated number IS its retime; name the ones the
+        # stress lane distorted past the ratio so round-over-round reads
+        # never chase co-residency ghosts
+        out["outliers"] = {
+            k: {"inprocess": round(timings[k], 4), "isolated": v}
+            for k, v in iso["queries"].items()
+            if k in timings and v > 0 and timings[k] / v >= OUTLIER_RATIO
+        }
+        if iso.get("errors"):
+            out.setdefault("errors", {}).update(iso["errors"])
     if errors:
-        out["errors"] = errors
+        out.setdefault("errors", {}).update(errors)
     # Full record first; then a SHORT summary line that survives a
     # 2,000-char tail capture (the r4 driver log truncated the ~2.3 kB
     # 89-entry map and lost the total).  A consumer that keeps only the
@@ -323,21 +418,29 @@ def main() -> None:
                     )
             except OSError:
                 pass
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    head_q = out["queries"]
+    slowest = dict(sorted(head_q.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": "qset_total_wall",
-        "value": total,
+        "value": headline,
+        "lane": lane,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(timings),
-        "n_errors": len(errors),
+        "n_queries": len(head_q),
+        "n_errors": len(out.get("errors", {})),
         "calib_s": calib,
         "calib_baseline_s": CALIB_BASELINE_S,
-        "value_calib_norm": round(total * CALIB_BASELINE_S / calib, 4),
+        "value_calib_norm": out["value_calib_norm"],
+        "inprocess_value": total,
+        "pass_totals": pass_totals,
         "slowest": {k: round(v, 4) for k, v in slowest.items()},
     }
+    if calib_par is not None:
+        summary["calib_par_s"] = calib_par
+        summary["value_par_norm"] = out["value_par_norm"]
     print(json.dumps(summary))
-    spark.stop()
+    if iso is None:
+        spark.stop()
 
 
 if __name__ == "__main__":

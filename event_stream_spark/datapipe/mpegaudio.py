@@ -636,10 +636,11 @@ def layer2_decode(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def mpeg_audio_decode(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Layer-dispatching MPEG-1 audio sample decode: Layer I and II
-    decode end-to-end; Layer III raises (declared gap — its Huffman
-    tables cannot be ground-truthed here; frame geometry still fully
-    handled by ``multimodal.mp3_frame_profile``)."""
+    """Layer-dispatching MPEG audio sample decode: Layers I, II and III
+    decode end-to-end (Layer III since r11: Huffman spectrum with the
+    structurally verified Table B.7 transcriptions, requantization,
+    hybrid IMDCT and polyphase synthesis — streams selecting one of the
+    declared-unverified code tables 11/13/15/16/24 raise, naming it)."""
     pos = _id3v2_size(data)
     while pos + 4 <= len(data):
         hdr = _mpa_frame(data, pos)
@@ -649,13 +650,7 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, np.ndarray]:
                 return layer1_decode(data)
             if layer == 2:
                 return layer2_decode(data)
-            raise NotImplementedError(
-                "Layer III SPECTRUM decode unsupported: the 32 tabulated "
-                "Huffman code tables are not derivable offline (side "
-                "info, bit reservoir and scalefactors DO decode — "
-                "layer3_side_info / layer3_scalefactors; frame geometry "
-                "via mp3_frame_profile)"
-            )
+            return layer3_decode(data)
         pos += 1
     raise ValueError("no MPEG audio frames found")
 
@@ -966,3 +961,667 @@ def layer3_scalefactors(data: bytes) -> list[dict]:
                     r.read(n)
                     skip -= n
     return out
+
+
+# ---------------------------------------------------------------------------
+# Layer III spectrum decode (r11) — Huffman tables, requantization,
+# reorder, alias reduction, IMDCT, and full PCM synthesis.
+#
+# The Huffman code tables are ISO 11172-3 Table B.7 constants.  Each
+# shipped table is transcription-VERIFIED structurally: its (hlen, hcod)
+# pairs must tile the binary code tree EXACTLY (distinct, prefix-free,
+# Kraft sum == 1) — a joint constraint across all entries that a
+# mis-transcribed table essentially cannot satisfy (tests pin it).
+# Tables whose transcription could not be verified offline are DECLARED,
+# per id, and decode raises naming them: big-value code tables 11, 13,
+# 15, 16 (ids 16-23) and 24 (ids 24-31).  Everything else — both count1
+# tables, requantization, short-block reorder, alias butterflies, the
+# 36/12-point IMDCT windows, and the polyphase synthesis — is
+# closed-form per the spec and pinned by spectral-parity round-trips
+# through layer3_encode (same honesty bound as Layers I/II: bit-exact
+# parity vs a third-party decoder is not claimable in this container).
+# ---------------------------------------------------------------------------
+
+#: verified big-value code tables: id -> (hlen tuple, hcod tuple), x-major
+_L3_HUFF: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    1: ((1, 3, 2, 3), (1, 1, 1, 0)),
+    2: ((1, 3, 6, 3, 3, 5, 5, 5, 6), (1, 2, 1, 3, 1, 1, 3, 2, 0)),
+    3: ((2, 2, 6, 3, 2, 5, 5, 5, 6), (3, 2, 1, 1, 1, 1, 3, 2, 0)),
+    5: (
+        (1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8),
+        (1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0),
+    ),
+    6: (
+        (3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7),
+        (7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0),
+    ),
+    7: (
+        (1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+         7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10),
+        (1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+         12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0),
+    ),
+    8: (
+        (2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+         8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11),
+        (3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+         19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0),
+    ),
+    9: (
+        (3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+         6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
+        (7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+         15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0),
+    ),
+    10: (
+        (1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+         6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+         8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+         8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11),
+        (1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+         11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+         20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+         14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0),
+    ),
+    12: (
+        (4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+         5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+         7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+         8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10),
+        (9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+         17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+         32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+         27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0),
+    ),
+}
+
+#: count1 quadruple tables (ISO Table B.7 A/B); index = v*8+w*4+x*2+y
+_L3_COUNT1 = {
+    0: (
+        (1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+        (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1),
+    ),
+    1: ((4,) * 16, tuple(range(15, -1, -1))),
+}
+
+#: table id -> (codes_id, xy_size, linbits); codes_id keys _L3_HUFF
+_L3_TABLES: dict[int, tuple[int, int, int]] = {
+    0: (0, 0, 0),
+    **{i: (i, {1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6,
+               10: 8, 11: 8, 12: 8, 13: 16, 15: 16}[i], 0)
+       for i in (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15)},
+    **{16 + i: (16, 16, lb)
+       for i, lb in enumerate((1, 2, 3, 4, 6, 8, 10, 13))},
+    **{24 + i: (24, 16, lb)
+       for i, lb in enumerate((4, 5, 6, 7, 8, 9, 11, 13))},
+}
+
+#: ISO 11172-3 2.4.3.4.6 preemphasis table (21 long scalefactor bands)
+_L3_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+              1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+#: scalefactor band WIDTHS (Table B.8): rate -> long (22 bands tiling
+#: 576) / short (13 bands tiling 192 per window).  Structural checksums
+#: (the tilings) are test-pinned.
+_L3_SFB_LONG = {
+    44100: (4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28,
+            34, 42, 50, 54, 76, 158),
+    48000: (4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28,
+            34, 40, 46, 54, 54, 192),
+    32000: (4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38,
+            46, 56, 68, 84, 102, 26),
+    22050: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38,
+            46, 52, 60, 68, 58, 54),
+    24000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38,
+            46, 54, 62, 70, 76, 36),
+    16000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38,
+            46, 52, 60, 68, 58, 54),
+}
+_L3_SFB_SHORT = {
+    44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+    22050: (4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18),
+    24000: (4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12),
+    16000: (4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18),
+}
+
+#: alias-reduction coefficients (ISO 11172-3 2.4.3.4.10.1, Table B.9)
+_L3_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+_L3_CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in _L3_CI)
+_L3_CA = tuple(c / (1.0 + c * c) ** 0.5 for c in _L3_CI)
+
+
+@lru_cache(maxsize=None)
+def _l3_tree(codes_id: int, count1: bool = False) -> dict:
+    """(nbits, code) -> symbol index decode map for one code table."""
+    lens, codes = (_L3_COUNT1 if count1 else _L3_HUFF)[codes_id]
+    return {(l, c): i for i, (l, c) in enumerate(zip(lens, codes))}
+
+
+def _l3_read_symbol(r: "_BitReader", tree: dict) -> int:
+    acc = n = 0
+    while True:
+        acc = (acc << 1) | r.read(1)
+        n += 1
+        sym = tree.get((n, acc))
+        if sym is not None:
+            return sym
+        if n > 19:
+            raise ValueError("Huffman desync: no code within 19 bits")
+
+
+@lru_cache(maxsize=None)
+def _l3_bounds_long(rate: int) -> tuple[int, ...]:
+    b, out = 0, [0]
+    for w in _L3_SFB_LONG[rate]:
+        b += w
+        out.append(b)
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _l3_bounds_short(rate: int) -> tuple[int, ...]:
+    b, out = 0, [0]
+    for w in _L3_SFB_SHORT[rate]:
+        b += w
+        out.append(b)
+    return tuple(out)
+
+
+def _l3_bitpos(r: "_BitReader") -> int:
+    return r.bytepos * 8 + r.bitpos
+
+
+def _l3_huffman_spectrum(
+    r: "_BitReader", g: dict, rate: int, limit_bit: int
+) -> np.ndarray:
+    """Decode one granule-channel's Huffman region into ix[576] (signed
+    ints; linbits escapes applied).  ``limit_bit`` is the granule's
+    absolute part2_3 end — count1 decoding stops there, and a quadruple
+    that OVERRUNS the boundary is discarded (the spec's stuffing rule).
+    Raises, naming the table id, when a region selects one of the
+    declared-unverified code tables."""
+    ix = np.zeros(576, dtype=np.int64)
+    bv_end = 2 * g["big_values"]
+    if bv_end > 576:
+        raise ValueError(f"big_values {g['big_values']} > 288")
+    short = g["block_type"] == 2 and g["window_switching"]
+    if short and not g["mixed_block"]:
+        regions = [(0, 36), (36, bv_end), (bv_end, bv_end)]
+    elif short:
+        regions = [(0, 36), (36, bv_end), (bv_end, bv_end)]
+    else:
+        bl = _l3_bounds_long(rate)
+        r0 = min(g.get("region0_count", 7) + 1, len(bl) - 1)
+        r1 = min(r0 + g.get("region1_count", 7) + 1, len(bl) - 1)
+        regions = [
+            (0, min(bl[r0], bv_end)),
+            (min(bl[r0], bv_end), min(bl[r1], bv_end)),
+            (min(bl[r1], bv_end), bv_end),
+        ]
+    for ri, (lo, hi) in enumerate(regions):
+        if hi <= lo:
+            continue
+        tid = g["table_select"][ri] if ri < len(g["table_select"]) else 0
+        if tid == 0:
+            continue  # table 0: all zeros, no bits
+        if tid not in _L3_TABLES or tid in (4, 14):
+            raise ValueError(f"reserved Huffman table id {tid}")
+        codes_id, _xy, linbits = _L3_TABLES[tid]
+        if codes_id not in _L3_HUFF:
+            raise NotImplementedError(
+                f"Huffman code table {codes_id} (selected as id {tid}) is "
+                "declared-unverified offline: transcription could not be "
+                "structurally confirmed (tables 11, 13, 15, 16, 24)"
+            )
+        tree = _l3_tree(codes_id)
+        for pos in range(lo, hi, 2):
+            sym = _l3_read_symbol(r, tree)
+            x, y = divmod(sym, _L3_TABLES[tid][1])
+            if x == 15 and linbits:
+                x += r.read(linbits)
+            if x:
+                if r.read(1):
+                    x = -x
+            if y == 15 and linbits:
+                y += r.read(linbits)
+            if y:
+                if r.read(1):
+                    y = -y
+            ix[pos], ix[pos + 1] = x, y
+    # count1: quadruples of |v| <= 1 until the bit budget or line 576
+    tree1 = _l3_tree(g["count1table_select"], count1=True)
+    pos = bv_end
+    while pos <= 572 and _l3_bitpos(r) < limit_bit:
+        mark = (r.bytepos, r.bitpos)
+        sym = _l3_read_symbol(r, tree1)
+        quad = [(sym >> 3) & 1, (sym >> 2) & 1, (sym >> 1) & 1, sym & 1]
+        for k in range(4):
+            if quad[k]:
+                quad[k] = -1 if r.read(1) else 1
+        if _l3_bitpos(r) > limit_bit:
+            # overran the granule boundary: the last quadruple is
+            # stuffing, not data — discard it and rewind
+            r.bytepos, r.bitpos = mark
+            break
+        ix[pos:pos + 4] = quad
+        pos += 4
+    return ix
+
+
+def _l3_requantize(
+    ix: np.ndarray, g: dict, rec: dict, rate: int, lsf: bool,
+    intensity: bool,
+) -> np.ndarray:
+    """ix -> xr: sign(ix) * |ix|^(4/3) * 2^(gain exponents)
+    (ISO 11172-3 2.4.3.4.7.1; LSF per 13818-3)."""
+    xr = np.sign(ix) * np.abs(ix).astype(np.float64) ** (4.0 / 3.0)
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    if lsf:
+        _slen, _bn, pre = _l3_lsf_slen(
+            g["scalefac_compress"], intensity=intensity
+        )
+    else:
+        pre = g.get("preflag", 0)
+    gg = 0.25 * (g["global_gain"] - 210)
+    short = g["block_type"] == 2 and g["window_switching"]
+    mixed = short and g["mixed_block"]
+    exp = np.zeros(576)
+    if short and not mixed:
+        bs = _l3_bounds_short(rate)
+        sf_s = rec["scalefac_s"]
+        for sfb in range(len(bs) - 1):
+            w0 = bs[sfb] * 3
+            width = bs[sfb + 1] - bs[sfb]
+            for w in range(3):
+                sf = sf_s[w][sfb] if sfb < len(sf_s[w]) else 0
+                e = gg - 2.0 * g["subblock_gain"][w] - mult * sf
+                lo = w0 + w * width
+                exp[lo:lo + width] = e
+    else:
+        bl = _l3_bounds_long(rate)
+        sf_l = rec["scalefac_l"]
+        for sfb in range(len(bl) - 1):
+            sf = sf_l[sfb] if sfb < len(sf_l) else 0
+            e = gg - mult * (sf + pre * _L3_PRETAB[sfb])
+            exp[bl[sfb]:bl[sfb + 1]] = e
+        if mixed:
+            # mixed blocks: lines >= 36 follow the short layout from the
+            # third short band on (structural; encoder never emits them)
+            bs = _l3_bounds_short(rate)
+            sf_s = rec["scalefac_s"]
+            for sfb in range(3, len(bs) - 1):
+                w0 = bs[sfb] * 3
+                width = bs[sfb + 1] - bs[sfb]
+                for w in range(3):
+                    sf = sf_s[w][sfb - 3] if sfb - 3 < len(sf_s[w]) else 0
+                    e = gg - 2.0 * g["subblock_gain"][w] - mult * sf
+                    lo = w0 + w * width
+                    if lo >= 36:
+                        exp[lo:lo + width] = e
+    return xr * np.exp2(exp)
+
+
+def _l3_reorder(xr: np.ndarray, g: dict, rate: int) -> np.ndarray:
+    """Short-block reorder: decoded order is (sfb, window, line); the
+    filterbank wants windows interleaved at line granularity within each
+    band triplet (dst = 3*band_start + 3*i + w)."""
+    if not (g["block_type"] == 2 and g["window_switching"]):
+        return xr
+    if g["mixed_block"]:
+        return xr  # encoder never emits mixed; lines stay in place
+    out = np.zeros_like(xr)
+    bs = _l3_bounds_short(rate)
+    src = 0
+    for sfb in range(len(bs) - 1):
+        width = bs[sfb + 1] - bs[sfb]
+        base = 3 * bs[sfb]
+        for w in range(3):
+            for i in range(width):
+                out[base + 3 * i + w] = xr[src]
+                src += 1
+    return out
+
+
+def _l3_antialias(xr: np.ndarray, g: dict) -> np.ndarray:
+    """Alias-reduction butterflies across each long-block subband
+    boundary (ISO 2.4.3.4.10.1)."""
+    if g["block_type"] == 2 and g["window_switching"] and not g["mixed_block"]:
+        return xr
+    out = xr.copy()
+    n_sb = 32 if not (g["block_type"] == 2 and g["window_switching"]) else 2
+    for sb in range(1, n_sb):
+        for i in range(8):
+            a = out[18 * sb - 1 - i]
+            b = out[18 * sb + i]
+            out[18 * sb - 1 - i] = a * _L3_CS[i] - b * _L3_CA[i]
+            out[18 * sb + i] = b * _L3_CS[i] + a * _L3_CA[i]
+    return out
+
+
+@lru_cache(maxsize=None)
+def _l3_imdct_mats() -> tuple[np.ndarray, np.ndarray, dict]:
+    """36-point and 12-point IMDCT matrices + block-type windows
+    (closed-form sine windows, ISO 2.4.3.4.10.3)."""
+    n36 = np.arange(36)[:, None]
+    k18 = np.arange(18)[None, :]
+    M36 = np.cos(np.pi / 72.0 * (2 * n36 + 1 + 18) * (2 * k18 + 1))
+    n12 = np.arange(12)[:, None]
+    k6 = np.arange(6)[None, :]
+    M12 = np.cos(np.pi / 24.0 * (2 * n12 + 1 + 6) * (2 * k6 + 1))
+    n = np.arange(36)
+    win = {}
+    win[0] = np.sin(np.pi / 36.0 * (n + 0.5))
+    w1 = np.sin(np.pi / 36.0 * (n + 0.5)).copy()
+    w1[18:24] = 1.0
+    w1[24:30] = np.sin(np.pi / 12.0 * (n[24:30] - 18 + 0.5))
+    w1[30:] = 0.0
+    win[1] = w1
+    w3 = np.zeros(36)
+    w3[6:12] = np.sin(np.pi / 12.0 * (n[6:12] - 6 + 0.5))
+    w3[12:18] = 1.0
+    w3[18:] = np.sin(np.pi / 36.0 * (n[18:] + 0.5))
+    win[3] = w3
+    win["short"] = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+    return M36, M12, win
+
+
+def _l3_imdct_granule(
+    xr: np.ndarray, g: dict, overlap: np.ndarray
+) -> np.ndarray:
+    """Hybrid filterbank synthesis half: per-subband IMDCT + window +
+    overlap-add + frequency inversion.  Returns (18, 32) time-domain
+    subband samples; mutates ``overlap`` (32, 18) in place."""
+    M36, M12, win = _l3_imdct_mats()
+    short = g["block_type"] == 2 and g["window_switching"]
+    mixed = short and g["mixed_block"]
+    out = np.zeros((18, 32))
+    for sb in range(32):
+        X = xr[18 * sb:18 * (sb + 1)]
+        use_short = short and (not mixed or sb >= 2)
+        if use_short:
+            z = np.zeros(36)
+            ws = win["short"]
+            for w in range(3):
+                # window w's six lines: 3k + w (the reorder's interleave)
+                xw = M12 @ X[np.arange(6) * 3 + w]
+                z[6 + 6 * w:18 + 6 * w] += xw * ws
+        else:
+            bt = g["block_type"] if not mixed or sb >= 2 else 0
+            if bt == 2:
+                bt = 0
+            z = (M36 @ X) * win[bt]
+        out[:, sb] = z[:18] + overlap[sb]
+        overlap[sb] = z[18:]
+        if sb % 2 == 1:
+            # frequency inversion: odd time samples of odd subbands
+            out[1::2, sb] = -out[1::2, sb]
+    return out
+
+
+def layer3_spectra(data: bytes) -> list[dict]:
+    """Decode every granule-channel's REQUANTIZED spectrum xr[576] (plus
+    the raw quantized ix[576]) from the bit reservoir — scalefactors via
+    :func:`layer3_scalefactors`, Huffman region + count1 per the side
+    info, then the 2^(gain) requantizer.  Each record extends the
+    scalefactor record with ``ix``, ``xr`` and ``huffman_bits_read``.
+
+    The strongest structural check runs per granule: Huffman decode must
+    land EXACTLY on the granule's part2_3 boundary (count1 stuffing
+    overrun discarded per spec); a desynced table would violate it on
+    essentially every non-empty granule."""
+    si = layer3_side_info(data)
+    lsf = si["version"] != 3
+    # sample rate from the first frame header
+    hdr = _mpa_frame(data, si["frames"][0]["pos"])
+    rate = hdr[2]
+    if rate not in _L3_SFB_LONG:
+        raise NotImplementedError(
+            f"no scalefactor-band table for rate {rate} (MPEG-2.5)"
+        )
+    res = si["reservoir"]
+    sf_recs = {
+        (x["frame"], x["granule"], x["channel"]): x
+        for x in layer3_scalefactors(data)
+    }
+    out = []
+    for fi, (frame, start) in enumerate(zip(si["frames"], si["starts"])):
+        bit = start
+        for gi, chans in enumerate(frame["granules"]):
+            for ci, g in enumerate(chans):
+                rec = dict(sf_recs[(fi, gi, ci)])
+                limit = bit + g["part2_3_length"]
+                r = _BitReader(res, (bit + rec["part2_bits"]) // 8)
+                r.bitpos = (bit + rec["part2_bits"]) % 8
+                h0 = _l3_bitpos(r)
+                ix = _l3_huffman_spectrum(r, g, rate, limit)
+                used = _l3_bitpos(r) - h0
+                if _l3_bitpos(r) > limit:
+                    raise ValueError(
+                        f"frame {fi} gr {gi} ch {ci}: Huffman decode ran "
+                        f"{_l3_bitpos(r) - limit} bits past part2_3_length"
+                    )
+                intensity = bool(frame["intensity_stereo"]) and ci == 1
+                xr = _l3_requantize(ix, g, rec, rate, lsf, intensity)
+                rec.update(ix=ix, xr=xr, huffman_bits_read=used)
+                out.append(rec)
+                bit = limit
+    return out
+
+
+def layer3_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Full Layer III sample decode: spectra → (reorder, alias, hybrid
+    IMDCT, frequency inversion) → polyphase synthesis → PCM (n, ch).
+
+    Stereo modes: L/R and MS stereo decode; intensity-stereo SPECTRUM
+    reconstruction is declared out (raises) — only its scalefactor
+    partitioning is implemented (``layer3_scalefactors``)."""
+    si = layer3_side_info(data)
+    lsf = si["version"] != 3
+    hdr = _mpa_frame(data, si["frames"][0]["pos"])
+    rate, nch = hdr[2], si["channels"]
+    if any(f["intensity_stereo"] for f in si["frames"]):
+        raise NotImplementedError(
+            "intensity-stereo spectrum reconstruction not implemented "
+            "(scalefactor partitioning only)"
+        )
+    specs = layer3_spectra(data)
+    by_key = {(x["frame"], x["granule"], x["channel"]): x for x in specs}
+    n_gr = 1 if lsf else 2
+    overlap = [np.zeros((32, 18)) for _ in range(nch)]
+    blocks: list[np.ndarray] = []
+    for fi, frame in enumerate(si["frames"]):
+        for gi in range(n_gr):
+            chans = frame["granules"][gi]
+            xrs = [by_key[(fi, gi, ci)]["xr"] for ci in range(nch)]
+            if nch == 2 and frame["ms_stereo"]:
+                m, s = xrs
+                inv = 1.0 / np.sqrt(2.0)
+                xrs = [(m + s) * inv, (m - s) * inv]
+            gran = np.zeros((18, 32, nch))
+            for ci in range(nch):
+                g = chans[ci]
+                xr = _l3_reorder(xrs[ci], g, rate)
+                xr = _l3_antialias(xr, g)
+                gran[:, :, ci] = _l3_imdct_granule(xr, g, overlap[ci])
+            blocks.append(gran)
+    # ONE continuous polyphase synthesis per channel — per-granule calls
+    # would reset the filter state every 576 samples
+    S = np.concatenate(blocks, axis=0)  # (18 * n_granules, 32, nch)
+    pcm = np.stack(
+        [synthesis_frames(S[:, :, ci]) for ci in range(nch)], axis=1
+    )
+    # clamp like the int16 path; the near-PR bank can overshoot slightly
+    return rate, nch, np.clip(pcm, -1.0, 1.0)
+
+
+def _l3_best_table(max_abs: int) -> int:
+    """Smallest VERIFIED big-value table covering ``max_abs``."""
+    if max_abs == 0:
+        return 0
+    if max_abs <= 1:
+        return 1
+    if max_abs <= 2:
+        return 2
+    if max_abs <= 3:
+        return 5
+    if max_abs <= 5:
+        return 7
+    if max_abs <= 7:
+        return 10
+    raise ValueError(
+        f"fixture encoder covers |ix| <= 7 (verified non-linbits tables); "
+        f"got {max_abs}"
+    )
+
+
+def layer3_encode(
+    granules_ix: list[np.ndarray],
+    rate: int = 44100,
+    *,
+    global_gain: int = 210,
+    version: int | None = None,
+) -> bytes:
+    """Fixture-grade Layer III ENCODER: one mono stream from quantized
+    spectra (one ix[576] int array per granule, |values| <= 7, long
+    blocks, all scalefactors 0, no bit reservoir).  MPEG-1 rates pack 2
+    granules/frame; LSF rates 1.  Exists so the decoder is pinned by
+    encode→decode SPECTRAL PARITY on non-trivial spectra — the Layer
+    I/II fixture discipline (this is not a rate-distortion encoder)."""
+    lsf = rate in (22050, 24000, 16000)
+    n_gr = 1 if lsf else 2
+    if len(granules_ix) % n_gr:
+        granules_ix = list(granules_ix) + [np.zeros(576, dtype=np.int64)]
+    # per-granule payload: huffman bits for big-value pairs + count1
+    bl = _l3_bounds_long(rate)
+
+    def encode_granule(ix: np.ndarray) -> tuple[dict, "_BitWriter", int]:
+        ix = np.asarray(ix, dtype=np.int64)
+        assert ix.shape == (576,)
+        nz = np.nonzero(ix)[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        # trailing |v|<=1 region becomes count1 quads (4-aligned)
+        c1_start = last
+        while c1_start > 0 and abs(int(ix[c1_start - 1])) <= 1:
+            c1_start -= 1
+        bv_end = c1_start + (-c1_start % 2)  # pairs: even boundary
+        if bv_end > 576:
+            bv_end = 576
+        # count1 region must be quad-aligned from bv_end
+        n_quads = (last - bv_end + 3) // 4 if last > bv_end else 0
+        # region split on sfb boundaries: region0 = first 8 bands,
+        # region1 = next 8 (region0_count=7, region1_count=7)
+        r0_end, r1_end = bl[8], bl[16]
+        regions = [
+            (0, min(r0_end, bv_end)),
+            (min(r0_end, bv_end), min(r1_end, bv_end)),
+            (min(r1_end, bv_end), bv_end),
+        ]
+        tsel = []
+        w = _BitWriter()
+        nbits = 0
+
+        def put(v: int, n: int) -> None:
+            nonlocal nbits
+            w.write(v, n)
+            nbits += n
+
+        for lo, hi in regions:
+            seg = ix[lo:hi]
+            tid = _l3_best_table(int(np.abs(seg).max()) if hi > lo else 0)
+            tsel.append(tid)
+            if tid == 0:
+                continue
+            lens, codes = _L3_HUFF[tid]
+            _cid, ylen, _lb = _L3_TABLES[tid]
+            for p in range(lo, hi, 2):
+                x, y = int(ix[p]), int(ix[p + 1])
+                sym = abs(x) * ylen + abs(y)
+                put(codes[sym], lens[sym])
+                if x:
+                    put(1 if x < 0 else 0, 1)
+                if y:
+                    put(1 if y < 0 else 0, 1)
+        lens1, codes1 = _L3_COUNT1[0]
+        for q in range(n_quads):
+            vals = [
+                int(ix[bv_end + 4 * q + k]) if bv_end + 4 * q + k < 576 else 0
+                for k in range(4)
+            ]
+            sym = (abs(vals[0]) << 3) | (abs(vals[1]) << 2) | \
+                  (abs(vals[2]) << 1) | abs(vals[3])
+            put(codes1[sym], lens1[sym])
+            for v in vals:
+                if v:
+                    put(1 if v < 0 else 0, 1)
+        g = {
+            "part2_3_length": nbits,  # scalefac bits = 0 (sfc 0, slens 0)
+            "big_values": bv_end // 2,
+            "global_gain": global_gain,
+            "scalefac_compress": 0,
+            "table_select": tsel,
+            "region0_count": 7,
+            "region1_count": 7,
+        }
+        return g, w, nbits
+
+    # header: mono, no CRC, high bitrate so each frame holds its payload
+    if lsf:
+        ver_bits, br_idx = 0b10, 14  # MPEG2, 160 kbps
+        bitrate = 160000
+    else:
+        ver_bits, br_idx = 0b11, 14  # MPEG1, 320 kbps
+        bitrate = 320000
+    sr_idx = {44100: 0, 48000: 1, 32000: 2, 22050: 0, 24000: 1, 16000: 2}[rate]
+    coef = 72 if lsf else 144
+    fbytes = coef * bitrate // rate
+    side_bytes = 9 if lsf else 17  # mono
+    hdr = bytes([
+        0xFF,
+        0xE0 | (ver_bits << 3) | (0b01 << 1) | 1,  # sync|ver|L3|no-CRC
+        (br_idx << 4) | (sr_idx << 2),
+        0xC0,  # mode: single channel
+    ])
+    out = bytearray()
+    for f0 in range(0, len(granules_ix), n_gr):
+        gs = []
+        payload = _BitWriter()
+        total_bits = 0
+        for k in range(n_gr):
+            g, w, nbits = encode_granule(granules_ix[f0 + k])
+            gs.append(g)
+            if w.nbits:
+                w.write(0, 8 - w.nbits)  # byte-align the writer's tail
+            # re-write at bit level to keep granules contiguous
+            bits_left = nbits
+            rr = _BitReader(bytes(w.buf))
+            while bits_left > 0:
+                n = min(24, bits_left)
+                payload.write(rr.read(n), n)
+                bits_left -= n
+            total_bits += nbits
+        main = payload.pad_to(fbytes - 4 - side_bytes)
+        if total_bits > (fbytes - 4 - side_bytes) * 8:
+            raise ValueError("granule payload exceeds frame size")
+        s = _BitWriter()
+        s.write(0, 8 if lsf else 9)   # main_data_begin: no reservoir
+        s.write(0, 1 if lsf else 5)   # private bits (mono)
+        if not lsf:
+            s.write(0, 4)             # scfsi: all fresh
+        for g in gs:
+            s.write(g["part2_3_length"], 12)
+            s.write(g["big_values"], 9)
+            s.write(g["global_gain"], 8)
+            s.write(0, 9 if lsf else 4)  # scalefac_compress = 0
+            s.write(0, 1)             # window_switching: long blocks
+            for tid in g["table_select"]:
+                s.write(tid, 5)
+            s.write(g["region0_count"], 4)
+            s.write(g["region1_count"], 3)
+            if not lsf:
+                s.write(0, 1)         # preflag
+            s.write(0, 1)             # scalefac_scale
+            s.write(0, 1)             # count1table_select = A
+        out += hdr + s.pad_to(side_bytes) + main
+    return bytes(out)
