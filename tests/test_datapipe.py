@@ -3202,7 +3202,15 @@ def test_audio_pcm_stats_layer1_parity_with_wav(spark):
         rows.append((3, bytearray(open(real_mp3, "rb").read())))
     df = spark.createDataFrame(rows, "media_id long, content binary")
     stats = {r.media_id: r for r in mm.audio_pcm_stats(df).collect()}
-    assert set(stats) == {1, 2}  # Layer III row skipped by design
+    # r11: the Layer III row DECODES now (previously skipped by design) —
+    # the real fixture is an encoded silent second, so exact zeros
+    if 3 in stats:
+        l3 = stats[3]
+        assert (l3.sample_rate, l3.channels) == (22050, 1)
+        assert l3.pcm_frames == 45 * 576
+        assert l3.rms == 0.0 and l3.peak == 0
+        del stats[3]
+    assert set(stats) == {1, 2}
     w, m = stats[1], stats[2]
     assert (w.sample_rate, w.channels) == (m.sample_rate, m.channels)
     assert abs(m.rms - w.rms) / w.rms < 0.01, (w.rms, m.rms)
