@@ -127,3 +127,157 @@ SELECT doc_id, CAST(band_id AS INT) AS band_id, first_doc_id
 FROM firsts WHERE doc_id <> first_doc_id
 ORDER BY doc_id, band_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CDF-maintained VIEW end-state (VERDICT r10 #5): an IVM run over the
+# snapshot log's change feed — including an OVERWRITE retraction step —
+# whose final published view a DuckDB replay of the head lineage hashes.
+# ---------------------------------------------------------------------------
+
+_CDFVIEW_TAG = "v1"
+
+
+def _build_cdf_view_state(spark: SparkSession, sf: str) -> str:
+    """One-shot fixture: a snapshot-log table driven through a scripted
+    DML run — insert, merge-upsert (update + insert), row delete, an
+    OVERWRITE (full retraction + fresh contribution), append, and a
+    second upsert over duplicate-id rows — then ``maintain_cdf_view``
+    (availableNow, ``streaming/cdfview.py``) maintains a per-``k``
+    (count, sum) aggregate purely from the ``snapcdf`` change feed.
+
+    Publish-guards (the negative cases must FIRE or the fixture proves
+    nothing): the feed must contain retraction rows from the overwrite
+    version, and the final view must DIFFER from an adds-only replay —
+    i.e. mishandled retractions would change the answer."""
+    from event_stream_spark.queries import t
+    from event_stream_spark.sources.snaplog import (
+        commit,
+        delete_where,
+        merge_upsert,
+        read_changes,
+    )
+    from event_stream_spark.streaming.cdfview import (
+        maintain_cdf_view,
+        read_view,
+    )
+
+    root = _dir(sf, "streamcdfview", _CDFVIEW_TAG)
+    marker = os.path.join(root, "_built")
+    view = os.path.join(root, "view")
+    if os.path.exists(marker):
+        return view
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    table = os.path.join(root, "tbl")
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 20).alias("k"),
+        F.length("text").cast("long").alias("v"),
+    )
+    # the scripted run (each step derives deterministically from the
+    # documents table, so a SQL oracle can replay the head lineage)
+    commit(docs.filter("id % 4 IN (0, 1)"), table)
+    merge_upsert(
+        spark, table,
+        docs.filter("id % 8 = 0").withColumn("v", F.col("v") + 1000)
+        .unionByName(docs.filter("id % 4 = 2")),
+        key="id",
+    )
+    delete_where(spark, table, "k = 3")
+    # RETRACTION: overwrite drops every surviving contribution and
+    # contributes a fresh relation
+    commit(
+        docs.filter("id % 5 = 0").withColumn("v", F.col("v") * 2),
+        table, mode="overwrite",
+    )
+    commit(docs.filter("id % 4 = 3"), table, mode="append")
+    # ids % 10 == 5 exist TWICE by now (overwrite row + appended row
+    # when id % 4 == 3): the upsert must collapse both into one
+    merge_upsert(
+        spark, table,
+        docs.filter("id % 10 = 5").withColumn("v", F.col("v") + 50),
+        key="id",
+    )
+
+    from event_stream_spark.sources import snapstream
+
+    snapstream.register(spark)  # the snapcdf python data source
+    q = maintain_cdf_view(
+        spark, table, view, os.path.join(root, "ckpt"), key="k", val="v"
+    )
+    q.awaitTermination(300)
+
+    feed = read_changes(spark, table, since=-1)
+    n_retract = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+        & (F.col("_commit_version") == 3)
+    ).count()
+    adds_only = (
+        feed.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+    )
+    final = read_view(spark, view)
+    differs = (
+        final.join(adds_only, "k", "full_outer")
+        .filter(
+            (F.coalesce(final["n"], F.lit(-1)) != F.coalesce(adds_only["n"], F.lit(-1)))
+            | (F.coalesce(final["total"], F.lit(-1)) != F.coalesce(adds_only["total"], F.lit(-1)))
+        )
+        .count()
+    )
+    if n_retract == 0 or differs == 0:
+        shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            "cdf view fixture proved nothing: "
+            f"{n_retract} overwrite retraction rows, "
+            f"{differs} keys where retractions changed the view"
+        )
+    with open(marker, "w") as fh:
+        fh.write(_CDFVIEW_TAG)
+    return view
+
+
+def stream_cdf_view_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Final published state of the CDF-maintained (count, sum) view
+    after the scripted DML run — retractions (row deletes, upsert
+    preimages, and a full OVERWRITE) applied through the IVM delta
+    algebra, versions published exactly-once per microbatch."""
+    from event_stream_spark.streaming.cdfview import read_view
+
+    view = _build_cdf_view_state(spark, sf)
+    return (
+        read_view(spark, view)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("long").alias("total"),
+        )
+        .orderBy("k")
+    )
+
+
+#: the IVM algebra is exact, so the final view is a pure function of the
+#: head lineage: overwrite content, plus the post-overwrite append, with
+#: the second upsert collapsing every matched id (incl. duplicate rows)
+STREAM_CDF_VIEW_SQL = """
+WITH base AS (
+    SELECT doc_id AS id, doc_id % 20 AS k,
+           CAST(LENGTH(text) AS BIGINT) AS v
+    FROM documents
+),
+s3 AS (SELECT id, k, v * 2 AS v FROM base WHERE id % 5 = 0),
+s4 AS (
+    SELECT * FROM s3
+    UNION ALL
+    SELECT id, k, v FROM base WHERE id % 4 = 3
+),
+s5 AS (
+    SELECT * FROM s4 WHERE id % 10 <> 5
+    UNION ALL
+    SELECT id, k, v + 50 AS v FROM base WHERE id % 10 = 5
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS total
+FROM s5 GROUP BY k ORDER BY k
+"""
