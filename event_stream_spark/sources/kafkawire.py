@@ -43,6 +43,7 @@ import datetime as dt
 import socket
 import struct
 import threading
+import time
 import zlib
 from collections.abc import Iterator, Sequence
 
@@ -59,6 +60,10 @@ API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
@@ -72,6 +77,8 @@ ERR_DUPLICATE_SEQUENCE = 46
 ERR_INVALID_PRODUCER_EPOCH = 47
 ERR_INVALID_TXN_STATE = 48
 ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 
 #: fetch request isolation levels (KIP-98)
 READ_UNCOMMITTED = 0
@@ -565,10 +572,19 @@ class KafkaWireBroker:
         self._txn_pids: dict[str, tuple[int, int]] = {}
         # CONSUMER-GROUP offsets (the group coordinator's __consumer_offsets
         # ledger): group_id → (topic, partition) → (offset, metadata).
-        # Classic manual-assignment path only (generation -1 / empty
-        # member — Kafka's "simple consumer" contract); there is no
-        # rebalance protocol because single-member groups never rebalance.
+        # Both paths of the classic protocol are spoken: the
+        # manual-assignment contract (generation -1 / empty member —
+        # Kafka's "simple consumer" rule), and since r11 COORDINATED
+        # groups via JoinGroup/SyncGroup/Heartbeat/LeaveGroup (commits
+        # validated against the live generation + member id).
         self._group_offsets: dict[str, dict[tuple[str, int], tuple[int, str | None]]] = {}
+        # classic-protocol GROUP MEMBERSHIP state machine (r11):
+        # group_id → {state, generation, members, joined, leader,
+        # protocol, assignments, member_seq, rebalance_deadline}.
+        # Guarded by _group_cond's lock (NOT self._lock — JoinGroup and
+        # SyncGroup BLOCK on the condition while other APIs proceed).
+        self._groups: dict[str, dict] = {}
+        self._group_cond = threading.Condition()
         # pid → partitions registered via AddPartitionsToTxn
         self._txn_parts: dict[int, set[tuple[str, int]]] = {}
         # (topic, p) → pid → first offset of the OPEN transaction — the
@@ -647,7 +663,7 @@ class KafkaWireBroker:
         c.string()  # client_id
         self.requests[api_key] = self.requests.get(api_key, 0) + 1
         if api_key == API_VERSIONS:
-            body = _i16(ERR_NONE) + _i32(11) + b"".join(
+            body = _i16(ERR_NONE) + _i32(15) + b"".join(
                 _i16(k) + _i16(lo) + _i16(hi)
                 for k, lo, hi in [
                     (API_PRODUCE, 0, 3), (API_FETCH, 0, 4),
@@ -655,11 +671,21 @@ class KafkaWireBroker:
                     (API_VERSIONS, 0, 0), (API_INIT_PRODUCER_ID, 0, 0),
                     (API_ADD_PARTITIONS_TO_TXN, 0, 0), (API_END_TXN, 0, 0),
                     (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
-                    (API_FIND_COORDINATOR, 0, 0),
+                    (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 1),
+                    (API_SYNC_GROUP, 0, 0), (API_HEARTBEAT, 0, 0),
+                    (API_LEAVE_GROUP, 0, 0),
                 ]
             )
         elif api_key == API_FIND_COORDINATOR:
             body = self._find_coordinator(c)
+        elif api_key == API_JOIN_GROUP:
+            body = self._join_group(c, api_version)
+        elif api_key == API_SYNC_GROUP:
+            body = self._sync_group(c)
+        elif api_key == API_HEARTBEAT:
+            body = self._heartbeat(c)
+        elif api_key == API_LEAVE_GROUP:
+            body = self._leave_group(c)
         elif api_key == API_OFFSET_COMMIT:
             body = self._offset_commit(c)
         elif api_key == API_OFFSET_FETCH:
@@ -717,16 +743,33 @@ class KafkaWireBroker:
         )
 
     def _offset_commit(self, c: _Cursor) -> bytes:
-        """OffsetCommit v2 (classic group path).  Only the
-        manual-assignment contract is spoken: generation -1 + empty
-        member (Kafka's own simple-consumer rule); a coordinated-group
-        generation is refused with ILLEGAL_GENERATION rather than
-        silently accepted, since there is no rebalance protocol here."""
+        """OffsetCommit v2, both classic contracts: the manual-assignment
+        rule (generation -1 + empty member — Kafka's simple consumer),
+        and coordinated members whose (generation, member_id) must match
+        the live group state — a fenced zombie (old generation after a
+        rebalance) gets ILLEGAL_GENERATION, an evicted member
+        UNKNOWN_MEMBER_ID, a mid-rebalance commit
+        REBALANCE_IN_PROGRESS; its offsets are never recorded."""
         group = c.string() or ""
         generation = c.i32()
         member = c.string() or ""
         c.i64()  # retention_time_ms
-        simple = generation == -1 and member == ""
+        if generation == -1 and member == "":
+            err = ERR_NONE  # manual assignment
+        else:
+            with self._group_cond:
+                g = self._groups.get(group)
+                if g is not None:
+                    self._gc_group(g, time.time())
+                if g is None or member not in g["members"]:
+                    err = ERR_UNKNOWN_MEMBER_ID
+                elif generation != g["generation"]:
+                    err = ERR_ILLEGAL_GENERATION
+                elif g["state"] != "Stable":
+                    err = ERR_REBALANCE_IN_PROGRESS
+                else:
+                    err = ERR_NONE
+                    g["members"][member]["last_hb"] = time.time()
         n_topics = c.i32()
         topics = bytearray(_i32(n_topics))
         with self._lock:
@@ -739,11 +782,8 @@ class KafkaWireBroker:
                     pidx = c.i32()
                     off = c.i64()
                     meta = c.string()
-                    if simple:
+                    if err == ERR_NONE:
                         ledger[(name, pidx)] = (off, meta)
-                        err = ERR_NONE
-                    else:
-                        err = ERR_ILLEGAL_GENERATION
                     parts += _i32(pidx) + _i16(err)
                 topics += _string(name) + bytes(parts)
         return bytes(topics)
@@ -770,6 +810,193 @@ class KafkaWireBroker:
                     )
                 topics += _string(name) + bytes(parts)
         return bytes(topics)
+
+
+    # -- classic group membership (r11: JoinGroup/SyncGroup/Heartbeat) ------
+
+    def _group(self, gid: str) -> dict:
+        """Group record under _group_cond's lock."""
+        return self._groups.setdefault(gid, {
+            "state": "Empty", "generation": 0, "members": {},
+            "joined": set(), "leader": None, "protocol": None,
+            "assignments": {}, "member_seq": 0, "deadline": None,
+        })
+
+    def _gc_group(self, g: dict, now: float) -> None:
+        """Lazily evict members whose session timed out (no heartbeat
+        within session_timeout) and trigger a rebalance if the group was
+        Stable — the coordinator's expiration rule, applied on every
+        group API instead of by a timer thread."""
+        dead = [
+            m for m, rec in g["members"].items()
+            if now - rec["last_hb"] > rec["session_timeout"] / 1000.0
+        ]
+        for m in dead:
+            del g["members"][m]
+            g["joined"].discard(m)
+            g["assignments"].pop(m, None)
+        if dead and g["members"] and g["state"] in ("Stable", "CompletingRebalance"):
+            g["state"] = "PreparingRebalance"
+            g["joined"].clear()
+            g["deadline"] = None
+        if not g["members"]:
+            g["state"] = "Empty"
+            g["generation"] = g["generation"]
+            g["joined"].clear()
+            g["leader"] = None
+
+    def _join_group(self, c: _Cursor, version: int) -> bytes:
+        """JoinGroup v0/v1: the rebalance BARRIER.  Every (re)join moves
+        the group to PreparingRebalance; the call blocks until all live
+        members have rejoined (or the rebalance deadline evicts the
+        stragglers), then one generation is formed — the first joiner
+        (sorted) becomes leader and receives every member's subscription
+        metadata to run the client-side assignor."""
+        gid = c.string() or ""
+        session_timeout = c.i32()
+        rebalance_timeout = c.i32() if version >= 1 else session_timeout
+        member_id = c.string() or ""
+        proto_type = c.string() or ""
+        n = c.i32()
+        protocols = [(c.string() or "", c.bytes() or b"") for _ in range(n)]
+        now = time.time()
+        with self._group_cond:
+            g = self._group(gid)
+            self._gc_group(g, now)
+            if member_id and member_id not in g["members"]:
+                return (
+                    _i16(ERR_UNKNOWN_MEMBER_ID) + _i32(-1) + _string("")
+                    + _string("") + _string(member_id) + _i32(0)
+                )
+            if not member_id:
+                g["member_seq"] += 1
+                member_id = f"{gid}-{g['member_seq']:04d}"
+            pname, pmeta = protocols[0] if protocols else ("", b"")
+            g["members"][member_id] = {
+                "metadata": pmeta, "last_hb": now,
+                "session_timeout": session_timeout,
+                "protocol_type": proto_type, "protocol": pname,
+            }
+            # any (re)join interrupts a stable generation
+            if g["state"] in ("Empty", "Stable", "CompletingRebalance"):
+                g["state"] = "PreparingRebalance"
+                g["joined"] = set()
+                g["deadline"] = None
+            g["joined"].add(member_id)
+            if g["deadline"] is None:
+                # wait briefly for the rest of the known members; cap so
+                # a dead member cannot park the whole group
+                g["deadline"] = now + min(rebalance_timeout, 3000) / 1000.0
+            self._group_cond.notify_all()
+            # barrier: all live members rejoined, or deadline eviction
+            while (
+                g["state"] == "PreparingRebalance"
+                and g["joined"] != set(g["members"])
+                and time.time() < g["deadline"]
+            ):
+                self._group_cond.wait(0.05)
+            if g["state"] == "PreparingRebalance":
+                for m in list(g["members"]):
+                    if m not in g["joined"]:
+                        del g["members"][m]
+                        g["assignments"].pop(m, None)
+                g["generation"] += 1
+                g["leader"] = sorted(g["joined"])[0]
+                g["protocol"] = g["members"][g["leader"]]["protocol"]
+                g["assignments"] = {}
+                g["state"] = "CompletingRebalance"
+                g["deadline"] = None
+                self._group_cond.notify_all()
+            if member_id not in g["members"]:
+                return (
+                    _i16(ERR_UNKNOWN_MEMBER_ID) + _i32(-1) + _string("")
+                    + _string("") + _string(member_id) + _i32(0)
+                )
+            members = b""
+            n_members = 0
+            if member_id == g["leader"]:
+                n_members = len(g["members"])
+                members = b"".join(
+                    _string(m) + _bytes(rec["metadata"])
+                    for m, rec in sorted(g["members"].items())
+                )
+            return (
+                _i16(ERR_NONE) + _i32(g["generation"])
+                + _string(g["protocol"] or "") + _string(g["leader"] or "")
+                + _string(member_id) + _i32(n_members) + members
+            )
+
+    def _sync_group(self, c: _Cursor) -> bytes:
+        """SyncGroup v0: the leader delivers the assignment map; every
+        follower blocks until the group is Stable and reads its slice."""
+        gid = c.string() or ""
+        generation = c.i32()
+        member_id = c.string() or ""
+        n = c.i32()
+        assigns = [(c.string() or "", c.bytes() or b"") for _ in range(n)]
+        with self._group_cond:
+            g = self._groups.get(gid)
+            if g is None or member_id not in g["members"]:
+                return _i16(ERR_UNKNOWN_MEMBER_ID) + _bytes(b"")
+            if generation != g["generation"]:
+                return _i16(ERR_ILLEGAL_GENERATION) + _bytes(b"")
+            if g["state"] == "PreparingRebalance":
+                return _i16(ERR_REBALANCE_IN_PROGRESS) + _bytes(b"")
+            if member_id == g["leader"] and g["state"] == "CompletingRebalance":
+                g["assignments"] = dict(assigns)
+                g["state"] = "Stable"
+                self._group_cond.notify_all()
+            sync_deadline = time.time() + 5.0
+            while (
+                g["state"] == "CompletingRebalance"
+                and generation == g["generation"]
+                and time.time() < sync_deadline
+            ):
+                self._group_cond.wait(0.05)
+            if generation != g["generation"] or g["state"] != "Stable":
+                # leader never delivered (died mid-rebalance) or a new
+                # round started — the member must rejoin
+                return _i16(ERR_REBALANCE_IN_PROGRESS) + _bytes(b"")
+            g["members"][member_id]["last_hb"] = time.time()
+            return _i16(ERR_NONE) + _bytes(g["assignments"].get(member_id, b""))
+
+    def _heartbeat(self, c: _Cursor) -> bytes:
+        gid = c.string() or ""
+        generation = c.i32()
+        member_id = c.string() or ""
+        with self._group_cond:
+            g = self._groups.get(gid)
+            if g is None or member_id not in g["members"]:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            self._gc_group(g, time.time())
+            if member_id not in g["members"]:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            if generation != g["generation"]:
+                return _i16(ERR_ILLEGAL_GENERATION)
+            if g["state"] != "Stable":
+                return _i16(ERR_REBALANCE_IN_PROGRESS)
+            g["members"][member_id]["last_hb"] = time.time()
+            return _i16(ERR_NONE)
+
+    def _leave_group(self, c: _Cursor) -> bytes:
+        gid = c.string() or ""
+        member_id = c.string() or ""
+        with self._group_cond:
+            g = self._groups.get(gid)
+            if g is None or member_id not in g["members"]:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            del g["members"][member_id]
+            g["joined"].discard(member_id)
+            g["assignments"].pop(member_id, None)
+            if g["members"]:
+                g["state"] = "PreparingRebalance"
+                g["joined"].clear()
+                g["deadline"] = None
+            else:
+                g["state"] = "Empty"
+                g["leader"] = None
+            self._group_cond.notify_all()
+            return _i16(ERR_NONE)
 
     def _init_producer_id(self, c: _Cursor) -> bytes:
         txn_id = c.string()  # transactional_id (nullable)
@@ -1354,16 +1581,19 @@ class KafkaWireClient:
     def offset_commit(
         self, group: str, offsets: dict[tuple[str, int], int],
         *, metadata: str | None = None,
+        generation: int = -1, member: str = "",
     ) -> None:
-        """OffsetCommit v2, manual-assignment contract (generation -1,
-        empty member): durably record ``{(topic, partition): offset}``
-        for the group — the K6 per-record ack lands here
-        (es-kafka stream/Extensions.kt:10-17: ack = commit offset+1)."""
+        """OffsetCommit v2: durably record ``{(topic, partition):
+        offset}`` for the group.  Default (generation -1, empty member)
+        is the manual-assignment contract — the K6 per-record ack lands
+        here (es-kafka stream/Extensions.kt:10-17: ack = commit
+        offset+1).  Coordinated members pass their live (generation,
+        member_id); the broker fences stale generations."""
         by_topic: dict[str, list[tuple[int, int]]] = {}
         for (topic, p), off in offsets.items():
             by_topic.setdefault(topic, []).append((p, off))
         body = bytearray(
-            _string(group) + _i32(-1) + _string("") + _i64(-1)
+            _string(group) + _i32(generation) + _string(member) + _i64(-1)
             + _i32(len(by_topic))
         )
         for topic, parts in by_topic.items():
@@ -1406,10 +1636,222 @@ class KafkaWireClient:
                 out[(topic, p)] = off
         return out
 
+    def join_group(
+        self, group: str, member_id: str, protocols: list[tuple[str, bytes]],
+        *, session_timeout_ms: int = 10000, rebalance_timeout_ms: int = 3000,
+        protocol_type: str = "consumer",
+    ) -> dict:
+        """JoinGroup v1 → {error, generation, protocol, leader,
+        member_id, members: {id: metadata}} (members only for the
+        leader).  Blocks broker-side until the rebalance barrier forms
+        the new generation."""
+        body = (
+            _string(group) + _i32(session_timeout_ms)
+            + _i32(rebalance_timeout_ms) + _string(member_id)
+            + _string(protocol_type) + _i32(len(protocols))
+            + b"".join(_string(n) + _bytes(m) for n, m in protocols)
+        )
+        c = self._request(API_JOIN_GROUP, 1, body)
+        err = c.i16()
+        gen = c.i32()
+        proto = c.string() or ""
+        leader = c.string() or ""
+        mid = c.string() or ""
+        members = {}
+        for _ in range(c.i32()):
+            # explicit sequencing: Python evaluates an assignment's RHS
+            # before the subscript key, which would read bytes-then-string
+            m = c.string() or ""
+            members[m] = c.bytes() or b""
+        return {
+            "error": err, "generation": gen, "protocol": proto,
+            "leader": leader, "member_id": mid, "members": members,
+        }
+
+    def sync_group(
+        self, group: str, generation: int, member_id: str,
+        assignments: dict[str, bytes] | None = None,
+    ) -> tuple[int, bytes]:
+        """SyncGroup v0 → (error, my_assignment).  The leader passes the
+        full assignment map; followers pass none and block until the
+        leader has delivered."""
+        assigns = assignments or {}
+        body = (
+            _string(group) + _i32(generation) + _string(member_id)
+            + _i32(len(assigns))
+            + b"".join(_string(m) + _bytes(a) for m, a in assigns.items())
+        )
+        c = self._request(API_SYNC_GROUP, 0, body)
+        return c.i16(), c.bytes() or b""
+
+    def heartbeat(self, group: str, generation: int, member_id: str) -> int:
+        """Heartbeat v0 → error code (0 alive; 27 = rebalance in
+        progress, rejoin; 25 = evicted; 22 = stale generation)."""
+        c = self._request(
+            API_HEARTBEAT, 0,
+            _string(group) + _i32(generation) + _string(member_id),
+        )
+        return c.i16()
+
+    def leave_group(self, group: str, member_id: str) -> int:
+        c = self._request(
+            API_LEAVE_GROUP, 0, _string(group) + _string(member_id)
+        )
+        return c.i16()
+
     def close(self) -> None:
         if self._sock is not None:
             self._sock.close()
             self._sock = None
+
+
+def encode_subscription(topics: list[str], user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolSubscription v0 (the bytes real consumers put in
+    JoinGroup protocol metadata): version, topics, user_data."""
+    return (
+        _i16(0) + _i32(len(topics))
+        + b"".join(_string(t) for t in topics) + _bytes(user_data)
+    )
+
+
+def decode_subscription(data: bytes) -> list[str]:
+    c = _Cursor(data)
+    c.i16()  # version
+    return [c.string() or "" for _ in range(c.i32())]
+
+
+def encode_assignment(parts: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocolAssignment v0: version, [topic, [partition]],
+    user_data."""
+    out = bytearray(_i16(0) + _i32(len(parts)))
+    for topic, ps in sorted(parts.items()):
+        out += _string(topic) + _i32(len(ps))
+        for p in sorted(ps):
+            out += _i32(p)
+    return bytes(out) + _bytes(b"")
+
+
+def decode_assignment(data: bytes) -> dict[str, list[int]]:
+    if not data:
+        return {}
+    c = _Cursor(data)
+    c.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(c.i32()):
+        topic = c.string() or ""
+        out[topic] = [c.i32() for _ in range(c.i32())]
+    return out
+
+
+class GroupMember:
+    """A COORDINATED classic-protocol group member (VERDICT r10 #7 —
+    the boundary the manual-assignment ``GroupConsumer`` declared):
+    JoinGroup forms the generation, the elected leader runs the RANGE
+    assignor client-side over every member's subscription (Kafka's
+    client-side-assignment design), SyncGroup distributes the slices,
+    Heartbeat keeps the session and learns of rebalances, and offset
+    commits carry (generation, member_id) so a fenced zombie can never
+    move the group's position.
+
+    ``ensure_active()`` is the poll-loop contract: heartbeat, and
+    rejoin + resync on REBALANCE_IN_PROGRESS / eviction — returns the
+    current assignment {topic: [partition, ...]}."""
+
+    def __init__(self, client: KafkaWireClient, group: str,
+                 topics: list[str], *, session_timeout_ms: int = 10000,
+                 rebalance_timeout_ms: int = 3000):
+        self.client = client
+        self.group = group
+        self.topics = list(topics)
+        self.session_timeout_ms = session_timeout_ms
+        self.rebalance_timeout_ms = rebalance_timeout_ms
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        client.find_coordinator(group)
+
+    def _range_assign(self, members: dict[str, bytes]) -> dict[str, bytes]:
+        """Leader-side range assignor: per topic, contiguous partition
+        ranges across the subscribed members in member-id order."""
+        md = self.client.metadata(*sorted({
+            t for m in members.values() for t in decode_subscription(m)
+        }))
+        plan: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+        subs = {m: set(decode_subscription(b)) for m, b in members.items()}
+        for topic in sorted(md["topics"]):
+            want = sorted(m for m, ts in subs.items() if topic in ts)
+            if not want:
+                continue
+            nparts = len(md["topics"][topic]["partitions"])
+            base, extra = divmod(nparts, len(want))
+            p = 0
+            for i, m in enumerate(want):
+                take = base + (1 if i < extra else 0)
+                if take:
+                    plan[m][topic] = list(range(p, p + take))
+                    p += take
+        return {m: encode_assignment(t) for m, t in plan.items()}
+
+    def join(self) -> dict[str, list[int]]:
+        """One full join→(assign)→sync round; returns the assignment."""
+        sub = encode_subscription(self.topics)
+        res = self.client.join_group(
+            self.group, self.member_id, [("range", sub)],
+            session_timeout_ms=self.session_timeout_ms,
+            rebalance_timeout_ms=self.rebalance_timeout_ms,
+        )
+        if res["error"] == ERR_UNKNOWN_MEMBER_ID and self.member_id:
+            self.member_id = ""  # evicted: rejoin as a new member
+            return self.join()
+        if res["error"]:
+            raise KafkaWireError(f"JoinGroup error {res['error']}")
+        self.member_id = res["member_id"]
+        self.generation = res["generation"]
+        assigns = (
+            self._range_assign(res["members"])
+            if res["member_id"] == res["leader"]
+            else None
+        )
+        err, mine = self.client.sync_group(
+            self.group, self.generation, self.member_id, assigns
+        )
+        if err == ERR_REBALANCE_IN_PROGRESS:
+            return self.join()  # a member joined mid-sync: next round
+        if err:
+            raise KafkaWireError(f"SyncGroup error {err}")
+        self.assignment = decode_assignment(mine)
+        return self.assignment
+
+    def ensure_active(self) -> dict[str, list[int]]:
+        """Heartbeat; rejoin when the group moved (rebalance, eviction,
+        stale generation).  The poll-loop entry point."""
+        if self.generation < 0:
+            return self.join()
+        err = self.client.heartbeat(
+            self.group, self.generation, self.member_id
+        )
+        if err == ERR_NONE:
+            return self.assignment
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+        if err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION,
+                   ERR_UNKNOWN_MEMBER_ID):
+            return self.join()
+        raise KafkaWireError(f"Heartbeat error {err}")
+
+    def commit(self, offsets: dict[tuple[str, int], int]) -> None:
+        """Offset commit under this member's live (generation, id) —
+        the broker fences it the moment a new generation forms."""
+        self.client.offset_commit(
+            self.group, offsets,
+            generation=self.generation, member=self.member_id,
+        )
+
+    def leave(self) -> None:
+        if self.member_id:
+            self.client.leave_group(self.group, self.member_id)
+            self.member_id, self.generation = "", -1
+            self.assignment = {}
 
 
 class GroupConsumer:

@@ -1151,8 +1151,10 @@ def test_txn_sink_marker_scan_not_fooled_by_foreign_open_txn(spark):
 def test_group_offsets_round_trip_across_reconnect():
     """VERDICT r10 #4: FindCoordinator + OffsetCommit/OffsetFetch on the
     wire — committed group offsets survive the client reconnecting, the
-    unknown-group fetch returns -1, and a coordinated-group generation is
-    refused (no rebalance protocol: manual assignment only)."""
+    unknown-group fetch returns -1, and a coordinated commit from a
+    member the coordinator never saw is refused (r11: UNKNOWN_MEMBER_ID
+    — the group now HAS a rebalance protocol, so the old blanket
+    ILLEGAL_GENERATION refusal became the real membership check)."""
     import pytest as _pytest
 
     from event_stream_spark.sources.kafkawire import (
@@ -1184,7 +1186,9 @@ def test_group_offsets_round_trip_across_reconnect():
         finally:
             fresh.close()
 
-        # a coordinated generation is ILLEGAL_GENERATION, not silently ok
+        # a coordinated commit from an unknown member is refused, never
+        # silently recorded (stale generations of REAL members get 22 —
+        # pinned in test_group_rebalance_protocol_lifecycle)
         from event_stream_spark.sources.kafkawire import (
             API_OFFSET_COMMIT,
             KafkaWireError,
@@ -1205,7 +1209,7 @@ def test_group_offsets_round_trip_across_reconnect():
             cur.string()
             cur.i32()  # partition count
             cur.i32()  # partition id
-            assert cur.i16() == 22  # ILLEGAL_GENERATION
+            assert cur.i16() == 25  # UNKNOWN_MEMBER_ID
             assert c2.offset_fetch("g1", [("t", 0)])[("t", 0)] == 9
         finally:
             c2.close()
@@ -1305,4 +1309,166 @@ def test_group_consumer_resume_equals_checkpoint_resume(spark, tmp_path):
         assert group_drain() == []
     finally:
         client.close()
+        broker.close()
+
+
+def test_group_rebalance_protocol_lifecycle():
+    """VERDICT r10 #7: coordinated classic groups on the wire —
+    JoinGroup forms generations through the rebalance barrier, the
+    leader runs the client-side range assignor over every member's
+    ConsumerProtocolSubscription, SyncGroup distributes slices,
+    Heartbeat detects rebalances, LeaveGroup shrinks the group, and
+    offset commits are fenced by (generation, member).  Each member
+    runs its own poll loop thread — the real client shape; the join
+    barrier blocks broker-side until every live member rejoins."""
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from event_stream_spark.sources.kafkawire import (
+        ERR_ILLEGAL_GENERATION,
+        GroupMember,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker(num_partitions=4)
+    clients = [KafkaWireClient(broker.host, broker.port) for _ in range(3)]
+    state: dict[int, tuple[int, dict]] = {}
+    stops = [threading.Event() for _ in range(3)]
+    members: list[GroupMember] = []
+
+    def pump(i: int) -> None:
+        m = members[i]
+        while not stops[i].is_set():
+            try:
+                a = m.ensure_active()
+                state[i] = (m.generation, a)
+            except Exception:
+                pass
+            time.sleep(0.05)
+
+    def converged(idxs) -> bool:
+        if any(i not in state for i in idxs):
+            return False
+        gens = {state[i][0] for i in idxs}
+        if len(gens) != 1:
+            return False
+        parts = sorted(
+            p for i in idxs for p in state[i][1].get("t", [])
+        )
+        return parts == [0, 1, 2, 3]
+
+    def wait_converged(idxs, timeout=20) -> None:
+        deadline = time.time() + timeout
+        while not converged(idxs) and time.time() < deadline:
+            time.sleep(0.05)
+        assert converged(idxs), {i: state.get(i) for i in idxs}
+
+    threads = []
+    try:
+        clients[0].metadata("t")  # auto-create
+        for i in range(3):
+            members.append(GroupMember(clients[i], "g", ["t"]))
+
+        # phase A: two members converge on one generation splitting 4
+        # partitions 2+2 (range assignor, contiguous)
+        for i in (0, 1):
+            th = threading.Thread(target=pump, args=(i,))
+            th.start()
+            threads.append(th)
+        wait_converged([0, 1])
+        assert sorted(len(state[i][1]["t"]) for i in (0, 1)) == [2, 2]
+        gen_a = state[0][0]
+
+        # live commit under the current generation lands in the ledger
+        m1 = members[0]
+        p0 = m1.assignment["t"][0]
+        m1.commit({("t", p0): 17})
+        assert clients[0].offset_fetch("g", [("t", p0)])[("t", p0)] == 17
+        # a STALE generation is fenced
+        with _pytest.raises(Exception, match=str(ERR_ILLEGAL_GENERATION)):
+            clients[0].offset_commit(
+                "g", {("t", 0): 99},
+                generation=gen_a - 1, member=m1.member_id,
+            )
+
+        # phase B: third member triggers a rebalance; 4 partitions over
+        # 3 members = sizes 1/1/2, every partition covered exactly once
+        th = threading.Thread(target=pump, args=(2,))
+        th.start()
+        threads.append(th)
+        wait_converged([0, 1, 2])
+        assert state[0][0] > gen_a
+        assert sorted(len(state[i][1]["t"]) for i in range(3)) == [1, 1, 2]
+
+        # phase C: member 3 leaves; survivors re-cover everything
+        stops[2].set()
+        threads[2].join(10)
+        gen_b = state[0][0]
+        members[2].leave()
+        state.pop(2, None)
+        wait_converged([0, 1])
+        assert state[0][0] > gen_b
+
+        # the zombie's commit under its dead (generation, member) stays
+        # fenced (22 stale generation / 25 evicted / 27 rebalancing)
+        with _pytest.raises(Exception, match="2[257]"):
+            clients[2].offset_commit(
+                "g", {("t", 0): 1000}, generation=gen_b, member="gone",
+            )
+        # the manual-assignment contract is untouched by all of this
+        clients[0].offset_commit("g-manual", {("t", 0): 5})
+        assert clients[0].offset_fetch("g-manual", [("t", 0)])[("t", 0)] == 5
+    finally:
+        for e in stops:
+            e.set()
+        for th in threads:
+            th.join(10)
+        for c in clients:
+            c.close()
+        broker.close()
+
+
+def test_group_session_timeout_evicts_silent_member():
+    """A member that stops heartbeating is evicted at session expiry
+    (lazily, on the next group op) and the survivor's next heartbeat
+    reports the rebalance; the survivor rejoins and owns everything."""
+    import time
+
+    from event_stream_spark.sources.kafkawire import (
+        GroupMember,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+    import threading
+
+    broker = KafkaWireBroker(num_partitions=2)
+    c1 = KafkaWireClient(broker.host, broker.port)
+    c2 = KafkaWireClient(broker.host, broker.port)
+    try:
+        c1.metadata("t")
+        m1 = GroupMember(c1, "g", ["t"], session_timeout_ms=400)
+        m2 = GroupMember(c2, "g", ["t"], session_timeout_ms=400)
+        m1.join()
+        th = threading.Thread(target=m2.join)
+        th.start()
+        deadline = time.time() + 10
+        while m1.generation < 2 and time.time() < deadline:
+            m1.ensure_active()
+            time.sleep(0.05)
+        th.join(10)
+        assert sorted(m1.assignment["t"] + m2.assignment["t"]) == [0, 1]
+
+        # m2 goes silent; m1 keeps heartbeating past m2's session
+        deadline = time.time() + 10
+        while len(m1.assignment.get("t", [])) < 2 and time.time() < deadline:
+            m1.ensure_active()
+            time.sleep(0.1)
+        assert m1.assignment == {"t": [0, 1]}
+        assert m1.generation >= 3
+    finally:
+        c1.close()
+        c2.close()
         broker.close()
