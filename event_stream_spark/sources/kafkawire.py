@@ -841,7 +841,6 @@ class KafkaWireBroker:
             g["deadline"] = None
         if not g["members"]:
             g["state"] = "Empty"
-            g["generation"] = g["generation"]
             g["joined"].clear()
             g["leader"] = None
 
