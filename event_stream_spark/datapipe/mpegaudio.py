@@ -1146,14 +1146,20 @@ def _l3_huffman_spectrum(
     if bv_end > 576:
         raise ValueError(f"big_values {g['big_values']} > 288")
     short = g["block_type"] == 2 and g["window_switching"]
-    if short and not g["mixed_block"]:
-        regions = [(0, 36), (36, bv_end), (bv_end, bv_end)]
-    elif short:
-        regions = [(0, 36), (36, bv_end), (bv_end, bv_end)]
+    if short:
+        # short + mixed: region0 fixed at 36 lines, region1 to the end
+        regions = [(0, min(36, bv_end)), (min(36, bv_end), bv_end)]
+    elif g["window_switching"]:
+        # long start/stop blocks (types 1/3): the side info carries only
+        # TWO table_selects and no region counts — region0_count is
+        # implicitly 7 (8 bands) and region1 runs to big_values' end
+        bl = _l3_bounds_long(rate)
+        r0_end = min(bl[8], bv_end)
+        regions = [(0, r0_end), (r0_end, bv_end)]
     else:
         bl = _l3_bounds_long(rate)
-        r0 = min(g.get("region0_count", 7) + 1, len(bl) - 1)
-        r1 = min(r0 + g.get("region1_count", 7) + 1, len(bl) - 1)
+        r0 = min(g["region0_count"] + 1, len(bl) - 1)
+        r1 = min(r0 + g["region1_count"] + 1, len(bl) - 1)
         regions = [
             (0, min(bl[r0], bv_end)),
             (min(bl[r0], bv_end), min(bl[r1], bv_end)),

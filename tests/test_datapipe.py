@@ -4086,3 +4086,54 @@ def test_layer3_audio_pcm_stats_integration(spark):
     # a 0.296-amplitude tone in int16 full-scale units
     assert 4000 < row.rms < 8500, row.rms
     assert 8000 < row.peak < 12000, row.peak
+
+
+def test_layer3_start_stop_block_region_split():
+    """Window-switching LONG blocks (types 1/3) carry only TWO
+    table_selects and no region counts: region0 is implicitly 8 bands
+    (36 lines at 44.1 kHz) and region1 runs to big_values' end — a
+    decoder applying the normal-block 7/7 default would misattribute
+    tables mid-spectrum.  Hand-encoded with the verified tables and
+    read back bit-exactly."""
+    import numpy as np
+
+    from event_stream_spark.datapipe.mpegaudio import (
+        _BitReader,
+        _BitWriter,
+        _L3_HUFF,
+        _l3_huffman_spectrum,
+    )
+
+    w = _BitWriter()
+    expected = np.zeros(576, dtype=np.int64)
+
+    def put_pair(tid, ylen, x, y):
+        lens, codes = _L3_HUFF[tid]
+        sym = abs(x) * ylen + abs(y)
+        w.write(codes[sym], lens[sym])
+        if x:
+            w.write(1 if x < 0 else 0, 1)
+        if y:
+            w.write(1 if y < 0 else 0, 1)
+
+    # region0: lines 0..35 under table 1 (2x2)
+    for p in range(0, 36, 2):
+        x, y = (p // 2) % 2, (p // 2 + 1) % 2
+        put_pair(1, 2, x, y)
+        expected[p], expected[p + 1] = x, y
+    # region1: lines 36..59 under table 2 (3x3) with signs
+    for p in range(36, 60, 2):
+        x, y = (p // 2) % 3 - 1, (p // 2) % 2
+        put_pair(2, 3, x, y)
+        expected[p], expected[p + 1] = x, y
+    nbits = w.nbits + 8 * len(w.buf)
+    data = w.pad_to((nbits + 7) // 8 + 4)
+
+    g = {
+        "big_values": 30, "block_type": 1, "window_switching": 1,
+        "mixed_block": 0, "table_select": [1, 2],
+        "count1table_select": 0,
+    }
+    r = _BitReader(data)
+    ix = _l3_huffman_spectrum(r, g, 44100, nbits)
+    assert np.array_equal(ix, expected)
