@@ -1392,8 +1392,11 @@ class KafkaWireClient:
             )
         }
 
-    def metadata(self, topic: str) -> dict:
-        c = self._request(API_METADATA, 0, _i32(1) + _string(topic))
+    def metadata(self, *topics: str) -> dict:
+        """Metadata v0 for one or more topics (the leader-side assignor
+        needs every subscribed topic's partition count in one shot)."""
+        body = _i32(len(topics)) + b"".join(_string(t) for t in topics)
+        c = self._request(API_METADATA, 0, body)
         n_brokers = c.i32()
         brokers = [
             (c.i32(), c.string(), c.i32()) for _ in range(n_brokers)

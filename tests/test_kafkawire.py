@@ -1472,3 +1472,63 @@ def test_group_session_timeout_evicts_silent_member():
         c1.close()
         c2.close()
         broker.close()
+
+
+def test_group_assignor_heterogeneous_subscriptions():
+    """The leader-side range assignor honors per-member SUBSCRIPTIONS:
+    a topic only one member subscribes to goes wholly to it, a shared
+    topic splits contiguously — and the client fetches multi-topic
+    metadata in one request."""
+    import threading
+    import time
+
+    from event_stream_spark.sources.kafkawire import (
+        GroupMember,
+        KafkaWireBroker,
+        KafkaWireClient,
+    )
+
+    broker = KafkaWireBroker(num_partitions=2)
+    c1 = KafkaWireClient(broker.host, broker.port)
+    c2 = KafkaWireClient(broker.host, broker.port)
+    try:
+        c1.metadata("a", "b")  # multi-topic metadata + auto-create
+        m1 = GroupMember(c1, "g", ["a", "b"])
+        m2 = GroupMember(c2, "g", ["b"])
+        state = {}
+        stop = threading.Event()
+
+        def pump(i, m):
+            while not stop.is_set():
+                try:
+                    state[i] = (m.generation, m.ensure_active())
+                except Exception:
+                    pass
+                time.sleep(0.05)
+
+        ths = [
+            threading.Thread(target=pump, args=(i, m))
+            for i, m in ((1, m1), (2, m2))
+        ]
+        for th in ths:
+            th.start()
+        deadline = time.time() + 20
+        ok = False
+        while time.time() < deadline and not ok:
+            s1, s2 = state.get(1), state.get(2)
+            ok = (
+                s1 is not None and s2 is not None
+                and s1[0] == s2[0]
+                and s1[1].get("a") == [0, 1]
+                and sorted(s1[1].get("b", []) + s2[1].get("b", [])) == [0, 1]
+                and "a" not in s2[1]
+            )
+            time.sleep(0.05)
+        stop.set()
+        for th in ths:
+            th.join(10)
+        assert ok, (state.get(1), state.get(2))
+    finally:
+        c1.close()
+        c2.close()
+        broker.close()
