@@ -1573,43 +1573,86 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
             if d.startswith(stem) and os.path.isdir(
                 os.path.join(bdir, _LOG)
             ):
-                for bn in snapshots(bdir):
-                    bm = _read_manifest(bdir, bn)
-                    for f in bm["files"]:
-                        live.add(f["path"])
-                        if f.get("dv"):
-                            live_dv.add(f["dv"]["path"])
+                try:
+                    for bn in snapshots(bdir):
+                        bm = _read_manifest(bdir, bn)
+                        for f in bm["files"]:
+                            live.add(f["path"])
+                            if f.get("dv"):
+                                live_dv.add(f["dv"]["path"])
+                except FileNotFoundError:
+                    continue  # branch dropped mid-scan: its pins die with it
     removed: list[str] = []
     now = time.time()
+
+    def _mtime(path: str) -> float | None:
+        # concurrent writers legitimately clean their own dirs mid-scan
+        # (a merge retry rmtree's its stale attempt dir; drop_branch
+        # removes a whole tree) — a vanished path is SOMEONE ELSE'S
+        # completed cleanup, never an error for this scanner
+        try:
+            return os.path.getmtime(path)
+        except FileNotFoundError:
+            return None
+
+    def _ls(path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):
-        for cdir in os.listdir(data_root):
+        for cdir in _ls(data_root):
             full = os.path.join(data_root, cdir)
-            for f in os.listdir(full):
+            for f in _ls(full):
                 p = os.path.join(full, f)
+                mt = _mtime(p)
                 if (
                     f.endswith(".parquet")
                     and p not in live
-                    and now - os.path.getmtime(p) > tmp_ttl_s
+                    and mt is not None
+                    and now - mt > tmp_ttl_s
                 ):
-                    os.remove(p)
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue
                     removed.append(p)
-            if not any(x.endswith(".parquet") for x in os.listdir(full)):
+            # an EMPTY commit dir gets the same TTL guard as a fresh
+            # file: a merge/commit just ran makedirs and is about to
+            # land its first link — chaos family 5 caught a vacuum
+            # rmtree'ing that window (r11), failing the link on a
+            # vanished parent
+            mt = _mtime(full)
+            if (
+                mt is not None
+                and not any(x.endswith(".parquet") for x in _ls(full))
+                and now - mt > tmp_ttl_s
+            ):
                 import shutil
 
                 shutil.rmtree(full, ignore_errors=True)
     # deletion-vector sidecars: same liveness + TTL rules as data files
     dv_root = os.path.join(table, "_dv")
     if os.path.isdir(dv_root):
-        for ddir in os.listdir(dv_root):
+        for ddir in _ls(dv_root):
             full = os.path.join(dv_root, ddir)
-            for f in os.listdir(full):
+            for f in _ls(full):
                 p = os.path.join(full, f)
-                if p not in live_dv and now - os.path.getmtime(p) > tmp_ttl_s:
-                    os.remove(p)
+                mt = _mtime(p)
+                if p not in live_dv and mt is not None and now - mt > tmp_ttl_s:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue
                     removed.append(p)
-            if not os.listdir(full):
-                os.rmdir(full)
+            mt = _mtime(full)
+            if not _ls(full) and mt is not None and now - mt > tmp_ttl_s:
+                try:
+                    os.rmdir(full)
+                except OSError:
+                    pass  # refilled or removed concurrently
     # change-feed sidecars: a _cdc_data file is live only while a KEPT
     # manifest's "cdc" list references it — once its manifest is dropped,
     # the feed over that window is unreadable anyway (read_changes fails
@@ -1617,15 +1660,23 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
     # TTL guard protects an in-flight commit's fresh sidecars.
     cdc_root = os.path.join(table, "_cdc_data")
     if os.path.isdir(cdc_root):
-        for cdir in os.listdir(cdc_root):
+        for cdir in _ls(cdc_root):
             full = os.path.join(cdc_root, cdir)
-            for f in os.listdir(full):
+            for f in _ls(full):
                 p = os.path.join(full, f)
-                if p not in live_cdc and now - os.path.getmtime(p) > tmp_ttl_s:
-                    os.remove(p)
+                mt = _mtime(p)
+                if p not in live_cdc and mt is not None and now - mt > tmp_ttl_s:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue
                     removed.append(p)
-            if not os.listdir(full):
-                os.rmdir(full)
+            mt = _mtime(full)
+            if not _ls(full) and mt is not None and now - mt > tmp_ttl_s:
+                try:
+                    os.rmdir(full)
+                except OSError:
+                    pass  # refilled or removed concurrently
     for n in ids:
         if n not in keep_ids:
             os.remove(_manifest_path(table, n))

@@ -6117,3 +6117,33 @@ def test_snapshot_table_reregistration_keeps_inflight_reader_files(
     snapshot_table(spark, table, "cat_fence", snapshot=1, sweep_ttl_s=5.0)
     assert not os.path.isdir(old_dirs[0])
     spark.sql("DROP TABLE IF EXISTS cat_fence")
+
+
+def test_vacuum_spares_fresh_empty_commit_dirs(spark, tmp_path):
+    """Chaos-family-5 regression (r11): a merge/commit creates its data
+    dir and links files into it moments later — vacuum's empty-dir
+    sweep must TTL-guard that window exactly like fresh files, or the
+    first link dies on a vanished parent.  Ditto the _dv empty-dir
+    sweep."""
+    import os
+    import time
+
+    from event_stream_spark.sources.snaplog import commit, vacuum
+
+    table = str(tmp_path / "tbl")
+    commit(spark.range(10).selectExpr("id AS k"), table)
+
+    fresh = os.path.join(table, "data", "c000000000099-deadbeef0001")
+    os.makedirs(fresh)  # the just-makedirs'd merge dir, no links yet
+    dv_fresh = os.path.join(table, "_dv", "d000000000099-deadbeef0002")
+    os.makedirs(dv_fresh)
+    vacuum(table, keep_last=1, tmp_ttl_s=5.0)
+    assert os.path.isdir(fresh)  # inside the TTL: the window is protected
+    assert os.path.isdir(dv_fresh)
+
+    past = time.time() - 60
+    os.utime(fresh, (past, past))
+    os.utime(dv_fresh, (past, past))
+    vacuum(table, keep_last=1, tmp_ttl_s=5.0)
+    assert not os.path.isdir(fresh)  # aged out: truly abandoned
+    assert not os.path.isdir(dv_fresh)
