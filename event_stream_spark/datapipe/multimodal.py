@@ -2,10 +2,10 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The container has no image/audio/video codec libraries, so the SAMPLE
-decodes that require large tabulated spec data (MPEG audio Layer III,
-mp4/h264) are STUBBED (NotImplementedError as marked, real container
-metadata around them) — but every format whose spec is implementable with
-stdlib+numpy decodes for REAL end-to-end:
+decodes whose entropy coding the repo does not own (mp4/h264 and other
+inter-coded video) are STUBBED (NotImplementedError as marked, real
+container metadata around them) — but every format whose spec is
+implementable with stdlib+numpy decodes for REAL end-to-end:
 
 - image: binary NetPBM (P6) header parse + pixel decode, a full PNG codec
   (zlib inflate, CRC-checked chunks, all five filters), a full GIF codec
@@ -20,10 +20,16 @@ stdlib+numpy decodes for REAL end-to-end:
   (``parse_wav``/``audio_pcm_stats``) — and MPEG-1 Layer I subband
   sample decode + encode (``datapipe.mpegaudio``: near-PR pseudo-QMF
   filterbank, closed-form scalefactors; Layer II decodes too (r9, B.2a/b
-  tables + closed-form requantizer); Layer III stays metadata-only
-  for the tabulated-data reason above);
+  tables + closed-form requantizer); Layer III decodes end-to-end since
+  r11 — Huffman spectrum, IMDCT, synthesis — with five declared-
+  unverified code tables that raise by id);
 - video: YUV4MPEG2 — stream walk, planar frame decode, grid frame-sampling
-  with per-frame luma (``parse_y4m``/``video_frame_stats``).
+  with per-frame luma (``parse_y4m``/``video_frame_stats``) — and, since
+  r11, COMPRESSED video via MJPEG-in-AVI: the RIFF container walk
+  (``parse_avi``) indexes the ``movi`` chunks and the in-repo JPEG codec
+  decodes exactly the grid-sampled frames (``encode_avi_mjpeg`` writes
+  fixture clips); inter-coded codecs (AVC/HEVC) stay declared out of
+  scope.
 
 Everything Spark-side is real for every format: schemas, the mapInPandas
 batch contract, partition sizing, and the metadata fast paths (magic-byte
@@ -93,8 +99,11 @@ def sniff_format(content: bytes | None) -> str | None:
         return None
     for magic, fmt in _MAGIC.items():
         if content.startswith(magic):
-            if fmt == "riff" and content[8:12] == b"WAVE":
-                return "wav"
+            if fmt == "riff":
+                if content[8:12] == b"WAVE":
+                    return "wav"
+                if content[8:12] == b"AVI ":
+                    return "avi"
             return fmt
     return "unknown"
 
@@ -583,11 +592,15 @@ def with_sniffed_metadata(df: DataFrame) -> DataFrame:
                     w, h = jpeg_dimensions(b)
                 if w is None and fmt == "mp4":
                     w, h = mp4_dimensions(b)
+                if w is None and fmt == "avi":
+                    w, h = avi_dimensions(b)
                 widths.append(w)
                 heights.append(h)
                 d = d0 if (d0 is not None and not pd.isna(d0)) else None
                 if d is None and fmt == "mp4":
                     d = mp4_duration_ms(b)
+                if d is None and fmt == "avi":
+                    d = avi_duration_ms(b)
                 if d is None and fmt == "mp3":
                     d = mp3_duration_ms(b)
                 durs.append(d)
@@ -734,17 +747,34 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+def _grid_sample(n_frames: int, frame_ms: float, every_ms: int):
+    """Yield (frame_idx, grid_ts_ms) for the nearest frame at each
+    ``every_ms`` grid point within the clip, each frame at most once —
+    the sampling contract shared by the y4m and MJPEG/AVI decode paths."""
+    dur_ms = frame_ms * n_frames
+    seen: set[int] = set()
+    ts = 0.0
+    while ts < dur_ms:
+        idx = min(int(ts / frame_ms), n_frames - 1)
+        if idx not in seen:
+            seen.add(idx)
+            yield idx, int(ts)
+        ts += every_ms
+
+
 def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """mapInPandas decode → frame-sample → feature stage for video, REAL
-    end-to-end for YUV4MPEG2 (the codec-free video format, completing the
-    P6-image / PCM-WAV-audio trio): stream walk + numpy give one row per
-    sampled frame (nearest frame at each ``every_ms`` grid point within the
-    clip) with its mean luma.  Compressed containers (mp4/webm) would hit a
-    codec and are skipped here.
+    end-to-end for YUV4MPEG2 (the codec-free format) AND MJPEG-in-AVI
+    (r11 — every frame is a JPEG the repo's own codec decodes): one row
+    per sampled frame (nearest frame at each ``every_ms`` grid point
+    within the clip) with its mean luma — the Y plane directly for y4m,
+    BT.601 luma of the decoded RGB for MJPEG.  Inter-coded containers
+    (mp4/h264, webm) would hit an absent codec and are skipped here.
 
-    Scale shape: streaming Arrow batches, O(decoded bytes) per row, no
-    shuffle — identical plumbing to ``image_pixel_stats``/``audio_pcm_stats``;
-    frame sampling bounds the emitted rows to duration/every_ms per clip."""
+    Scale shape: streaming Arrow batches, no shuffle — identical plumbing
+    to ``image_pixel_stats``/``audio_pcm_stats``; frame sampling bounds
+    emitted rows to duration/every_ms per clip, and the AVI path decodes
+    ONLY the sampled frames' byte ranges (O(sampled), not O(clip))."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -752,28 +782,35 @@ def video_frame_stats(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else None
                 parsed = parse_y4m(b)
-                if parsed is None:
-                    continue
-                w, h, num, den, frames = parsed
-                if not frames:
-                    continue
-                frame_ms = 1000.0 * den / num
-                dur_ms = frame_ms * len(frames)
-                seen = set()
-                ts = 0.0
-                while ts < dur_ms:
-                    idx = min(int(ts / frame_ms), len(frames) - 1)
-                    if idx not in seen:
-                        seen.add(idx)
+                if parsed is not None:
+                    w, h, num, den, frames = parsed
+                    if not frames:
+                        continue
+                    for idx, ts in _grid_sample(
+                        len(frames), 1000.0 * den / num, every_ms
+                    ):
                         rows.append(
-                            (
-                                int(mid),
-                                idx,
-                                int(ts),
-                                float(frames[idx].mean()),
-                            )
+                            (int(mid), idx, ts, float(frames[idx].mean()))
                         )
-                    ts += every_ms
+                    continue
+                avi = parse_avi(b)
+                if avi is None or not avi["frames"]:
+                    continue
+                frame_ms = 1000.0 * avi["scale"] / avi["rate"]
+                for idx, ts in _grid_sample(
+                    len(avi["frames"]), frame_ms, every_ms
+                ):
+                    off, sz, _kf = avi["frames"][idx]
+                    try:
+                        img = decode_jpeg(b[off : off + sz])
+                    except (ValueError, NotImplementedError):
+                        continue  # torn/foreign-codec frame: skip, not crash
+                    y = (
+                        0.299 * img[..., 0].astype("float64")
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    )
+                    rows.append((int(mid), idx, ts, float(y.mean())))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "mean_y"]
             )
@@ -826,14 +863,81 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 # registry query: deterministic media derived from the documents table
 # ---------------------------------------------------------------------------
 
+
+def _avi_fixture() -> tuple[bytes, bytes, int, int]:
+    """The deterministic MJPEG/AVI building blocks for the codegen media
+    synthesis: ``(dc_chunk, hdrl_for_0_frames, frame_count_pos1,
+    frame_count_pos2)``.  The chunk holds one 8×8 JPEG from the repo's own
+    encoder; the two positions are the byte offsets of the frame-count u32
+    fields (avih dwTotalFrames, strh dwLength) inside the hdrl template,
+    located by diffing the 0-frame and 1-frame renderings.  Cached — the
+    encoder runs once per process."""
+    global _AVI_FIXTURE
+    if _AVI_FIXTURE is not None:
+        return _AVI_FIXTURE
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    frame = np.stack(
+        [xx * 32 % 256, yy * 32 % 256, (xx + yy) * 16 % 256], axis=-1
+    ).astype(np.uint8)
+    payload = encode_jpeg(frame, quality=90)
+    chunk = (
+        b"00dc" + struct.pack("<I", len(payload)) + payload
+        + b"\x00" * (len(payload) & 1)
+    )
+
+    def hdrl(nf: int) -> bytes:
+        def ck(fcc, d):
+            return fcc + struct.pack("<I", len(d)) + d + b"\x00" * (len(d) & 1)
+
+        avih = struct.pack(
+            "<14I", 1_000_000, 0, 0, 0, nf, 0, 1, 0, 8, 8, 0, 0, 0, 0
+        )
+        strh = b"vidsMJPG" + struct.pack(
+            "<IHH8I4h", 0, 0, 0, 0, 1, 1, 0, nf, 0, 0, 0, 0, 0, 8, 8
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 8 * 8 * 3, 0, 0, 0, 0
+        )
+        return ck(
+            b"LIST",
+            b"hdrl" + ck(b"avih", avih)
+            + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)),
+        )
+
+    h0, h1 = hdrl(0), hdrl(1)
+    fc_pos = [i for i in range(len(h0)) if h0[i] != h1[i]]
+    assert len(fc_pos) == 2  # dwTotalFrames (avih) + dwLength (strh) LSBs
+    _AVI_FIXTURE = (chunk, h0, fc_pos[0], fc_pos[1])
+    return _AVI_FIXTURE
+
+
+_AVI_FIXTURE: tuple[bytes, bytes, int, int] | None = None
+
+
+def avi_fixture_geometry() -> tuple[int, int, int]:
+    """Byte geometry of the synthesized AVI carve-out, for SQL oracle
+    twins: ``(first_payload_offset, chunk_stride, payload_len)`` — frame
+    ``i`` of any clip lives at ``first_payload_offset + i·chunk_stride``
+    with ``payload_len`` bytes.  Pure arithmetic once the deterministic
+    encoder output is fixed."""
+    chunk, h0, _, _ = _avi_fixture()
+    (payload_len,) = struct.unpack_from("<I", chunk, 4)
+    # RIFF hdr (12) + hdrl + movi LIST hdr (8) + 'movi' (4) + chunk hdr (8)
+    return 12 + len(h0) + 12 + 8, len(chunk), payload_len
+
+
 def media_from_documents(spark, sf: str) -> DataFrame:
     """Synthesize a deterministic media table from ``documents`` (the test
     corpus has no binary columns): content bytes are built JVM-side —
     doc_id % 3 == 0 → a real PNG header (IHDR width/height derived from
-    doc_id), % 3 == 1 → jpeg magic + text bytes, % 3 == 2 → a real
-    YUV4MPEG2 clip (decodable end-to-end) whose frame count matches the
-    duration metadata.  Everything is a codegen'd column expression; the
-    binary column is exactly what a real lake would carry opaquely."""
+    doc_id), % 3 == 1 → jpeg magic + text bytes (with a real PCM WAV
+    carve-out at % 12 == 7), % 3 == 2 → a real YUV4MPEG2 clip (with a
+    real MJPEG-in-AVI carve-out at % 12 == 2, r11), each decodable
+    end-to-end with a frame count matching the duration metadata.
+    Everything is a codegen'd column expression; the binary column is
+    exactly what a real lake would carry opaquely."""
     from event_stream_spark.queries import t
 
     d = t(spark, sf, "documents").select("doc_id", "text")
@@ -886,6 +990,35 @@ def media_from_documents(spark, sf: str) -> DataFrame:
         ),
     )
     y4m = F.unhex(F.concat(F.lit(y4m_header_hex), F.repeat(frame_hex, n_frames)))
+    # a VALID MJPEG-in-AVI clip (r11), still entirely codegen: one constant
+    # pre-encoded 8×8 JPEG (the repo's own encoder, deterministic) repeated
+    # n_frames times as 00dc chunks at 1 fps (duration stays n×1000 ms);
+    # the RIFF/movi sizes and the two frame-count header fields are column
+    # expressions.  No idx1 — parse_avi defaults every MJPEG frame to
+    # keyframe, which is exact.  Decodes end-to-end via decode_jpeg.
+    _chunk, _h0, _p1, _p2 = _avi_fixture()
+    _hex0 = _h0.hex().upper()
+
+    def _u32le(c):
+        hx = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+        )
+
+    movi_size = n_frames * len(_chunk) + 4
+    riff_size = movi_size + 8 + len(_h0) + 4
+    avi = F.unhex(
+        F.concat(
+            F.lit("52494646"), _u32le(riff_size), F.lit("41564920"),
+            F.lit(_hex0[: _p1 * 2]), _u32le(n_frames),
+            F.lit(_hex0[(_p1 + 4) * 2 : _p2 * 2]), _u32le(n_frames),
+            F.lit(_hex0[(_p2 + 4) * 2 :]),
+            F.lit("4C495354"), _u32le(movi_size), F.lit("6D6F7669"),
+            F.repeat(F.lit(_chunk.hex().upper()), n_frames),
+        )
+    )
+    is_avi = F.col("doc_id") % 12 == 2  # a slice of the %3==2 video class
     is_audio = F.col("doc_id") % 12 == 7  # a slice of the %3==1 class
     kind = F.when(is_audio, F.lit("audio")).otherwise(
         F.element_at(
@@ -895,6 +1028,7 @@ def media_from_documents(spark, sf: str) -> DataFrame:
     )
     content = (
         F.when(is_audio, wav)
+        .when(is_avi, avi)
         .when(F.col("doc_id") % 3 == 0, png)
         .when(F.col("doc_id") % 3 == 1, jpeg)
         .otherwise(y4m)
@@ -945,6 +1079,42 @@ def multimodal_meta(spark, sf: str) -> DataFrame:
         .join(video, "media_id", "left")
         .orderBy("media_id")
     )
+
+
+def video_kf_plan(spark, sf: str) -> DataFrame:
+    """Registry entry (r11, oracle-twinned): keyframe-aware frame-sampling
+    plan over the synthesized media corpus — ``parse_avi`` walks each AVI
+    carve-out's RIFF container, ``video_frame_index`` emits the per-frame
+    (pts/size/offset/keyframe) metadata rows, and ``keyframe_sample_plan``
+    picks the latest keyframe at-or-before every 1 s grid point.  Only the
+    MJPEG/AVI rows carry a chunked index (y4m is a bare stream), so the
+    DuckDB twin re-derives the exact expected plan arithmetically from
+    doc_id plus the deterministic encoder geometry
+    (:func:`avi_fixture_geometry`) — byte offsets and sizes hash-match."""
+    media = media_from_documents(spark, sf)
+    return keyframe_sample_plan(media, every_ms=1000)
+
+
+def video_kf_plan_sql() -> str:
+    """DuckDB oracle for :func:`video_kf_plan`: every synthesized AVI frame
+    is a keyframe at i·1000 ms, so the chosen frame for each grid point is
+    the grid index itself (the final grid point at n·1000 ms re-selects
+    frame n-1, which dedups away); byte layout is pure arithmetic on the
+    fixture geometry."""
+    base, stride, plen = avi_fixture_geometry()
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS BIGINT) AS pts_ms,
+       CAST({base} + i * {stride} AS BIGINT) AS file_offset,
+       CAST({plen} AS BIGINT) AS size_bytes,
+       CAST(i * 1000 AS BIGINT) AS first_grid_ms
+FROM (
+    SELECT doc_id, unnest(range(0, doc_id % 10 + 1)) AS i
+    FROM documents
+    WHERE doc_id % 12 = 2
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1493,10 +1663,11 @@ FRAME_INDEX_SCHEMA = (
 
 
 def video_frame_index(df: DataFrame) -> DataFrame:
-    """mapInPandas per-frame INDEX for mp4 videos: one row per sample with
-    its decode/presentation timestamp (ms), byte size, absolute file
-    offset, and keyframe flag — straight from the container's sample
-    tables, no codec.  This is the metadata layer a 100 TB video pipeline
+    """mapInPandas per-frame INDEX for mp4 AND avi videos: one row per
+    sample with its decode/presentation timestamp (ms), byte size,
+    absolute file offset, and keyframe flag — straight from the
+    container's sample tables (mp4 stbl) or chunk layout + idx1 flags
+    (avi), no codec.  This is the metadata layer a 100 TB video pipeline
     runs frame selection on; only the chosen frames' byte ranges are ever
     fetched (cheap ranged reads), and only they would hit a decoder.
 
@@ -1511,6 +1682,14 @@ def video_frame_index(df: DataFrame) -> DataFrame:
                 b = bytes(content) if content is not None else None
                 st = mp4_sample_table(b)
                 if st is None:
+                    avi = parse_avi(b)
+                    if avi is None:
+                        continue
+                    # fixed-cadence container: dts == pts == i·scale/rate
+                    ms_num = 1000 * avi["scale"]
+                    for i, (off, sz, kf) in enumerate(avi["frames"]):
+                        t = i * ms_num // avi["rate"]
+                        rows.append((int(mid), i, t, t, sz, off, kf))
                     continue
                 ts = st["timescale"]
                 # pts lands on the PRESENTATION timeline: the media
@@ -1549,7 +1728,7 @@ def video_frame_index(df: DataFrame) -> DataFrame:
 
 
 def keyframe_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Keyframe-aware frame sampling over the mp4 index: for each grid
+    """Keyframe-aware frame sampling over the mp4/avi index: for each grid
     point (0, every_ms, 2·every_ms, … within the clip) pick the LATEST
     keyframe at-or-before it — seek-to-sync semantics, the frame a real
     player/sampler can actually decode without reading the whole GOP.
@@ -1596,6 +1775,185 @@ def keyframe_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .agg(F.min("frame_ts_ms").alias("first_grid_ms"))
         .orderBy("media_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF): container walk + REAL compressed-video pixel decode
+#
+# MJPEG-in-AVI is the compressed video format the repo's own JPEG codec
+# unlocks: every frame is an independent baseline/progressive JPEG inside
+# a RIFF container whose layout (chunk fourcc + u32 size + even padding)
+# the WAVE path already walks.  That turns the r10 "video pixel decode
+# declared out of scope" boundary into "AVC/HEVC out of scope" — AVI
+# clips decode end-to-end with zero new entropy-coding machinery.
+#
+# Parity with the mp4 path: parse_avi produces the same shape of frame
+# index (offset/size/keyframe per frame) that mp4_sample_table derives
+# from stbl, so video_frame_index / keyframe_sample_plan run unchanged
+# over both containers; video_frame_stats decodes ONLY the grid-sampled
+# frames (ranged reads at scale — never the whole clip).
+# ---------------------------------------------------------------------------
+
+#: idx1 flag marking a self-contained (seekable) frame — AVIIF_KEYFRAME
+_AVIIF_KEYFRAME = 0x10
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, data_off, size) for each RIFF chunk in [pos, end);
+    sizes are u32 LE and chunk data pads to even length."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        data_off = pos + 8
+        if data_off + size > end:
+            break  # truncated tail: keep what parsed cleanly
+        yield fourcc, data_off, size
+        pos = data_off + size + (size & 1)
+
+
+def parse_avi(content: bytes | None) -> dict | None:
+    """RIFF/AVI container walk → stream-0 video description or None:
+    ``{"width", "height", "rate", "scale", "handler", "frames":
+    [(abs_offset, size, keyframe), ...]}``.
+
+    Frame layout comes from the ``movi`` LIST's ``00dc``/``00db`` chunks
+    (absolute payload offsets — the byte ranges a sampler fetches);
+    ``rec `` grouping LISTs are descended.  The optional ``idx1`` index
+    only contributes keyframe flags, matched positionally to stream-0
+    chunks (the movi walk is the authoritative layout — idx1 offsets are
+    ambiguous in the wild: absolute vs movi-relative); with no idx1 (or a
+    mismatched one) every frame is keyframe=True, which is exact for
+    MJPEG.  Timing is dwRate/dwScale from the ``vids`` stream header
+    (frame i presents at i·scale/rate seconds)."""
+    b = content
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    width = height = None
+    rate = scale = None
+    handler = None
+    frames: list[tuple[int, int]] = []
+    idx_flags: list[int] = []
+
+    def walk_movi(off: int, end: int) -> None:
+        for fcc, doff, sz in _riff_chunks(b, off, end):
+            if fcc == b"LIST" and b[doff : doff + 4] == b"rec ":
+                walk_movi(doff + 4, doff + sz)
+            elif fcc in (b"00dc", b"00db"):
+                frames.append((doff, sz))
+
+    def walk_strl(off: int, end: int) -> None:
+        nonlocal width, height, rate, scale, handler
+        fcc_type = None
+        for fcc, doff, sz in _riff_chunks(b, off, end):
+            if fcc == b"strh" and sz >= 36:
+                fcc_type = b[doff : doff + 4]
+                if fcc_type == b"vids":
+                    handler = b[doff + 4 : doff + 8].decode("ascii", "replace")
+                    scale, rate = struct.unpack_from("<II", b, doff + 20)
+            elif fcc == b"strf" and fcc_type == b"vids" and sz >= 24:
+                # BITMAPINFOHEADER: biWidth/biHeight i32 at +4/+8
+                bw, bh = struct.unpack_from("<ii", b, doff + 4)
+                width, height = abs(bw), abs(bh)
+
+    def walk(off: int, end: int) -> None:
+        for fcc, doff, sz in _riff_chunks(b, off, end):
+            if fcc == b"LIST":
+                ltype = b[doff : doff + 4]
+                if ltype == b"movi":
+                    walk_movi(doff + 4, doff + sz)
+                elif ltype == b"strl":
+                    walk_strl(doff + 4, doff + sz)
+                else:  # hdrl, odml, …
+                    walk(doff + 4, doff + sz)
+            elif fcc == b"idx1":
+                for e in range(doff, doff + sz - 15, 16):
+                    ckid = b[e : e + 4]
+                    if ckid in (b"00dc", b"00db"):
+                        (flags,) = struct.unpack_from("<I", b, e + 4)
+                        idx_flags.append(flags)
+
+    walk(12, len(b))
+    if not frames or not rate or scale is None:
+        return None
+    if len(idx_flags) == len(frames):
+        keyed = [
+            (doff, sz, bool(fl & _AVIIF_KEYFRAME))
+            for (doff, sz), fl in zip(frames, idx_flags)
+        ]
+    else:
+        keyed = [(doff, sz, True) for doff, sz in frames]
+    return {
+        "width": width,
+        "height": height,
+        "rate": int(rate),
+        "scale": int(scale) or 1,
+        "handler": handler,
+        "frames": keyed,
+    }
+
+
+def avi_dimensions(content: bytes | None) -> tuple[int | None, int | None]:
+    p = parse_avi(content)
+    return (p["width"], p["height"]) if p else (None, None)
+
+
+def avi_duration_ms(content: bytes | None) -> int | None:
+    p = parse_avi(content)
+    if not p:
+        return None
+    return len(p["frames"]) * 1000 * p["scale"] // p["rate"]
+
+
+def encode_avi_mjpeg(
+    frames, *, rate: int = 10, scale: int = 1, quality: int = 90
+) -> bytes:
+    """H×W×3 uint8 RGB frames → MJPEG-in-AVI bytes (fixture/thumbnail
+    encoder, like ``encode_png``/``encode_jpeg``): each frame is one
+    ``encode_jpeg`` payload in a ``00dc`` chunk, with a standards-shaped
+    hdrl (avih + vids strh/strf, biCompression='MJPG') and an idx1 whose
+    offsets are movi-relative (offset 4 = first chunk fourcc) and whose
+    every entry carries AVIIF_KEYFRAME — true by construction for MJPEG."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("empty clip")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    usec_per_frame = 1_000_000 * scale // rate
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, 0, 0, 0x10,  # dwFlags: AVIF_HASINDEX
+        len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vidsMJPG" + struct.pack(
+        "<IHH8I4h",
+        0, 0, 0,                      # dwFlags, wPriority, wLanguage
+        0, scale, rate, 0,            # dwInitialFrames..dwStart
+        len(payloads), 0, 0, 0,       # dwLength, sugg, quality, sampleSize
+        0, 0, w, h,                   # rcFrame
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for p in payloads:
+        # movi-relative offset of this chunk's fourcc: 4 ('movi' tag) + body so far
+        idx += b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME,
+                                     4 + len(movi_body), len(p))
+        movi_body += chunk(b"00dc", p)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # MPEG1 Layer III bitrate (kbps) and sample-rate tables (public ISO 11172-3)

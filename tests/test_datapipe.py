@@ -940,19 +940,23 @@ def test_multimodal_y4m_decode_real(spark):
 
 def test_multimodal_meta_includes_video(spark):
     """Registry entry: the synthesized video slice (doc_id % 3 == 2, not the
-    audio carve-out) is a real y4m clip — sniffed with header dimensions and
-    decoded to a frame count that matches the duration metadata."""
+    audio carve-out) is a real clip — y4m in general, MJPEG-in-AVI on the
+    % 12 == 2 carve-out (r11) — sniffed with header dimensions and decoded
+    to a frame count that matches the duration metadata."""
     from event_stream_spark.datapipe import multimodal_meta
     from tests.conftest import SF_CORRECT
 
     rows = {r["media_id"]: r for r in multimodal_meta(spark, SF_CORRECT).collect()}
-    r2 = rows[2]  # doc 2: video, duration (2 % 10 + 1) s = 3 s at 1 fps
-    assert r2["kind"] == "video" and r2["format"] == "y4m"
-    assert (r2["width"], r2["height"]) == (4, 2)
-    assert r2["n_frames_dec"] == 3
+    r2 = rows[2]  # doc 2: AVI carve-out, duration (2 % 10 + 1) s = 3 s at 1 fps
+    assert r2["kind"] == "video" and r2["format"] == "avi"
+    assert (r2["width"], r2["height"]) == (8, 8)
+    assert r2["n_frames_dec"] == 3  # every sampled frame JPEG-decoded for real
     assert r2["luma"] is not None and 0.0 <= r2["luma"] <= 255.0
-    r5 = rows[5]  # doc 5: video with 6 frames
+    r5 = rows[5]  # doc 5: y4m video with 6 frames
+    assert r5["format"] == "y4m" and (r5["width"], r5["height"]) == (4, 2)
     assert r5["n_frames_dec"] == 6
+    r14 = rows[14]  # 14 % 12 == 2: AVI with (14 % 10 + 1) = 5 frames
+    assert r14["format"] == "avi" and r14["n_frames_dec"] == 5
     # non-video rows carry no decoded-frame columns
     assert rows[0]["n_frames_dec"] is None
 
@@ -4137,3 +4141,137 @@ def test_layer3_start_stop_block_region_split():
     r = _BitReader(data)
     ix = _l3_huffman_spectrum(r, g, 44100, nbits)
     assert np.array_equal(ix, expected)
+
+
+def test_multimodal_avi_mjpeg_decode_real(spark):
+    """MJPEG-in-AVI round-trips through video_frame_stats: the RIFF walk
+    finds the movi chunks, only grid-sampled frames are decoded by the
+    in-repo JPEG codec, and each sampled mean_y matches a direct
+    decode_jpeg of the same byte range exactly (r11 — compressed video
+    pixels for real; AVC/HEVC stay the declared codec boundary)."""
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    frames = []
+    for i in range(5):
+        y, x = np.mgrid[0:32, 0:48]
+        img = np.stack(
+            [(x * 5 + i * 20) % 256, (y * 7) % 256, ((x + y) * 3 + i * 10) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(img)
+    clip = mm.encode_avi_mjpeg(frames, rate=4, scale=1, quality=92)
+
+    assert mm.sniff_format(clip) == "avi"
+    assert mm.avi_dimensions(clip) == (48, 32)
+    assert mm.avi_duration_ms(clip) == 1250  # 5 frames at 4 fps
+    p = mm.parse_avi(clip)
+    assert p["handler"] == "MJPG" and len(p["frames"]) == 5
+    for off, sz, kf in p["frames"]:
+        assert kf
+        chunk = clip[off : off + sz]
+        assert chunk.startswith(b"\xff\xd8") and chunk.endswith(b"\xff\xd9")
+
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(clip), None, None, None, None)],
+        schema=mm.MEDIA,
+    )
+    # 1000 ms grid over a 1250 ms 4-fps clip → ts 0/1000 → frames 0 and 4
+    rows = {r["frame_idx"]: r for r in mm.video_frame_stats(df).collect()}
+    assert sorted(rows) == [0, 4]
+    for idx, r in rows.items():
+        off, sz, _ = p["frames"][idx]
+        img = mm.decode_jpeg(clip[off : off + sz])
+        want = (
+            0.299 * img[..., 0].astype("float64")
+            + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]
+        ).mean()
+        assert r["mean_y"] == float(want)  # same codec, same math: exact
+        assert abs(r["mean_y"] - frames[idx].mean()) < 16  # and plausible
+
+    meta = {
+        r["media_id"]: r
+        for r in mm.with_sniffed_metadata(df).collect()
+    }
+    assert meta[7]["format"] == "avi"
+    assert (meta[7]["width"], meta[7]["height"]) == (48, 32)
+    assert meta[7]["duration_ms"] == 1250
+
+    assert mm.parse_avi(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert mm.parse_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert mm.parse_avi(None) is None
+    with pytest.raises(ValueError):
+        mm.encode_avi_mjpeg([])
+
+
+def test_multimodal_avi_frame_index_and_keyframe_plan(spark):
+    """The AVI branch of video_frame_index mirrors the mp4 contract
+    (dts/pts/size/offset/keyframe per frame, fixed cadence), honors idx1
+    keyframe flags, and keyframe_sample_plan runs unchanged over it —
+    picking the latest KEYFRAME at-or-before each grid point."""
+    import struct
+
+    import numpy as np
+
+    from event_stream_spark.datapipe import multimodal as mm
+
+    frames = [np.full((16, 16, 3), 40 * (i + 1), dtype=np.uint8) for i in range(6)]
+    clip = mm.encode_avi_mjpeg(frames, rate=2, scale=1, quality=90)  # 500 ms/frame
+
+    # clear AVIIF_KEYFRAME on frames 1..2 and 4..5 → keyframes at 0 and 3
+    raw = bytearray(clip)
+    idx_pos = raw.rfind(b"idx1") + 8
+    for i in (1, 2, 4, 5):
+        e = idx_pos + 16 * i + 4
+        (fl,) = struct.unpack_from("<I", raw, e)
+        struct.pack_into("<I", raw, e, fl & ~0x10)
+    clip = bytes(raw)
+
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(clip), "avi", 16, 16, 3000)],
+        schema=mm.MEDIA,
+    )
+    idx = {r["frame_idx"]: r for r in mm.video_frame_index(df).collect()}
+    assert sorted(idx) == [0, 1, 2, 3, 4, 5]
+    p = mm.parse_avi(clip)
+    for i, (off, sz, kf) in enumerate(p["frames"]):
+        r = idx[i]
+        assert r["dts_ms"] == r["pts_ms"] == i * 500
+        assert (r["size_bytes"], r["file_offset"]) == (sz, off)
+        assert r["keyframe"] == kf == (i in (0, 3))
+
+    # 1000 ms grid over 3000 ms → points 0/1000/2000; latest keyframe
+    # at-or-before: 0 → f0, 1000 → f0 (f1/f2 not key), 2000 → f3
+    plan = {
+        r["frame_idx"]: r for r in mm.keyframe_sample_plan(df, every_ms=1000).collect()
+    }
+    assert sorted(plan) == [0, 3]
+    assert plan[0]["first_grid_ms"] == 0
+    assert plan[3]["first_grid_ms"] == 2000
+
+
+def test_avi_fixture_geometry_matches_container_walk(spark):
+    """The arithmetic geometry the video_kf_plan oracle uses must agree
+    with what parse_avi actually finds in a synthesized clip."""
+    from event_stream_spark.datapipe import media_from_documents
+    from event_stream_spark.datapipe.multimodal import (
+        avi_fixture_geometry,
+        parse_avi,
+    )
+    from tests.conftest import SF_CORRECT
+
+    base, stride, plen = avi_fixture_geometry()
+    row = (
+        media_from_documents(spark, SF_CORRECT)
+        .filter("media_id % 12 = 2")
+        .orderBy("media_id")
+        .limit(1)
+        .collect()[0]
+    )
+    n = row["media_id"] % 10 + 1
+    p = parse_avi(bytes(row["content"]))
+    assert [(off, sz) for off, sz, _ in p["frames"]] == [
+        (base + i * stride, plen) for i in range(n)
+    ]
