@@ -1685,12 +1685,19 @@ def vacuum(table: str, *, keep_last: int = 1, tmp_ttl_s: float = 3600.0) -> list
                 os.remove(ck)
     # sweep manifest temp files from writers killed mid-commit — but only
     # STALE ones: a live committer is inside its open→link→remove window
-    # for milliseconds, so an age threshold cleanly separates the two
+    # for milliseconds, so an age threshold cleanly separates the two.
+    # That same window means the file can vanish (renamed into place)
+    # between listdir and getmtime — a vanished tmp is a committer that
+    # FINISHED, never an error (the chaos-5 vacuum loop caught this).
     for name in os.listdir(_log_dir(table)):
         if name.startswith(".tmp-"):
             full = os.path.join(_log_dir(table), name)
-            if now - os.path.getmtime(full) > tmp_ttl_s:
-                os.remove(full)
+            mt = _mtime(full)
+            if mt is not None and now - mt > tmp_ttl_s:
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
     return removed
 
 

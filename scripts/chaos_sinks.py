@@ -212,12 +212,14 @@ def main() -> None:
     vac_err: list = []
 
     def vac_loop():
+        import traceback
+
         while not stop.is_set():
             try:
                 vacuum(table5, keep_last=1, tmp_ttl_s=2.0)
                 vac_n[0] += 1
-            except Exception as exc:  # noqa: BLE001 — any failure fails the proof
-                vac_err.append(repr(exc))
+            except Exception:  # noqa: BLE001 — any failure fails the proof
+                vac_err.append(traceback.format_exc())
                 break
 
     vac_t = threading.Thread(target=vac_loop)
