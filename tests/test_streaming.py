@@ -6147,3 +6147,30 @@ def test_vacuum_spares_fresh_empty_commit_dirs(spark, tmp_path):
     vacuum(table, keep_last=1, tmp_ttl_s=5.0)
     assert not os.path.isdir(fresh)  # aged out: truly abandoned
     assert not os.path.isdir(dv_fresh)
+
+
+def test_vacuum_tmp_manifest_sweep_is_ttl_gated(spark, tmp_path):
+    """The .tmp- manifest sweep removes only STALE leftovers: a fresh tmp
+    (a committer inside its open->link->remove window) survives vacuum; an
+    aged one (a writer killed mid-commit) is swept.  The concurrent-vanish
+    tolerance on the same path is chaos-proven (scripts/chaos_sinks.py
+    family 5)."""
+    import os
+    import time
+
+    from event_stream_spark.sources.snaplog import _log_dir, commit, vacuum
+
+    table = str(tmp_path / "tbl")
+    commit(spark.range(5).selectExpr("id AS k"), table)
+
+    fresh = os.path.join(_log_dir(table), ".tmp-live-000000000002.json")
+    stale = os.path.join(_log_dir(table), ".tmp-dead-000000000003.json")
+    for p in (fresh, stale):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    past = time.time() - 60
+    os.utime(stale, (past, past))
+
+    vacuum(table, keep_last=1, tmp_ttl_s=5.0)
+    assert os.path.exists(fresh)  # live committer's window is protected
+    assert not os.path.exists(stale)  # dead writer's leftover is swept
