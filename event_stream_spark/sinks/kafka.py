@@ -146,9 +146,9 @@ def write_kafka_wire_txn_batch(
                 done = False
                 waited = 0.0
                 while not done:
-                    hw, recs = client.fetch(
+                    hw, lso, recs = client.fetch(
                         marker_topic, target, off,
-                        isolation=READ_COMMITTED,
+                        isolation=READ_COMMITTED, return_lso=True,
                     )
                     if recs:
                         waited = 0.0
@@ -165,12 +165,17 @@ def write_kafka_wire_txn_batch(
                     # the high watermark proves exhaustion.
                     if off >= hw:
                         break  # scanned the whole log: no prior commit
-                    lso = client.list_offsets(
-                        marker_topic, target, isolation=READ_COMMITTED,
-                    )
                     if off < lso:
-                        # [off, lso) held only control/aborted slots —
-                        # no committed data there; skip past them
+                        # [off, lso) held only control/aborted slots in
+                        # THIS response's snapshot (fetch serves every
+                        # committed record below the LSO, and lso here is
+                        # the same snapshot as the empty record set — a
+                        # separate list_offsets call would observe a
+                        # LATER lso, and a foreign txn aborting between
+                        # the fetch and that call moves our committed
+                        # marker into [off, later_lso): skipping there
+                        # re-produces, the full-suite-load duplicate the
+                        # r11 stress run caught); safe to skip past them
                         off = lso
                         continue
                     # cursor at the LSO with hw ahead: an open txn masks

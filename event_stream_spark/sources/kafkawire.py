@@ -1514,13 +1514,24 @@ class KafkaWireClient:
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20, *, version: int = 4,
               isolation: int = READ_UNCOMMITTED,
-              ) -> tuple[int, list[tuple[int, int, bytes | None, bytes | None]]]:
+              return_lso: bool = False,
+              ):
         """→ (high_watermark, [(offset, timestamp, key, value), …]).
         ``version>=4`` (default) reads RecordBatch v2 responses; lower
         versions the v1 message set.  Decode sniffs the magic byte, so a
         mixed-format log reads correctly either way.
         ``isolation=READ_COMMITTED`` (v4+) serves only rows of committed
-        transactions, capped at the last stable offset."""
+        transactions, capped at the last stable offset.
+
+        ``return_lso=True`` → (high_watermark, last_stable_offset,
+        records): the LSO comes from the SAME broker-side snapshot as the
+        record set (the v4 response field), which is what makes it safe
+        to reason "this fetch was empty AND the LSO was X" — a separate
+        ``list_offsets`` call observes a LATER state, and a transaction
+        resolving between the two calls can move committed records into
+        the gap (the exactly-once marker-scan race).  For version<4 the
+        LSO field does not exist; hw is returned (uncommitted semantics,
+        where lso == hw)."""
         if isolation == READ_COMMITTED and version < 4:
             raise KafkaWireError("read_committed needs fetch version >= 4")
         body = (
@@ -1540,12 +1551,16 @@ class KafkaWireClient:
         if err:
             raise KafkaWireError(f"fetch error {err}")
         hw = c.i64()
+        lso = hw
         if version >= 4:
-            c.i64()  # last_stable_offset
+            lso = c.i64()  # last_stable_offset
             for _ in range(c.i32()):  # aborted_transactions
                 c.i64(), c.i64()
         mset = c.bytes() or b""
-        return hw, decode_any_record_set(mset)
+        recs = decode_any_record_set(mset)
+        if return_lso:
+            return hw, lso, recs
+        return hw, recs
 
     def list_offsets(self, topic: str, partition: int, ts: int = TS_LATEST,
                      *, isolation: int = READ_UNCOMMITTED) -> int:

@@ -5670,9 +5670,13 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
     assert sizes[2] >= 2.5 * sizes[0], sizes  # ~linear in stream length
 
     # TTL: claims live for the horizon, then evict — idle state is ZERO
-    # (6 s horizon: the claim peak must stay observable through polling
-    # even on a loaded machine — 2 s flaked under a full-suite run)
-    ttl = 6000
+    # (45 s horizon: the in-horizon duplicate below must be PROCESSED
+    # before the first wave's claims expire, and a stateful microbatch
+    # here costs 3-15 s wall depending on machine load — 2 s flaked under
+    # a full-suite run, 6 s flaked even solo once batch latency grew past
+    # it in the r11 session.  The horizon only slows the two idle-expiry
+    # waits; it does not weaken what is being proved.)
+    ttl = 45000
     srcB = str(tmp_path / "feedB")
     feedB = make_feed(srcB)
     gotB: set = set()
@@ -5686,7 +5690,9 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
         wait_until(lambda: any(d == 1000 and f == 3 for d, _b, f in gotB))
 
         # idle past the horizon: every lease expires, state returns to 0
-        wait_until(lambda: state_rows(qB) == 0)
+        # (the expiry waits scale with the widened horizon, hence the
+        # raised timeout)
+        wait_until(lambda: state_rows(qB) == 0, timeout=240)
 
         # a POST-HORIZON duplicate re-claims freshly — NOT a collision —
         # and a second wave peaks at one wave's size, not cumulative
@@ -5695,7 +5701,7 @@ def test_streaming_neardup_state_ttl_bound(spark, tmp_path):
         peak2 = state_rows(qB)
         assert peak2 <= peak1 + 8, (peak1, peak2)  # bounded, not growing
         assert not any(d == 2000 for d, _b, _f in gotB)
-        wait_until(lambda: state_rows(qB) == 0)  # and evicts again
+        wait_until(lambda: state_rows(qB) == 0, timeout=240)  # evicts again
     finally:
         qB.stop()
 
