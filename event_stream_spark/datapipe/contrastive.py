@@ -49,7 +49,13 @@ def contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
     near-dup pair as a positive, NEG_K hash-probed negatives per anchor."""
     from event_stream_spark.datapipe.dedup import simhash_near_pairs
 
-    pairs = simhash_near_pairs(spark, sf).select("a", "b")
+    # referenced four times below (pos, anchors, both exclusion legs);
+    # Catalyst re-inlines the verified-pair pipeline per reference and
+    # exchange reuse does not fire across them — persist the tiny pair
+    # list so candidate verification runs once per execution (recomputed
+    # from parquet every run; the bench's release step drops the blocks
+    # after each materialization)
+    pairs = simhash_near_pairs(spark, sf).select("a", "b").persist()
     pos = pairs.select(
         F.col("a").alias("anchor"),
         F.col("b").alias("other"),

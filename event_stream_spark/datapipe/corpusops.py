@@ -1213,7 +1213,14 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     g = _char_grams(spark, sf)
-    dfreq = g.groupBy("g").agg(F.countDistinct("doc_id").alias("_nd"))
+    # the gram-frequency aggregate feeds THREE consumers (the rare band
+    # twice — nomination join + rocc — and the boilerplate band once);
+    # without the persist each reference re-executes the full
+    # countDistinct pass over the gram relation (measured: 0
+    # ReusedExchange across the aliased references).  Distinct-gram-
+    # sized, two ints per row; recomputed from the gram parquet on every
+    # fresh execution.
+    dfreq = g.groupBy("g").agg(F.countDistinct("doc_id").alias("_nd")).persist()
     rare = (
         dfreq.filter(
             (F.col("_nd") >= 2) & (F.col("_nd") <= LCS_MAX_GRAM_DOCS)
@@ -1226,7 +1233,10 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # (measured at sf1: ~18M rows, vs 919M for the former
     # candidates × all-grams-of-a formulation, whose shuffle spill
     # filled the sandbox disk)
-    low = g.join(rare, "g")
+    # nomination-band occurrences: both sides of the m1 self-join AND the
+    # rocc distinct below scan this relation — persisted so the
+    # grams ⋈ rare join runs once per execution instead of three times
+    low = g.join(rare, "g").persist()
     m1 = (
         low.select(F.col("doc_id").alias("a"), F.col("pos").alias("ia"), "g")
         .join(
@@ -1240,7 +1250,7 @@ def lcs_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # extend runs of nominated pairs (the lcs_len-exactness contract) —
     # only these few grams pay the candidates × occurrences join
     high = dfreq.filter(F.col("_nd") > LCS_MAX_GRAM_DOCS).select("g")
-    rocc = g.join(rare, "g").select("doc_id", "g").distinct()
+    rocc = low.select("doc_id", "g").distinct()
     cand = (
         rocc.select(F.col("doc_id").alias("a"), "g")
         .join(rocc.select(F.col("doc_id").alias("b"), "g"), "g")
