@@ -159,7 +159,12 @@ def bpe_merges(
     merges = _MERGE_CACHE.get(ck)
     if merges is None:
         merges = []
-        cur = _word_syms(spark, sf)
+        # round k's head() re-executes the whole chain from the base —
+        # without the persist that is k+1 corpus-scale word-frequency
+        # shuffles across the loop (quadratic in rounds); persisted, the
+        # base aggregation runs once and each round adds only its
+        # replace-projection + pair-count pass
+        cur = _word_syms(spark, sf).persist()
         for rnd in range(rounds):
             row = (
                 _pair_counts(cur).orderBy(F.desc("cnt"), "l", "r").limit(1).head()
@@ -188,7 +193,13 @@ def bpe_learn(spark: SparkSession, sf: str, rounds: int = BPE_ROUNDS) -> DataFra
     from functools import reduce
 
     merges = bpe_merges(spark, sf, rounds)
-    cur = _word_syms(spark, sf)
+    # every union branch below re-inlines the chain from the base symbol
+    # relation (branch k = base + k replace projections): unpersisted,
+    # the corpus word-frequency shuffle runs once PER ROUND instead of
+    # once per execution.  Distinct-word-sized (Heaps'-law small);
+    # recomputed from parquet each run — the bench's release step drops
+    # the blocks after every materialization.
+    cur = _word_syms(spark, sf).persist()
     outs = []
     for rnd, l, r, _cnt in merges:
         outs.append(

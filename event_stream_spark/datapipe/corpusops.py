@@ -655,7 +655,12 @@ def lm_score_kn(spark: SparkSession, sf: str) -> DataFrame:
         wr.select("doc_id", F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    # the bigram-type relation feeds FOUR consumers (left stats,
+    # continuation counts, the type total, and the score join);
+    # unpersisted, each re-inlines and re-executes the corpus-scale
+    # token window + pair shuffle.  Type-bounded (Zipf-small) — persist
+    # per execution, recomputed from parquet each run.
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc")).persist()
     left = pair.groupBy("w1").agg(
         F.sum("pc").alias("c1"), F.count("*").alias("fanout")
     )
@@ -902,6 +907,10 @@ def dsir_model(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("ct"))
     )
     dom = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    # referenced twice (the totals aggregate and the final ratio select);
+    # unpersisted, each reference re-executes BOTH corpus-scale token
+    # passes (raw + target bucket counts).  {DSIR_BUCKETS} rows — persist
+    # is free; recomputed from parquet every execution.
     model = (
         dom.join(raw, "b", "left")
         .join(tgt, "b", "left")
@@ -910,6 +919,7 @@ def dsir_model(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("cr", F.lit(0)).alias("cr"),
             F.coalesce("ct", F.lit(0)).alias("ct"),
         )
+        .persist()
     )
     tots = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     ratio = F.log(
@@ -1340,7 +1350,12 @@ def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     exact integer-scaled round-half-up contract (``dup_spans``)."""
     sh = doc_shingles(spark, sf, DECON_N)
     src = t(spark, sf, "documents").select("doc_id", "source")
-    sg = sh.join(src, "doc_id").select("source", "s").distinct()
+    # referenced three times (per-source sizes + both sides of the
+    # co-occurrence self-join); unpersisted, the join + corpus-scale
+    # DISTINCT shuffle re-executes per reference.  Distinct
+    # (source, gram)-sized — the same class as lcs_pairs' persisted gram
+    # table; recomputed from parquet every execution.
+    sg = sh.join(src, "doc_id").select("source", "s").distinct().persist()
     per_source = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
     pairs = (
         sg.alias("x")

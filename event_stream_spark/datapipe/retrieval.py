@@ -258,10 +258,17 @@ def collocations(
         wr.select(F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    c_xy = big.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
-    uni = wr.groupBy(F.col("w").alias("term")).agg(F.count("*").alias("cnt"))
-    totals = wr.agg(F.count("*").alias("n_uni")).crossJoin(
-        big.agg(F.count("*").alias("n_big"))
+    # pair counts feed the survivor filter AND the n_big total — persist
+    # the vocabulary-sized relation so the token-stream window executes
+    # once per run (recomputed from parquet each execution)
+    c_xy = big.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt")).persist()
+    uni = wr.groupBy(F.col("w").alias("term")).agg(F.count("*").alias("cnt")).persist()
+    # totals DERIVE from the two count relations (Σ pair_cnt ≡ count of
+    # bigram rows, Σ cnt ≡ count of token rows — exact integer
+    # identities), replacing what were a third full token pass and a
+    # second window execution with two tiny aggregations
+    totals = uni.agg(F.sum("cnt").alias("n_uni")).crossJoin(
+        c_xy.agg(F.sum("pair_cnt").alias("n_big"))
     )
     pmi = F.round(
         F.log(

@@ -62,12 +62,29 @@ SUFFIX_CAP = 64
 #: chars with its suffix-array neighbor (Lee et al. use 50 BPE tokens on
 #: full-scale corpora; 20 chars is the same screen at this doc length)
 SUFFIX_DUP_MIN = 20
-#: buckets for the two-phase distributed dense rank
+#: floor for the two-phase distributed rank's bucket count — see
+#: ``_rank_parts`` (the live value scales with the cluster)
 _RANK_PARTS = 32
 
 
+def _rank_parts(df: DataFrame) -> int:
+    """Bucket count for the two-phase rank: ``max(32, cluster default
+    parallelism)``, env-overridable via ``SPARK_GRAFT_RANK_PARTS``.
+
+    A fixed 32 was correct on ``local[32]`` but is a scale ceiling: on a
+    1000-core cluster it would serialize every rank sort into 32 tasks.
+    Rank values are partition-boundary-independent (``_range_parted``),
+    so the bucket count cannot change results — only parallelism.
+    Locally (defaultParallelism == cores ≤ 32) this resolves to the same
+    32 the bench has always used, keeping the lane comparable."""
+    env = os.environ.get("SPARK_GRAFT_RANK_PARTS")
+    if env:
+        return int(env)
+    return max(_RANK_PARTS, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _range_parted(
-    df: DataFrame, cols: list[str], parts: int = _RANK_PARTS,
+    df: DataFrame, cols: list[str], parts: int | None = None,
     track: list | None = None,
 ) -> DataFrame:
     """Range-partition ``df`` on ``cols`` and MATERIALIZE the result with
@@ -99,6 +116,8 @@ def _range_parted(
     has a single first char, which put 100% of suffixes in one bucket)."""
     from pyspark import StorageLevel
 
+    if parts is None:
+        parts = _rank_parts(df)
     part = df.repartitionByRange(
         parts, *[F.col(c) for c in cols]
     ).withColumn("_bkt", F.spark_partition_id())
@@ -109,7 +128,7 @@ def _range_parted(
 
 
 def _dense_rank2(
-    df: DataFrame, c1: str, c2: str, parts: int = _RANK_PARTS,
+    df: DataFrame, c1: str, c2: str, parts: int | None = None,
     track: list | None = None,
 ) -> DataFrame:
     """Append global ``r`` = dense_rank() ordered by (c1, c2), two-phase:
@@ -135,7 +154,7 @@ def _dense_rank2(
 
 
 def _group_rank2(
-    df: DataFrame, key: str, parts: int = _RANK_PARTS,
+    df: DataFrame, key: str, parts: int | None = None,
     track: list | None = None,
 ) -> DataFrame:
     """Append global ``r`` = GROUP-START rank over ``key`` (the sorted
@@ -179,7 +198,7 @@ def _group_rank2(
 
 
 def _row_number2(
-    df: DataFrame, cols: list[str], out: str, parts: int = _RANK_PARTS
+    df: DataFrame, cols: list[str], out: str, parts: int | None = None
 ) -> DataFrame:
     """Append global ``out`` = row_number() ordered by ``cols`` — same
     two-phase scheme with count offsets."""
@@ -753,7 +772,7 @@ def suffix_lrs_full(spark: SparkSession, sf: str) -> DataFrame:
     ranks, n, _m = suffix_order(
         spark, sf, cap=SUFFIX_FULL_CAP, seed=SUFFIX_CAP
     )
-    parts = max(4, min(_RANK_PARTS, 1 + n // 20_000))
+    parts = max(4, min(_rank_parts(ranks), 1 + n // 20_000))
     sa = _row_number2(ranks, ["r", "doc_id", "pos"], "sp", parts).select(
         "doc_id", "pos", "dlen", "sp"
     )

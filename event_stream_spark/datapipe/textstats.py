@@ -417,10 +417,15 @@ def langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
 
     pred = text_langid(spark, sf)
     lab = t(spark, sf, "documents").select("doc_id", "lang")
+    # referenced twice (per-label totals + the final fraction select);
+    # unpersisted, each reference re-executes the corpus scan + langid
+    # projection + join.  |langs|²-sized — persist is free; recomputed
+    # from parquet every execution.
     pairs = (
         lab.join(pred, "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     tot = pairs.groupBy("lang").agg(F.sum("n").alias("n_lang"))
     return (

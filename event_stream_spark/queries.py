@@ -662,15 +662,20 @@ def q29(spark, sf):
     e = t(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # t1 and t2 each feed the next step AND the final left-join chain;
+    # unpersisted, Catalyst re-inlines the events scan + conditional-min
+    # aggregation per reference.  User-sized (two longs per row) —
+    # persisted per execution, recomputed from parquet each run.
     t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("us").alias("t1")
-    )
+    ).persist()
     t2 = (
         e.filter(F.col("event_type") == "click")
         .join(t1, "user_id")
         .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"))
+        .persist()
     )
     t3 = (
         e.filter(F.col("event_type") == "purchase")
