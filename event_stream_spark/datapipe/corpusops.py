@@ -424,7 +424,11 @@ def tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     n_docs = d.count()
     w = word_rows(d).select("doc_id", F.col("w").alias("word"))
-    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # referenced twice (document frequency and the scoring join);
+    # unpersisted, the corpus explode + (doc, word) shuffle executes
+    # twice.  Distinct-(doc, word)-sized — persisted per execution,
+    # recomputed from parquet each run.
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, "word").select(
         "doc_id",
@@ -483,7 +487,10 @@ def lm_score(spark: SparkSession, sf: str) -> DataFrame:
     from event_stream_spark.datapipe.text import word_rows
 
     w = word_rows(t(spark, sf, "documents")).select("doc_id", "w")
-    uni = w.groupBy("w").agg(F.count("*").alias("c"))
+    # referenced twice (the grand total and the scoring join);
+    # unpersisted, each reference re-executes the corpus token pass.
+    # Vocab-bounded — persisted per execution.
+    uni = w.groupBy("w").agg(F.count("*").alias("c")).persist()
     total = uni.agg(F.sum("c").cast("double").alias("n"))
     # no broadcast hint on the model: AQE broadcasts it under the threshold
     # and falls back to a word-keyed co-partitioned join above it — a forced
@@ -561,8 +568,13 @@ def lm_score_bigram(spark: SparkSession, sf: str) -> DataFrame:
         wr.select("doc_id", F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    uni = wr.groupBy(F.col("w")).agg(F.count("*").alias("uc"))
-    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    # uni feeds THREE consumers (total, the c1 join, the w2 join) and
+    # pair two (the count fit and the scoring join); unpersisted, each
+    # reference re-executes the corpus token pass / bigram window.
+    # Vocab/Zipf-bounded — persisted per execution, recomputed from
+    # parquet each run (the lm_score_kn pattern).
+    uni = wr.groupBy(F.col("w")).agg(F.count("*").alias("uc")).persist()
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("pc")).persist()
     total = uni.agg(F.sum("uc").cast("double").alias("n"))
     p = F.lit(lam) * (F.col("pc") / F.col("c1")) + F.lit(1.0 - lam) * (
         F.col("uc") / F.col("n")
@@ -769,23 +781,38 @@ def dup_spans_clean(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    kept = w.join(covered, ["doc_id", "pos"], "left_anti")
-    per = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    # Single-pass form (was: an anti-join per-doc digest agg PLUS a
+    # separate full token count — THREE corpus-scale executions of the
+    # token relation — reassembled through two doc_id left joins).  One
+    # left join marks covered positions; ONE doc_id aggregation computes
+    # n_words, n_kept and the digest from the marks.  collect_list drops
+    # the NULL entries of covered positions, so the digest covers exactly
+    # the kept words; an all-covered doc yields the empty concat —
+    # md5('') — exactly the value the join form's coalesce supplied.
+    flag = w.join(
+        covered.withColumn("_c", F.lit(True)), ["doc_id", "pos"], "left"
+    )
+    per = flag.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)).alias("n_kept"),
         F.md5(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_c").isNull(), F.struct("pos", "w")
+                            )
+                        )
+                    ),
                     lambda x: x["w"],
                 ),
             )
         ).alias("clean_digest"),
     )
-    tot = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     return (
         d.select("doc_id")
-        .join(tot, "doc_id", "left")
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
@@ -1589,11 +1616,16 @@ def cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         (F.coalesce(F.lag("pos").over(w), F.lit(0)) + 1).alias("cstart"),
         F.col("pos").alias("cend"),
     )
+    # referenced twice (the occurrence count and the per-doc join);
+    # unpersisted, the whole boundary pipeline — gram materialization,
+    # lag window, text join, per-chunk md5 — executes twice.  Chunk-count
+    # rows of (long, long, 32-char md5), a fraction of corpus bytes —
+    # persisted per execution, recomputed from parquet each run.
     ch = spans.join(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         (F.col("cend") - F.col("cstart") + 1).alias("clen"),
         F.md5(F.expr("substring(text, cstart, cend - cstart + 1)")).alias("h"),
-    )
+    ).persist()
     cnt = ch.groupBy("h").agg(F.count("*").alias("n_occ"))
     per = (
         ch.join(cnt, "h")
@@ -1676,7 +1708,11 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     narrow codegen projection, not a global sort.  Surprisal is already
     an integer (the ×1e6 contract) and cuts round to 4 dp in both
     engines, so the decile boundary cannot split on float drift."""
-    scores = lm_score(spark, sf).select("doc_id", "surprisal_p6")
+    # referenced twice (the decile-cut aggregate and the final staging
+    # select); unpersisted, the whole lm_score plan — corpus token pass,
+    # Zipf-bounded gram shuffle, scoring join — executes twice.
+    # Doc-sized (two longs) — persisted per execution.
+    scores = lm_score(spark, sf).select("doc_id", "surprisal_p6").persist()
     qs = [i / CURRICULUM_STAGES for i in range(1, CURRICULUM_STAGES)]
     cuts = scores.agg(
         *[

@@ -77,7 +77,10 @@ def _verify_jaccard(
     a per-doc count.  Touches only candidate docs' shingles, every step a
     codegen'd equi-join/agg — this is the piece that must stay cheap when the
     candidate set is thousands of pairs over billions of docs."""
-    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # referenced twice (za and zb); doc-sized (two longs per doc) —
+    # persisted so the per-doc count aggregation over the shingle
+    # relation runs once per execution, not once per join side
+    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz")).persist()
     sa = shg.select(F.col("doc_id").alias("a"), F.col("s").alias("s"))
     sb = shg.select(F.col("doc_id").alias("b"), F.col("s").alias("s"))
     inter = (
@@ -138,10 +141,15 @@ def minhash_lsh_pairs(
             ).alias("sig"),
         )
     )
+    # both sides of the band self-join reference this; exchange reuse
+    # does not fire across the aliases, so unpersisted the k-hash
+    # signature aggregation (a corpus-scale shuffle) executes TWICE.
+    # bands-per-doc rows of (long, int, string) — persisted per
+    # execution, recomputed from parquet each run.
     exploded = sig.select(
         "doc_id",
         F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band_id", "band_key"),
-    )
+    ).persist()
     e1 = exploded.alias("e1")
     e2 = exploded.alias("e2")
     cand = (
@@ -326,7 +334,10 @@ def minhash_oph_pairs(
                 ]
             )
         ).alias("band_id", "band_key"),
-    )
+    # both self-join sides reference this; unpersisted, the conditional-
+    # min sketch aggregation (corpus-scale shuffle) executes twice —
+    # persisted per execution, recomputed from parquet each run
+    ).persist()
     e1 = bands.alias("e1")
     e2 = bands.alias("e2")
     cand = (
@@ -706,7 +717,12 @@ def ngram_jaccard_pairs(
         .join(sizes, "doc_id")
     )
     plen = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-    prefixes = ranked.filter(F.col("rn") <= plen).select("doc_id", "k")
+    # both self-join sides reference this; unpersisted, the per-doc
+    # row_number window + size join execute twice — prefix-row-sized
+    # (two strings per row), persisted per execution
+    prefixes = (
+        ranked.filter(F.col("rn") <= plen).select("doc_id", "k").persist()
+    )
     p1, p2 = prefixes.alias("p1"), prefixes.alias("p2")
     cand = (
         p1.join(
@@ -1093,7 +1109,9 @@ def containment_pairs(
     from event_stream_spark.datapipe.text import doc_shingles
 
     shg = doc_shingles(spark, sf, n)
-    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # referenced twice (the prefix-length join and za below); doc-sized —
+    # persisted so the per-doc count runs once per execution
+    sizes = shg.groupBy("doc_id").agg(F.count("*").alias("sz")).persist()
     win = Window.partitionBy("doc_id").orderBy("k")
     ranked = (
         shg.select("doc_id", F.md5("s").alias("k"))

@@ -135,7 +135,10 @@ def corpus_temp_mix(spark: SparkSession, sf: str, temp: float = MIX_TEMP) -> Dat
     integer bucket compare, so the decision cannot split on last-ulp
     ``pow`` differences between engines."""
     d = t(spark, sf, "documents")
-    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # referenced twice (the Z/N totals and the factor table); unpersisted,
+    # each reference re-executes the corpus-wide language count.
+    # |langs| rows — persisted per execution.
+    counts = d.groupBy("lang").agg(F.count("*").alias("n")).persist()
     tot = counts.agg(
         F.sum(F.pow(F.col("n").cast("double"), 1.0 / temp)).alias("z"),
         F.sum("n").alias("big_n"),

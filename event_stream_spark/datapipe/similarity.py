@@ -896,9 +896,14 @@ def ann_join(
     from pyspark.sql import Window
 
     e = t(spark, sf, "embeddings")
+    # referenced twice (query side and corpus side of the band join);
+    # unpersisted, the Arrow signature projection — a JVM→Python→JVM
+    # boundary crossing over every embedding — executes TWICE.  Narrow
+    # (long, int, long) rows, bands per vector — persisted per execution
+    # so the Python kernel runs once (guide §4: cross the boundary once).
     sig = lsh_band_buckets(
         e.select("vec_id", "embedding"), bands=bands, bits=bits
-    ).select("vec_id", F.posexplode("buckets").alias("band", "sig"))
+    ).select("vec_id", F.posexplode("buckets").alias("band", "sig")).persist()
     qk = sig.filter(F.col("vec_id") < n_queries).withColumnRenamed(
         "vec_id", "query_id"
     )

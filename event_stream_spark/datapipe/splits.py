@@ -218,10 +218,13 @@ def shard_balance(spark: SparkSession, sf: str) -> DataFrame:
     assigned = ranked.select(
         "doc_id", "n_tokens", shard.cast("long").alias("shard")
     )
+    # referenced twice (the mean aggregate and the final join);
+    # unpersisted, each reference re-executes the corpus-wide ranking
+    # window.  N_SHARDS rows — persisted per execution.
     report = assigned.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens"),
-    )
+    ).persist()
     mean_tokens = report.agg(
         (F.sum("tokens") / F.count("*")).alias("mean_tokens")
     )

@@ -95,9 +95,17 @@ def url_dedup(spark: SparkSession, sf: str) -> DataFrame:
         [(s,) for s in BLOCKED_SOURCES], "source string"
     )
     allowed = urls.join(F.broadcast(block), "source", "left_anti")
-    keep = allowed.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+    # keep-first as ONE row_number window (was: a min-doc_id aggregate
+    # self-joined back — two scans of the allowed relation and two
+    # exchanges).  doc_id is unique, so rn == 1 selects exactly the
+    # min-doc_id row per canonical URL — identical result, one canon_url
+    # exchange (the dedup_paragraph_clean pattern).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
     return (
-        allowed.join(keep.select("doc_id"), "doc_id")
+        allowed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select("doc_id", "url", "canon_url")
         .orderBy("doc_id")
     )
@@ -243,9 +251,16 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # it the anti-join co-partitions on the hash and the runtime bloom
     # filter can pre-filter the probe side (a forced hint would disable both)
     fresh = new.join(existing, "h", "left_anti")
-    keep = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    # keep-first as ONE row_number window over the hash (was: a min
+    # aggregate self-joined back — the anti-join re-executed for both
+    # references plus two more exchanges).  doc_id unique ⇒ identical
+    # survivor set (the dedup_paragraph_clean pattern).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
     return (
-        fresh.join(keep.select("doc_id"), "doc_id")
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select("doc_id", "source", "h")
         .orderBy("doc_id")
     )
@@ -373,43 +388,46 @@ def boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
         .select("source", "h")
     )
-    flagged = p.join(boiler, ["source", "h"], "left_semi").select(
-        "doc_id", "para_idx"
+    # Single-pass form (was: a semi-join, an anti-join and a bare count
+    # over p — FOUR corpus-scale executions of the paragraph pipeline —
+    # reassembled through three doc_id joins plus a documents re-scan for
+    # source).  One left join marks each paragraph boilerplate-or-not and
+    # ONE (doc_id, source) aggregation computes every per-doc column from
+    # the marks; collect_list drops the NULL entries of flagged paras, so
+    # the digest covers exactly the kept set, and clean_md5 is NULL when
+    # nothing survived — bit-identical to the join form (oracle-verified).
+    flag = p.join(
+        boiler.withColumn("_b", F.lit(True)), ["source", "h"], "left"
     )
-    kept = p.join(boiler, ["source", "h"], "left_anti")
-    stats = p.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
-    n_boiler = flagged.groupBy("doc_id").agg(F.count("*").alias("n_boiler"))
-    clean = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("para_idx", "para"))
-                        ),
-                        lambda s: s["para"],
+    per = flag.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("n_boiler"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_b").isNull(),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
                     ),
-                    " ",
-                )
-            ).alias("clean_md5"),
-        )
+                    lambda s: s["para"],
+                ),
+                " ",
+            )
+        ).alias("_md5"),
     )
-    return (
-        stats.join(t(spark, sf, "documents").select("doc_id", "source"), "doc_id")
-        .join(n_boiler, "doc_id", "left")
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_paras",
-            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            "clean_md5",
-        )
-        .orderBy("doc_id")
-    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "n_boiler",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("_md5")).alias("clean_md5"),
+    ).orderBy("doc_id")
 
 
 BOILERPLATE_LINES_SQL = f"""

@@ -1397,3 +1397,51 @@ def test_manifest_stats_drive_cbo_join_reorder(spark, tmp_path):
         for nm, _n, _pk, _fk in specs:
             spark.sql(f"DROP TABLE IF EXISTS {nm}")
             spark.sql(f"DROP TABLE IF EXISTS {nm}_raw")
+
+
+def test_boilerplate_lines_single_pass(spark):
+    """r11 single-pass form: every per-doc column derives from ONE marked
+    left join + one aggregation — the old semi/anti-join fan-out (four
+    corpus-scale executions of the paragraph pipeline, 22 scans) must not
+    come back."""
+    from event_stream_spark.datapipe import boilerplate_lines
+
+    p = plan(boilerplate_lines(spark, SF_CORRECT))
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert p.count("Scan parquet") <= 6
+
+
+def test_dup_spans_clean_single_pass(spark):
+    """r11 single-pass form: covered positions are marked with a left join
+    and reduced in ONE doc_id aggregation (no anti-join + separate total
+    count re-executing the token relation)."""
+    from event_stream_spark.datapipe import dup_spans_clean
+
+    p = plan(dup_spans_clean(spark, SF_CORRECT))
+    assert "LeftAnti" not in p
+    assert p.count("Scan parquet") <= 6
+
+
+def test_url_dedup_window_keep_first(spark):
+    """r11 keep-first-by-window form: one documents scan, one canon_url
+    exchange, and the rank filter pushed into WindowGroupLimit — not the
+    min-aggregate self-join (two scans + two extra exchanges)."""
+    from event_stream_spark.datapipe import url_dedup
+
+    p = plan(url_dedup(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in p
+    assert p.count("hashpartitioning(canon_url") == 1
+
+
+def test_dedup_incremental_window_keep_first(spark):
+    """r11 keep-first-by-window form: the existing-corpus anti-join runs
+    ONCE (one LeftAnti, two documents scans) and keep-first is a window
+    group-limit, not a min-aggregate self-join over a re-executed
+    anti-join."""
+    from event_stream_spark.datapipe import dedup_incremental
+
+    p = plan(dedup_incremental(spark, SF_CORRECT))
+    assert p.count("LeftAnti") == 1
+    assert p.count("Scan parquet") == 2
+    assert "WindowGroupLimit" in p
