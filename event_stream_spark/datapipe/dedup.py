@@ -920,25 +920,33 @@ def embedding_pairs(
 
     The block-pair driving table is built with a distributed self-join — no
     driver-side collect: the pairs frame stays lazy and feeds the join
-    directly, never materializing on the driver."""
+    directly, never materializing on the driver.
+
+    r11 (guide §2.4 + §5): the pre-r11 form scanned the vector table FOUR
+    times (the block-id distinct twice via the pair self-join, then once
+    per tile side).  Now the ⌈n/block⌉-row block list is persisted per
+    execution, and both tile sides come from ONE scan: each vector
+    broadcast-joins the doubled (blk → bi, bj, side) membership list —
+    identical (bi, bj, vec, side) rows, identical tiles, one pass of the
+    payload instead of two."""
     import pandas as pd
 
     e = t(spark, sf, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
     )
-    blks = e.select("blk").distinct()
+    blks = e.select("blk").distinct().persist()
     pairs_df = (
         blks.select(F.col("blk").alias("bi"))
         .join(blks.select(F.col("blk").alias("bj")), F.col("bi") <= F.col("bj"))
     )
-
-    left = e.join(pairs_df, e["blk"] == pairs_df["bi"]).select(
-        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    memb = pairs_df.select(
+        F.col("bi").alias("blk"), "bi", "bj", F.lit(0).alias("side")
+    ).unionByName(
+        pairs_df.select(F.col("bj").alias("blk"), "bi", "bj", F.lit(1).alias("side"))
     )
-    right = e.join(pairs_df, e["blk"] == pairs_df["bj"]).select(
-        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    both = e.join(F.broadcast(memb), "blk").select(
+        "bi", "bj", "vec_id", "embedding", "side"
     )
-    both = left.unionByName(right)
 
     margin = threshold - 1e-6  # final filter happens on the rounded value
 

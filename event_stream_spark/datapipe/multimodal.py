@@ -1051,8 +1051,16 @@ def multimodal_meta(spark, sf: str) -> DataFrame:
     """Registry entry (rows-only): sniff formats/dimensions via mapInPandas,
     join the digest feature — the full multimodal pipeline minus the stubbed
     codec.  Deterministic output: (media_id, kind, format, width, height,
-    digest, n_frames)."""
-    media = media_from_documents(spark, sf)
+    digest, n_frames).
+
+    r11 (guide §5): the five decode branches each referenced
+    ``media_from_documents`` — five documents scans, five runs of the
+    payload-synthesis expressions.  The media relation is persisted per
+    execution (released by the caller's post-materialization unpersist
+    sweep), so the payload bytes are built ONCE and every branch reads the
+    in-memory relation — the exact analog of the single stored media table
+    a real lake would scan."""
+    media = media_from_documents(spark, sf).persist()
     sniffed = with_sniffed_metadata(media)
     feats = extract_features(media).filter(F.col("feature") == "content_digest")
     frames = (

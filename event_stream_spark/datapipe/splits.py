@@ -76,13 +76,22 @@ def _mg_candidates(k: int):
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_tokens = 0  # the partition's exact token count rides along (r11):
+        # the kernel already sees every token, so emitting the tally here
+        # deletes what used to be a THIRD full corpus scan+explode just for
+        # the global total (guide §2.4 — don't recompute what a pass
+        # already knows)
         for pdf in pdfs:
+            n_tokens += len(pdf)
             for w, c in pdf["w"].value_counts().items():
                 counters[w] = counters.get(w, 0) + int(c)
             if len(counters) > k:
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {w: c - cut for w, c in counters.items() if c > cut}
-        yield pd.DataFrame({"word": list(counters)})
+        words = list(counters)
+        yield pd.DataFrame(
+            {"word": words + [None], "n_tokens": [None] * len(words) + [n_tokens]}
+        )
 
     return gen
 
@@ -91,20 +100,23 @@ def heavy_hitters(spark: SparkSession, sf: str, k: int = HH_K) -> DataFrame:
     """(word, cnt) for every token with global count > n/k, exact.
 
     Scale shape: pass 1 shuffles at most k candidate words per partition
-    (the MG summaries), never the full key set; pass 2 broadcast-semi-joins
+    (the MG summaries) PLUS one exact per-partition token tally — so the
+    global total needs no pass of its own (pre-r11 this was a third full
+    scan+explode of the corpus; guide §2.4); pass 2 broadcast-semi-joins
     the (tiny) candidate union against the token stream and aggregates only
     candidate occurrences.  The total-count side is a 1-row aggregate
     joined in as a broadcast scalar — an O(n × 1) plan-shape, not a real
-    nested loop.  Output is exact (the sketch only proposes; the verify
+    nested loop.  The MG summary relation is k·partitions rows, persisted
+    per execution so its two consumers (candidates, total) run the Python
+    pass once.  Output is exact (the sketch only proposes; the verify
     pass counts), so the DuckDB GROUP BY/HAVING twin hash-matches."""
     d = t(spark, sf, "documents")
     tokens = word_rows(d).select("w")
-    cand = (
-        tokens.mapInPandas(_mg_candidates(k), "word string")
-        .select("word")
-        .distinct()
-    )
-    total = tokens.agg(F.count("*").alias("n_tokens"))
+    summ = tokens.mapInPandas(
+        _mg_candidates(k), "word string, n_tokens long"
+    ).persist()
+    cand = summ.filter(F.col("word").isNotNull()).select("word").distinct()
+    total = summ.agg(F.sum("n_tokens").alias("n_tokens"))
     return (
         tokens.join(F.broadcast(cand), tokens["w"] == cand["word"])
         .groupBy("word")

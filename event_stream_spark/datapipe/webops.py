@@ -570,9 +570,19 @@ def robots_eval(spark: SparkSession, sf: str) -> DataFrame:
     KBs) so the rule join BROADCASTS; the per-URL winner is one
     max_by-style aggregate keyed by doc_id — the corpus never shuffles
     on anything wider than its own id.
-    """
-    from pyspark.sql import Window
 
+    r11 rewrite (guide §2.4): the pre-r11 form ran the corpus scan TWICE
+    (matched side + a join-back of the window winners on doc_id — a
+    corpus-keyed SortMergeJoin) and sorted every doc's matches for a
+    row_number.  Now a single scan LEFT-joins the broadcast rules and a
+    map-side-combinable ``max(struct(len, is_allow, …))`` per doc_id picks
+    the winner — longest prefix first, allow on length ties, exactly the
+    old (length DESC, rule ASC) order.  The winner is provably unique at
+    every tie the ordering leaves open: per source the rule prefixes have
+    pairwise-distinct lengths among simultaneously-matchable ones ("" 0,
+    "/de"/"/fr" 3 mutually exclusive, "/de/page1"/"/en/page2" 9 mutually
+    exclusive), so max-struct ≡ row_number()=1 — oracle-verified.
+    """
     d = t(spark, sf, "documents")
     raw = synthetic_url(F.col("doc_id"), F.col("source"), F.col("lang"))
     no_q = F.split(raw, r"\?").getItem(0)
@@ -583,25 +593,31 @@ def robots_eval(spark: SparkSession, sf: str) -> DataFrame:
     rules = spark.createDataFrame(
         _robots_rules(), "source string, rule string, prefix string"
     )
-    matched = urls.join(F.broadcast(rules), "source").filter(
-        F.col("path").startswith(F.col("prefix"))
+    matched = urls.join(
+        F.broadcast(rules),
+        (urls["source"] == rules["source"])
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc(),
-        F.col("rule").asc(),  # 'allow' < 'disallow': allow wins ties
-    )
-    winners = (
-        matched.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "rule", F.col("prefix").alias("matched_prefix"))
+    best = F.max(
+        F.when(
+            F.col("prefix").isNotNull(),
+            F.struct(
+                F.length("prefix").alias("ln"),
+                (F.col("rule") == "allow").alias("is_allow"),
+                F.col("rule").alias("rule"),
+                F.col("prefix").alias("prefix"),
+            ),
+        )
     )
     return (
-        urls.join(winners, "doc_id", "left")
+        matched.groupBy("doc_id")
+        .agg(F.max("url").alias("url"), best.alias("best"))
         .select(
             "doc_id",
             "url",
-            F.coalesce(F.col("rule") == "allow", F.lit(True)).alias("allowed"),
-            F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+            F.coalesce(F.col("best.rule") == "allow", F.lit(True)).alias("allowed"),
+            F.coalesce(F.col("best.prefix"), F.lit("")).alias("matched_prefix"),
         )
         .orderBy("doc_id")
     )

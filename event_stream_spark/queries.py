@@ -653,43 +653,57 @@ def q29(spark, sf):
     after the previous one and within a 1-hour conversion window, per user;
     emits users reaching each step.
 
-    Scale shape: three conditional min-aggregations all keyed on user_id —
-    one hash shuffle establishes the partitioning and the chained
-    aggregations reuse it (no per-step re-shuffle of the events table; the
-    step conditions are map-side filters).  This is the standard funnel
-    without any self-join blowup.
+    Scale shape (r11 rewrite, guide §2.4): ONE events scan and ONE
+    user_id exchange — the sequential step dependency is two running
+    conditional mins over a RANGE frame ending at ``us - 1`` (the
+    ``funnel_latency`` construction: the earliest view strictly before a
+    click IS the user's global first view whenever one exists), then a
+    single per-user conditional-min aggregate on the same partitioning.
+    Pre-r11 this was three type-filtered scans + two shuffled joins + a
+    distinct + a three-way left-join chain over persisted stage relations;
+    the window form deletes all of it and keeps O(1) state per row.
+    Equivalence with the join form is oracle-checked.
     """
     e = t(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    # t1 and t2 each feed the next step AND the final left-join chain;
-    # unpersisted, Catalyst re-inlines the events scan + conditional-min
-    # aggregation per reference.  User-sized (two longs per row) —
-    # persisted per execution, recomputed from parquet each run.
-    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("t1")
-    ).persist()
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
-        .persist()
+    strictly_before = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + FUNNEL_WINDOW_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(strictly_before)
+    s1 = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        (
+            (F.col("event_type") == "click")
+            & (F.col("us") <= first_view + FUNNEL_WINDOW_US)
+        ).alias("click_ok"),
     )
-    users = e.select("user_id").distinct()
+    first_qclick = F.min(F.when(F.col("click_ok"), F.col("us"))).over(
+        strictly_before
+    )
+    s2 = s1.select(
+        "user_id",
+        "event_type",
+        "us",
+        "click_ok",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.col("us") <= first_qclick + FUNNEL_WINDOW_US)
+        ).alias("purchase_ok"),
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1"),
+        F.min(F.when(F.col("click_ok"), F.col("us"))).alias("t2"),
+        F.min(F.when(F.col("purchase_ok"), F.col("us"))).alias("t3"),
+    )
     return (
-        users.join(t1, "user_id", "left")
-        .join(t2.select("user_id", "t2"), "user_id", "left")
-        .join(t3.select("user_id", "t3"), "user_id", "left")
-        .select(
+        per_user.select(
             "user_id",
             (
                 F.when(F.col("t3").isNotNull(), 3)
@@ -710,35 +724,64 @@ def funnel_latency(spark, sf):
     view→purchase time-to-convert — the "where does the funnel stall"
     readout every product-analytics stack pairs with the step counts.
 
-    Scale shape: the same single user_id partitioning as q29 computes the
-    per-user step times (conditional mins, map-side filtered); the
-    percentile aggregate then reduces the per-USER relation (funnel-
-    completer cardinality, ≪ events) with q28's exact sort-based state.
+    Scale shape (r11 rewrite, guide §2.4): ONE events scan and ONE
+    user_id exchange replace the pre-r11 three type-filtered scans + two
+    shuffled joins.  The sequential dependency (t2 needs t1, t3 needs t2)
+    is expressed as running conditional mins over a RANGE frame ending at
+    ``us - 1``: for any row, the earliest view strictly before it IS the
+    user's global first view whenever one exists (mins only move left), so
+    "click after the first view, within the window" is decidable per row
+    — no join back.  Both window passes and the per-user aggregate share
+    the single user_id partitioning; state per row is O(1) (two running
+    mins), never a collected array.  Equivalence with the join form is
+    oracle-checked (same DuckDB twin).
     """
     e = t(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    strictly_before = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("t1")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(strictly_before)
+    s1 = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        (
+            (F.col("event_type") == "click")
+            & (F.col("us") <= first_view + FUNNEL_WINDOW_US)
+        ).alias("click_ok"),
     )
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1b"))
+    first_qclick = F.min(F.when(F.col("click_ok"), F.col("us"))).over(
+        strictly_before
     )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + FUNNEL_WINDOW_US))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2b"), F.min("t1b").alias("t1c"))
+    s2 = s1.select(
+        "user_id",
+        "event_type",
+        "us",
+        "click_ok",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.col("us") <= first_qclick + FUNNEL_WINDOW_US)
+        ).alias("purchase_ok"),
     )
-    lags = t3.select(
-        (F.col("t2b") - F.col("t1c")).alias("view_to_click_us"),
-        (F.col("t3") - F.col("t2b")).alias("click_to_purchase_us"),
-        (F.col("t3") - F.col("t1c")).alias("view_to_purchase_us"),
+    per_user = (
+        s2.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1"),
+            F.min(F.when(F.col("click_ok"), F.col("us"))).alias("t2"),
+            F.min(F.when(F.col("purchase_ok"), F.col("us"))).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+    )
+    lags = per_user.select(
+        (F.col("t2") - F.col("t1")).alias("view_to_click_us"),
+        (F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+        (F.col("t3") - F.col("t1")).alias("view_to_purchase_us"),
     )
     aggs = []
     for c in ("view_to_click_us", "click_to_purchase_us", "view_to_purchase_us"):

@@ -1445,3 +1445,76 @@ def test_dedup_incremental_window_keep_first(spark):
     assert p.count("LeftAnti") == 1
     assert p.count("Scan parquet") == 2
     assert "WindowGroupLimit" in p
+
+
+def test_funnel_latency_single_scan_no_joins(spark):
+    """r11 funnel rewrite: ONE events scan, ONE user_id exchange shared by
+    both running-min window passes and the per-user aggregate — the
+    pre-r11 three type-filtered scans + two shuffled joins are gone."""
+    from event_stream_spark.queries import funnel_latency
+
+    p = plan(funnel_latency(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("Window") == 2
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_q29_funnel_single_scan_no_joins(spark):
+    """r11 funnel rewrite (same construction as funnel_latency): one scan,
+    one user_id exchange, zero joins — replaces the persisted-stage
+    join-chain form."""
+    from event_stream_spark.queries import q29
+
+    p = plan(q29(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_robots_eval_single_scan_aggregated_winner(spark):
+    """r11 rewrite: winner per doc is a max(struct(...)) aggregate over ONE
+    broadcast-left-joined scan — no second corpus scan, no doc_id
+    SortMergeJoin back, no per-doc window sort."""
+    from event_stream_spark.datapipe.webops import robots_eval
+
+    p = plan(robots_eval(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "Window " not in p
+
+
+def test_heavy_hitters_single_python_pass(spark):
+    """r11: the Misra-Gries kernel emits candidates AND the per-partition
+    token tally in one pass, persisted for its two consumers — so the
+    token stream crosses the Python boundary once and the global total
+    costs no extra corpus scan (pre-r11: a third full scan+explode)."""
+    from event_stream_spark.datapipe.splits import heavy_hitters
+
+    p = plan(heavy_hitters(spark, SF_CORRECT))
+    # both consumers (candidate distinct, total sum) read the persisted
+    # MG summary, never re-run the kernel
+    assert p.count("InMemoryTableScan") == 2
+
+
+def test_embedding_exact_single_payload_scan(spark):
+    """r11: both tile sides derive from ONE embeddings scan joined against
+    the broadcast doubled block-membership list; the block list itself is
+    persisted (4 references).  No SortMergeJoin anywhere — the payload is
+    never shuffled on a key."""
+    from event_stream_spark.datapipe.dedup import dedup_embedding_exact
+
+    p = plan(dedup_embedding_exact(spark, SF_CORRECT))
+    assert p.count("InMemoryTableScan") == 4
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1  # the memb attach
+
+
+def test_multimodal_meta_synthesizes_media_once(spark):
+    """r11: the five decode branches read the persisted media relation —
+    payload synthesis runs once per execution, not once per branch."""
+    from event_stream_spark.datapipe.multimodal import multimodal_meta
+
+    p = plan(multimodal_meta(spark, SF_CORRECT))
+    assert p.count("InMemoryTableScan") == 5
