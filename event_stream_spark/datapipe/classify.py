@@ -40,9 +40,14 @@ W0, W_LEN, W_WLEN, W_STOP, W_UNIQ = -5.3, 0.5, 0.3, 8.0, 3.0
 KEEP_THRESHOLD = 0.5
 
 
-def quality_classify(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, q_score, keep): logistic quality score per document and the
-    threshold decision."""
+def quality_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, q_score) for every document WITH at least one token — the
+    inference core of :func:`quality_classify`, exposed so composition
+    pipelines (``datapipe_curate_v2``) can consume the keep-set directly:
+    ``keep`` is true iff the doc appears here with q_score ≥
+    KEEP_THRESHOLD (q_score is never NULL on this relation), so the
+    all-documents left-join below adds nothing to a keep-side consumer
+    except a second corpus scan."""
     w = word_rows(t(spark, sf, "documents"))
     feats = w.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
@@ -59,7 +64,13 @@ def quality_classify(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(W_UNIQ) * (F.col("n_uniq").cast("double") / n)
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    scored = feats.select("doc_id", score.alias("q_score"))
+    return feats.select("doc_id", score.alias("q_score"))
+
+
+def quality_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, q_score, keep): logistic quality score per document and the
+    threshold decision."""
+    scored = quality_scored(spark, sf)
     return (
         t(spark, sf, "documents")
         .select("doc_id")

@@ -24,7 +24,6 @@ from event_stream_spark.datapipe.dedup import (
     minhash_lsh_pairs,
 )
 from event_stream_spark.datapipe.textstats import text_quality
-from event_stream_spark.queries import t
 
 QUALITY_MIN = 0.5
 
@@ -88,20 +87,31 @@ def datapipe_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
     filters over narrow projections; the containment candidate machinery
     runs once over the full corpus and its pair list is drop-side tiny.
     """
-    from event_stream_spark.datapipe.classify import quality_classify
+    from event_stream_spark.datapipe.classify import (
+        KEEP_THRESHOLD,
+        quality_scored,
+    )
     from event_stream_spark.datapipe.dedup import containment_pairs
     from event_stream_spark.datapipe.textstats import length_trim
 
+    # length_trim emits EXACTLY one row per document (documents ⋈ its own
+    # per-lang cuts table — every doc's lang has a cuts row), so its
+    # keep-filtered doc_ids ARE the base relation: the separate documents
+    # scan + semi-join the old form paid added nothing.  Likewise the
+    # quality keep-set is exactly quality_scored ≥ threshold (q_score is
+    # never NULL there), skipping quality_classify's all-documents
+    # left-join back.  Three corpus scans → one per stage.
     lt = length_trim(spark, sf).filter(F.col("keep")).select("doc_id")
-    qc = quality_classify(spark, sf).filter(F.col("keep")).select("doc_id")
+    qc = (
+        quality_scored(spark, sf)
+        .filter(F.col("q_score") >= KEEP_THRESHOLD)
+        .select("doc_id")
+    )
     contained = (
         containment_pairs(spark, sf).select(F.col("a").alias("doc_id")).distinct()
     )
     return (
-        t(spark, sf, "documents")
-        .select("doc_id")
-        .join(lt, "doc_id", "left_semi")
-        .join(qc, "doc_id", "left_semi")
+        lt.join(qc, "doc_id", "left_semi")
         .join(contained, "doc_id", "left_anti")
         .orderBy("doc_id")
     )

@@ -97,6 +97,29 @@ def bm25_topk(
     return score_postings(spark, tf, queries=queries, k=k)
 
 
+def _query_terms_ascii(queries: list[tuple[int, str]]) -> list[str] | None:
+    """Driver-side replica of the Spark-side query tokenization, usable as
+    a parquet pushdown predicate on the posting scan.
+
+    Spark splits on Java regex ``\\s+`` — ASCII ``[ \\t\\n\\x0B\\f\\r]``
+    only (no Unicode classes unless flagged) — then lowercases.  For pure
+    ASCII query text, Python splitting on exactly that character set
+    reproduces the Spark term set, so the ``isin`` filter provably keeps
+    every posting row the broadcast term join could match.  Any non-ASCII
+    query text returns None (no filter; the broadcast join alone prunes)
+    rather than risk a split/casefold divergence dropping a posting."""
+    import re
+
+    terms: set[str] = set()
+    for _qid, qtext in queries:
+        if not qtext.isascii():
+            return None
+        terms.update(
+            w for w in re.split("[ \t\n\x0b\f\r]+", qtext.lower()) if w
+        )
+    return sorted(terms)
+
+
 def score_postings(
     spark: SparkSession,
     tf: DataFrame,
@@ -112,8 +135,10 @@ def score_postings(
     "documents with at least one token", identically in both paths (a
     token-less crawl doc is invisible to the index and to the scorer), and
     no caller duplicates the corpus-wide dl aggregate."""
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # dl feeds BOTH the 1-row global stats aggregate and the scoring join;
+    # persisted (doc-sized: two longs per doc) so the full posting scan +
+    # doc_id shuffle runs once per execution instead of twice
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
     # 1-row global stats; joined in as a broadcast literal-like relation
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -125,6 +150,20 @@ def score_postings(
             F.filter(F.split(F.lower("qtext"), r"\s+"), lambda x: x != "")
         )).alias("term"))
     )
+    # Postings pruned to the query terms FIRST: only matching posting rows
+    # ever leave the scan.  df for exactly those terms then derives from
+    # the pruned subset (count of posting rows per term == docs containing
+    # the term), deleting the full-vocabulary term shuffle and the
+    # whole-vocab broadcast the old `df` aggregate paid.  When every query
+    # text is ASCII, a driver-computed superset of the Spark-side term
+    # split doubles as a parquet pushdown predicate (Java's \\s is ASCII
+    # [ \\t\\n\\x0B\\f\\r], so the ASCII split reproduces it exactly); the
+    # broadcast join against the Spark-split terms stays the semantic
+    # gate either way.
+    qt_list = _query_terms_ascii(queries)
+    cand = tf.filter(F.col("term").isin(qt_list)) if qt_list is not None else tf
+    pruned = cand.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfq = pruned.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log(
         F.lit(1.0)
@@ -136,8 +175,8 @@ def score_postings(
         * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df), "term")
+        pruned.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(

@@ -351,11 +351,17 @@ def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     ends (repeated-character spam scores near 0; uniform random bytes
     score near ln(alphabet); natural language sits in a narrow band).
 
-    Scale shape: one (doc_id, char) partial-agg shuffle plus the doc_id
-    rollup — both map-side combinable; the per-doc character alphabet is
-    bounded (≤ a few hundred distinct), so second-stage state is tiny.
+    Scale shape: one (doc_id, char) partial-agg shuffle; the per-doc
+    totals (n, alphabet) are unordered whole-partition window aggregates
+    over that same exchange — doc_id hash-partitioning satisfies both the
+    window and the final rollup, so neither adds an exchange (the old
+    groupBy-totals + join-back form re-aggregated and joined the freq
+    relation).  The per-doc character alphabet is bounded (≤ a few
+    hundred distinct), so window and rollup state are tiny.
     Integer-scaled output (the ``surprisal_p6`` contract) absorbs
     cross-engine summation-order ulp drift."""
+    from pyspark.sql import Window
+
     d = t(spark, sf, "documents")
     ch = d.select(
         "doc_id",
@@ -367,13 +373,16 @@ def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ch"),
     )
     freq = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
-    n = freq.groupBy("doc_id").agg(
-        F.sum("c").alias("n"), F.count("*").alias("alphabet")
+    wd = Window.partitionBy("doc_id")
+    freq = freq.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wd).alias("n"),
+        F.count("*").over(wd).alias("alphabet"),
     )
     p = F.col("c") / F.col("n")
     return (
-        freq.join(n, "doc_id")
-        .groupBy("doc_id")
+        freq.groupBy("doc_id")
         .agg(
             F.max("n").alias("n_chars_counted"),
             F.max("alphabet").alias("alphabet"),

@@ -484,12 +484,17 @@ def domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     number of pages whose exact text hash repeats corpus-wide, and the
     resulting duplicate share.
 
-    Scale shape: two hash shuffles, both narrow — (1) dup flags from a
-    groupBy on md5(text) carrying only the 32-char hash, joined back to
-    (doc_id, h) pairs, never the text; (2) the domain rollup, whose key
+    Scale shape: two hash shuffles, both narrow — (1) dup flags from an
+    unordered whole-partition window count over ONE md5(text)-keyed
+    exchange of (domain, lang, n_chars, h) rows — never the text, never a
+    join back (the old groupBy-sizes + join-back form scanned documents
+    twice, and its hash-keyed build side has corpus-scale cardinality, so
+    it could never broadcast at size); (2) the domain rollup, whose key
     cardinality is the domain count (tiny by web-corpus construction), so
     the final aggregate is map-side-combined into almost nothing.
     """
+    from pyspark.sql import Window
+
     d = t(spark, sf, "documents")
     host = F.lower(F.concat(F.col("source"), F.lit(".example.com")))
     docs = d.select(
@@ -499,10 +504,11 @@ def domain_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.md5("text").alias("h"),
     )
-    sizes = docs.groupBy("h").agg(F.count("*").alias("cnt"))
-    flagged = docs.join(sizes, "h").select(
+    flagged = docs.select(
         "domain", "lang", "n_chars",
-        (F.col("cnt") > 1).cast("long").alias("is_dup"),
+        (F.count("*").over(Window.partitionBy("h")) > 1)
+        .cast("long")
+        .alias("is_dup"),
     )
     return (
         flagged.groupBy("domain")

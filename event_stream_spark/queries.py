@@ -794,21 +794,22 @@ def q30(spark, sf):
     """Weekly cohort retention: users grouped by the week of their first
     event; per (cohort week, week offset) the distinct users active.
 
-    Scale shape: first-event timestamps are one shuffle on user_id; the
-    join back to events broadcasts nothing but stays on the same key, and
-    the final count-distinct shuffles on the (cohort, offset) pair — the
-    canonical two-shuffle cohort plan.  date_trunc('week') starts Monday in
-    both engines, so offsets are exact multiples of 7 days.
+    Scale shape: the first-event timestamp is an unordered whole-partition
+    window min over the SAME user_id exchange the rows already need — one
+    events scan, no join (the old groupBy-min + join-back form scanned
+    events twice and joined corpus-sized sides); the final count-distinct
+    shuffles on the (cohort, offset) pair.  date_trunc('week') starts
+    Monday in both engines, so offsets are exact multiples of 7 days.
     """
     e = t(spark, sf, "events").select("user_id", "ts")
-    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
-    j = e.join(first, "user_id").select(
+    t0 = F.min("ts").over(Window.partitionBy("user_id"))
+    j = e.select(
         "user_id",
-        F.date_trunc("week", "t0").cast("date").alias("cohort_week"),
+        F.date_trunc("week", t0).cast("date").alias("cohort_week"),
         (
             F.datediff(
                 F.date_trunc("week", "ts").cast("date"),
-                F.date_trunc("week", "t0").cast("date"),
+                F.date_trunc("week", t0).cast("date"),
             )
             / 7
         )
@@ -1342,6 +1343,13 @@ def q36(spark, sf):
     # valve with the input instead of disabling it: still finite, still
     # a backstop against a broken gap rule.
     #
+    # The scale signal is the optimizer's sizeInBytes estimate (parquet
+    # file bytes — pure driver-side metadata, no job), not a count():
+    # the count was a FULL orders scan per execution just to size the
+    # valve.  A compressed orders row is >20 bytes, so bytes ≥ rows*20 —
+    # the same headroom the count-based form gave — while staying finite
+    # and input-proportional.
+    #
     # The override lives in a CLONED session (shared SparkContext,
     # isolated SQLConf): the DataFrame is lazy, so the valve must hold at
     # materialization time — a try/finally around sql() would restore it
@@ -1350,10 +1358,16 @@ def q36(spark, sf):
     # recursive query in the same process (the bench runs the whole
     # registry in one session).  The returned DataFrame pins its clone
     # alive; nothing else ever sees the raised limit.
-    rows = t(spark, sf, "orders").count()
+    orders_bytes = int(
+        t(spark, sf, "orders")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
     scoped = spark.newSession()
     scoped.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, rows * 20))
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, orders_bytes))
     )
     t(scoped, sf, "orders").createOrReplaceTempView("q36_orders")
     return scoped.sql(_Q36_BODY.format(orders="q36_orders"))

@@ -10,9 +10,24 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan text must not depend on which OTHER tests ran first: operators
+    ``.persist()`` shared relations and never unpersist (the bench's
+    release step drops them; a pytest session doesn't), and CacheManager
+    substitution re-prints a cached subplan under EVERY reference — a
+    foreign leftover can double a gate's operator counts (observed: the
+    OPH ``partial_min`` gate reading 64 under full-suite ordering vs 32
+    isolated).  Every plan gate therefore starts from an empty cache;
+    persists created by the operator under test itself are unaffected."""
+    spark.catalog.clearCache()
+    yield
 
 
 def plan(df) -> str:
@@ -1518,3 +1533,67 @@ def test_multimodal_meta_synthesizes_media_once(spark):
 
     p = plan(multimodal_meta(spark, SF_CORRECT))
     assert p.count("InMemoryTableScan") == 5
+
+
+def test_q30_cohort_single_scan_window_min(spark):
+    """r11: the per-user first-event timestamp is a whole-partition window
+    min over the one user_id exchange — ONE events scan, no join (the old
+    groupBy-min + join-back form scanned events twice)."""
+    from event_stream_spark.queries import QUERIES
+
+    p = plan(QUERIES["q30"](spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_char_entropy_single_scan_window_totals(spark):
+    """r11: per-doc totals (n, alphabet) are whole-partition window
+    aggregates over the freq relation — ONE documents scan / char explode,
+    no join-back (the old totals groupBy + join re-exploded the corpus)."""
+    from event_stream_spark.datapipe import char_entropy
+
+    p = plan(char_entropy(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_domain_stats_single_scan_window_dupflag(spark):
+    """r11: the exact-dup flag is a whole-partition window count over one
+    md5(text)-keyed exchange — ONE documents scan, no join whose build
+    side has corpus-scale key cardinality (the old sizes groupBy +
+    join-back could never broadcast at size)."""
+    from event_stream_spark.datapipe import domain_stats
+
+    p = plan(domain_stats(spark, SF_CORRECT))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_bm25_postings_pruned_at_scan_df_from_pruned(spark):
+    """r11: both posting reads are pruned to the query terms AT THE SCAN
+    (PushedFilters In(term, ...)), df derives from the pruned subset (no
+    full-vocabulary term shuffle feeding a whole-vocab broadcast), and dl
+    is computed once (persisted) for its two consumers."""
+    from event_stream_spark.datapipe.retrieval import bm25_topk
+
+    p = plan(bm25_topk(spark, SF_CORRECT))
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    # 2 executed posting scans, both term-pruned; the other FileScan lines
+    # are the persisted dl's subplan re-printed under its InMemoryRelation
+    # references (full postings by design: dl/avgdl need every term)
+    pruned = [l for l in scans if "In(term, " in l]
+    assert len(pruned) == 2
+    assert p.count("InMemoryTableScan") == 2  # dl: stats + scoring join
+
+
+def test_curate_v2_no_redundant_base_scan(spark):
+    """r11: length_trim's keep-set IS the base relation (one row per doc)
+    and the quality keep-set reads quality_scored directly — the separate
+    all-documents base scan and quality_classify's all-documents left
+    join are gone: 5 documents-table scans -> 3 (cuts agg + flag join +
+    word explode)."""
+    from event_stream_spark.datapipe.pipeline import datapipe_curate_v2
+
+    p = plan(datapipe_curate_v2(spark, SF_CORRECT))
+    assert p.count("documents.parquet") == 3
