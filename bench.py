@@ -89,9 +89,17 @@ def isolated_sweep(chunk_size: int = 16) -> dict:
     chunks = [names[i : i + chunk_size] for i in range(0, len(names), chunk_size)]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    chunk_calib: dict[int, float] = {}
+    chunk_of: dict[str, int] = {}
     sf = None
-    for chunk in chunks:
-        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(chunk))
+
+    def _run_chunk(chunk: list[str], idx: int) -> None:
+        nonlocal sf
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ONLY=",".join(chunk),
+            SPARK_GRAFT_CHUNK_CALIB="1",
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, env=env,
@@ -105,10 +113,37 @@ def isolated_sweep(chunk_size: int = 16) -> dict:
         if rec is None:
             for name in chunk:
                 errors[name] = f"chunk subprocess failed: {proc.stderr[-300:]}"
-            continue
-        timings.update(rec.get("queries", {}))
+            return
+        for name, v in rec.get("queries", {}).items():
+            # min-merge so a retime pass can only improve an entry
+            if name not in timings or v < timings[name]:
+                timings[name] = v
+            chunk_of[name] = idx
         errors.update(rec.get("errors", {}))
         sf = rec.get("sf", sf)
+        if rec.get("calib_par_s") is not None:
+            chunk_calib[idx] = rec["calib_par_s"]
+
+    for i, chunk in enumerate(chunks):
+        _run_chunk(chunk, i)
+
+    # outlier self-retime (one extra chunk, min-merged): a minute-scale
+    # host transient inflates random entries 3-10x and the per-sweep
+    # calibration probe cannot see it (r11 evidence: same-code isolated
+    # sweeps spanned 10.4-15.6 s).  Per-CHUNK probes localize the
+    # transient; any entry whose chunk probe read >1.5x the sweep's best
+    # chunk probe gets ONE retime, and both the trigger and the retimed
+    # names are recorded in the artifact — single clean-run numbers
+    # instead of the "run it three times" ritual.
+    retimed: list[str] = []
+    if chunk_calib and len(chunks) > 1:
+        best = min(chunk_calib.values())
+        hot = {i for i, c in chunk_calib.items() if c > 1.5 * best}
+        suspects = sorted(n for n, i in chunk_of.items() if i in hot)
+        if suspects and len(suspects) <= 2 * chunk_size:
+            for j in range(0, len(suspects), chunk_size):
+                _run_chunk(suspects[j : j + chunk_size], len(chunks) + j)
+            retimed = suspects
     out = {
         "value": round(sum(timings.values()), 4),
         "queries": timings,
@@ -116,6 +151,12 @@ def isolated_sweep(chunk_size: int = 16) -> dict:
         "isolation": f"fresh JVM per {chunk_size}-query chunk, "
                      "warm-up discarded",
     }
+    if chunk_calib:
+        out["chunk_calib_par_s"] = {
+            str(i): round(c, 4) for i, c in sorted(chunk_calib.items())
+        }
+    if retimed:
+        out["retimed"] = retimed
     if errors:
         out["errors"] = errors
     return out
@@ -268,8 +309,14 @@ def main() -> None:
 
     # multi-core contention probe: AFTER warm-up (JIT-hot), BEFORE the
     # timed passes — the machine state it measures is the one the sweep
-    # runs under
-    calib_par = _calibrate_parallel(spark, cpus) if not only else None
+    # runs under.  Isolated-lane child chunks run it too (the parent sets
+    # SPARK_GRAFT_CHUNK_CALIB): per-chunk probes localize minute-scale
+    # transients that a single per-sweep probe provably misses (r11).
+    calib_par = (
+        _calibrate_parallel(spark, cpus)
+        if (not only or os.environ.get("SPARK_GRAFT_CHUNK_CALIB"))
+        else None
+    )
 
     # two timed executions per query, report the min — local[32] timings for
     # sub-second multi-stage jobs jitter ±2× (GC, task scheduling); min-of-N
@@ -334,6 +381,7 @@ def main() -> None:
         "value": headline,
         "lane": lane,
         "unit": "sec",
+        "cpus": cpus,
         "queries": (
             iso["queries"] if iso
             else {k: round(v, 4) for k, v in timings.items()}
@@ -363,6 +411,9 @@ def main() -> None:
             for k, v in iso["queries"].items()
             if k in timings and v > 0 and timings[k] / v >= OUTLIER_RATIO
         }
+        for key in ("chunk_calib_par_s", "retimed"):
+            if key in iso:
+                out[key] = iso[key]
         if iso.get("errors"):
             out.setdefault("errors", {}).update(iso["errors"])
     if errors:
@@ -378,10 +429,59 @@ def main() -> None:
     # NON-DEFAULT sf dir (e.g. the synthetic-sf1 sweep, which records to
     # BENCH_SF1.json by hand) must not clobber the sf0.1 record
     default_dir = os.path.realpath("/root/testdata/sf0.1")
+    bench_cmp = None
     if not only and os.path.realpath(sf_dir) == default_dir:
+        here = os.path.dirname(os.path.abspath(__file__))
+        # the canonical per-query record is BENCH_LOCAL.json (committed
+        # every round; README documents it) — scaling runs at a non-default
+        # core count get their own file so they cannot clobber it (the r11
+        # driver's 8-core run overwrote the 32-core record)
+        fname = (
+            "BENCH_LOCAL.json"
+            if cpus == (os.cpu_count() or cpus)
+            else f"BENCH_LOCAL_c{cpus}.json"
+        )
+        path = os.path.join(here, fname)
+        # round-over-round per-query comparison vs the record this run is
+        # about to replace — printed as its own compact line so it survives
+        # a 2,000-char tail capture that truncates the full record
         try:
-            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_LOCAL.json")
+            with open(path) as f:
+                prev = json.load(f)
+            if (
+                prev.get("lane") == lane
+                and prev.get("cpus") == cpus  # absent ⇒ unknown ⇒ no cmp
+                and prev.get("sf") == sf
+            ):
+                pq, nq = prev.get("queries", {}), out["queries"]
+                common = {
+                    k: pq[k] / nq[k]
+                    for k in pq.keys() & nq.keys()
+                    if pq[k] > 0 and nq[k] > 0
+                }
+                if common:
+                    import math
+
+                    ratios = sorted(common.items(), key=lambda kv: kv[1])
+                    bench_cmp = {
+                        "metric": "bench_vs_local_record",
+                        "n_common": len(common),
+                        "geomean_speedup": round(
+                            math.exp(
+                                sum(math.log(r) for r in common.values())
+                                / len(common)
+                            ),
+                            4,
+                        ),
+                        "n_regressed_gt10pct": sum(
+                            1 for r in common.values() if r < 1 / 1.1
+                        ),
+                        "worst5": {k: round(v, 3) for k, v in ratios[:5]},
+                        "best5": {k: round(v, 3) for k, v in ratios[-5:]},
+                    }
+        except (OSError, ValueError):
+            pass
+        try:
             with open(path, "w") as f:
                 json.dump(out, f, indent=1)
         except OSError:
@@ -418,6 +518,10 @@ def main() -> None:
                     )
             except OSError:
                 pass
+    if bench_cmp is not None:
+        # between the full record and the summary: the last-2000-char tail
+        # then carries comparison + summary together
+        print(json.dumps(bench_cmp))
     head_q = out["queries"]
     slowest = dict(sorted(head_q.items(), key=lambda kv: -kv[1])[:5])
     summary = {
@@ -425,6 +529,7 @@ def main() -> None:
         "value": headline,
         "lane": lane,
         "unit": "sec",
+        "cpus": cpus,
         "sf": sf,
         "n_queries": len(head_q),
         "n_errors": len(out.get("errors", {})),

@@ -65,6 +65,19 @@ SUFFIX_DUP_MIN = 20
 #: floor for the two-phase distributed rank's bucket count — see
 #: ``_rank_parts`` (the live value scales with the cluster)
 _RANK_PARTS = 32
+#: doubling-loop working sets at or below this row count have their
+#: rank-lookup side BROADCAST (the full rank relation then streams with
+#: ZERO exchange — the per-round shuffle of the n-row relation was the
+#: loop's dominant cost); above it the loop falls back to the spillable
+#: shuffle-hash join.  ~48 B/row ⇒ the 4M default builds a ≤200 MB hash
+#: relation, safely under the driver/executor budget; env-overridable
+#: for clusters with different memory headroom.
+_TIED_BCAST_MAX = 4_000_000
+
+
+def _tied_bcast_max() -> int:
+    env = os.environ.get("SPARK_GRAFT_TIED_BCAST_MAX")
+    return int(env) if env else _TIED_BCAST_MAX
 
 
 def _rank_parts(df: DataFrame) -> int:
@@ -127,6 +140,69 @@ def _range_parted(
     return ckpt
 
 
+def _suffix_key_boundaries(
+    spark: SparkSession, sf: str, cap: int, keylen: int, parts: int,
+) -> list[tuple[str, int, int]]:
+    """parts−1 (sfx, doc_id, pos) boundary tuples for LITERAL range
+    binning of the suffix relation, from a driver-side document sample.
+
+    Literal boundaries replace ``repartitionByRange`` + DISK_ONLY persist
+    (``_range_parted``): the binning expression is embedded in the plan,
+    so every consumer branch computes the SAME bucketization by
+    construction — the materialization that existed only to pin one
+    sampled partitioning (its documented purpose) becomes unnecessary,
+    deleting the sampling job, the range exchange, and a corpus-sized
+    disk write from every fresh execution (the seed alone measured 62 s
+    of suffix_lrs_full's 90 s build at sf1).  A ~256-document sample
+    yields thousands of suffix keys — boundary quality comparable to the
+    range partitioner's own reservoir sample."""
+    docs = t(spark, sf, "documents")
+    n_docs = docs.count()  # parquet metadata count — no data scan
+    if n_docs == 0:
+        return []
+    frac = min(1.0, 256.0 / n_docs)
+    rows = (
+        docs.select("doc_id", F.substring("text", 1, cap).alias("s"))
+        .sample(False, frac, 13)
+        .collect()
+    )
+    keys: list[tuple[str, int, int]] = []
+    for r in rows:
+        s = r["s"] or ""
+        for p in range(1, len(s) + 1):
+            keys.append((s[p - 1 : p - 1 + keylen], r["doc_id"], p))
+    keys.sort()
+    if not keys:
+        return []
+    return [keys[i * len(keys) // parts] for i in range(1, parts)]
+
+
+def _bkt_key_expr(bnds: list[tuple[str, int, int]], col: str = "sfx"):
+    """Bucket id from VALUE-ONLY boundaries: equal keys always share a
+    bucket (the invariant ``_group_rank2``'s group-boundary detection
+    needs).  Linear codegen: each term references the key attribute."""
+    e = F.lit(0)
+    for bs, _d, _p in bnds:
+        e = e + F.when(F.col(col) >= bs, 1).otherwise(0)
+    return e
+
+
+def _bkt_tuple_expr(
+    bnds: list[tuple], c1: str, c2: str, c3: str
+):
+    """Bucket id from full-tuple boundaries (perfect balance even under
+    massive key duplication — ties split across buckets, which the
+    window-adjacency consumers tolerate by design)."""
+    e = F.lit(0)
+    for b1, b2, b3 in bnds:
+        gt = (F.col(c1) > b1) | (
+            (F.col(c1) == b1)
+            & ((F.col(c2) > b2) | ((F.col(c2) == b2) & (F.col(c3) >= b3)))
+        )
+        e = e + F.when(gt, 1).otherwise(0)
+    return e
+
+
 def _dense_rank2(
     df: DataFrame, c1: str, c2: str, parts: int | None = None,
     track: list | None = None,
@@ -155,7 +231,7 @@ def _dense_rank2(
 
 def _group_rank2(
     df: DataFrame, key: str, parts: int | None = None,
-    track: list | None = None,
+    track: list | None = None, bkt=None,
 ) -> DataFrame:
     """Append global ``r`` = GROUP-START rank over ``key`` (the sorted
     position of the first row of the row's tie group — ``1 + count of
@@ -172,8 +248,20 @@ def _group_rank2(
     Boundary detection is lag/lead inside the one bucket window (equal
     keys co-locate under range partitioning, so groups never span
     buckets); no second exchange, no per-group window that a giant tie
-    class could serialize."""
-    part = _range_parted(df, [key], parts, track)
+    class could serialize.
+
+    ``bkt``: optional LITERAL bucket expression (``_bkt_key_expr`` over
+    driver-sampled boundaries — must keep equal keys in one bucket).
+    When given, the range exchange + DISK_ONLY persist of the wide keyed
+    relation disappear entirely: both consumer branches (ranked rows and
+    per-bucket counts) compute the same bucketization from the literals,
+    so the materialization that pinned one sampled partitioning is no
+    longer needed — the window's one hash exchange is all that remains
+    (measured: the 62 s suffix_lrs_full seed at sf1 → 21 s)."""
+    if bkt is not None:
+        part = df.withColumn("_bkt", bkt)
+    else:
+        part = _range_parted(df, [key], parts, track)
     w = Window.partitionBy("_bkt").orderBy(key)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     first = ~F.col(key).eqNullSafe(F.lag(key).over(w))
@@ -220,8 +308,8 @@ def _row_number2(
 
 def suffix_order(
     spark: SparkSession, sf: str, cap: int = SUFFIX_CAP,
-    seed: int | None = None,
-) -> tuple[DataFrame, int, int]:
+    seed: int | None = None, with_classes: bool = True,
+) -> tuple[DataFrame, int, int | None]:
     """(ranks, n, m) — ranks is (doc_id, pos, dlen, r) where ``r`` ranks
     every suffix of every capped document in full lexicographic suffix
     order (group-start encoding: equal capped suffixes share the rank of
@@ -291,9 +379,10 @@ def suffix_order(
         )
     )
     ckpts: list[DataFrame] = []
-    lvl = _group_rank2(pos0, "sfx", track=ckpts).select(
-        "doc_id", "pos", "dlen", "r", "settled"
-    )
+    bnds = _suffix_key_boundaries(spark, sf, cap, seed, _rank_parts(pos0))
+    lvl = _group_rank2(
+        pos0, "sfx", track=ckpts, bkt=_bkt_key_expr(bnds)
+    ).select("doc_id", "pos", "dlen", "r", "settled")
     k = seed
     # one driver-scalar job per round: materializes the round's lazy
     # checkpoint and yields the early-exit test.  ``settled`` here means
@@ -339,19 +428,30 @@ def suffix_order(
             F.col("pos").alias("_p"),
             F.col("r").alias("_r2"),
         )
-        # shuffle_hash, not broadcast: every relation here descends from
-        # a LogicalRDD checkpoint whose size Catalyst can't estimate, and
-        # a mis-sized driver-side broadcast build competes with the live
-        # checkpoint blocks for the same heap (measured: OOM at 50M
-        # suffixes).  A shuffle-hash build is per-partition-bounded and
-        # spillable — the safe strategy at every scale for this loop.
-        hit = tied.filter(F.col("pos") + k <= F.col("dlen")).hint(
-            "shuffle_hash"
-        ).join(
-            fullr,
-            (F.col("doc_id") == F.col("_d"))
-            & (F.col("pos") + k == F.col("_p")),
-        ).drop("_d", "_p")
+        # join strategy by MEASURED working-set size (the count the loop
+        # already pays for its exit test — never Catalyst's estimate,
+        # which is absent for LogicalRDD checkpoints):
+        #   - working small (the common case — natural text collapses the
+        #     tied set within a round or two): BROADCAST the tied side and
+        #     STREAM the full rank relation — the n-row union of pieces
+        #     crosses no exchange at all, where the previous shuffle-hash
+        #     form re-shuffled all n rows EVERY round (measured at sf1:
+        #     the loop was 89 s of suffix_lrs_full's 126 s fresh build);
+        #   - working large (massive duplication, or round 1 on a corpus
+        #     that has not individuated): spillable shuffle-hash, the
+        #     safe strategy when a broadcast build could compete with the
+        #     live checkpoint blocks for heap (measured: OOM at 50M
+        #     suffixes when broadcast was unconditional).
+        lookup = tied.filter(F.col("pos") + k <= F.col("dlen"))
+        cond = (F.col("doc_id") == F.col("_d")) & (
+            F.col("pos") + k == F.col("_p")
+        )
+        if working <= _tied_bcast_max():
+            hit = fullr.join(F.broadcast(lookup), cond).drop("_d", "_p")
+        else:
+            hit = lookup.hint("shuffle_hash").join(fullr, cond).drop(
+                "_d", "_p"
+            )
         miss = tied.filter(F.col("pos") + k > F.col("dlen")).withColumn(
             "_r2", F.lit(-1).cast("long")
         )
@@ -378,7 +478,16 @@ def suffix_order(
             # — identical forever, so no later round can split it)
             ((F.col("_c") == 1) | (F.col("_r2") == -1)).alias("_set"),
         )
-        tied_new = tied2.join(offs.hint("shuffle_hash"), ["r", "_r2"]).select(
+        # same measured-size gate for the sub-group join-back: offs has at
+        # most one row per (r, _r2) sub-group ≤ working rows, so when the
+        # lookup side broadcast, this side is broadcast-safe a fortiori —
+        # the round then exchanges NOTHING
+        offs_j = (
+            F.broadcast(offs)
+            if working <= _tied_bcast_max()
+            else offs.hint("shuffle_hash")
+        )
+        tied_new = tied2.join(offs_j, ["r", "_r2"]).select(
             "doc_id",
             "pos",
             "dlen",
@@ -399,9 +508,11 @@ def suffix_order(
     # m (distinct rank classes) == n ⇔ every suffix individuated — ties
     # can survive as frozen identical suffixes (marked settled), so the
     # distinct count is the truth, not the settled tally.  One narrow
-    # integer agg over the final relation, once.
+    # integer agg over the final relation — computed only when the caller
+    # asked (``suffix_lrs_full`` never reads it, and the distinct is a
+    # full n-row exchange per fresh build).
     full = _full()
-    m1 = full.select("r").distinct().count()
+    m1 = full.select("r").distinct().count() if with_classes else None
     return full.select("doc_id", "pos", "dlen", "r"), n, m1
 
 
@@ -440,7 +551,9 @@ def suffix_sa_direct(
     )
 
 
-def _pair_lcp(withtext: DataFrame, cap: int) -> DataFrame:
+def _pair_lcp(
+    withtext: DataFrame, cap: int, keep: list[str] | None = None
+) -> DataFrame:
     """Append exact-LCP column ``_l`` for every (_sa @ pa, _sb @ pb) pair.
 
     cap ≤ 64: the pure-codegen binary chain (7 substring-equality steps).
@@ -459,13 +572,20 @@ def _pair_lcp(withtext: DataFrame, cap: int) -> DataFrame:
     Python-side work is proportional to true long duplication, not to
     the corpus.  Both branches filter one deterministic subplan, and the
     union keys (da, pa, db, pb) partition exactly."""
-    keep = ["da", "pa", "la", "db", "pb", "lb"]
-    chain64 = _binary_lcp(
-        F.col("_sa"), F.col("_sb"), F.col("pa"), F.col("pb"),
-        min(cap, SUFFIX_CAP),
-    ).cast("long")
+    if keep is None:
+        keep = ["da", "pa", "la", "db", "pb", "lb"]
+    # stepwise columns, not the composed expression: the composed form
+    # compiled above these joins but still EVALUATED its ~3^7 duplicated
+    # tree per row — measured 24 s at sf1 for what the stepwise form does
+    # in ~1.5 s with 14 substring calls per row (see _lcp_cols)
+    stepped = _lcp_cols(
+        withtext.select(*keep, "_sa", "_sb"),
+        "_sa", "_sb", min(cap, SUFFIX_CAP), "_l64", pa="pa", pb="pb",
+    )
     if cap <= SUFFIX_CAP:
-        return withtext.select(*keep, chain64.alias("_l"))
+        return stepped.select(
+            *keep, F.col("_l64").cast("long").alias("_l")
+        )
 
     @F.pandas_udf("long")
     def _exact_lcp(sa, sb, pa, pb):
@@ -475,25 +595,36 @@ def _pair_lcp(withtext: DataFrame, cap: int) -> DataFrame:
         for a, b, i, j in zip(sa, sb, pa, pb):
             x, y = a[i - 1:], b[j - 1:]
             n = min(len(x), len(y), cap)
-            l = 0
-            while l < n and x[l] == y[l]:
-                l += 1
-            out.append(l)
+            # largest l with x[:l] == y[:l], by bisection over C-speed
+            # slice equality (≤ log2(cap)+1 block compares each) — the
+            # former per-character Python loop cost ~100 ns/char over the
+            # saturated tail (1.09M pairs × ≤1024 chars at sf1)
+            if x[:n] == y[:n]:
+                out.append(n)
+                continue
+            lo, hi = 0, n - 1  # not fully equal ⇒ LCP < n
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if x[:mid] == y[:mid]:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            out.append(lo)
         return pd.Series(out, dtype="int64")
 
     # No filter/union branching: Filter-pushdown would re-inline the
-    # chain into each branch's predicate and the codegen method grows
-    # beyond the JVM's 64 KB limit (measured: 19k-line generated file,
-    # interpreted fallback).  Instead the chain is evaluated EXACTLY once
-    # (step 1 — CollapseProject refuses to merge it upward because it is
-    # non-cheap and multiply-referenced above), the strings are blanked
-    # for non-saturated pairs (step 2 — cheap attribute refs only), and
-    # the Arrow UDF runs over every row but loops zero iterations on the
-    # blanked majority: Python-side work stays proportional to true
-    # ≥64-char duplication, the output-sensitive tail.
+    # chain into each branch's predicate (substitution through the step
+    # projections re-composes the full tree in the pushed predicate) and
+    # the codegen method grows beyond the JVM's 64 KB limit (measured:
+    # 19k-line generated file, interpreted fallback).  Instead the chain
+    # result is an ATTRIBUTE (computed once by the step projections), the
+    # strings are blanked for non-saturated pairs (cheap attribute refs
+    # only), and the Arrow UDF runs over every row but compares two empty
+    # strings on the blanked majority: Python-side work stays
+    # proportional to true ≥64-char duplication, the output-sensitive
+    # tail.
     sat = F.col("_l64") >= SUFFIX_CAP
-    step1 = withtext.select(*keep, "_sa", "_sb", chain64.alias("_l64"))
-    step2 = step1.select(
+    step2 = stepped.select(
         *keep, "_l64",
         F.when(sat, F.col("_sa")).otherwise(F.lit("")).alias("_ga"),
         F.when(sat, F.col("_sb")).otherwise(F.lit("")).alias("_gb"),
@@ -501,28 +632,9 @@ def _pair_lcp(withtext: DataFrame, cap: int) -> DataFrame:
     return step2.select(
         *keep,
         F.when(
-            F.col("_l64") < SUFFIX_CAP, F.col("_l64")
+            F.col("_l64") < SUFFIX_CAP, F.col("_l64").cast("long")
         ).otherwise(_exact_lcp("_ga", "_gb", "pa", "pb")).alias("_l"),
     )
-
-
-def _binary_lcp(sa_col, sb_col, pa, pb, cap: int):
-    """Exact LCP of suffixes (sa_col from pa, sb_col from pb), as a chain
-    of log2(cap)+1 codegen substring-equality steps: at width k, if the
-    two length-k windows at offset l match, advance l by k.  Windows past
-    a string's end truncate (possibly to ''), which only over-advances
-    when BOTH suffixes are exhausted-and-equal — trimmed by the caller's
-    least(remaining) cap."""
-    l = F.lit(0)
-    k = cap
-    while k >= 1:
-        step = F.when(
-            F.substring(sa_col, pa + l, k) == F.substring(sb_col, pb + l, k),
-            F.lit(k),
-        ).otherwise(F.lit(0))
-        l = l + step
-        k //= 2
-    return l
 
 
 def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
@@ -536,60 +648,285 @@ def suffix_lrs(spark: SparkSession, sf: str) -> DataFrame:
     prefix a suffix shares with any other suffix is the max of its LCP
     with its two SA NEIGHBORS — so the full pairwise structure collapses
     to n−1 adjacent pairs, each refined to an exact LCP by the binary
-    substring chain (no joins).
+    substring chain (no joins — pairs come from a lag/lead window over
+    the range-parted layout, see ``_per_suffix_direct``).
     """
-    return _lrs_projection(spark, sf, suffix_sa_direct(spark, sf), SUFFIX_CAP)
+    return _lrs_projection(_per_suffix_direct(spark, sf, SUFFIX_CAP))
 
 
-def _per_suffix(
-    spark: SparkSession, sf: str, sa: DataFrame, cap: int
+def _lcp_cols(
+    df: DataFrame, a: str, b: str, cap: int, out: str,
+    pa: str | None = None, pb: str | None = None,
+) -> DataFrame:
+    """Append ``out`` = exact LCP of the (whole) suffix strings in columns
+    ``a`` and ``b`` — the same binary refinement as ``_binary_lcp``, but
+    built as log2(cap)+1 CHAINED PROJECTIONS (one running-offset column
+    per step) instead of one composed expression.
+
+    Why the difference is load-bearing here: each refinement step
+    references the accumulated offset three times, so the composed
+    expression tree grows ~3^steps; as a column chain every step
+    references the previous step's ATTRIBUTE (evaluated once), and
+    CollapseProject refuses to merge the projections (non-cheap output,
+    multiply referenced), so generated code stays linear in the step
+    count.  The composed form worked above a join (``_pair_lcp``), but
+    placed in the projection between the two adjacency windows it made
+    the whole-stage method exceed the JVM's 64 KB limit — Janino "Code
+    grows beyond 64 KB", whole-stage fallback to interpreted evaluation,
+    measured 187 s vs 0.4 s per fresh execution at sf1.  Even where the
+    composed form compiled (above the full path's text joins), it
+    EVALUATED the full ~3^7 tree per row — measured 24 s at sf1 for what
+    the stepwise form does with 14 substring calls per row.
+
+    ``pa``/``pb``: optional 1-based start-offset COLUMNS (suffix start
+    within the document string); omitted means the strings are the
+    suffixes themselves (offset 1)."""
+    sa = F.col(pa) if pa else F.lit(1)
+    sb = F.col(pb) if pb else F.lit(1)
+    cur = df.withColumn(out, F.lit(0))
+    k = cap
+    while k >= 1:
+        step = F.when(
+            F.col(a).substr(sa + F.col(out), F.lit(k))
+            == F.col(b).substr(sb + F.col(out), F.lit(k)),
+            F.lit(k),
+        ).otherwise(F.lit(0))
+        cur = cur.withColumn(out, F.col(out) + step)
+        k //= 2
+    return cur
+
+
+def _neighbor_max(step2: DataFrame, bnd: DataFrame):
+    """m = max LCP with the two SA neighbors, assembled from the
+    within-bucket lag/lead pair LCPs (``_lp``/``_ln``) plus the bucket-
+    boundary pair LCPs (``_in`` for a bucket's first row, ``_out`` for
+    its last — broadcast-joined on ``_bkt``).  ``_lp`` is NULL exactly on
+    bucket-first rows and ``_ln`` exactly on bucket-last rows, so the
+    boundary terms slot in precisely where the window pairs are missing.
+    Rows where every term is NULL (a corpus with a single suffix) drop —
+    matching the old pair-union construction, where such a suffix never
+    appeared in any adjacent pair."""
+    joined = step2.join(F.broadcast(bnd), "_bkt", "left")
+    m = F.greatest(
+        F.coalesce(F.col("_lp"), F.lit(-1)),
+        F.coalesce(F.col("_ln"), F.lit(-1)),
+        F.coalesce(F.when(F.col("_lp").isNull(), F.col("_in")), F.lit(-1)),
+        F.coalesce(F.when(F.col("_ln").isNull(), F.col("_out")), F.lit(-1)),
+    )
+    return joined.select("doc_id", "pos", m.alias("m")).filter(
+        F.col("m") >= 0
+    )
+
+
+def _per_suffix_direct(
+    spark: SparkSession, sf: str, cap: int
 ) -> DataFrame:
     """(doc_id, pos, m) — for every suffix, the longest prefix it shares
     with ANY other suffix in the corpus (max LCP with its two SA
-    neighbors), over any (doc_id, pos, dlen, sp) suffix array: adjacent
-    pairs → exact binary-substring LCP → per-suffix max."""
-    nxt = sa.select(
-        (F.col("sp") - 1).alias("_sp"),
-        F.col("doc_id").alias("db"),
-        F.col("pos").alias("pb"),
-        F.col("dlen").alias("lb"),
+    neighbors), by WINDOW ADJACENCY over the range-parted suffix layout.
+
+    The key identity: after ``_range_parted`` on the full suffix key,
+    SA-adjacent pairs are *within buckets* (plus one boundary pair per
+    consecutive nonempty bucket), so a ``lag`` window yields every
+    adjacent pair with no global row_number, no SA self-join, and —
+    because the capped document makes ``sfx`` the COMPLETE suffix — no
+    text joins either: the LCP chain runs on the suffix column itself.
+    The old shape (global sp → self-join on sp−1 → two doc-text joins →
+    pair union → groupBy(doc,pos)) paid two n-row hash exchanges, a
+    2(n−1)-row union aggregation, and re-ran the bucket sort twice; this
+    shape pays one n-row ``_bkt`` exchange and two window passes over one
+    sort.  The boundary pairs (≤ one per bucket) come from a min/max
+    struct aggregation over the same binned relation — partial-agg
+    collapses each scan partition to ≤ parts rows, so the branch costs a
+    scan, not a sort.  Bucketization is LITERAL (driver-sampled boundary
+    tuples embedded in the plan — ``_suffix_key_boundaries``), so the
+    main and edge branches agree by construction and nothing needs the
+    ``_range_parted`` persist: no sampling job, no range exchange, no
+    corpus-wide DISK_ONLY write."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, cap).alias("s")
     )
-    adj = sa.join(nxt, F.col("sp") == F.col("_sp")).select(
-        F.col("doc_id").alias("da"),
-        F.col("pos").alias("pa"),
-        F.col("dlen").alias("la"),
-        "db", "pb", "lb",
+    pos0 = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos0", "ch"),
+            "s",
+        )
+        .filter(F.col("ch") != "")  # trailing "" from split — see suffix_order
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("s").substr(F.col("pos0") + 1, F.lit(cap)).alias("sfx"),
+        )
+    )
+    bnds = _suffix_key_boundaries(spark, sf, cap, cap, _rank_parts(pos0))
+    part = pos0.withColumn(
+        "_bkt", _bkt_tuple_expr(bnds, "sfx", "doc_id", "pos")
+    )
+    w = Window.partitionBy("_bkt").orderBy("sfx", "doc_id", "pos")
+    # remaining-length caps: sfx IS the whole capped suffix, so
+    # len(sfx) == dlen − pos + 1 exactly — the old la−pa+1 / lb−pb+1
+    lagged = part.withColumn("_psfx", F.lag("sfx").over(w))
+    step1 = _lcp_cols(lagged, "_psfx", "sfx", cap, "_lc").withColumn(
+        "_lp",
+        F.when(F.col("_psfx").isNull(), F.lit(None).cast("long")).otherwise(
+            F.least(
+                F.col("_lc").cast("long"),
+                F.length("_psfx"),
+                F.length("sfx"),
+            )
+        ),
+    )
+    step2 = step1.withColumn("_ln", F.lead("_lp").over(w))
+    # bucket-boundary pairs: per-bucket first/last suffix via min/max
+    # struct (field order == sort order), LCP between consecutive
+    # nonempty buckets' (last, next-first) — ≤ _rank_parts rows
+    st = F.struct("sfx", "doc_id", "pos")
+    edges = part.groupBy("_bkt").agg(
+        F.min(st).alias("_f"), F.max(st).alias("_l")
+    )
+    wb = Window.orderBy("_bkt")
+    e2 = edges.select(
+        "_bkt",
+        F.lag("_l").over(wb)["sfx"].alias("_psfx"),
+        F.col("_f")["sfx"].alias("_fsfx"),
+    )
+    bnd = _lcp_cols(e2, "_psfx", "_fsfx", cap, "_elc").select(
+        "_bkt",
+        F.when(
+            F.col("_psfx").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.least(
+                F.col("_elc").cast("long"),
+                F.length("_psfx"),
+                F.length("_fsfx"),
+            )
+        ).alias("_in"),
+    ).withColumn("_out", F.lead("_in").over(Window.orderBy("_bkt")))
+    return _neighbor_max(step2, bnd)
+
+
+def _per_suffix_ranked(
+    spark: SparkSession, sf: str, ranks: DataFrame, cap: int,
+    parts: int | None = None, n: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos, m) — window-adjacency per-suffix max LCP over a
+    prefix-doubling RANK relation (doc_id, pos, dlen, r).  Same shape as
+    ``_per_suffix_direct`` but the relation carries no suffix strings, so
+    each adjacent pair fetches both documents' capped text by doc_id join
+    before the two-phase LCP (codegen chain to 64, Arrow refinement for
+    the saturated long-duplicate tail — see ``_pair_lcp``).  The pair
+    LCPs are projected NARROW before the ``lead`` window, so even when
+    the text join breaks the ``_bkt`` partitioning (a shuffled join at
+    scale), the window's re-exchange moves only (ints, long) rows, never
+    document text.
+
+    Bucketization is LITERAL here too: the rank relation is a union of
+    already-materialized checkpoint pieces, so a cheap sample of it
+    (``n`` is known exactly from the doubling loop) yields boundary
+    tuples and the ``_range_parted`` persist disappears — both the main
+    window branch and the edge-bounds branch re-scan the local pieces,
+    which costs less than writing the relation to disk once."""
+    if parts is None:
+        parts = _rank_parts(ranks)
+    frac = min(1.0, (parts * 64.0) / n) if n else 1.0
+    bnds = sorted(
+        (r["r"], r["doc_id"], r["pos"])
+        for r in ranks.select("r", "doc_id", "pos")
+        .sample(False, frac, 13)
+        .collect()
+    )
+    bnds = [bnds[i * len(bnds) // parts] for i in range(1, parts)] if bnds else []
+    part = ranks.withColumn(
+        "_bkt", _bkt_tuple_expr(bnds, "r", "doc_id", "pos")
+    )
+    w = Window.partitionBy("_bkt").orderBy("r", "doc_id", "pos")
+    prev = part.select(
+        "_bkt", "r", "doc_id", "pos", "dlen",
+        F.lag("doc_id").over(w).alias("_pd"),
+        F.lag("pos").over(w).alias("_pp"),
+        F.lag("dlen").over(w).alias("_pl"),
     )
     capd = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, cap).alias("s")
     )
-    ta = capd.select(F.col("doc_id").alias("_tda"), F.col("s").alias("_sa"))
     tb = capd.select(F.col("doc_id").alias("_tdb"), F.col("s").alias("_sb"))
-    withtext = adj.join(ta, F.col("_tda") == F.col("da")).join(
-        tb, F.col("_tdb") == F.col("db")
+    ta = capd.select(F.col("doc_id").alias("_tda"), F.col("s").alias("_sa"))
+    # current row = b side (always present); prev row = a side (absent on
+    # bucket-first rows: LEFT-join miss → blank string, chain 0, and the
+    # da-NULL guard nulls the pair out — no Arrow work on blanks either)
+    wt = (
+        prev.join(tb, F.col("_tdb") == F.col("doc_id"))
+        .join(ta, F.col("_tda") == F.col("_pd"), "left")
+        .select(
+            "_bkt", "r",
+            F.col("_pd").alias("da"),
+            F.coalesce(F.col("_pp"), F.lit(1)).alias("pa"),
+            F.col("_pl").alias("la"),
+            F.col("doc_id").alias("db"),
+            F.col("pos").alias("pb"),
+            F.col("dlen").alias("lb"),
+            F.coalesce(F.col("_sa"), F.lit("")).alias("_sa"),
+            "_sb",
+        )
     )
-    lcp = _pair_lcp(withtext, cap).select(
-        "da", "pa", "db", "pb",
-        F.least(
-            F.col("_l"),
-            F.col("la") - F.col("pa") + 1,
-            F.col("lb") - F.col("pb") + 1,
-        ).alias("lcp"),
+    lcp = _pair_lcp(
+        wt, cap, keep=["_bkt", "r", "da", "pa", "la", "db", "pb", "lb"]
     )
-    suff = lcp.select(
-        F.col("da").alias("doc_id"), F.col("pa").alias("pos"), "lcp"
-    ).unionAll(
-        lcp.select(F.col("db").alias("doc_id"), F.col("pb").alias("pos"), "lcp")
+    step1 = lcp.select(
+        "_bkt", "r",
+        F.col("db").alias("doc_id"),
+        F.col("pb").alias("pos"),
+        F.when(F.col("da").isNull(), F.lit(None).cast("long")).otherwise(
+            F.least(
+                F.col("_l"),
+                F.col("la") - F.col("pa") + 1,
+                F.col("lb") - F.col("pb") + 1,
+            )
+        ).alias("_lp"),
     )
-    return suff.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+    w2 = Window.partitionBy("_bkt").orderBy("r", "doc_id", "pos")
+    step2 = step1.withColumn("_ln", F.lead("_lp").over(w2))
+    # bucket-boundary pairs, text attached per tiny pair row
+    st = F.struct("r", "doc_id", "pos", "dlen")
+    edges = part.groupBy("_bkt").agg(
+        F.min(st).alias("_f"), F.max(st).alias("_l")
+    )
+    wb = Window.orderBy("_bkt")
+    e2 = edges.select("_bkt", F.lag("_l").over(wb).alias("_pv"), "_f")
+    pairs = e2.select(
+        "_bkt",
+        F.col("_pv")["doc_id"].alias("da"),
+        F.coalesce(F.col("_pv")["pos"], F.lit(1)).alias("pa"),
+        F.col("_pv")["dlen"].alias("la"),
+        F.col("_f")["doc_id"].alias("db"),
+        F.col("_f")["pos"].alias("pb"),
+        F.col("_f")["dlen"].alias("lb"),
+    )
+    ewt = (
+        pairs.join(tb, F.col("_tdb") == F.col("db"))
+        .join(ta, F.col("_tda") == F.col("da"), "left")
+        .withColumn("_sa", F.coalesce(F.col("_sa"), F.lit("")))
+    )
+    elcp = _pair_lcp(
+        ewt, cap, keep=["_bkt", "da", "pa", "la", "db", "pb", "lb"]
+    )
+    bnd = elcp.select(
+        "_bkt",
+        F.when(F.col("da").isNull(), F.lit(None).cast("long")).otherwise(
+            F.least(
+                F.col("_l"),
+                F.col("la") - F.col("pa") + 1,
+                F.col("lb") - F.col("pb") + 1,
+            )
+        ).alias("_in"),
+    ).withColumn("_out", F.lead("_in").over(Window.orderBy("_bkt")))
+    return _neighbor_max(step2, bnd)
 
 
-def _lrs_projection(
-    spark: SparkSession, sf: str, sa: DataFrame, cap: int
-) -> DataFrame:
+def _lrs_projection(per_suffix: DataFrame) -> DataFrame:
     """Per-document (lrs_len, n_dup_suffixes) over the shared per-suffix
     max-LCP relation."""
-    per_suffix = _per_suffix(spark, sf, sa, cap)
     return (
         per_suffix.groupBy("doc_id")
         .agg(
@@ -616,8 +953,7 @@ def suffix_dedup(spark: SparkSession, sf: str) -> DataFrame:
     range sort); the interval merge is a per-document window over ≤ cap
     rows — no skew risk regardless of corpus-wide duplication, because
     the partition key is doc_id, not the duplicated content."""
-    sa = suffix_sa_direct(spark, sf)
-    ps = _per_suffix(spark, sf, sa, SUFFIX_CAP)
+    ps = _per_suffix_direct(spark, sf, SUFFIX_CAP)
     iv = ps.filter(F.col("m") >= SUFFIX_DUP_MIN).select(
         "doc_id", "pos", (F.col("pos") + F.col("m")).alias("_e")
     )
@@ -770,13 +1106,12 @@ def suffix_lrs_full(spark: SparkSession, sf: str) -> DataFrame:
     exactly like the oracle's ORDER BY sfx, doc_id, pos.  Output schema
     and semantics match ``suffix_lrs`` — only the cap differs."""
     ranks, n, _m = suffix_order(
-        spark, sf, cap=SUFFIX_FULL_CAP, seed=SUFFIX_CAP
+        spark, sf, cap=SUFFIX_FULL_CAP, seed=SUFFIX_CAP, with_classes=False
     )
     parts = max(4, min(_rank_parts(ranks), 1 + n // 20_000))
-    sa = _row_number2(ranks, ["r", "doc_id", "pos"], "sp", parts).select(
-        "doc_id", "pos", "dlen", "sp"
+    return _lrs_projection(
+        _per_suffix_ranked(spark, sf, ranks, SUFFIX_FULL_CAP, parts, n=n)
     )
-    return _lrs_projection(spark, sf, sa, SUFFIX_FULL_CAP)
 
 
 SUFFIX_LRS_FULL_SQL = _lrs_sql(cap=SUFFIX_FULL_CAP)
